@@ -1,0 +1,544 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** The delegated relational operator surface (SURVEY.md §2.B): every
+  * operator family the reference exercises through DataFusion built-ins,
+  * re-expressed as idiomatic Spark DataFrame plans over the parquet test
+  * corpus, each paired with an ANSI-SQL oracle for the DuckDB gate.
+  *
+  * Determinism discipline (the driver hash-compares values against
+  * DuckDB):
+  *   - Sums/avgs of double columns go through an exact, tight
+  *     `DecimalType` cast before aggregation (decimal addition is
+  *     associative, so Spark's partial aggregation order can't change
+  *     the result), then the exact decimal is cast to double. The
+  *     oracle SQL mirrors the same casts, so both engines produce
+  *     bit-identical doubles.
+  *   - Every query's result is a deterministic *set* (unique sort keys
+  *     for any LIMIT/OFFSET/window ordering).
+  *   - Int32-origin outputs are cast to BIGINT on both sides.
+  *
+  * Scale notes: dimension tables (`region`, `nation`, `customer`,
+  * `supplier`, `part`) are broadcast explicitly; fact-fact joins key on
+  * the natural join columns so the shuffle is a single hash exchange
+  * that AQE can coalesce. Nothing collects to the driver.
+  */
+object Relational {
+
+  private def dec(c: Column, p: Int, s: Int = 2): Column = c.cast(DecimalType(p, s))
+  /** Exact sum of a 2-decimal-valued double column, returned as double. */
+  private def dsum(c: Column, p: Int = 14): Column = sum(dec(c, p)).cast("double")
+  /** Exact-sum-based average (identical in both engines). */
+  private def davg(c: Column, p: Int = 14): Column =
+    (sum(dec(c, p)).cast("double") / count(c)).cast("double")
+  /** lineitem revenue: extendedprice * (1 - discount), exact decimal. */
+  private def revenue(price: Column, disc: Column): Column =
+    dec(price, 14) * (dec(lit(1), 4) - dec(disc, 4))
+
+  private val sqlRev =
+    "CAST(l_extendedprice AS DECIMAL(14,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))"
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  // ---------------------------------------------------------------- queries
+
+  /** TPC-H Q1-style pricing summary: wide hash aggregation with
+    * map-side partial agg; exercises SUM/AVG/COUNT + GROUP BY
+    * (SURVEY §2.B aggregations). */
+  def q1_agg(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        dsum(col("l_quantity"), 12).as("sum_qty"),
+        dsum(col("l_extendedprice")).as("sum_base_price"),
+        sum(revenue(col("l_extendedprice"), col("l_discount"))).cast("double").as("sum_disc_price"),
+        sum(revenue(col("l_extendedprice"), col("l_discount")) * (dec(lit(1), 4) + dec(col("l_tax"), 4)))
+          .cast("double").as("sum_charge"),
+        davg(col("l_quantity"), 12).as("avg_qty"),
+        davg(col("l_extendedprice")).as("avg_price"),
+        davg(col("l_discount"), 4).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+
+  /** Projection + arithmetic expressions + comparison predicates
+    * (§2.B projections/filters); filter + column pruning both reach the
+    * parquet scan. */
+  def q2_filter_arith(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1998-01-01").cast("timestamp") &&
+        col("l_discount") > lit(0.02) && col("l_quantity") < lit(24))
+      .select(
+        col("l_orderkey"), col("l_linenumber").cast("long").as("l_linenumber"),
+        (dec(col("l_extendedprice"), 14) * dec(col("l_discount"), 4)).cast("double").as("disc_amount"),
+        // decimal multiply stays exact in both engines; decimal *division*
+        // degrades to double division in DuckDB, so scale by 1.8 not *9/5
+        ((dec(col("l_extendedprice"), 14) - dec(lit(273.15), 6)) * dec(lit(1.8), 3))
+          .cast("double").as("scaled"))
+
+  /** TPC-H Q3-style shipping priority: dim broadcast + fact-fact shuffle
+    * join + agg + deterministic top-10 (§2.B joins). */
+  def q3_join_agg(s: SparkSession, dir: String): DataFrame = {
+    val cust = t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+    val ord = t(s, dir, "orders").filter(col("o_orderdate") < lit("1998-07-01").cast("timestamp"))
+    val li = t(s, dir, "lineitem").filter(col("l_shipdate") > lit("1998-07-01").cast("timestamp"))
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .agg(sum(revenue(col("l_extendedprice"), col("l_discount"))).cast("double").as("revenue"))
+      .orderBy(col("revenue").desc, col("o_orderkey"))
+      .limit(10)
+  }
+
+  /** Four-table star join, dims broadcast (§2.B joins): revenue rollup
+    * region → nation. */
+  def q4_multi_join(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .join(broadcast(t(s, dir, "customer")), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(t(s, dir, "region")), col("n_regionkey") === col("r_regionkey"))
+      .groupBy("r_name", "n_name")
+      .agg(dsum(col("o_totalprice")).as("total_revenue"), count(lit(1)).as("n_orders"))
+
+  /** LEFT OUTER join with a non-trivial key expression
+    * (reference: `a.lat = b.lat + 1`, docs/CLI_REFERENCE.md:417-426). */
+  def q5_left_join_expr(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "nation")
+      .join(t(s, dir, "supplier"), col("s_nationkey") === col("n_nationkey") + 1, "left")
+      .groupBy("n_name")
+      .agg(count(col("s_suppkey")).as("n_suppliers"))
+
+  /** Semi + anti join (EXISTS / NOT EXISTS). */
+  def q6_semi_anti(s: SparkSession, dir: String): DataFrame = {
+    val cust = t(s, dir, "customer")
+    val ord = t(s, dir, "orders")
+    val semi = cust.join(ord, col("c_custkey") === col("o_custkey"), "left_semi")
+      .agg(count(lit(1)).as("n"), dsum(col("c_acctbal"), 12).as("acctbal"))
+      .select(lit("with_orders").as("grp"), col("n"), col("acctbal"))
+    val anti = cust.join(ord, col("c_custkey") === col("o_custkey"), "left_anti")
+      .agg(count(lit(1)).as("n"), dsum(col("c_acctbal"), 12).as("acctbal"))
+      .select(lit("no_orders").as("grp"), col("n"), col("acctbal"))
+    semi.unionAll(anti)
+  }
+
+  /** ROW_NUMBER() OVER (PARTITION BY … ORDER BY …) with a unique sort
+    * key (§2.B windows). */
+  def q7_window_rownum(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("l_suppkey")
+      .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+    t(s, dir, "lineitem")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select(col("l_suppkey"), col("l_orderkey"),
+        col("l_linenumber").cast("long").as("l_linenumber"), col("rn").cast("long").as("rn"))
+  }
+
+  /** RANK / DENSE_RANK (ties share ranks — deterministic by value). */
+  def q8_window_rank(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("p_brand").orderBy(col("p_retailprice").desc)
+    t(s, dir, "part")
+      .withColumn("price_rank", rank().over(w).cast("long"))
+      .withColumn("price_dense_rank", dense_rank().over(w).cast("long"))
+      .filter(col("price_rank") <= 2)
+      .select(col("p_brand"), col("p_partkey"), col("p_retailprice"),
+        col("price_rank"), col("price_dense_rank"))
+  }
+
+  /** LAG / LEAD over per-customer order history. */
+  def q9_window_lag(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey").orderBy(col("o_orderdate"), col("o_orderkey"))
+    t(s, dir, "orders")
+      .select(col("o_custkey"), col("o_orderkey"),
+        lag("o_totalprice", 1).over(w).as("prev_price"),
+        lead("o_totalprice", 1).over(w).as("next_price"))
+  }
+
+  /** Moving aggregate with frame ROWS BETWEEN 2 PRECEDING AND CURRENT
+    * ROW (reference docs/CLI_REFERENCE.md:291-300); exact decimal sum
+    * divided by frame count so both engines agree bit-for-bit. */
+  def q10_window_frame(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("l_suppkey")
+      .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+      .rowsBetween(-2, Window.currentRow)
+    t(s, dir, "lineitem")
+      .select(col("l_suppkey"), col("l_orderkey"),
+        col("l_linenumber").cast("long").as("l_linenumber"),
+        (sum(dec(col("l_quantity"), 12)).over(w).cast("double") /
+          count(lit(1)).over(w)).cast("double").as("moving_avg_qty"))
+  }
+
+  /** ORDER BY … LIMIT k (TakeOrderedAndProject — no full sort at scale). */
+  def q11_topk(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy("l_orderkey")
+      .agg(sum(revenue(col("l_extendedprice"), col("l_discount"))).cast("double").as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+
+  /** LIMIT … OFFSET over a unique total order. */
+  def q12_limit_offset(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_totalprice"))
+      .orderBy(col("o_orderkey"))
+      .offset(40).limit(20)
+
+  /** DISTINCT (hash aggregate, no value columns). */
+  def q13_distinct(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer")
+      .select(col("c_mktsegment"), col("c_nationkey").cast("long").as("c_nationkey"))
+      .distinct()
+
+  /** GROUP BY + HAVING (post-aggregation filter). */
+  def q14_having(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .groupBy("o_custkey")
+      .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("total_spent"))
+      .filter(col("n_orders") >= 12)
+
+  /** BETWEEN / IN / IS NOT NULL predicate surface. */
+  def q15_between_in(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .filter(col("l_quantity").between(10, 20) &&
+        col("l_returnflag").isin("A", "R") && col("l_shipdate").isNotNull)
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"), dsum(col("l_extendedprice")).as("sum_price"))
+
+  /** UNION ALL of two heterogeneous selects (tagged). */
+  def q16_union(s: SparkSession, dir: String): DataFrame = {
+    val hi = t(s, dir, "orders").filter(col("o_totalprice") > 400000)
+      .select(lit("high").as("bucket"), col("o_orderkey").as("key"), col("o_totalprice").as("amount"))
+    val lo = t(s, dir, "orders").filter(col("o_totalprice") < 2000)
+      .select(lit("low").as("bucket"), col("o_orderkey").as("key"), col("o_totalprice").as("amount"))
+    hi.unionAll(lo)
+  }
+
+  /** INTERSECT and EXCEPT set operations. */
+  def q17_intersect_except(s: SparkSession, dir: String): DataFrame = {
+    val ord = t(s, dir, "orders")
+    val o = ord.filter(col("o_orderstatus") === "O").select(col("o_custkey"))
+    val f = ord.filter(col("o_orderstatus") === "F").select(col("o_custkey"))
+    val p = ord.filter(col("o_orderstatus") === "P").select(col("o_custkey"))
+    o.intersect(f).except(p)
+  }
+
+  /** WITH … multiple CTEs (SQL surface; §2.B CTEs). */
+  def q18_cte(s: SparkSession, dir: String): DataFrame = {
+    Tables.views(s, dir, "orders", "customer")
+    s.sql("""
+      WITH cust_orders AS (
+        SELECT o_custkey, COUNT(*) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS spent
+        FROM orders GROUP BY o_custkey
+      ), segments AS (
+        SELECT c_custkey, c_mktsegment FROM customer
+      )
+      SELECT c_mktsegment, COUNT(*) AS n_customers,
+             CAST(CAST(SUM(CAST(spent AS DECIMAL(16,2))) AS DOUBLE) / SUM(n_orders) AS DOUBLE)
+               AS avg_order_value
+      FROM cust_orders JOIN segments ON o_custkey = c_custkey
+      GROUP BY c_mktsegment
+    """)
+  }
+
+  /** Scalar subquery: orders above the global average price. The
+    * average is an exact decimal sum / count, so both engines compare
+    * against the identical double threshold. */
+  def q19_subquery(s: SparkSession, dir: String): DataFrame = {
+    Tables.views(s, dir, "orders")
+    s.sql("""
+      SELECT o_orderstatus, COUNT(*) AS n_above
+      FROM orders
+      WHERE o_totalprice > (
+        SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) / COUNT(*) FROM orders)
+      GROUP BY o_orderstatus
+    """)
+  }
+
+  /** GROUP BY ROLLUP (multi-level aggregate). */
+  def q20_rollup(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .rollup("l_returnflag", "l_linestatus")
+      .agg(count(lit(1)).as("n"), dsum(col("l_quantity"), 12).as("sum_qty"))
+
+  /** GROUP BY CUBE. */
+  def q21_cube(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .cube("o_orderstatus", "o_orderpriority")
+      .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+
+  /** Scalar function surface: string / date / math / conditional
+    * (§2.B scalar functions — all codegen'd builtins, no UDFs). */
+  def q22_scalar_funcs(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .select(
+        col("o_orderkey"),
+        upper(substring(col("o_orderpriority"), 3, 20)).as("prio_name"),
+        length(col("o_orderpriority")).cast("long").as("prio_len"),
+        concat_ws("-", col("o_orderstatus"), col("o_orderpriority").substr(1, 1)).as("status_code"),
+        year(col("o_orderdate")).cast("long").as("o_year"),
+        month(col("o_orderdate")).cast("long").as("o_month"),
+        dayofmonth(col("o_orderdate")).cast("long").as("o_day"),
+        round(col("o_totalprice")).as("price_rounded"),
+        floor(col("o_totalprice") / 1000).cast("long").as("price_k"),
+        abs(col("o_totalprice") - lit(250000.0)).as("dist_from_mid"),
+        (col("o_orderkey") % 7).as("key_mod"),
+        when(col("o_totalprice") > 300000, "big")
+          .when(col("o_totalprice") > 100000, "mid")
+          .otherwise("small").as("size_class"))
+
+  /** Tumbling-window aggregation over the events table (hour buckets) —
+    * the batch equivalent of the streaming pipeline in
+    * graft.streaming; also exercises timestamp arithmetic. */
+  def q23_events_window(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .groupBy(
+        floor(unix_timestamp(col("ts")) / 3600).cast("long").as("hour_bucket"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n_events"), dsum(col("value"), 10).as("sum_value"),
+        countDistinct(col("user_id")).as("n_users"))
+
+  // ---------------------------------------------------------------- oracles
+
+  private val q1Sql = s"""
+    SELECT l_returnflag, l_linestatus,
+      CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+      CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2))) AS DOUBLE) AS sum_base_price,
+      CAST(SUM($sqlRev) AS DOUBLE) AS sum_disc_price,
+      CAST(SUM($sqlRev * (CAST(1 AS DECIMAL(4,2)) + CAST(l_tax AS DECIMAL(4,2)))) AS DOUBLE) AS sum_charge,
+      CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / COUNT(l_quantity) AS DOUBLE) AS avg_qty,
+      CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2))) AS DOUBLE) / COUNT(l_extendedprice) AS DOUBLE) AS avg_price,
+      CAST(CAST(SUM(CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) / COUNT(l_discount) AS DOUBLE) AS avg_disc,
+      COUNT(*) AS count_order
+    FROM lineitem GROUP BY l_returnflag, l_linestatus"""
+
+  private val q2Sql = """
+    SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+      CAST(CAST(l_extendedprice AS DECIMAL(14,2)) * CAST(l_discount AS DECIMAL(4,2)) AS DOUBLE) AS disc_amount,
+      CAST((CAST(l_extendedprice AS DECIMAL(14,2)) - CAST(273.15 AS DECIMAL(6,2))) * CAST(1.8 AS DECIMAL(3,2)) AS DOUBLE) AS scaled
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+      AND l_discount > 0.02 AND l_quantity < 24"""
+
+  private val q3Sql = s"""
+    SELECT o_orderkey, o_orderdate, o_orderpriority,
+      CAST(SUM($sqlRev) AS DOUBLE) AS revenue
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-07-01'
+      AND l_shipdate > TIMESTAMP '1998-07-01'
+    GROUP BY o_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, o_orderkey LIMIT 10"""
+
+  private val q4Sql = """
+    SELECT r_name, n_name,
+      CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS total_revenue,
+      COUNT(*) AS n_orders
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY r_name, n_name"""
+
+  private val q5Sql = """
+    SELECT n_name, COUNT(s_suppkey) AS n_suppliers
+    FROM nation LEFT JOIN supplier ON s_nationkey = n_nationkey + 1
+    GROUP BY n_name"""
+
+  private val q6Sql = """
+    SELECT 'with_orders' AS grp, COUNT(*) AS n,
+      CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS acctbal
+    FROM customer c WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    UNION ALL
+    SELECT 'no_orders' AS grp, COUNT(*) AS n,
+      CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS acctbal
+    FROM customer c WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)"""
+
+  private val q7Sql = """
+    SELECT l_suppkey, l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+           CAST(rn AS BIGINT) AS rn
+    FROM (
+      SELECT l_suppkey, l_orderkey, l_linenumber,
+        ROW_NUMBER() OVER (PARTITION BY l_suppkey
+          ORDER BY l_shipdate, l_orderkey, l_linenumber) AS rn
+      FROM lineitem) x
+    WHERE rn <= 3"""
+
+  private val q8Sql = """
+    SELECT p_brand, p_partkey, p_retailprice,
+      CAST(price_rank AS BIGINT) AS price_rank,
+      CAST(price_dense_rank AS BIGINT) AS price_dense_rank
+    FROM (
+      SELECT p_brand, p_partkey, p_retailprice,
+        RANK() OVER (PARTITION BY p_brand ORDER BY p_retailprice DESC) AS price_rank,
+        DENSE_RANK() OVER (PARTITION BY p_brand ORDER BY p_retailprice DESC) AS price_dense_rank
+      FROM part) x
+    WHERE price_rank <= 2"""
+
+  private val q9Sql = """
+    SELECT o_custkey, o_orderkey,
+      LAG(o_totalprice, 1) OVER w AS prev_price,
+      LEAD(o_totalprice, 1) OVER w AS next_price
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)"""
+
+  private val q10Sql = """
+    SELECT l_suppkey, l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+      CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) OVER w AS DOUBLE)
+           / COUNT(*) OVER w AS DOUBLE) AS moving_avg_qty
+    FROM lineitem
+    WINDOW w AS (PARTITION BY l_suppkey
+      ORDER BY l_shipdate, l_orderkey, l_linenumber
+      ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)"""
+
+  private val q11Sql = s"""
+    SELECT l_orderkey, CAST(SUM($sqlRev) AS DOUBLE) AS revenue
+    FROM lineitem GROUP BY l_orderkey
+    ORDER BY revenue DESC, l_orderkey LIMIT 10"""
+
+  private val q12Sql = """
+    SELECT o_orderkey, o_totalprice FROM orders
+    ORDER BY o_orderkey LIMIT 20 OFFSET 40"""
+
+  private val q13Sql = """
+    SELECT DISTINCT c_mktsegment, CAST(c_nationkey AS BIGINT) AS c_nationkey FROM customer"""
+
+  private val q14Sql = """
+    SELECT o_custkey, COUNT(*) AS n_orders,
+      CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS total_spent
+    FROM orders GROUP BY o_custkey HAVING COUNT(*) >= 12"""
+
+  private val q15Sql = """
+    SELECT l_returnflag, COUNT(*) AS n,
+      CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2))) AS DOUBLE) AS sum_price
+    FROM lineitem
+    WHERE l_quantity BETWEEN 10 AND 20
+      AND l_returnflag IN ('A', 'R') AND l_shipdate IS NOT NULL
+    GROUP BY l_returnflag"""
+
+  private val q16Sql = """
+    SELECT 'high' AS bucket, o_orderkey AS key, o_totalprice AS amount
+    FROM orders WHERE o_totalprice > 400000
+    UNION ALL
+    SELECT 'low' AS bucket, o_orderkey AS key, o_totalprice AS amount
+    FROM orders WHERE o_totalprice < 2000"""
+
+  private val q17Sql = """
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+    INTERSECT
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+    EXCEPT
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'P'"""
+
+  private val q18Sql = """
+    WITH cust_orders AS (
+      SELECT o_custkey, COUNT(*) AS n_orders,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS spent
+      FROM orders GROUP BY o_custkey
+    ), segments AS (
+      SELECT c_custkey, c_mktsegment FROM customer
+    )
+    SELECT c_mktsegment, COUNT(*) AS n_customers,
+           CAST(CAST(SUM(CAST(spent AS DECIMAL(16,2))) AS DOUBLE) / SUM(n_orders) AS DOUBLE)
+             AS avg_order_value
+    FROM cust_orders JOIN segments ON o_custkey = c_custkey
+    GROUP BY c_mktsegment"""
+
+  private val q19Sql = """
+    SELECT o_orderstatus, COUNT(*) AS n_above
+    FROM orders
+    WHERE o_totalprice > (
+      SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) / COUNT(*) FROM orders)
+    GROUP BY o_orderstatus"""
+
+  private val q20Sql = """
+    SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+      CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+    FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)"""
+
+  private val q21Sql = """
+    SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+      CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS total
+    FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)"""
+
+  private val q22Sql = """
+    SELECT o_orderkey,
+      UPPER(SUBSTRING(o_orderpriority, 3, 20)) AS prio_name,
+      CAST(LENGTH(o_orderpriority) AS BIGINT) AS prio_len,
+      o_orderstatus || '-' || SUBSTRING(o_orderpriority, 1, 1) AS status_code,
+      CAST(YEAR(o_orderdate) AS BIGINT) AS o_year,
+      CAST(MONTH(o_orderdate) AS BIGINT) AS o_month,
+      CAST(DAY(o_orderdate) AS BIGINT) AS o_day,
+      ROUND(o_totalprice) AS price_rounded,
+      CAST(FLOOR(o_totalprice / 1000) AS BIGINT) AS price_k,
+      ABS(o_totalprice - 250000.0) AS dist_from_mid,
+      o_orderkey % 7 AS key_mod,
+      CASE WHEN o_totalprice > 300000 THEN 'big'
+           WHEN o_totalprice > 100000 THEN 'mid'
+           ELSE 'small' END AS size_class
+    FROM orders"""
+
+  private val q23Sql = """
+    SELECT CAST(FLOOR(EPOCH(ts) / 3600) AS BIGINT) AS hour_bucket, event_type,
+      COUNT(*) AS n_events,
+      CAST(SUM(CAST(value AS DECIMAL(10,2))) AS DOUBLE) AS sum_value,
+      COUNT(DISTINCT user_id) AS n_users
+    FROM events GROUP BY 1, 2"""
+
+  // ---------------------------------------------------------------- wiring
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q1_agg" -> (q1_agg _),
+    "q2_filter_arith" -> (q2_filter_arith _),
+    "q3_join_agg" -> (q3_join_agg _),
+    "q4_multi_join" -> (q4_multi_join _),
+    "q5_left_join_expr" -> (q5_left_join_expr _),
+    "q6_semi_anti" -> (q6_semi_anti _),
+    "q7_window_rownum" -> (q7_window_rownum _),
+    "q8_window_rank" -> (q8_window_rank _),
+    "q9_window_lag" -> (q9_window_lag _),
+    "q10_window_frame" -> (q10_window_frame _),
+    "q11_topk" -> (q11_topk _),
+    "q12_limit_offset" -> (q12_limit_offset _),
+    "q13_distinct" -> (q13_distinct _),
+    "q14_having" -> (q14_having _),
+    "q15_between_in" -> (q15_between_in _),
+    "q16_union" -> (q16_union _),
+    "q17_intersect_except" -> (q17_intersect_except _),
+    "q18_cte" -> (q18_cte _),
+    "q19_subquery" -> (q19_subquery _),
+    "q20_rollup" -> (q20_rollup _),
+    "q21_cube" -> (q21_cube _),
+    "q22_scalar_funcs" -> (q22_scalar_funcs _),
+    "q23_events_window" -> (q23_events_window _))
+
+  val oracle: Map[String, String] = Map(
+    "q1_agg" -> q1Sql,
+    "q2_filter_arith" -> q2Sql,
+    "q3_join_agg" -> q3Sql,
+    "q4_multi_join" -> q4Sql,
+    "q5_left_join_expr" -> q5Sql,
+    "q6_semi_anti" -> q6Sql,
+    "q7_window_rownum" -> q7Sql,
+    "q8_window_rank" -> q8Sql,
+    "q9_window_lag" -> q9Sql,
+    "q10_window_frame" -> q10Sql,
+    "q11_topk" -> q11Sql,
+    "q12_limit_offset" -> q12Sql,
+    "q13_distinct" -> q13Sql,
+    "q14_having" -> q14Sql,
+    "q15_between_in" -> q15Sql,
+    "q16_union" -> q16Sql,
+    "q17_intersect_except" -> q17Sql,
+    "q18_cte" -> q18Sql,
+    "q19_subquery" -> q19Sql,
+    "q20_rollup" -> q20Sql,
+    "q21_cube" -> q21Sql,
+    "q22_scalar_funcs" -> q22Sql,
+    "q23_events_window" -> q23Sql)
+}

@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+object TestSession {
+  lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[8]")
+      .appName("graft-test")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+  val sf = "/root/testdata/sf0.001"
+}
+
+/** Smoke + shape checks for the relational surface (exact value
+  * equality vs DuckDB is the driver's gate; tools/compare.py replicates
+  * it at dev time). */
+class RelationalSpec extends AnyFunSuite {
+  import TestSession._
+
+  test("entry returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("every query runs non-empty on sf0.001 and has an oracle") {
+    val qs = SparkEntry.queries
+    assert(qs.nonEmpty)
+    qs.foreach { case (name, fn) =>
+      val df = fn(spark, sf)
+      assert(df.columns.nonEmpty, s"$name has no columns")
+      assert(df.count() > 0, s"$name returned 0 rows")
+    }
+  }
+
+  test("oracle keys are a subset of query keys") {
+    val extra = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(extra.isEmpty, s"oracle without query: $extra")
+  }
+
+  test("q1 aggregates are exact decimals cast to double") {
+    val row = operators.Relational.q1_agg(spark, sf)
+      .filter("l_returnflag = 'A' AND l_linestatus = 'F'")
+    assert(row.count() == 1)
+  }
+
+  test("q11 topk is deterministic across runs") {
+    val a = operators.Relational.q11_topk(spark, sf).collect().map(_.toSeq)
+    val b = operators.Relational.q11_topk(spark, sf).collect().map(_.toSeq)
+    assert(a.sameElements(b))
+  }
+
+  test("q17 set ops return distinct custkeys") {
+    val rows = operators.Relational.q17_intersect_except(spark, sf).collect()
+    assert(rows.map(_.getLong(0)).distinct.length == rows.length)
+  }
+}
