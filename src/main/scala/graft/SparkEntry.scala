@@ -20,10 +20,18 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    operators.Relational.queries
+    operators.Relational.queries ++
+      pipeline.TextAnalysis.queries ++
+      pipeline.Dedup.queries ++
+      pipeline.Similarity.queries ++
+      pipeline.Multimodal.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    operators.Relational.oracle
+    operators.Relational.oracle ++
+      pipeline.TextAnalysis.oracle ++
+      pipeline.Dedup.oracle ++
+      pipeline.Similarity.oracle ++
+      pipeline.Multimodal.oracle
 }

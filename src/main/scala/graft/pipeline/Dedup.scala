@@ -1,0 +1,258 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorOps
+import graft.operators.Tables
+
+/** Deduplication family over `documents` / `embeddings` — the core
+  * operators of a large-scale training-data pipeline:
+  *
+  *   - d1 exact:     hash-group by content digest (md5)
+  *   - d2 n-gram:    exact Jaccard over *rare* 5-grams (document
+  *                   frequency cut bounds the gram-join fan-out, so the
+  *                   candidate-pair count stays ~linear at scale —
+  *                   common grams can never pair O(N²) documents)
+  *   - d3 MinHash:   16 permutations → 4 bands × 4 rows LSH; candidate
+  *                   pairs from band equality, scored by signature
+  *                   agreement (est. Jaccard) ≥ 0.75
+  *   - d4 SimHash:   30-bit sign-sketch of the gram set; pairs with
+  *                   Hamming distance ≤ 3
+  *   - d5 embedding: cosine near-dup pairs ≥ 0.4 (brute force here;
+  *                   the LSH-bucketed scale path is
+  *                   [[Similarity.s2_ann_lsh]])
+  *
+  * Every op is deterministic integer/double arithmetic mirrored
+  * exactly by its DuckDB oracle (see [[Hashing]]).
+  */
+object Dedup {
+
+  import Hashing._
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents")
+  private def emb(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "embeddings")
+
+  // ------------------------------------------------------------ d1 exact
+
+  /** Exact dedup: group by content digest, keeper = min doc_id.
+    * Partitioning by the fixed-width digest (not the full text) keeps
+    * shuffle keys small at 100 TB scale. */
+  def d1_dedup_exact(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("text_hash")
+    docs(s, dir)
+      .withColumn("text_hash", md5(col("text").cast("binary")))
+      .select(col("doc_id"), col("text_hash"),
+        min(col("doc_id")).over(w).as("keeper_id"),
+        count(lit(1)).over(w).as("n_copies"))
+      .withColumn("is_dup", (col("doc_id") =!= col("keeper_id")).cast("int"))
+  }
+
+  private val d1Sql = """
+    SELECT doc_id, md5(text) AS text_hash,
+      MIN(doc_id) OVER (PARTITION BY md5(text)) AS keeper_id,
+      COUNT(*) OVER (PARTITION BY md5(text)) AS n_copies,
+      CAST(doc_id <> MIN(doc_id) OVER (PARTITION BY md5(text)) AS INT) AS is_dup
+    FROM documents"""
+
+  // ------------------------------------------------------------ d2 n-gram
+
+  /** Exact Jaccard over rare grams (df ≤ max(2, 5% of corpus)):
+    * near-dup pairs share most of their rare grams; unrelated docs
+    * share only common vocabulary grams, which the df cut removes —
+    * this is what makes the exact gram-join tractable at scale. */
+  def d2_dedup_ngram(s: SparkSession, dir: String): DataFrame = {
+    val g = TextAnalysis.gramCodes(docs(s, dir))
+    val nDocs = docs(s, dir).select(
+      greatest(lit(2L), (count(lit(1)) * 0.05).cast("long")).as("cut"))
+    val rare = g.join(
+        g.groupBy("code").agg(count(lit(1)).as("df")), "code")
+      .crossJoin(broadcast(nDocs))
+      .filter(col("df") <= col("cut"))
+      .select("doc_id", "code")
+    val sizes = rare.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val common = rare.as("a")
+      .join(rare.as("b"), col("a.code") === col("b.code") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("common"))
+    common
+      .join(sizes.select(col("doc_id").as("doc_a"), col("sz").as("na")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("sz").as("nb")), "doc_b")
+      .withColumn("jaccard", col("common") / (col("na") + col("nb") - col("common")))
+      .filter(col("jaccard") >= 0.5)
+      .select("doc_a", "doc_b", "common", "na", "nb", "jaccard")
+  }
+
+  private val d2Sql = s"""
+    WITH g AS (${TextAnalysis.gramSql}),
+    cutoff AS (SELECT GREATEST(2, CAST(COUNT(*) * 0.05 AS BIGINT)) AS cut FROM documents),
+    rare AS (
+      SELECT g.doc_id, g.code FROM g
+      JOIN (SELECT code, COUNT(*) AS df FROM g GROUP BY code) d ON g.code = d.code
+      CROSS JOIN cutoff WHERE d.df <= cut),
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM rare GROUP BY doc_id),
+    common AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS common
+      FROM rare a JOIN rare b ON a.code = b.code AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id)
+    SELECT doc_a, doc_b, common, sa.sz AS na, sb.sz AS nb,
+      common / (sa.sz + sb.sz - common) AS jaccard
+    FROM common
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE common / (sa.sz + sb.sz - common) >= 0.5"""
+
+  // ------------------------------------------------------------ d3 MinHash
+
+  private val nPerm = 16
+  private val bandRows = 4
+  private val nBands = nPerm / bandRows
+
+  /** MinHash + LSH banding: signature agreement ≥ 0.75 on
+    * band-collision candidates. Candidates come from equality joins on
+    * the 4 per-band minhash columns — a shuffle join on narrow int
+    * keys, which is the scalable formulation (no pairwise scan). */
+  def d3_dedup_minhash(s: SparkSession, dir: String): DataFrame = {
+    val g = TextAnalysis.gramCodes(docs(s, dir))
+    val sig = g.groupBy("doc_id").agg(
+      min(expr(permHash(1, "code"))).as("m1"),
+      (2 to nPerm).map(j => min(expr(permHash(j, "code"))).as(s"m$j")): _*)
+    val bands = (0 until nBands).map { b =>
+      sig.select(col("doc_id"), lit(b).as("band"),
+        col(s"m${bandRows * b + 1}").as("h1"), col(s"m${bandRows * b + 2}").as("h2"),
+        col(s"m${bandRows * b + 3}").as("h3"), col(s"m${bandRows * b + 4}").as("h4"))
+    }.reduce(_ unionAll _)
+    val cand = bands.as("a")
+      .join(bands.as("b"),
+        Seq("band", "h1", "h2", "h3", "h4").map(c => col(s"a.$c") === col(s"b.$c"))
+          .reduce(_ && _) && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    val agree: Column = (1 to nPerm)
+      .map(j => when(col(s"sa.m$j") === col(s"sb.m$j"), 1).otherwise(0))
+      .reduce(_ + _).cast("double") / nPerm
+    cand
+      .join(sig.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(sig.as("sb"), col("doc_b") === col("sb.doc_id"))
+      .select(col("doc_a"), col("doc_b"), agree.as("est_jaccard"))
+      .filter(col("est_jaccard") >= 0.75)
+  }
+
+  private val d3Sql = {
+    val mins = (1 to nPerm).map(j => s"MIN(${permHash(j, "code")}) AS m$j").mkString(", ")
+    val bandSelects = (0 until nBands).map { b =>
+      s"SELECT doc_id, $b AS band, m${bandRows * b + 1} AS h1, m${bandRows * b + 2} AS h2, " +
+        s"m${bandRows * b + 3} AS h3, m${bandRows * b + 4} AS h4 FROM sig"
+    }.mkString(" UNION ALL ")
+    val agree = (1 to nPerm)
+      .map(j => s"CASE WHEN sa.m$j = sb.m$j THEN 1 ELSE 0 END")
+      .mkString("(", " + ", s") / ${nPerm}.0")
+    s"""
+    WITH g AS (${TextAnalysis.gramSql}),
+    sig AS (SELECT doc_id, $mins FROM g GROUP BY doc_id),
+    bands AS ($bandSelects),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.h1 = b.h1 AND a.h2 = b.h2
+        AND a.h3 = b.h3 AND a.h4 = b.h4 AND a.doc_id < b.doc_id)
+    SELECT doc_a, doc_b, $agree AS est_jaccard
+    FROM cand
+    JOIN sig sa ON sa.doc_id = doc_a
+    JOIN sig sb ON sb.doc_id = doc_b
+    WHERE $agree >= 0.75"""
+  }
+
+  // ------------------------------------------------------------ d4 SimHash
+
+  private val simBits = 30
+
+  /** 30-bit SimHash over the document's distinct gram codes; dup pairs
+    * at Hamming distance ≤ 3. The pairwise scan is quadratic — kept
+    * because the 30-bit sketch makes each comparison a single XOR (a
+    * banded variant would split the sketch for candidate generation at
+    * larger corpus sizes). */
+  def d4_dedup_simhash(s: SparkSession, dir: String): DataFrame = {
+    val g = TextAnalysis.gramCodes(docs(s, dir))
+      .select(col("doc_id"), expr(mix("code")).as("h"))
+    val bitSums = g.groupBy("doc_id").agg(
+      sum(expr(s"CASE WHEN (shiftright(h, 0) & 1) = 1 THEN 1 ELSE -1 END")).as("s0"),
+      (1 until simBits).map(k =>
+        sum(expr(s"CASE WHEN (shiftright(h, $k) & 1) = 1 THEN 1 ELSE -1 END")).as(s"s$k")): _*)
+    val sketch = bitSums.select(col("doc_id"),
+      (0 until simBits).map(k =>
+        when(col(s"s$k") > 0, lit(1L << k)).otherwise(lit(0L))).reduce(_ + _).as("simhash"))
+    sketch.as("a")
+      .join(sketch.as("b"), col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        expr("bit_count(a.simhash ^ b.simhash)").cast("long").as("hamming"))
+      .filter(col("hamming") <= 3)
+  }
+
+  private val d4Sql = {
+    val sums = (0 until simBits).map(k =>
+      s"SUM(CASE WHEN (h >> $k) & 1 = 1 THEN 1 ELSE -1 END) AS s$k").mkString(", ")
+    val bits = (0 until simBits).map(k =>
+      s"CASE WHEN s$k > 0 THEN ${1L << k} ELSE 0 END").mkString(" + ")
+    s"""
+    WITH g AS (${TextAnalysis.gramSql}),
+    hh AS (SELECT doc_id, ${mix("code")} AS h FROM g),
+    bs AS (SELECT doc_id, $sums FROM hh GROUP BY doc_id),
+    sk AS (SELECT doc_id, $bits AS simhash FROM bs)
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+    FROM sk a JOIN sk b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 3"""
+  }
+
+  // ------------------------------------------------------ d5 embedding
+
+  /** Embedding-cosine near-dup pairs (threshold 0.4). Brute-force
+    * pairwise with precomputed squared norms; at cluster scale the
+    * candidate generation moves to the LSH buckets of
+    * [[Similarity.s2_ann_lsh]]. */
+  def d5_dedup_embedding(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir).select(col("vec_id"), col("embedding"),
+      VectorOps.norm2(col("embedding")).as("n2"))
+    e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+        VectorOps.cosineFrom(
+          VectorOps.dot(col("a.embedding"), col("b.embedding")),
+          col("a.n2"), col("b.n2")).as("cosine"))
+      .filter(col("cosine") >= 0.4)
+  }
+
+  private val d5Sql = """
+    WITH e AS (
+      SELECT vec_id, embedding,
+        (SELECT SUM(CAST(x AS DOUBLE) * CAST(x AS DOUBLE))
+         FROM (SELECT UNNEST(embedding) AS x) z) AS n2
+      FROM embeddings)
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+      (SELECT SUM(CAST(x AS DOUBLE) * CAST(y AS DOUBLE))
+       FROM (SELECT UNNEST(a.embedding) AS x, UNNEST(b.embedding) AS y) z)
+        / SQRT(a.n2 * b.n2) AS cosine
+    FROM e a JOIN e b ON a.vec_id < b.vec_id
+    WHERE (SELECT SUM(CAST(x AS DOUBLE) * CAST(y AS DOUBLE))
+       FROM (SELECT UNNEST(a.embedding) AS x, UNNEST(b.embedding) AS y) z)
+        / SQRT(a.n2 * b.n2) >= 0.4"""
+
+  // ------------------------------------------------------------ wiring
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d1_dedup_exact" -> (d1_dedup_exact _),
+    "d2_dedup_ngram" -> (d2_dedup_ngram _),
+    "d3_dedup_minhash" -> (d3_dedup_minhash _),
+    "d4_dedup_simhash" -> (d4_dedup_simhash _),
+    "d5_dedup_embedding" -> (d5_dedup_embedding _))
+
+  val oracle: Map[String, String] = Map(
+    "d1_dedup_exact" -> d1Sql,
+    "d2_dedup_ngram" -> d2Sql,
+    "d3_dedup_minhash" -> d3Sql,
+    "d4_dedup_simhash" -> d4Sql,
+    "d5_dedup_embedding" -> d5Sql)
+}

@@ -1,0 +1,132 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.Tables
+
+/** One simulated media item: opaque binary payload + typed metadata —
+  * the schema shape a multimodal corpus table uses at scale
+  * (image/audio/video bytes live in `payload`, never parsed by the
+  * relational layer). */
+case class MediaItem(
+    doc_id: Long,
+    format: String,
+    declared_size: Long,
+    payload: Array[Byte])
+
+/** Decoded features for one media item (the output batch shape of the
+  * decode stage). */
+case class MediaFeatures(
+    doc_id: Long,
+    format: String,
+    width: Int,
+    height: Int,
+    n_frames: Int,
+    byte_entropy_q: Double,
+    histogram: Array[Double])
+
+/** Multimodal-column plumbing: treat media as opaque `binary` columns
+  * with typed metadata, and run decode / feature-extract /
+  * frame-sample as a partition-wise batch stage.
+  *
+  * The real decode (image/audio codecs) is STUBBED — this container
+  * has no media libraries — with [[decodeStub]], a deterministic fake
+  * that derives plausible dimensions and features purely from the
+  * bytes. Everything around the stub is real, scale-shaped Spark:
+  * typed `Dataset[MediaItem]`, `mapPartitions` batching (one decoder
+  * init per partition, the same shape a native decoder or an Arrow
+  * batch UDF needs), and a columnar feature output schema.
+  *
+  * No SQL oracle: binary feature extraction is not SQL-expressible;
+  * the driver records a rows-only check and MultimodalSpec asserts the
+  * deterministic values.
+  */
+object Multimodal {
+
+  /** Deterministic fake decoder. A real implementation would replace
+    * exactly this function (signature and batch shape unchanged) with
+    * e.g. a JNI image codec; `???` marker intentionally documented. */
+  def decodeStub(item: MediaItem): MediaFeatures = {
+    val bytes = item.payload
+    val n = bytes.length max 1
+    // fake dimensions derived from content, as a codec would parse a header
+    val width = 16 + (math.abs(bytes.headOption.getOrElse(0: Byte).toInt) % 64)
+    val height = 16 + (n % 64)
+    // "frame sampling": one frame per 256-byte window, stride 128
+    val frames = if (n < 256) 1 else 1 + (n - 256) / 128
+    // 8-bin byte histogram, normalized — stands in for a feature vector
+    val hist = new Array[Double](8)
+    var i = 0
+    while (i < bytes.length) { hist((bytes(i) & 0xff) / 32) += 1.0; i += 1 }
+    var j = 0
+    while (j < 8) { hist(j) /= n; j += 1 }
+    val entropyQ = hist.map(p => if (p > 0) -p * math.log(p) else 0.0).sum
+    MediaFeatures(item.doc_id, item.format, width, height, frames, entropyQ, hist)
+  }
+
+  /** documents → simulated media table: payload = utf8 bytes of the
+    * text (stands in for image/audio bytes), metadata from the real
+    * columns. */
+  def mediaTable(s: SparkSession, dir: String): Dataset[MediaItem] = {
+    import s.implicits._
+    Tables.load(s, dir, "documents")
+      .select(col("doc_id"), col("source").as("format"),
+        col("n_chars").as("declared_size"), col("text").cast("binary").as("payload"))
+      .as[MediaItem]
+  }
+
+  /** The decode/feature-extract stage: partition-wise batch map. One
+    * decoder "initialization" per partition (here: trivial), then a
+    * streaming map over the partition's items — the canonical shape
+    * for wrapping native decoders without per-row init cost. */
+  def decodeFeatures(items: Dataset[MediaItem]): Dataset[MediaFeatures] = {
+    import items.sparkSession.implicits._
+    items.mapPartitions { it =>
+      // per-partition decoder init would go here
+      it.map(decodeStub)
+    }
+  }
+
+  /** Query entry: decoded features flattened to a stable column set. */
+  def m1_multimodal_decode(s: SparkSession, dir: String): DataFrame =
+    decodeFeatures(mediaTable(s, dir))
+      .toDF()
+      .select(col("doc_id"), col("format"),
+        col("width").cast("long").as("width"),
+        col("height").cast("long").as("height"),
+        col("n_frames").cast("long").as("n_frames"),
+        col("byte_entropy_q"),
+        round(element_at(col("histogram"), 1), 6).as("hist_0"),
+        round(element_at(col("histogram"), 4), 6).as("hist_3"))
+
+  /** Frame sampling as pure relational ops: slice the payload into
+    * fixed windows with `substring` over binary — shows the payload
+    * column also composes with builtin functions (no decode). */
+  def m2_multimodal_frames(s: SparkSession, dir: String): DataFrame =
+    mediaTable(s, dir).toDF()
+      .select(col("doc_id"),
+        explode(sequence(lit(0L),
+          greatest(expr("(length(payload) - 256) div 128"), lit(0L)))).as("frame_id"),
+        col("payload"))
+      .select(col("doc_id"), col("frame_id"),
+        length(expr("substring(payload, frame_id * 128 + 1, 256)")).cast("long").as("frame_bytes"))
+
+  /** The payload is the utf8 bytes of ascii text, so DuckDB mirrors
+    * the binary slicing with text substring — byte counts match. */
+  private val m2Sql = """
+    SELECT doc_id, frame_id,
+      CAST(LENGTH(SUBSTRING(text, CAST(frame_id * 128 + 1 AS INT), 256)) AS BIGINT) AS frame_bytes
+    FROM (SELECT doc_id, text,
+            UNNEST(range(0, GREATEST((LENGTH(text) - 256) // 128, 0) + 1)) AS frame_id
+          FROM documents) src"""
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "m1_multimodal_decode" -> (m1_multimodal_decode _),
+    "m2_multimodal_frames" -> (m2_multimodal_frames _))
+
+  /** m1 is not SQL-expressible (binary feature extraction) — the
+    * driver records a rows-only check for it. */
+  val oracle: Map[String, String] = Map(
+    "m2_multimodal_frames" -> m2Sql)
+}

@@ -1,0 +1,142 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorOps
+import graft.operators.Tables
+
+/** Approximate-nearest-neighbor search over the `embeddings` table.
+  *
+  *   - s1: brute-force cosine top-k — the exactness baseline. Probes
+  *     are broadcast against the corpus, so the scan is a single pass
+  *     with no shuffle of the big side; per-probe top-k via window
+  *     rank (at larger k this becomes TakeOrdered per group).
+  *   - s2: random-hyperplane LSH — sign-bit bucketing with
+  *     deterministic rational-arithmetic planes (exact in double, so
+  *     the DuckDB oracle reproduces the buckets bit-for-bit); probes
+  *     join only their own bucket: the 100 TB path, since each probe
+  *     touches 1/2^bits of the corpus.
+  */
+object Similarity {
+
+  private val dim = 64
+  private val nPlanes = 4
+  private val nProbes = 5
+  private val topK = 10
+  private val bucketK = 3
+
+  /** plane(p)(d) — deterministic pseudo-random in [-0.5, 0.5), exact
+    * rational-in-double so both engines agree bit-for-bit. */
+  private def plane(p: Int, d: Int): Double = ((p * 131 + d * 137) % 997) / 997.0 - 0.5
+
+  private def emb(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "embeddings")
+
+  private def withNorm(e: DataFrame): DataFrame =
+    e.select(col("vec_id"), col("embedding"), VectorOps.norm2(col("embedding")).as("n2"))
+
+  private def cosine(prefixA: String, prefixB: String): Column =
+    VectorOps.cosineFrom(
+      VectorOps.dot(col(s"$prefixA.embedding"), col(s"$prefixB.embedding")),
+      col(s"$prefixA.n2"), col(s"$prefixB.n2"))
+
+  /** Brute-force cosine top-k for probe vectors (vec_id < 5). */
+  def s1_ann_brute(s: SparkSession, dir: String): DataFrame = {
+    val e = withNorm(emb(s, dir))
+    val probes = e.filter(col("vec_id") < nProbes)
+    val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("vec_id"))
+    broadcast(probes).as("q")
+      .join(e.as("c"), col("q.vec_id") =!= col("c.vec_id"))
+      .select(col("q.vec_id").as("query_id"), col("c.vec_id").as("vec_id"),
+        cosine("q", "c").as("cosine"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= topK)
+  }
+
+  private val dotSql =
+    """(SELECT SUM(CAST(x AS DOUBLE) * CAST(y AS DOUBLE))
+        FROM (SELECT UNNEST(%s.embedding) AS x, UNNEST(%s.embedding) AS y) z)"""
+
+  private val s1Sql = s"""
+    WITH e AS (
+      SELECT vec_id, embedding,
+        (SELECT SUM(CAST(x AS DOUBLE) * CAST(x AS DOUBLE))
+         FROM (SELECT UNNEST(embedding) AS x) z) AS n2
+      FROM embeddings),
+    pairs AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+        ${dotSql.format("q", "c")} / SQRT(q.n2 * c.n2) AS cosine
+      FROM e q JOIN e c ON q.vec_id <> c.vec_id
+      WHERE q.vec_id < $nProbes)
+    SELECT query_id, vec_id, cosine, CAST(rk AS BIGINT) AS rk FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+        ORDER BY cosine DESC, vec_id) AS rk FROM pairs) x
+    WHERE rk <= $topK"""
+
+  /** SQL expression (both dialects) for the dot product of `embedding`
+    * with hyperplane `p`, as a sequential double fold via zipped
+    * element/plane arrays. */
+  private def planeDotSpark(p: Int): Column = {
+    val arr = array((0 until dim).map(d => lit(plane(p, d))): _*)
+    aggregate(
+      zip_with(col("embedding"), arr, (x, y) => x.cast("double") * y),
+      lit(0.0), (acc, v) => acc + v)
+  }
+
+  private def planeDotSql(p: Int, rel: String): String = {
+    val lits = (0 until dim).map(d => plane(p, d).toString).mkString(", ")
+    s"""(SELECT SUM(CAST(x AS DOUBLE) * y)
+        FROM (SELECT UNNEST($rel.embedding) AS x, UNNEST([$lits]) AS y) z)"""
+  }
+
+  /** LSH bucket id: sign bit per hyperplane. */
+  private def bucketSpark: Column =
+    (0 until nPlanes).map(p =>
+      when(planeDotSpark(p) >= 0, lit(1L << p)).otherwise(lit(0L))).reduce(_ + _)
+
+  private def bucketSql(rel: String): String =
+    (0 until nPlanes).map(p =>
+      s"CASE WHEN ${planeDotSql(p, rel)} >= 0 THEN ${1L << p} ELSE 0 END").mkString(" + ")
+
+  /** LSH-bucketed ANN: probes (vec_id < 5) retrieve top-3 by cosine
+    * from their own hyperplane bucket only. */
+  def s2_ann_lsh(s: SparkSession, dir: String): DataFrame = {
+    val e = withNorm(emb(s, dir)).withColumn("bucket", bucketSpark)
+    val probes = e.filter(col("vec_id") < nProbes)
+    val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("vec_id"))
+    broadcast(probes).as("q")
+      .join(e.as("c"),
+        col("q.bucket") === col("c.bucket") && col("q.vec_id") =!= col("c.vec_id"))
+      .select(col("q.vec_id").as("query_id"), col("c.vec_id").as("vec_id"),
+        col("q.bucket").as("bucket"), cosine("q", "c").as("cosine"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= bucketK)
+  }
+
+  private val s2Sql = s"""
+    WITH e AS (
+      SELECT vec_id, embedding,
+        (SELECT SUM(CAST(x AS DOUBLE) * CAST(x AS DOUBLE))
+         FROM (SELECT UNNEST(embedding) AS x) z) AS n2
+      FROM embeddings),
+    eb AS (SELECT vec_id, embedding, n2, ${bucketSql("e")} AS bucket FROM e),
+    pairs AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS vec_id, q.bucket AS bucket,
+        ${dotSql.format("q", "c")} / SQRT(q.n2 * c.n2) AS cosine
+      FROM eb q JOIN eb c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
+      WHERE q.vec_id < $nProbes)
+    SELECT query_id, vec_id, bucket, cosine, CAST(rk AS BIGINT) AS rk FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+        ORDER BY cosine DESC, vec_id) AS rk FROM pairs) x
+    WHERE rk <= $bucketK"""
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s1_ann_brute" -> (s1_ann_brute _),
+    "s2_ann_lsh" -> (s2_ann_lsh _))
+
+  val oracle: Map[String, String] = Map(
+    "s1_ann_brute" -> s1Sql,
+    "s2_ann_lsh" -> s2Sql)
+}

@@ -1,0 +1,181 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.operators.Tables
+
+/** Text analysis over the `documents` table: token counting, quality
+  * scoring, language identification (n-gram/stopword heuristic) and
+  * document fingerprinting — the per-document stages of a
+  * training-data pipeline. All expressions are codegen'd builtins
+  * (regexp_count / split / window functions); each op scales linearly
+  * and shuffles only where a window/group requires it.
+  */
+object TextAnalysis {
+
+  import Hashing._
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents")
+
+  /** Token counting: whitespace tokens, BPE-ish regex tokens
+    * (letter-runs | digits | single punctuation), distinct tokens. */
+  def t1_text_tokens(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).select(
+      col("doc_id"),
+      col("n_chars"),
+      length(col("text")).cast("long").as("len_text"),
+      regexp_count(col("text"), lit("\\S+")).cast("long").as("ws_tokens"),
+      regexp_count(col("text"), lit("[a-z]+|[0-9]|[^a-z0-9\\s]")).cast("long").as("bpe_tokens"),
+      size(array_distinct(split(col("text"), " "))).cast("long").as("distinct_tokens"))
+
+  private val t1Sql = """
+    SELECT doc_id, n_chars,
+      CAST(LENGTH(text) AS BIGINT) AS len_text,
+      CAST(LEN(REGEXP_EXTRACT_ALL(text, '\S+')) AS BIGINT) AS ws_tokens,
+      CAST(LEN(REGEXP_EXTRACT_ALL(text, '[a-z]+|[0-9]|[^a-z0-9\s]')) AS BIGINT) AS bpe_tokens,
+      CAST(LEN(LIST_DISTINCT(STRING_SPLIT(text, ' '))) AS BIGINT) AS distinct_tokens
+    FROM documents"""
+
+  /** Quality scoring: length, punctuation ratio, stopword ratio,
+    * average token length, and a combined score. Int counts divided
+    * as doubles — identical in both engines. */
+  def t2_text_quality(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .filter(length(col("text")) > 0)
+      .select(
+        col("doc_id"),
+        regexp_count(col("text"), lit("\\S+")).cast("long").as("n_tokens"),
+        regexp_count(col("text"), lit("[.,!?;:]")).cast("long").as("n_punct"),
+        regexp_count(col("text"), lit("\\b(the|a|of|and|to|in|is|it)\\b")).cast("long").as("n_stop"),
+        length(col("text")).cast("long").as("n_len"))
+      .select(
+        col("doc_id"), col("n_tokens"), col("n_punct"), col("n_stop"),
+        (col("n_punct") / col("n_tokens")).as("punct_ratio"),
+        (col("n_stop") / col("n_tokens")).as("stop_ratio"),
+        ((col("n_len") - col("n_tokens") + 1) / col("n_tokens")).as("avg_token_len"),
+        (least(col("n_tokens") / lit(100.0), lit(1.0)) * 0.4 +
+          least(col("n_stop") / col("n_tokens") * 4.0, lit(1.0)) * 0.4 +
+          greatest(lit(1.0) - col("n_punct") / col("n_tokens") * 10.0, lit(0.0)) * 0.2)
+          .as("quality_score"))
+
+  private val t2Sql = """
+    WITH c AS (
+      SELECT doc_id,
+        CAST(LEN(REGEXP_EXTRACT_ALL(text, '\S+')) AS BIGINT) AS n_tokens,
+        CAST(LEN(REGEXP_EXTRACT_ALL(text, '[.,!?;:]')) AS BIGINT) AS n_punct,
+        CAST(LEN(REGEXP_EXTRACT_ALL(text, '\b(the|a|of|and|to|in|is|it)\b')) AS BIGINT) AS n_stop,
+        CAST(LENGTH(text) AS BIGINT) AS n_len
+      FROM documents WHERE LENGTH(text) > 0)
+    SELECT doc_id, n_tokens, n_punct, n_stop,
+      n_punct / n_tokens AS punct_ratio,
+      n_stop / n_tokens AS stop_ratio,
+      (n_len - n_tokens + 1) / n_tokens AS avg_token_len,
+      LEAST(n_tokens / 100.0, 1.0) * 0.4
+        + LEAST(n_stop / n_tokens * 4.0, 1.0) * 0.4
+        + GREATEST(1.0 - n_punct / n_tokens * 10.0, 0.0) * 0.2 AS quality_score
+    FROM c"""
+
+  /** Language ID: stopword-profile scores per language + CJK char
+    * count, argmax with a fixed tie-break order. The corpus text is
+    * synthetic (vocabulary is decorrelated from the declared `lang`
+    * column), so `is_match` reports heuristic-vs-declared agreement
+    * rather than ground-truth accuracy. */
+  def t3_text_langid(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(
+        col("doc_id"), col("lang").as("declared_lang"),
+        regexp_count(col("text"), lit("\\b(the|a|of|and|to|in|is)\\b")).cast("long").as("score_en"),
+        regexp_count(col("text"), lit("\\b(le|la|les|de|et|un|une)\\b")).cast("long").as("score_fr"),
+        regexp_count(col("text"), lit("\\b(el|los|las|y|un|una)\\b")).cast("long").as("score_es"),
+        regexp_count(col("text"), lit("\\b(der|die|das|und|ein|zu)\\b")).cast("long").as("score_de"),
+        regexp_count(col("text"), lit("[\\x{4e00}-\\x{9fff}]")).cast("long").as("score_zh"))
+      .withColumn("predicted_lang",
+        when(col("score_en") >= col("score_fr") && col("score_en") >= col("score_es") &&
+          col("score_en") >= col("score_de") && col("score_en") >= col("score_zh"), "en")
+          .when(col("score_fr") >= col("score_es") && col("score_fr") >= col("score_de") &&
+            col("score_fr") >= col("score_zh"), "fr")
+          .when(col("score_es") >= col("score_de") && col("score_es") >= col("score_zh"), "es")
+          .when(col("score_de") >= col("score_zh"), "de")
+          .otherwise("zh"))
+      .withColumn("is_match", (col("predicted_lang") === col("declared_lang")).cast("int"))
+
+  private val t3Sql = """
+    WITH sc AS (
+      SELECT doc_id, lang AS declared_lang,
+        CAST(LEN(REGEXP_EXTRACT_ALL(text, '\b(the|a|of|and|to|in|is)\b')) AS BIGINT) AS score_en,
+        CAST(LEN(REGEXP_EXTRACT_ALL(text, '\b(le|la|les|de|et|un|une)\b')) AS BIGINT) AS score_fr,
+        CAST(LEN(REGEXP_EXTRACT_ALL(text, '\b(el|los|las|y|un|una)\b')) AS BIGINT) AS score_es,
+        CAST(LEN(REGEXP_EXTRACT_ALL(text, '\b(der|die|das|und|ein|zu)\b')) AS BIGINT) AS score_de,
+        CAST(LEN(REGEXP_EXTRACT_ALL(text, '[\x{4e00}-\x{9fff}]')) AS BIGINT) AS score_zh
+      FROM documents)
+    SELECT *,
+      CASE WHEN score_en >= score_fr AND score_en >= score_es
+             AND score_en >= score_de AND score_en >= score_zh THEN 'en'
+           WHEN score_fr >= score_es AND score_fr >= score_de
+             AND score_fr >= score_zh THEN 'fr'
+           WHEN score_es >= score_de AND score_es >= score_zh THEN 'es'
+           WHEN score_de >= score_zh THEN 'de'
+           ELSE 'zh' END AS predicted_lang,
+      CAST(CASE WHEN score_en >= score_fr AND score_en >= score_es
+             AND score_en >= score_de AND score_en >= score_zh THEN 'en'
+           WHEN score_fr >= score_es AND score_fr >= score_de
+             AND score_fr >= score_zh THEN 'fr'
+           WHEN score_es >= score_de AND score_es >= score_zh THEN 'es'
+           WHEN score_de >= score_zh THEN 'de'
+           ELSE 'zh' END = declared_lang AS INT) AS is_match
+    FROM sc"""
+
+  /** Distinct char-5-gram rows for a document table — the shared
+    * explode used by fingerprinting and the dedup family. One row per
+    * (doc_id, gram code); scales as O(total chars). */
+  private[pipeline] def gramCodes(d: DataFrame): DataFrame =
+    d.filter(length(col("text")) >= 5)
+      .select(col("doc_id"),
+        explode(sequence(lit(1), length(col("text")) - 4)).as("pos"), col("text"))
+      .select(col("doc_id"), expr(gramCode("substring(text, pos, 5)")).as("code"))
+      .distinct()
+
+  /** Shared oracle fragment mirroring [[gramCodes]]. DuckDB's `range`
+    * table function rejects lateral column args; scalar `range()`
+    * returns a list, which UNNEST explodes. */
+  private[pipeline] val gramSql =
+    s"""SELECT DISTINCT doc_id, ${gramCode("substring(text, i, 5)")} AS code
+        FROM (SELECT doc_id, text, UNNEST(range(1, length(text) - 3)) AS i
+              FROM documents WHERE length(text) >= 5) src"""
+
+  /** Document fingerprinting: the 4 smallest permutation-hashes of the
+    * document's distinct 5-gram codes (a min-k sketch / winnowing-style
+    * fingerprint). Deterministic tie-break on (hash, code). */
+  def t4_text_fingerprint(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("doc_id").orderBy(col("h"), col("code"))
+    gramCodes(docs(s, dir))
+      .select(col("doc_id"), col("code"), expr(permHash(1, "code")).as("h"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= 4)
+      .select(col("doc_id"), col("rk"), col("h"))
+  }
+
+  private val t4Sql = s"""
+    WITH g AS ($gramSql),
+    h AS (SELECT doc_id, code, ${permHash(1, "code")} AS h FROM g)
+    SELECT doc_id, CAST(rk AS BIGINT) AS rk, h FROM (
+      SELECT doc_id, h,
+        ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY h, code) AS rk
+      FROM h) x
+    WHERE rk <= 4"""
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t1_text_tokens" -> (t1_text_tokens _),
+    "t2_text_quality" -> (t2_text_quality _),
+    "t3_text_langid" -> (t3_text_langid _),
+    "t4_text_fingerprint" -> (t4_text_fingerprint _))
+
+  val oracle: Map[String, String] = Map(
+    "t1_text_tokens" -> t1Sql,
+    "t2_text_quality" -> t2Sql,
+    "t3_text_langid" -> t3Sql,
+    "t4_text_fingerprint" -> t4Sql)
+}

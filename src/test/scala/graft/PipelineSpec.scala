@@ -1,0 +1,92 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.pipeline._
+
+/** Value-level checks for the training-pipeline ops (sf0.001; the
+  * DuckDB hash gate runs at sf0.01 via tools/compare.py). */
+class PipelineSpec extends AnyFunSuite {
+  import TestSession._
+
+  test("exact dedup: keeper is min doc_id of its hash group") {
+    val rows = Dedup.d1_dedup_exact(spark, sf)
+      .select("doc_id", "keeper_id").collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(r => r.getLong(1) <= r.getLong(0)))
+  }
+
+  test("ngram jaccard pairs are high-similarity and ordered") {
+    val rows = Dedup.d2_dedup_ngram(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("doc_a") < r.getAs[Long]("doc_b"))
+      assert(r.getAs[Double]("jaccard") >= 0.5)
+    }
+  }
+
+  test("minhash est_jaccard within [0.75, 1]") {
+    val est = Dedup.d3_dedup_minhash(spark, sf)
+      .collect().map(_.getAs[Double]("est_jaccard"))
+    assert(est.nonEmpty)
+    assert(est.forall(e => e >= 0.75 && e <= 1.0))
+  }
+
+  test("simhash hamming bounded") {
+    val h = Dedup.d4_dedup_simhash(spark, sf)
+      .collect().map(_.getAs[Long]("hamming"))
+    assert(h.nonEmpty && h.forall(_ <= 3))
+  }
+
+  test("brute ANN returns topK ranked neighbors per probe") {
+    val rows = Similarity.s1_ann_brute(spark, sf).collect()
+    val byQuery = rows.groupBy(_.getAs[Long]("query_id"))
+    assert(byQuery.size == 5)
+    byQuery.values.foreach { g =>
+      assert(g.length == 10)
+      val sorted = g.sortBy(_.getAs[Long]("rk"))
+      val cos = sorted.map(_.getAs[Double]("cosine"))
+      assert(cos.zip(cos.tail).forall { case (a, b) => a >= b })
+    }
+  }
+
+  test("LSH ANN neighbors share the probe's bucket") {
+    val rows = Similarity.s2_ann_lsh(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getAs[Long]("rk") <= 3))
+  }
+
+  test("multimodal decode is deterministic and batch-shaped") {
+    val a = Multimodal.m1_multimodal_decode(spark, sf).collect()
+    val b = Multimodal.m1_multimodal_decode(spark, sf).collect()
+    assert(a.length == b.length && a.length > 0)
+    assert(a.map(_.toSeq).toSet == b.map(_.toSeq).toSet)
+    a.foreach { r =>
+      assert(r.getAs[Long]("width") >= 16 && r.getAs[Long]("width") < 80)
+      assert(r.getAs[Double]("byte_entropy_q") >= 0.0)
+    }
+  }
+
+  test("decodeStub frame count matches payload length math") {
+    val item = MediaItem(1L, "img", 10, Array.fill[Byte](600)(65))
+    val f = Multimodal.decodeStub(item)
+    assert(f.n_frames == 1 + (600 - 256) / 128)
+    assert(math.abs(f.histogram.sum - 1.0) < 1e-9)
+  }
+
+  test("langid predicts en for this ascii corpus") {
+    val rows = TextAnalysis.t3_text_langid(spark, sf).collect()
+    val en = rows.count(_.getAs[String]("predicted_lang") == "en")
+    assert(en.toDouble / rows.length > 0.9)
+  }
+
+  test("fingerprint: 4 hashes per doc, ascending") {
+    val rows = TextAnalysis.t4_text_fingerprint(spark, sf).collect()
+    val byDoc = rows.groupBy(_.getAs[Long]("doc_id"))
+    byDoc.values.foreach { g =>
+      assert(g.length <= 4)
+      val sorted = g.sortBy(_.getAs[Long]("rk")).map(_.getAs[Long]("h"))
+      assert(sorted.zip(sorted.tail).forall { case (a, b) => a <= b })
+    }
+  }
+}
