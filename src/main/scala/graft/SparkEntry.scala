@@ -24,7 +24,8 @@ object SparkEntry {
       pipeline.TextAnalysis.queries ++
       pipeline.Dedup.queries ++
       pipeline.Similarity.queries ++
-      pipeline.Multimodal.queries
+      pipeline.Multimodal.queries ++
+      sources.zarr.ZarrQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -33,5 +34,6 @@ object SparkEntry {
       pipeline.TextAnalysis.oracle ++
       pipeline.Dedup.oracle ++
       pipeline.Similarity.oracle ++
-      pipeline.Multimodal.oracle
+      pipeline.Multimodal.oracle ++
+      sources.zarr.ZarrQueries.oracle
 }

@@ -1,0 +1,294 @@
+package graft.sources.zarr
+
+import java.nio.{ByteBuffer, ByteOrder}
+import java.nio.file.{Files, Path}
+import java.util.zip.{GZIPInputStream, Inflater}
+
+import net.jpountz.lz4.LZ4Factory
+
+/** Chunk payload decoding: decompression (Blosc/zlib/gzip/zstd → raw
+  * bytes) and raw-byte → typed-array decode.
+  *
+  * The Blosc frame parser is written from the public c-blosc format
+  * (16-byte header + per-block offset table + optionally-split LZ4
+  * streams) — the reference delegates this to the `zarrs` crate
+  * (/root/reference/Cargo.toml:21); on the JVM we decode by hand with
+  * lz4-java. Gated by byte-parity tests against the reference's
+  * committed blosc fixtures (SURVEY.md §7 "What's hard").
+  */
+object ChunkCodec {
+
+  private lazy val lz4 = LZ4Factory.fastestInstance()
+
+  // Blosc header flag bits (public c-blosc blosc.h)
+  private val FlagByteShuffle = 0x1
+  private val FlagMemcpyed = 0x2
+  private val FlagBitShuffle = 0x4
+
+  /** Decompress one Blosc frame.
+    *
+    * Layout: bytes 0-15 = header (version, versionlz, flags, typesize,
+    * nbytes, blocksize, cbytes — all LE); memcpyed frames carry the
+    * raw source after the header; otherwise an int32 offset table (one
+    * absolute offset per block) precedes the compressed blocks, and
+    * each block is one or more `[int32 csize][payload]` streams where
+    * `csize == uncompressed` marks a stored-raw stream. Byte-shuffle
+    * is applied per block and undone after decompression.
+    */
+  def bloscDecompress(frame: Array[Byte]): Array[Byte] = {
+    require(frame.length >= 16, s"Blosc frame too short: ${frame.length}")
+    val hdr = ByteBuffer.wrap(frame).order(ByteOrder.LITTLE_ENDIAN)
+    val flags = frame(2) & 0xff
+    val typesize = frame(3) & 0xff
+    val nbytes = hdr.getInt(4)
+    val blocksize0 = hdr.getInt(8)
+    require((flags & FlagBitShuffle) == 0, "Blosc bit-shuffle not supported")
+    val out = new Array[Byte](nbytes)
+
+    if ((flags & FlagMemcpyed) != 0) {
+      // stored as a plain memcpy of the (unshuffled) source
+      System.arraycopy(frame, 16, out, 0, nbytes)
+      return out
+    }
+    val blocksize = if (blocksize0 <= 0) nbytes else blocksize0
+    val nblocks = if (nbytes == 0) 0 else (nbytes + blocksize - 1) / blocksize
+    val shuffled = (flags & FlagByteShuffle) != 0 && typesize > 1
+    var j = 0
+    while (j < nblocks) {
+      val bstart = hdr.getInt(16 + 4 * j)
+      val neblock = math.min(blocksize, nbytes - j * blocksize)
+      val block = decodeBlock(frame, bstart, neblock, typesize)
+      val decoded = if (shuffled) unshuffle(block, typesize) else block
+      System.arraycopy(decoded, 0, out, j * blocksize, neblock)
+      j += 1
+    }
+    out
+  }
+
+  /** Decode one block: try a single `[csize][payload]` stream first
+    * (modern c-blosc forward-compat mode never splits LZ4); fall back
+    * to `typesize` split streams (older writers split shuffled
+    * blocks). */
+  private def decodeBlock(frame: Array[Byte], start: Int, neblock: Int, typesize: Int): Array[Byte] = {
+    singleStream(frame, start, neblock) match {
+      case Some(b) => b
+      case None =>
+        val out = new Array[Byte](neblock)
+        val nsplits = typesize
+        val split = neblock / nsplits
+        var pos = start
+        var s = 0
+        while (s < nsplits) {
+          val csize = ByteBuffer.wrap(frame, pos, 4).order(ByteOrder.LITTLE_ENDIAN).getInt
+          pos += 4
+          if (csize == split) System.arraycopy(frame, pos, out, s * split, split)
+          else lz4.fastDecompressor().decompress(frame, pos, out, s * split, split)
+          pos += csize
+          s += 1
+        }
+        out
+    }
+  }
+
+  private def singleStream(frame: Array[Byte], start: Int, neblock: Int): Option[Array[Byte]] = {
+    try {
+      val csize = ByteBuffer.wrap(frame, start, 4).order(ByteOrder.LITTLE_ENDIAN).getInt
+      if (csize <= 0 || start + 4 + csize > frame.length) return None
+      val out = new Array[Byte](neblock)
+      if (csize == neblock) {
+        System.arraycopy(frame, start + 4, out, 0, neblock)
+        Some(out)
+      } else {
+        val read = lz4.fastDecompressor().decompress(frame, start + 4, out, 0, neblock)
+        if (read == csize) Some(out) else None
+      }
+    } catch { case _: Exception => None }
+  }
+
+  /** Undo Blosc byte-shuffle: input holds all first bytes of each
+    * element, then all second bytes, … */
+  def unshuffle(src: Array[Byte], typesize: Int): Array[Byte] = {
+    val n = src.length / typesize
+    val tail = src.length - n * typesize
+    val out = new Array[Byte](src.length)
+    var k = 0
+    while (k < typesize) {
+      var i = 0
+      while (i < n) { out(i * typesize + k) = src(k * n + i); i += 1 }
+      k += 1
+    }
+    // trailing bytes that don't fill an element are copied through
+    var t = 0
+    while (t < tail) { out(n * typesize + t) = src(n * typesize + t); t += 1 }
+    out
+  }
+
+  /** Blosc shuffle (used by the test fixture writer). */
+  def shuffle(src: Array[Byte], typesize: Int): Array[Byte] = {
+    val n = src.length / typesize
+    val out = new Array[Byte](src.length)
+    var k = 0
+    while (k < typesize) {
+      var i = 0
+      while (i < n) { out(k * n + i) = src(i * typesize + k); i += 1 }
+      k += 1
+    }
+    out
+  }
+
+  private def zlibDecompress(data: Array[Byte], outLen: Int): Array[Byte] = {
+    val inf = new Inflater()
+    inf.setInput(data)
+    val out = new Array[Byte](outLen)
+    var off = 0
+    while (off < outLen && !inf.finished()) off += inf.inflate(out, off, outLen - off)
+    inf.end()
+    out
+  }
+
+  private def gzipDecompress(data: Array[Byte]): Array[Byte] = {
+    val in = new GZIPInputStream(new java.io.ByteArrayInputStream(data))
+    try in.readAllBytes() finally in.close()
+  }
+
+  /** Decompress a chunk payload according to the array's compressor.
+    * `rawLen` is the expected decoded byte length (chunk elements ×
+    * element size). */
+  def decompress(data: Array[Byte], comp: ZarrCompressor, rawLen: Int): Array[Byte] =
+    comp.id match {
+      case "none" => data
+      case "blosc" => bloscDecompress(data)
+      case "zlib" => zlibDecompress(data, rawLen)
+      case "gzip" => gzipDecompress(data)
+      case "zstd" => com.github.luben.zstd.Zstd.decompress(data, rawLen)
+      case other => throw new IllegalArgumentException(s"Unsupported Zarr compressor: $other")
+    }
+
+  /** IEEE 754 half-precision → float (JDK 17 has no Float.float16). */
+  def halfToFloat(h: Short): Float = {
+    val sign = (h >> 15) & 1
+    val exp = (h >> 10) & 0x1f
+    val frac = h & 0x3ff
+    val f =
+      if (exp == 0) frac / 1024f * math.pow(2, -14).toFloat
+      else if (exp == 31) { if (frac == 0) Float.PositiveInfinity else Float.NaN }
+      else (1 + frac / 1024f) * math.pow(2, exp - 15).toFloat
+    if (sign == 1) -f else f
+  }
+
+  /** Decode raw chunk bytes into a typed JVM array (Array[Long] /
+    * Array[Int] / … matching the Spark column type of the dtype). */
+  def decodeTyped(raw: Array[Byte], dtype: ZarrDType, n: Int): AnyRef = {
+    val buf = ByteBuffer.wrap(raw)
+      .order(if (dtype.littleEndian) ByteOrder.LITTLE_ENDIAN else ByteOrder.BIG_ENDIAN)
+    (dtype.kind, dtype.size) match {
+      case ('i', 1) => val a = new Array[Byte](n); buf.get(a); a
+      case ('i', 2) => val a = new Array[Short](n); var i = 0; while (i < n) { a(i) = buf.getShort(); i += 1 }; a
+      case ('i', 4) => val a = new Array[Int](n); var i = 0; while (i < n) { a(i) = buf.getInt(); i += 1 }; a
+      case ('i', 8) => val a = new Array[Long](n); var i = 0; while (i < n) { a(i) = buf.getLong(); i += 1 }; a
+      case ('u', 1) => val a = new Array[Short](n); var i = 0; while (i < n) { a(i) = (buf.get() & 0xff).toShort; i += 1 }; a
+      case ('u', 2) => val a = new Array[Int](n); var i = 0; while (i < n) { a(i) = buf.getShort() & 0xffff; i += 1 }; a
+      case ('u', 4) => val a = new Array[Long](n); var i = 0; while (i < n) { a(i) = buf.getInt() & 0xffffffffL; i += 1 }; a
+      case ('u', 8) => val a = new Array[Long](n); var i = 0; while (i < n) { a(i) = buf.getLong(); i += 1 }; a
+      case ('f', 2) => val a = new Array[Float](n); var i = 0; while (i < n) { a(i) = halfToFloat(buf.getShort()); i += 1 }; a
+      case ('f', 4) => val a = new Array[Float](n); var i = 0; while (i < n) { a(i) = buf.getFloat(); i += 1 }; a
+      case ('f', 8) => val a = new Array[Double](n); var i = 0; while (i < n) { a(i) = buf.getDouble(); i += 1 }; a
+      case ('b', _) => val a = new Array[Boolean](n); var i = 0; while (i < n) { a(i) = buf.get() != 0; i += 1 }; a
+      case _ => throw new IllegalArgumentException(s"Unsupported dtype: $dtype")
+    }
+  }
+
+  /** Comparison view of a typed array (filter matching + statistics). */
+  def toDoubles(typed: AnyRef): Array[Double] = typed match {
+    case a: Array[Byte] => a.map(_.toDouble)
+    case a: Array[Short] => a.map(_.toDouble)
+    case a: Array[Int] => a.map(_.toDouble)
+    case a: Array[Long] => a.map(_.toDouble)
+    case a: Array[Float] => a.map(_.toDouble)
+    case a: Array[Double] => a
+    case a: Array[Boolean] => a.map(b => if (b) 1.0 else 0.0)
+    case other => throw new IllegalArgumentException(s"Unexpected array: ${other.getClass}")
+  }
+
+  /** Element of a typed array as the JVM value Spark's InternalRow
+    * setter expects for the corresponding Spark type. */
+  def elementAt(typed: AnyRef, i: Int): Any = typed match {
+    case a: Array[Byte] => a(i)
+    case a: Array[Short] => a(i)
+    case a: Array[Int] => a(i)
+    case a: Array[Long] => a(i)
+    case a: Array[Float] => a(i)
+    case a: Array[Double] => a(i)
+    case a: Array[Boolean] => a(i)
+    case other => throw new IllegalArgumentException(s"Unexpected array: ${other.getClass}")
+  }
+}
+
+/** Chunk file IO + whole-array assembly for small (coordinate)
+  * arrays. */
+object ChunkIO {
+
+  /** Read + decode one chunk file; absent chunk files yield the
+    * fill_value (Zarr semantics). */
+  def readChunk(storePath: Path, meta: ZarrArrayMeta, chunkIdx: Seq[Long]): AnyRef = {
+    val nElems = meta.chunks.product
+    val file = storePath.resolve(meta.name).resolve(meta.chunkKey(chunkIdx))
+    if (!Files.exists(file)) {
+      fillArray(meta, nElems)
+    } else {
+      val bytes = Files.readAllBytes(file)
+      val raw = ChunkCodec.decompress(bytes, meta.compressor, nElems * meta.dtype.size)
+      ChunkCodec.decodeTyped(raw, meta.dtype, nElems)
+    }
+  }
+
+  private def fillArray(meta: ZarrArrayMeta, n: Int): AnyRef = {
+    val fv = meta.fillValue
+    (meta.dtype.kind, meta.dtype.size) match {
+      case ('f', 8) => Array.fill(n)(fv)
+      case ('f', _) => Array.fill(n)(fv.toFloat)
+      case ('b', _) => Array.fill(n)(fv != 0.0)
+      case ('i', 1) => Array.fill(n)(fv.toByte)
+      case ('i', 2) | ('u', 1) => Array.fill(n)(fv.toShort)
+      case ('i', 4) | ('u', 2) => Array.fill(n)(fv.toInt)
+      case _ => Array.fill(n)(fv.toLong)
+    }
+  }
+
+  /** Read an entire 1-D array (multi-chunk safe) — used for
+    * coordinates. */
+  def readWholeArray(storePath: Path, meta: ZarrArrayMeta): AnyRef = {
+    require(meta.nDims == 1, s"readWholeArray expects 1-D, got ${meta.nDims}-D ${meta.name}")
+    val n = meta.shape.head.toInt
+    val chunkLen = meta.chunks.head
+    val nChunks = meta.chunkGrid.head.toInt
+    if (nChunks == 1) {
+      truncate(ChunkIO.readChunk(storePath, meta, Seq(0L)), n)
+    } else {
+      val parts = (0 until nChunks).map(c => readChunk(storePath, meta, Seq(c.toLong)))
+      concat(parts, n, chunkLen)
+    }
+  }
+
+  private def truncate(a: AnyRef, n: Int): AnyRef = a match {
+    case x: Array[Byte] => if (x.length == n) x else x.take(n)
+    case x: Array[Short] => if (x.length == n) x else x.take(n)
+    case x: Array[Int] => if (x.length == n) x else x.take(n)
+    case x: Array[Long] => if (x.length == n) x else x.take(n)
+    case x: Array[Float] => if (x.length == n) x else x.take(n)
+    case x: Array[Double] => if (x.length == n) x else x.take(n)
+    case x: Array[Boolean] => if (x.length == n) x else x.take(n)
+    case other => other
+  }
+
+  private def concat(parts: Seq[AnyRef], n: Int, chunkLen: Int): AnyRef = {
+    val out = java.lang.reflect.Array.newInstance(
+      parts.head.getClass.getComponentType, n)
+    parts.zipWithIndex.foreach { case (p, i) =>
+      val off = i * chunkLen
+      val len = math.min(chunkLen, n - off)
+      if (len > 0) System.arraycopy(p, 0, out, off, len)
+    }
+    out.asInstanceOf[AnyRef]
+  }
+}

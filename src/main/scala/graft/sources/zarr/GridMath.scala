@@ -1,0 +1,113 @@
+package graft.sources.zarr
+
+/** Pure grid arithmetic for the flattened hyper-grid table: filter
+  * ranges, row-major row↔coordinate mapping, limit subsetting and
+  * partition slicing.
+  *
+  * Ports the reference's semantics (not code):
+  * /root/reference/src/reader/filter.rs:195-321 (coordinate ranges,
+  * float epsilon matching, empty short-circuit, filtered-row product)
+  * and /root/reference/src/reader/coord.rs:107-158 (row-major
+  * enumeration, limit subsetting). All functions are
+  * ScalaCheck-testable pure functions.
+  */
+object GridMath {
+
+  /** Per-dimension effective index range `[start, end)`. */
+  type Ranges = Array[(Int, Int)]
+
+  /** Find the index of `target` in a coordinate's values — exact for
+    * ints, epsilon-relative for floats (the reference's coercion
+    * matrix, filter.rs:262-302). Returns -1 if absent. */
+  def findCoordIndex(values: Array[Double], target: Double): Int = {
+    var i = 0
+    while (i < values.length) {
+      val v = values(i)
+      if (v == target || math.abs(v - target) <= 1e-9 * math.max(1.0, math.abs(target)))
+        return i
+      i += 1
+    }
+    -1
+  }
+
+  /** Effective ranges from coordinate-equality filters
+    * (dimIdx → value). `None` ⇒ provably empty result (a filter value
+    * absent from its coordinate — filter.rs:222-230). */
+  def coordRanges(
+      coordValues: Seq[Array[Double]],
+      eqFilters: Map[Int, Double]): Option[Ranges] = {
+    val ranges = new Array[(Int, Int)](coordValues.length)
+    var d = 0
+    while (d < coordValues.length) {
+      eqFilters.get(d) match {
+        case Some(target) =>
+          val i = findCoordIndex(coordValues(d), target)
+          if (i < 0) return None
+          ranges(d) = (i, i + 1)
+        case None => ranges(d) = (0, coordValues(d).length)
+      }
+      d += 1
+    }
+    Some(ranges)
+  }
+
+  /** Rows in the filtered grid = Π range sizes (filter.rs:305-310). */
+  def totalRows(ranges: Ranges): Long =
+    ranges.foldLeft(1L) { case (acc, (s, e)) => acc * (e - s) }
+
+  /** Row-major (C-order, last dim fastest) mapping from a filtered-grid
+    * row number to global per-dimension indices (coord.rs:107-115). */
+  def rowToIndices(row: Long, ranges: Ranges, out: Array[Int]): Unit = {
+    var rem = row
+    var d = ranges.length - 1
+    while (d >= 0) {
+      val len = ranges(d)._2 - ranges(d)._1
+      out(d) = ranges(d)._1 + (rem % len).toInt
+      rem /= len
+      d -= 1
+    }
+  }
+
+  /** Split the filtered grid's row space `[0, totalRows)` (after an
+    * optional limit) into partition slices aligned to outer-dimension
+    * chunk boundaries — this is the chunk-level parallelism the
+    * reference lists as roadmap (README.md:289-337) and Spark gets
+    * naturally from multiple InputPartitions.
+    *
+    * @param minRowsPerPartition merge adjacent outer-chunk slices until
+    *        each partition has at least this many rows (avoids
+    *        per-partition overhead dominating on small stores).
+    */
+  def partitionSlices(
+      ranges: Ranges,
+      outerChunkSize: Int,
+      limit: Option[Long],
+      minRowsPerPartition: Long = 65536): Seq[(Long, Long)] = {
+    val total0 = totalRows(ranges)
+    val total = limit.map(math.min(_, total0)).getOrElse(total0)
+    if (total == 0) return Nil
+    if (ranges.isEmpty) return Seq((0L, total))
+    val innerRows = ranges.drop(1).foldLeft(1L) { case (a, (s, e)) => a * (e - s) }
+    val (o0, o1) = ranges.head
+    val slices = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    var sliceStartRow = 0L
+    var outer = o0
+    while (outer < o1 && sliceStartRow < total) {
+      // advance to the next outer chunk boundary at or after outer+1
+      val nextBoundary = math.min(o1, ((outer / outerChunkSize) + 1) * outerChunkSize)
+      var endRow = sliceStartRow + (nextBoundary - outer) * innerRows
+      // merge forward until the slice is big enough
+      var nb = nextBoundary
+      while (endRow - sliceStartRow < minRowsPerPartition && nb < o1 && endRow < total) {
+        val nb2 = math.min(o1, nb + outerChunkSize)
+        endRow += (nb2 - nb) * innerRows
+        nb = nb2
+      }
+      val capped = math.min(endRow, total)
+      slices += ((sliceStartRow, capped))
+      sliceStartRow = capped
+      outer = nb
+    }
+    slices.toSeq
+  }
+}

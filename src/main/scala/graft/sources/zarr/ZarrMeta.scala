@@ -1,0 +1,269 @@
+package graft.sources.zarr
+
+import java.nio.file.{Files, Path, Paths}
+import scala.jdk.CollectionConverters._
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import org.apache.spark.sql.types._
+
+/** Zarr element type: kind ∈ {i, u, f, b}, byte size, endianness.
+  *
+  * Mirrors the reference's dtype normalization
+  * (/root/reference/src/reader/dtype.rs:9-75): v2 dtype strings like
+  * `"<i8"`, `">f4"`, `"|b1"`; v3 plain names like `"int64"`. Unknown
+  * inputs default to float64 (the reference's v2 fallback).
+  */
+final case class ZarrDType(kind: Char, size: Int, littleEndian: Boolean) {
+
+  /** Spark mapping per SURVEY.md §1.5: unsigned types widen (Spark has
+    * no unsigned); uint64 documented-as-LongType; float16 widens to
+    * FloatType. */
+  def sparkType: DataType = (kind, size) match {
+    case ('i', 1) => ByteType
+    case ('i', 2) => ShortType
+    case ('i', 4) => IntegerType
+    case ('i', 8) => LongType
+    case ('u', 1) => ShortType
+    case ('u', 2) => IntegerType
+    case ('u', 4) => LongType
+    case ('u', 8) => LongType
+    case ('f', _) => if (size == 8) DoubleType else FloatType
+    case ('b', _) => BooleanType
+    case _ => DoubleType
+  }
+}
+
+object ZarrDType {
+  /** Parse a Zarr v2 dtype string (`"<i8"`, `">f4"`, `"|b1"`). */
+  def parseV2(s: String): ZarrDType = {
+    val le = !s.startsWith(">")
+    val body = if (s.nonEmpty && "<>|=".contains(s.head)) s.tail else s
+    if (body.length >= 2) {
+      val kind = body.head
+      val size = body.tail.takeWhile(_.isDigit)
+      if ("iufb".contains(kind) && size.nonEmpty) ZarrDType(kind, size.toInt, le)
+      else ZarrDType('f', 8, littleEndian = true)
+    } else ZarrDType('f', 8, littleEndian = true)
+  }
+
+  /** Parse a Zarr v3 data_type name (`"int64"`, `"float32"`, `"bool"`). */
+  def parseV3(s: String, littleEndian: Boolean): ZarrDType = s match {
+    case "bool" => ZarrDType('b', 1, littleEndian)
+    case n if n.startsWith("int") => ZarrDType('i', n.stripPrefix("int").toInt / 8, littleEndian)
+    case n if n.startsWith("uint") => ZarrDType('u', n.stripPrefix("uint").toInt / 8, littleEndian)
+    case n if n.startsWith("float") => ZarrDType('f', n.stripPrefix("float").toInt / 8, littleEndian)
+    case _ => ZarrDType('f', 8, littleEndian)
+  }
+}
+
+/** Compression spec for a chunk stream. `id` ∈ {none, blosc, zlib,
+  * gzip, zstd}; blosc parameters are carried for completeness (the
+  * frame is self-describing). */
+final case class ZarrCompressor(id: String, cname: String = "", shuffle: Int = 0)
+
+/** Metadata for one Zarr array (v2 `.zarray` or v3 `zarr.json`). */
+final case class ZarrArrayMeta(
+    name: String,
+    shape: Seq[Long],
+    chunks: Seq[Int],
+    dtype: ZarrDType,
+    compressor: ZarrCompressor,
+    separator: String,
+    fillValue: Double,
+    isV3: Boolean) extends Serializable {
+
+  def nDims: Int = shape.length
+  def totalElements: Long = shape.product
+
+  /** Chunk counts per dimension. */
+  def chunkGrid: Seq[Long] = shape.zip(chunks).map { case (s, c) => (s + c - 1) / c }
+
+  /** Relative path of the chunk file for the given chunk indices:
+    * v2 `"0.0.0"` (configured separator), v3 default encoding
+    * `"c/0/0/0"`. */
+  def chunkKey(idx: Seq[Long]): String =
+    if (isV3) "c" + idx.map(i => s"$separator$i").mkString
+    else if (idx.isEmpty) "0"
+    else idx.mkString(separator)
+}
+
+/** A coordinate array with its eagerly-loaded values — coordinates are
+  * 1-D and small, so loading them at table-construction time is cheap
+  * and powers statistics + filter range planning (the reference does
+  * the same: /root/reference/src/reader/schema_inference.rs:214-302).
+  *
+  * `doubles` is the comparison view (filter matching); `raw` keeps the
+  * exact typed values for row output.
+  */
+final case class CoordData(meta: ZarrArrayMeta, raw: AnyRef, doubles: Array[Double])
+    extends Serializable {
+  def length: Int = doubles.length
+  def min: Double = if (doubles.isEmpty) Double.NaN else doubles.min
+  def max: Double = if (doubles.isEmpty) Double.NaN else doubles.max
+}
+
+/** Full store metadata: coordinates in inferred dimension order, data
+  * variables sorted alphabetically. */
+final case class ZarrStoreMeta(
+    path: String,
+    coords: Seq[CoordData],
+    dataVars: Seq[ZarrArrayMeta]) extends Serializable {
+
+  def coordNames: Seq[String] = coords.map(_.meta.name)
+  def totalRows: Long = coords.map(_.length.toLong).product
+
+  /** Schema: coordinates first (non-nullable), then data variables
+    * (nullable) — /root/reference/src/reader/schema_inference.rs:415-434. */
+  def schema: StructType = StructType(
+    coords.map(c => StructField(c.meta.name, c.meta.dtype.sparkType, nullable = false)) ++
+      dataVars.map(v => StructField(v.name, v.dtype.sparkType, nullable = true)))
+}
+
+/** Store discovery + schema inference for local Zarr v2/v3 stores.
+  * Mirrors the reference's rules
+  * (/root/reference/src/reader/schema_inference.rs:47-210,304-437):
+  * any 1-D array is a coordinate, any N-D (N>1) array a data variable;
+  * the table is the Cartesian product of the coordinates flattened in
+  * row-major order.
+  */
+object ZarrMeta {
+
+  private val mapper = new ObjectMapper()
+
+  /** Version probe: root `zarr.json` → 3; root `.zgroup`/`.zarray` → 2;
+    * else probe one level of subdirectories; error if neither. */
+  def detectVersion(path: Path): Int = {
+    if (Files.exists(path.resolve("zarr.json"))) 3
+    else if (Files.exists(path.resolve(".zgroup")) || Files.exists(path.resolve(".zarray"))) 2
+    else {
+      val subs = listDirs(path)
+      if (subs.exists(d => Files.exists(d.resolve("zarr.json")))) 3
+      else if (subs.exists(d => Files.exists(d.resolve(".zarray")))) 2
+      else throw new IllegalArgumentException(
+        s"Not a Zarr store (no zarr.json or .zgroup/.zarray found): $path")
+    }
+  }
+
+  private def listDirs(path: Path): Seq[Path] = {
+    if (!Files.isDirectory(path))
+      throw new IllegalArgumentException(s"Not a directory: $path")
+    val s = Files.list(path)
+    try s.iterator().asScala.filter(Files.isDirectory(_)).toSeq.sortBy(_.getFileName.toString)
+    finally s.close()
+  }
+
+  private def jsonAt(p: Path): Option[JsonNode] =
+    if (Files.exists(p)) Some(mapper.readTree(Files.readAllBytes(p))) else None
+
+  private def parseFill(n: JsonNode): Double =
+    if (n == null || n.isNull) Double.NaN
+    else if (n.isTextual) n.asText() match {
+      case "NaN" => Double.NaN
+      case "Infinity" => Double.PositiveInfinity
+      case "-Infinity" => Double.NegativeInfinity
+      case _ => Double.NaN
+    }
+    else n.asDouble()
+
+  private def parseArrayV2(name: String, node: JsonNode): ZarrArrayMeta = {
+    val shape = node.get("shape").elements().asScala.map(_.asLong()).toSeq
+    val chunks = node.get("chunks").elements().asScala.map(_.asInt()).toSeq
+    val dtype = ZarrDType.parseV2(node.get("dtype").asText())
+    val comp = Option(node.get("compressor")).filterNot(_.isNull).map { c =>
+      ZarrCompressor(c.get("id").asText(),
+        Option(c.get("cname")).map(_.asText()).getOrElse(""),
+        Option(c.get("shuffle")).map(_.asInt()).getOrElse(0))
+    }.getOrElse(ZarrCompressor("none"))
+    val sep = Option(node.get("dimension_separator")).filterNot(_.isNull)
+      .map(_.asText()).getOrElse(".")
+    ZarrArrayMeta(name, shape, chunks, dtype, comp, sep,
+      parseFill(node.get("fill_value")), isV3 = false)
+  }
+
+  private def parseArrayV3(name: String, node: JsonNode): ZarrArrayMeta = {
+    val shape = node.get("shape").elements().asScala.map(_.asLong()).toSeq
+    val chunks = node.get("chunk_grid").get("configuration").get("chunk_shape")
+      .elements().asScala.map(_.asInt()).toSeq
+    val codecs = Option(node.get("codecs")).map(_.elements().asScala.toSeq).getOrElse(Nil)
+    val littleEndian = codecs.find(_.get("name").asText() == "bytes")
+      .flatMap(c => Option(c.get("configuration")).map(_.get("endian").asText()))
+      .forall(_ == "little")
+    val dtype = ZarrDType.parseV3(node.get("data_type").asText(), littleEndian)
+    val comp = codecs.map(_.get("name").asText())
+      .find(n => n == "blosc" || n == "zstd" || n == "gzip")
+      .map { n =>
+        val cfg = codecs.find(_.get("name").asText() == n).get.get("configuration")
+        ZarrCompressor(n, Option(cfg.get("cname")).map(_.asText()).getOrElse(""),
+          if (Option(cfg.get("shuffle")).exists(s =>
+            s.asText() == "shuffle" || s.asInt(0) == 1)) 1 else 0)
+      }
+      .getOrElse(ZarrCompressor("none"))
+    val sep = Option(node.get("chunk_key_encoding"))
+      .flatMap(e => Option(e.get("configuration")))
+      .flatMap(c => Option(c.get("separator"))).map(_.asText()).getOrElse("/")
+    ZarrArrayMeta(name, shape, chunks, dtype, comp, sep,
+      parseFill(node.get("fill_value")), isV3 = true)
+  }
+
+  /** Discover arrays: walk subdirectories for `.zarray` / array-typed
+    * `zarr.json`. */
+  def discoverArrays(path: Path): Seq[ZarrArrayMeta] = {
+    val version = detectVersion(path)
+    listDirs(path).flatMap { dir =>
+      val name = dir.getFileName.toString
+      if (version == 2)
+        jsonAt(dir.resolve(".zarray")).map(parseArrayV2(name, _))
+      else
+        jsonAt(dir.resolve("zarr.json"))
+          .filter(n => Option(n.get("node_type")).exists(_.asText() == "array"))
+          .map(parseArrayV3(name, _))
+    }
+  }
+
+  /** Dimension-order inference
+    * (/root/reference/src/reader/schema_inference.rs:304-358): order
+    * the coordinates by matching each dimension size of a data
+    * variable against coordinate lengths. For ambiguous sizes (two
+    * coords of equal length) the reference's observed order is
+    * alphabetically-last first (test :957-960 yields
+    * `time, lon, lat` for shape [7,10,10]) — replicated here. */
+  def inferCoordOrder(coords: Seq[ZarrArrayMeta], dataVars: Seq[ZarrArrayMeta]): Seq[ZarrArrayMeta] = {
+    dataVars.headOption match {
+      case Some(v) if v.shape.length == coords.length =>
+        val remaining = scala.collection.mutable.ArrayBuffer(coords.sortBy(_.name).reverse: _*)
+        val ordered = v.shape.flatMap { dimSize =>
+          val i = remaining.indexWhere(_.shape.head == dimSize)
+          if (i >= 0) { val c = remaining.remove(i); Some(c) } else None
+        }
+        if (ordered.length == coords.length) ordered
+        else coords.sortBy(_.name)
+      case _ => coords.sortBy(_.name)
+    }
+  }
+
+  /** Full store read: discovery, classification, dimension-order
+    * inference, eager coordinate load (values power statistics and
+    * filter planning). */
+  def readStore(pathStr: String): ZarrStoreMeta = {
+    // DDL paths may arrive as file: URIs from the session catalog
+    val path =
+      if (pathStr.startsWith("file:")) Paths.get(java.net.URI.create(pathStr))
+      else Paths.get(pathStr)
+    val arrays = discoverArrays(path)
+    if (arrays.isEmpty)
+      throw new IllegalArgumentException(s"No Zarr arrays found under: $pathStr")
+    val (coords1d, dataVars) = arrays.partition(_.nDims == 1)
+    val vars = dataVars.sortBy(_.name)
+    vars.foreach { v =>
+      require(v.shape.length == coords1d.length,
+        s"Data variable ${v.name} has ${v.shape.length} dims but store has " +
+          s"${coords1d.length} coordinates")
+    }
+    val ordered = inferCoordOrder(coords1d, vars)
+    val coordData = ordered.map { c =>
+      val raw = ChunkIO.readWholeArray(path, c)
+      CoordData(c, raw, ChunkCodec.toDoubles(raw))
+    }
+    ZarrStoreMeta(pathStr, coordData, vars)
+  }
+}

@@ -1,0 +1,78 @@
+package graft.sources.zarr
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Driver-gate queries for the Zarr connector. The oracle cannot read
+  * Zarr (DuckDB sees only the parquet corpus), so each query's oracle
+  * is a VALUES literal computed independently from the raw v2 chunk
+  * bytes (tools/ and the committed deterministic fixture, seed 42 —
+  * see FIXTURES.md). The queries read the repo-committed store, so
+  * they are sf-independent.
+  */
+object ZarrQueries {
+
+  private val store = "/root/repo/src/test/resources/zarr/synthetic_v3.zarr"
+
+  private def zarr(s: SparkSession): DataFrame = s.read.format("zarr").load(store)
+
+  /** Flattened-grid group aggregate (the reference's marquee query
+    * shape, README.md:227-233). */
+  def z1_zarr_group_agg(s: SparkSession, dir: String): DataFrame =
+    zarr(s).groupBy("time")
+      .agg(sum("temperature").as("sum_temp"), count(lit(1)).as("n"))
+
+  private val z1Sql =
+    """SELECT CAST(time AS BIGINT) AS time, CAST(sum_temp AS BIGINT) AS sum_temp,
+       CAST(n AS BIGINT) AS n FROM (VALUES (0,443,100),(1,515,100),(2,521,100),(3,97,100),
+       (4,465,100),(5,786,100),(6,425,100)) AS t(time, sum_temp, n)"""
+
+  /** Coordinate-equality filter slice (pushdown prunes to one chunk
+    * row-slab). */
+  def z2_zarr_filter_slice(s: SparkSession, dir: String): DataFrame =
+    zarr(s).filter(col("time") === 3 && col("lat") === 5)
+      .select("lon", "temperature", "humidity")
+
+  private val z2Sql =
+    """SELECT CAST(lon AS BIGINT) AS lon, CAST(temperature AS BIGINT) AS temperature,
+       CAST(humidity AS BIGINT) AS humidity FROM (VALUES (0,53,28),(1,-9,12),(2,18,22),(3,-31,44),(4,33,49),
+       (5,3,46),(6,-30,41),(7,8,60),(8,-43,24),(9,18,42))
+       AS t(lon, temperature, humidity)"""
+
+  /** Metadata-answered aggregates (COUNT/MIN/MAX via aggregate
+    * pushdown — zero chunk IO; ZarrSpec asserts the plan shape). */
+  def z3_zarr_stats_agg(s: SparkSession, dir: String): DataFrame =
+    zarr(s).agg(
+      count(lit(1)).as("n_rows"),
+      min("time").as("min_time"), max("time").as("max_time"),
+      min("lon").as("min_lon"), max("lat").as("max_lat"))
+
+  private val z3Sql =
+    """SELECT CAST(n_rows AS BIGINT) AS n_rows, CAST(min_time AS BIGINT) AS min_time,
+       CAST(max_time AS BIGINT) AS max_time, CAST(min_lon AS BIGINT) AS min_lon,
+       CAST(max_lat AS BIGINT) AS max_lat
+       FROM (VALUES (700, 0, 6, 0, 9)) AS t(n_rows, min_time, max_time, min_lon, max_lat)"""
+
+  /** Deterministic top-k over the flattened grid. */
+  def z4_zarr_topk(s: SparkSession, dir: String): DataFrame =
+    zarr(s).select("temperature", "time", "lon", "lat")
+      .orderBy(col("temperature").desc, col("time"), col("lon"), col("lat"))
+      .limit(5)
+
+  private val z4Sql =
+    """SELECT CAST(temperature AS BIGINT) AS temperature, CAST(time AS BIGINT) AS time,
+       CAST(lon AS BIGINT) AS lon, CAST(lat AS BIGINT) AS lat FROM (VALUES (59,3,5,2),(59,3,7,8),(59,4,6,9),(59,5,6,8),(58,1,0,7))
+       AS t(temperature, time, lon, lat)"""
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "z1_zarr_group_agg" -> (z1_zarr_group_agg _),
+    "z2_zarr_filter_slice" -> (z2_zarr_filter_slice _),
+    "z3_zarr_stats_agg" -> (z3_zarr_stats_agg _),
+    "z4_zarr_topk" -> (z4_zarr_topk _))
+
+  val oracle: Map[String, String] = Map(
+    "z1_zarr_group_agg" -> z1Sql,
+    "z2_zarr_filter_slice" -> z2Sql,
+    "z3_zarr_stats_agg" -> z3Sql,
+    "z4_zarr_topk" -> z4Sql)
+}

@@ -1,0 +1,79 @@
+package graft
+
+import java.nio.{ByteBuffer, ByteOrder}
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Generality probes for the Zarr connector beyond the committed
+  * fixtures: float64 coordinates (epsilon filter matching), multi-chunk
+  * dimensions, absent chunks (fill_value semantics), and partition-
+  * count control. The store is written by the test itself. */
+class ZarrEdgeSpec extends AnyFunSuite {
+  import TestSession._
+
+  private lazy val store: String = {
+    val base = Files.createTempDirectory("probe_zarr").toString
+    def writeJson(rel: String, s: String): Unit = {
+      val p = Paths.get(base, rel)
+      Files.createDirectories(p.getParent)
+      Files.write(p, s.getBytes)
+    }
+    def writeChunk(rel: String, doubles: Seq[Double], asLong: Boolean = false): Unit = {
+      val buf = ByteBuffer.allocate(doubles.length * 8).order(ByteOrder.LITTLE_ENDIAN)
+      if (asLong) doubles.foreach(d => buf.putLong(d.toLong))
+      else doubles.foreach(buf.putDouble)
+      Files.write(Paths.get(base, rel), buf.array())
+    }
+    writeJson(".zgroup", """{"zarr_format":2}""")
+    def zmeta(shape: Seq[Int], chunks: Seq[Int], dtype: String) =
+      s"""{"zarr_format":2,"shape":[${shape.mkString(",")}],
+          "chunks":[${chunks.mkString(",")}],"dtype":"$dtype","fill_value":-1,
+          "order":"C","filters":null,"dimension_separator":".","compressor":null}"""
+    // depth: float64 coord, 2 chunks; x: int64 coord
+    writeJson("depth/.zarray", zmeta(Seq(4), Seq(2), "<f8"))
+    writeChunk("depth/0", Seq(1.5, 2.5)); writeChunk("depth/1", Seq(3.5, 4.5))
+    writeJson("x/.zarray", zmeta(Seq(6), Seq(6), "<i8"))
+    writeChunk("x/0", (0 until 6).map(_.toDouble), asLong = true)
+    // measurement[depth, x]: 4x6, chunks (2,3); chunk 1.1 ABSENT -> fill -1
+    writeJson("measurement/.zarray", zmeta(Seq(4, 6), Seq(2, 3), "<f8"))
+    def cells(d0: Int, x0: Int): Seq[Double] =
+      for (d <- d0 until d0 + 2; x <- x0 until x0 + 3) yield (d * 100 + x).toDouble
+    writeChunk("measurement/0.0", cells(0, 0))
+    writeChunk("measurement/0.1", cells(0, 3))
+    writeChunk("measurement/1.0", cells(2, 0))
+    base
+  }
+
+  private def df = spark.read.format("zarr").load(store)
+
+  test("schema: float coord + int coord + float var; 24 rows") {
+    assert(df.schema.simpleString ==
+      "struct<depth:double,x:bigint,measurement:double>")
+    assert(df.count() == 24)
+  }
+
+  test("values correct across chunk boundaries") {
+    val m = df.filter(col("depth") === 3.5 && col("x") === 2).collect()
+    assert(m.length == 1 && m.head.getAs[Double]("measurement") == 202.0)
+  }
+
+  test("absent chunk yields fill_value") {
+    val m = df.filter(col("depth") === 4.5 && col("x") === 5).collect()
+    assert(m.length == 1 && m.head.getAs[Double]("measurement") == -1.0)
+  }
+
+  test("float coordinate equality filter prunes and matches") {
+    val f = df.filter(col("depth") === 2.5)
+    assert(f.count() == 6)
+    assert(f.select("measurement").collect().map(_.getDouble(0)).sorted.toSeq ==
+      Seq(100.0, 101.0, 102.0, 103.0, 104.0, 105.0))
+  }
+
+  test("partition count follows outer chunks when minRowsPerPartition is small") {
+    val p = spark.read.format("zarr").option("minRowsPerPartition", "1").load(store)
+    assert(p.rdd.getNumPartitions == 2) // outer dim 4, chunk 2
+    assert(p.count() == 24)
+  }
+}

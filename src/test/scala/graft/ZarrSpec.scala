@@ -1,0 +1,217 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.zarr._
+
+/** Zarr connector suites, mirroring the reference's integration tests
+  * (SURVEY.md §5): query basics, pushdown behavior + plan shape,
+  * optimizer (aggregate pushdown) with differential checks, format
+  * parity (v2/v3 × plain/blosc), and error paths. */
+class ZarrSpec extends AnyFunSuite {
+  import TestSession._
+
+  private val base = "src/test/resources/zarr"
+  private val v2 = s"$base/synthetic_v2.zarr"
+  private val v2b = s"$base/synthetic_v2_blosc.zarr"
+  private val v3 = s"$base/synthetic_v3.zarr"
+  private val v3b = s"$base/synthetic_v3_blosc.zarr"
+  private val all = Seq(v2, v2b, v3, v3b)
+
+  private def zarr(path: String): DataFrame =
+    spark.read.format("zarr").load(path)
+
+  // sparkPlan, not executedPlan: AQE's AdaptiveSparkPlanExec hides its
+  // input plan from collect()
+  private def scansOf(df: DataFrame) =
+    df.queryExecution.sparkPlan.collect { case b: BatchScanExec => b.scan }
+
+  // ------------------------------------------------------------ query suite
+
+  test("SELECT * shape: 700 rows x 5 cols, reference column order") {
+    val df = zarr(v3)
+    assert(df.columns.toSeq == Seq("time", "lon", "lat", "humidity", "temperature"))
+    assert(df.count() == 700)
+  }
+
+  test("coordinates are the row-major cartesian product") {
+    val rows = zarr(v3).select("time", "lon", "lat").limit(12).collect()
+    // C-order: last coordinate (lat) varies fastest
+    assert(rows.take(3).map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq ==
+      Seq((0L, 0L, 0L), (0L, 0L, 1L), (0L, 0L, 2L)))
+    assert(rows(10).getLong(1) == 1L && rows(10).getLong(2) == 0L)
+  }
+
+  test("WHERE on data variable post-verifies") {
+    val rows = zarr(v3).filter(col("temperature") > 0).select("temperature").collect()
+    assert(rows.nonEmpty && rows.forall(_.getLong(0) > 0))
+  }
+
+  test("GROUP BY time has 7 groups; ORDER BY monotonic") {
+    val df = zarr(v3).groupBy("time").agg(avg("temperature").as("t")).orderBy("time")
+    val rows = df.collect()
+    assert(rows.length == 7)
+    val times = rows.map(_.getLong(0))
+    assert(times.zip(times.tail).forall { case (a, b) => a < b })
+  }
+
+  // --------------------------------------------------------- pushdown suite
+
+  test("filter pushdown row math: time=0 -> 100; +lat=0 -> 10; all -> 1") {
+    assert(zarr(v3).filter(col("time") === 0).count() == 100)
+    assert(zarr(v3).filter(col("time") === 0 && col("lat") === 0).count() == 10)
+    assert(zarr(v3).filter(
+      col("time") === 0 && col("lat") === 0 && col("lon") === 0).count() == 1)
+  }
+
+  test("pushed filter appears in scan; returned values honor it") {
+    val df = zarr(v3).filter(col("time") === 3)
+    val scan = scansOf(df).head
+    assert(scan.description().contains("EqualTo(time,3)"))
+    assert(df.select("time").collect().forall(_.getLong(0) == 3))
+  }
+
+  test("nonexistent coordinate value -> zero partitions, zero rows") {
+    val df = zarr(v3).filter(col("time") === 99)
+    assert(df.count() == 0)
+  }
+
+  test("projection pushdown prunes the scan schema") {
+    val df = zarr(v3).select("time", "temperature")
+    val scan = scansOf(df).head
+    assert(scan.readSchema().fieldNames.toSeq == Seq("time", "temperature"))
+  }
+
+  test("limit pushdown caps rows and appears in scan") {
+    val df = zarr(v3).limit(5)
+    assert(df.count() == 5)
+    assert(scansOf(df).head.description().contains("limit=5"))
+  }
+
+  test("data-variable filter is not pushed but stays correct") {
+    val df = zarr(v3).filter(col("temperature") > 50)
+    val scan = scansOf(df).head
+    assert(!scan.description().contains("temperature"))
+    assert(df.collect().forall(_.getAs[Long]("temperature") > 50))
+  }
+
+  // -------------------------------------------------------- optimizer suite
+
+  test("COUNT(*) answered from metadata (ZarrAggScan, no chunk scan)") {
+    val df = zarr(v3).agg(count(lit(1)))
+    val scans = scansOf(df)
+    assert(scans.nonEmpty && scans.forall(_.isInstanceOf[ZarrAggScan]))
+    assert(df.collect().head.getLong(0) == 700)
+  }
+
+  test("MIN/MAX(coordinate) answered from metadata") {
+    val df = zarr(v3).agg(min("time"), max("time"), min("lat"), max("lon"))
+    assert(scansOf(df).forall(_.isInstanceOf[ZarrAggScan]))
+    val r = df.collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) == ((0L, 6L, 0L, 9L)))
+  }
+
+  test("COUNT(DISTINCT coord) answered from metadata") {
+    val df = zarr(v3).agg(countDistinct("time"))
+    assert(scansOf(df).forall(_.isInstanceOf[ZarrAggScan]))
+    assert(df.collect().head.getLong(0) == 7)
+  }
+
+  test("MIN/MAX(data variable) must still scan chunks") {
+    val df = zarr(v3).agg(min("temperature"))
+    assert(scansOf(df).exists(_.isInstanceOf[ZarrScan]))
+  }
+
+  test("filtered aggregate must still scan (reference guard)") {
+    val df = zarr(v3).filter(col("time") === 0).agg(count(lit(1)))
+    assert(scansOf(df).exists(_.isInstanceOf[ZarrScan]))
+    assert(df.collect().head.getLong(0) == 100)
+  }
+
+  test("GROUP BY aggregate must still scan") {
+    val df = zarr(v3).groupBy("time").agg(count(lit(1)))
+    assert(scansOf(df).exists(_.isInstanceOf[ZarrScan]))
+  }
+
+  test("differential: metadata answers equal scan answers") {
+    val viaStats = zarr(v3).agg(count(lit(1)), min("time"), max("lat")).collect().head
+    val scanned = zarr(v3).select(
+      count(lit(1)), min(col("time") + 0), max(col("lat") + 0)).collect().head
+    assert(viaStats.getLong(0) == scanned.getLong(0))
+    assert(viaStats.getLong(1) == scanned.getLong(1))
+    assert(viaStats.getLong(2) == scanned.getLong(2))
+  }
+
+  // ---------------------------------------------------------- format parity
+
+  test("v2 and v3 schemas are identical") {
+    assert(zarr(v2).schema == zarr(v3).schema)
+  }
+
+  test("all four variants are byte-identical on full ordered content") {
+    val ref = zarr(v3).orderBy("time", "lon", "lat").collect().map(_.toSeq).toSeq
+    for (p <- Seq(v2, v2b, v3b)) {
+      val got = zarr(p).orderBy("time", "lon", "lat").collect().map(_.toSeq).toSeq
+      assert(got == ref, s"variant $p differs from v3 plain")
+    }
+    assert(ref.length == 700)
+  }
+
+  test("blosc chunk decodes byte-identical to plain chunk (codec parity)") {
+    import java.nio.file.Paths
+    val plain = ZarrMeta.readStore(v2)
+    val blosc = ZarrMeta.readStore(v2b)
+    val tPlain = plain.dataVars.find(_.name == "temperature").get
+    val tBlosc = blosc.dataVars.find(_.name == "temperature").get
+    for (t <- 0L until 7L) {
+      val a = ChunkIO.readChunk(Paths.get(v2), tPlain, Seq(t, 0L, 0L)).asInstanceOf[Array[Long]]
+      val b = ChunkIO.readChunk(Paths.get(v2b), tBlosc, Seq(t, 0L, 0L)).asInstanceOf[Array[Long]]
+      assert(a.sameElements(b), s"chunk $t mismatch")
+    }
+  }
+
+  test("SQL DDL: CREATE TABLE USING zarr, DESCRIBE, DROP") {
+    val abs = new java.io.File(v3).getAbsolutePath
+    spark.sql(s"CREATE TABLE zarr_weather USING zarr OPTIONS (path '$abs')")
+    try {
+      assert(spark.sql("SELECT COUNT(*) FROM zarr_weather").collect().head.getLong(0) == 700)
+      val desc = spark.sql("DESCRIBE TABLE zarr_weather").collect().map(_.getString(0))
+      assert(desc.contains("time") && desc.contains("temperature"))
+    } finally spark.sql("DROP TABLE zarr_weather")
+  }
+
+  // ------------------------------------------------------------- error paths
+
+  test("bad path / non-zarr dir / unknown column error cleanly") {
+    intercept[Exception](zarr("/nonexistent/path.zarr").count())
+    intercept[Exception](zarr("/tmp").count())
+    intercept[Exception](zarr(v3).select("no_such_col").count())
+    // session still usable after failures
+    assert(zarr(v3).count() == 700)
+  }
+
+  // ------------------------------------------------------------- grid math
+
+  test("partitionSlices covers the row space exactly, aligned to chunks") {
+    val ranges: GridMath.Ranges = Array((0, 7), (0, 10), (0, 10))
+    val slices = GridMath.partitionSlices(ranges, 1, None, minRowsPerPartition = 100)
+    assert(slices.head._1 == 0 && slices.last._2 == 700)
+    assert(slices.zip(slices.tail).forall { case (a, b) => a._2 == b._1 })
+    assert(slices.forall { case (s, e) => (e - s) % 100 == 0 })
+  }
+
+  test("partitionSlices honors limit") {
+    val ranges: GridMath.Ranges = Array((0, 7), (0, 10), (0, 10))
+    val slices = GridMath.partitionSlices(ranges, 1, Some(42), minRowsPerPartition = 10)
+    assert(slices.map { case (s, e) => e - s }.sum == 42)
+  }
+
+  test("findCoordIndex: exact ints, epsilon floats, absent -> -1") {
+    assert(GridMath.findCoordIndex(Array(0.0, 1.0, 2.0), 2.0) == 2)
+    assert(GridMath.findCoordIndex(Array(0.25, 0.5), 0.5 + 1e-12) == 1)
+    assert(GridMath.findCoordIndex(Array(0.0, 1.0), 3.0) == -1)
+  }
+}
