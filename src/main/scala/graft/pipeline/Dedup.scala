@@ -73,6 +73,8 @@ object Dedup {
       .crossJoin(broadcast(nDocs))
       .filter(col("df") <= col("cut"))
       .select("doc_id", "code")
+      // referenced three times (sizes + both self-join sides)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sizes = rare.groupBy("doc_id").agg(count(lit(1)).as("sz"))
     val common = rare.as("a")
       .join(rare.as("b"), col("a.code") === col("b.code") && col("a.doc_id") < col("b.doc_id"))
@@ -120,6 +122,8 @@ object Dedup {
     val sig = g.groupBy("doc_id").agg(
       min(expr(permHash(1, "code"))).as("m1"),
       (2 to nPerm).map(j => min(expr(permHash(j, "code"))).as(s"m$j")): _*)
+      // referenced six times (4 band selects + both signature joins)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bands = (0 until nBands).map { b =>
       sig.select(col("doc_id"), lit(b).as("band"),
         col(s"m${bandRows * b + 1}").as("h1"), col(s"m${bandRows * b + 2}").as("h2"),
@@ -171,10 +175,14 @@ object Dedup {
   private val simBits = 30
 
   /** 30-bit SimHash over the document's distinct gram codes; dup pairs
-    * at Hamming distance ≤ 3. The pairwise scan is quadratic — kept
-    * because the 30-bit sketch makes each comparison a single XOR (a
-    * banded variant would split the sketch for candidate generation at
-    * larger corpus sizes). */
+    * at Hamming distance ≤ 3.
+    *
+    * Candidate generation is *banded* (pigeonhole): split the sketch
+    * into 4 bands — any pair within Hamming 3 must agree exactly on at
+    * least one band — so candidates come from 4 equality joins on
+    * narrow int keys instead of an O(N²) cross join; the exact XOR
+    * popcount then verifies. Same output, shuffle-join scaling. (The
+    * DuckDB oracle keeps the cross-join formulation: identical rows.) */
   def d4_dedup_simhash(s: SparkSession, dir: String): DataFrame = {
     val g = TextAnalysis.gramCodes(docs(s, dir))
       .select(col("doc_id"), expr(mix("code")).as("h"))
@@ -185,11 +193,21 @@ object Dedup {
     val sketch = bitSums.select(col("doc_id"),
       (0 until simBits).map(k =>
         when(col(s"s$k") > 0, lit(1L << k)).otherwise(lit(0L))).reduce(_ + _).as("simhash"))
-    sketch.as("a")
-      .join(sketch.as("b"), col("a.doc_id") < col("b.doc_id"))
+      // referenced in all four band selects
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bandDefs = Seq((0, 8), (8, 8), (16, 7), (23, 7))
+    val banded = bandDefs.zipWithIndex.map { case ((off, len), b) =>
+      sketch.select(col("doc_id"), col("simhash"), lit(b).as("band"),
+        expr(s"shiftright(simhash, $off) & ${(1 << len) - 1}").as("bh"))
+    }.reduce(_ unionAll _)
+    banded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
+          col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
         expr("bit_count(a.simhash ^ b.simhash)").cast("long").as("hamming"))
       .filter(col("hamming") <= 3)
+      .distinct()
   }
 
   private val d4Sql = {

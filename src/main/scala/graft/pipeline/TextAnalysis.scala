@@ -137,6 +137,12 @@ object TextAnalysis {
         explode(sequence(lit(1), length(col("text")) - 4)).as("pos"), col("text"))
       .select(col("doc_id"), expr(gramCode("substring(text, pos, 5)")).as("code"))
       .distinct()
+      // Shared materialization: fingerprint + the whole dedup family
+      // derive from this explode, and self-joins reference it twice.
+      // Spark's CacheManager dedups by canonicalized plan, so every
+      // caller shares ONE cached gram table (the "gram index" a
+      // production pipeline would write to storage once).
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
   /** Shared oracle fragment mirroring [[gramCodes]]. DuckDB's `range`
     * table function rejects lateral column args; scalar `range()`

@@ -1,0 +1,123 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+import graft.operators.Tables
+
+/** One event for sessionization (public: Encoder codegen requires
+  * accessible classes). */
+case class Ev(user_id: Long, ts_us: Long)
+
+/** Per-user session summary emitted by the stateful stage. */
+case class UserSessions(user_id: Long, n_sessions: Long, n_events: Long)
+
+/** Structured Streaming over the `events` table (stream-shaped:
+  * event_id, ts, user_id, event_type, value, props).
+  *
+  * The reference engine is batch-only (SURVEY.md §2.B Streaming:
+  * "None"); this module is part of the training-pipeline extension.
+  * For the driver gate the streams run bounded: a file-stream source
+  * over the sf directory, `processAllAvailable()`, results in a memory
+  * sink — so each query returns a deterministic DataFrame the DuckDB
+  * oracle can check. On a cluster the same code runs unbounded with
+  * the watermark bounding state.
+  */
+object EventsStreaming {
+
+  /** Batch-identical event frame (ts: TIMESTAMP(NANOS) parquet read as
+    * long, converted to micros — same as Tables.load). */
+  private def schemaOf(s: SparkSession, dir: String) =
+    s.read.parquet(s"$dir/events.parquet").schema
+
+  private def eventsStream(s: SparkSession, dir: String): DataFrame = {
+    // FileStreamSource requires a directory; the corpus ships events as
+    // a single parquet file — expose it through a symlinked stream dir.
+    val raw = s.readStream.schema(schemaOf(s, dir)).parquet(streamDir(dir))
+    if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    else raw
+  }
+
+  /** A stable directory containing just a symlink to the events file
+    * (keyed by sf dir so different scale factors don't collide). */
+  private def streamDir(dir: String): String = {
+    import java.nio.file.{Files, Paths}
+    val d = Paths.get(System.getProperty("java.io.tmpdir"),
+      "graft_stream_" + dir.replaceAll("[^A-Za-z0-9]", "_"))
+    Files.createDirectories(d)
+    val link = d.resolve("events.parquet")
+    if (!Files.exists(link))
+      Files.createSymbolicLink(link, Paths.get(dir, "events.parquet"))
+    d.toString
+  }
+
+  private def runToTable(df: DataFrame, name: String, mode: OutputMode): DataFrame = {
+    val q = df.writeStream.outputMode(mode).format("memory").queryName(name).start()
+    try q.processAllAvailable() finally q.stop()
+    df.sparkSession.table(name)
+  }
+
+  /** Tumbling 1-hour event-time window aggregation with a watermark —
+    * the canonical streaming shape (`readStream` → watermark → window
+    * → agg → sink). Output keyed by epoch-hour so the oracle mirrors
+    * it with integer arithmetic. */
+  def st1_stream_window_agg(s: SparkSession, dir: String): DataFrame = {
+    val agg = eventsStream(s, dir)
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast(org.apache.spark.sql.types.DecimalType(10, 2)))
+          .cast("double").as("sum_value"))
+      .select(
+        (unix_timestamp(col("window.start")) / 3600).cast("long").as("hour_bucket"),
+        col("event_type"), col("n_events"), col("sum_value"))
+    runToTable(agg, "st1_out", OutputMode.Complete())
+  }
+
+  private val st1Sql = """
+    SELECT CAST(FLOOR(EPOCH(ts) / 3600) AS BIGINT) AS hour_bucket, event_type,
+      COUNT(*) AS n_events,
+      CAST(SUM(CAST(value AS DECIMAL(10,2))) AS DOUBLE) AS sum_value
+    FROM events GROUP BY 1, 2"""
+
+  /** Stateful sessionization via flatMapGroupsWithState: per user,
+    * sessions split on >30-minute idle gaps. Bounded input arrives as
+    * one batch, so every group emits its final counts immediately; in
+    * continuous operation the same function holds per-user state
+    * between triggers. */
+  def st2_stream_sessionize(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ds: Dataset[Ev] = eventsStream(s, dir)
+      .select(col("user_id"), unix_micros(col("ts")).as("ts_us")).as[Ev]
+    val sessions = ds.groupByKey(_.user_id)
+      .flatMapGroupsWithState[Long, UserSessions](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (user: Long, evs: Iterator[Ev], state: GroupState[Long]) =>
+          val ts = evs.map(_.ts_us).toArray.sorted
+          val gapUs = 30L * 60 * 1000000
+          val sessions = 1L + ts.zip(ts.tail).count { case (a, b) => b - a > gapUs }
+          Iterator(UserSessions(user, sessions, ts.length.toLong))
+      }
+    runToTable(sessions.toDF(), "st2_out", OutputMode.Append())
+  }
+
+  private val st2Sql = """
+    WITH gaps AS (
+      SELECT user_id,
+        CASE WHEN EPOCH(ts) - EPOCH(LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))
+               > 1800 THEN 1 ELSE 0 END AS new_session
+      FROM events)
+    SELECT user_id, CAST(1 + SUM(new_session) AS BIGINT) AS n_sessions,
+      COUNT(*) AS n_events
+    FROM gaps GROUP BY user_id"""
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "st1_stream_window_agg" -> (st1_stream_window_agg _),
+    "st2_stream_sessionize" -> (st2_stream_sessionize _))
+
+  val oracle: Map[String, String] = Map(
+    "st1_stream_window_agg" -> st1Sql,
+    "st2_stream_sessionize" -> st2Sql)
+}
