@@ -1,0 +1,85 @@
+package graft.cli
+
+import java.io.{BufferedReader, InputStreamReader}
+import java.nio.file.{Files, Paths, StandardOpenOption}
+
+import scala.util.control.NonFatal
+
+import org.apache.spark.sql.SparkSession
+
+/** Interactive SQL shell over the graft engine — the rebuild of the
+  * reference's `zarr-cli` (/root/reference/src/bin/zarr_cli/main.rs):
+  * line loop, DDL-vs-query dispatch with `OK (t)` acknowledgements,
+  * per-query timing + row-count stats line, persistent history, and
+  * `help` / `\d` / `show tables` / `quit` commands. Zarr stores
+  * register via standard DDL:
+  *
+  *   CREATE TABLE w USING zarr OPTIONS (path '/data/store.zarr');
+  *   SELECT time, AVG(temperature) FROM w GROUP BY time;
+  *
+  * Run: tools/run.sh graft.cli.SqlRepl
+  */
+object SqlRepl {
+
+  private val historyPath = Paths.get(sys.props("user.home"), ".graft_sql_history")
+
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_MASTER", "local[*]"))
+      .appName("graft-sql")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    println("graft SQL shell — 'help' for commands, 'quit' to exit")
+    val in = new BufferedReader(new InputStreamReader(System.in))
+    var line: String = null
+    while ({ print("graft> "); Console.flush(); line = in.readLine(); line != null }) {
+      val sql = line.trim.stripSuffix(";").trim
+      sql.toLowerCase match {
+        case "" =>
+        case "quit" | "exit" => spark.stop(); return
+        case "help" =>
+          println("""Commands:
+            |  help              this help
+            |  quit / exit       leave the shell
+            |  show tables, \d   list registered tables
+            |  <SQL>             any Spark SQL (CREATE TABLE ... USING zarr, SELECT ...)
+            |""".stripMargin)
+        case "\\d" | "show tables" =>
+          spark.sql("SHOW TABLES").show(truncate = false)
+        case _ => runSql(spark, sql)
+      }
+      appendHistory(line)
+    }
+    spark.stop()
+  }
+
+  private def runSql(spark: SparkSession, sql: String): Unit = {
+    val t0 = System.nanoTime()
+    try {
+      val df = spark.sql(sql)
+      val isDdl = sql.trim.toLowerCase.matches("^(create|drop|alter|set|use)\\b.*")
+      if (isDdl) {
+        df.collect()
+        println(f"OK (${(System.nanoTime() - t0) / 1e9}%.3fs)")
+      } else {
+        val rows = df.collect()
+        df.sparkSession.createDataFrame(
+          java.util.Arrays.asList(rows.take(50): _*), df.schema).show(50, truncate = false)
+        if (rows.length > 50) println(s"… ${rows.length - 50} more rows")
+        println(f"${rows.length} rows in ${(System.nanoTime() - t0) / 1e9}%.3fs")
+      }
+    } catch {
+      case NonFatal(e) =>
+        println(s"Error: ${Option(e.getMessage).getOrElse(e.toString).linesIterator.take(3).mkString(" ")}")
+    }
+  }
+
+  private def appendHistory(line: String): Unit =
+    try Files.write(historyPath, (line + "\n").getBytes,
+      StandardOpenOption.CREATE, StandardOpenOption.APPEND)
+    catch { case NonFatal(_) => }
+}

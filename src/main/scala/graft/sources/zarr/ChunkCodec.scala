@@ -1,7 +1,6 @@
 package graft.sources.zarr
 
 import java.nio.{ByteBuffer, ByteOrder}
-import java.nio.file.{Files, Path}
 import java.util.zip.{GZIPInputStream, Inflater}
 
 import net.jpountz.lz4.LZ4Factory
@@ -230,15 +229,13 @@ object ChunkIO {
 
   /** Read + decode one chunk file; absent chunk files yield the
     * fill_value (Zarr semantics). */
-  def readChunk(storePath: Path, meta: ZarrArrayMeta, chunkIdx: Seq[Long]): AnyRef = {
+  def readChunk(store: ZarrStore, meta: ZarrArrayMeta, chunkIdx: Seq[Long]): AnyRef = {
     val nElems = meta.chunks.product
-    val file = storePath.resolve(meta.name).resolve(meta.chunkKey(chunkIdx))
-    if (!Files.exists(file)) {
-      fillArray(meta, nElems)
-    } else {
-      val bytes = Files.readAllBytes(file)
-      val raw = ChunkCodec.decompress(bytes, meta.compressor, nElems * meta.dtype.size)
-      ChunkCodec.decodeTyped(raw, meta.dtype, nElems)
+    store.readBytes(s"${meta.name}/${meta.chunkKey(chunkIdx)}") match {
+      case None => fillArray(meta, nElems)
+      case Some(bytes) =>
+        val raw = ChunkCodec.decompress(bytes, meta.compressor, nElems * meta.dtype.size)
+        ChunkCodec.decodeTyped(raw, meta.dtype, nElems)
     }
   }
 
@@ -257,15 +254,15 @@ object ChunkIO {
 
   /** Read an entire 1-D array (multi-chunk safe) — used for
     * coordinates. */
-  def readWholeArray(storePath: Path, meta: ZarrArrayMeta): AnyRef = {
+  def readWholeArray(store: ZarrStore, meta: ZarrArrayMeta): AnyRef = {
     require(meta.nDims == 1, s"readWholeArray expects 1-D, got ${meta.nDims}-D ${meta.name}")
     val n = meta.shape.head.toInt
     val chunkLen = meta.chunks.head
     val nChunks = meta.chunkGrid.head.toInt
     if (nChunks == 1) {
-      truncate(ChunkIO.readChunk(storePath, meta, Seq(0L)), n)
+      truncate(ChunkIO.readChunk(store, meta, Seq(0L)), n)
     } else {
-      val parts = (0 until nChunks).map(c => readChunk(storePath, meta, Seq(c.toLong)))
+      val parts = (0 until nChunks).map(c => readChunk(store, meta, Seq(c.toLong)))
       concat(parts, n, chunkLen)
     }
   }

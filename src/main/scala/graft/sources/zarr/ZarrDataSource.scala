@@ -1,6 +1,5 @@
 package graft.sources.zarr
 
-import java.nio.file.Paths
 import java.util.OptionalLong
 
 import scala.collection.mutable
@@ -340,7 +339,7 @@ class ZarrReaderFactory extends PartitionReaderFactory {
   * the chunks covering one inner row-slab. */
 class ZarrPartitionReader(p: ZarrInputPartition) extends PartitionReader[InternalRow] {
 
-  private val path = Paths.get(p.storePath)
+  private val store = ZarrStore.open(p.storePath)
   private val nDims = p.ranges.length
   private val idx = new Array[Int](nDims)
   private var row = p.rowStart
@@ -358,9 +357,8 @@ class ZarrPartitionReader(p: ZarrInputPartition) extends PartitionReader[Interna
     cache.get(chunkIdx) match {
       case Some(a) => a
       case None =>
-        val file = path.resolve(meta.name).resolve(meta.chunkKey(chunkIdx))
-        if (java.nio.file.Files.exists(file)) bytesRead += java.nio.file.Files.size(file)
-        val a = ChunkIO.readChunk(path, meta, chunkIdx)
+        bytesRead += store.sizeOf(s"${meta.name}/${meta.chunkKey(chunkIdx)}").getOrElse(0L)
+        val a = ChunkIO.readChunk(store, meta, chunkIdx)
         chunksDecoded += 1
         if (cache.size >= 16) cache.remove(cache.head._1)
         cache.put(chunkIdx, a)

@@ -1,6 +1,5 @@
 package graft.sources.zarr
 
-import java.nio.file.{Files, Path, Paths}
 import scala.jdk.CollectionConverters._
 
 import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
@@ -132,28 +131,21 @@ object ZarrMeta {
 
   /** Version probe: root `zarr.json` → 3; root `.zgroup`/`.zarray` → 2;
     * else probe one level of subdirectories; error if neither. */
-  def detectVersion(path: Path): Int = {
-    if (Files.exists(path.resolve("zarr.json"))) 3
-    else if (Files.exists(path.resolve(".zgroup")) || Files.exists(path.resolve(".zarray"))) 2
+  def detectVersion(store: ZarrStore): Int = {
+    def exists(rel: String) = store.sizeOf(rel).isDefined
+    if (exists("zarr.json")) 3
+    else if (exists(".zgroup") || exists(".zarray")) 2
     else {
-      val subs = listDirs(path)
-      if (subs.exists(d => Files.exists(d.resolve("zarr.json")))) 3
-      else if (subs.exists(d => Files.exists(d.resolve(".zarray")))) 2
+      val subs = store.listDirs()
+      if (subs.exists(d => exists(s"$d/zarr.json"))) 3
+      else if (subs.exists(d => exists(s"$d/.zarray"))) 2
       else throw new IllegalArgumentException(
-        s"Not a Zarr store (no zarr.json or .zgroup/.zarray found): $path")
+        s"Not a Zarr store (no zarr.json or .zgroup/.zarray found): ${store.path}")
     }
   }
 
-  private def listDirs(path: Path): Seq[Path] = {
-    if (!Files.isDirectory(path))
-      throw new IllegalArgumentException(s"Not a directory: $path")
-    val s = Files.list(path)
-    try s.iterator().asScala.filter(Files.isDirectory(_)).toSeq.sortBy(_.getFileName.toString)
-    finally s.close()
-  }
-
-  private def jsonAt(p: Path): Option[JsonNode] =
-    if (Files.exists(p)) Some(mapper.readTree(Files.readAllBytes(p))) else None
+  private def jsonAt(store: ZarrStore, rel: String): Option[JsonNode] =
+    store.readBytes(rel).map(mapper.readTree)
 
   private def parseFill(n: JsonNode): Double =
     if (n == null || n.isNull) Double.NaN
@@ -207,14 +199,13 @@ object ZarrMeta {
 
   /** Discover arrays: walk subdirectories for `.zarray` / array-typed
     * `zarr.json`. */
-  def discoverArrays(path: Path): Seq[ZarrArrayMeta] = {
-    val version = detectVersion(path)
-    listDirs(path).flatMap { dir =>
-      val name = dir.getFileName.toString
+  def discoverArrays(store: ZarrStore): Seq[ZarrArrayMeta] = {
+    val version = detectVersion(store)
+    store.listDirs().flatMap { name =>
       if (version == 2)
-        jsonAt(dir.resolve(".zarray")).map(parseArrayV2(name, _))
+        jsonAt(store, s"$name/.zarray").map(parseArrayV2(name, _))
       else
-        jsonAt(dir.resolve("zarr.json"))
+        jsonAt(store, s"$name/zarr.json")
           .filter(n => Option(n.get("node_type")).exists(_.asText() == "array"))
           .map(parseArrayV3(name, _))
     }
@@ -245,11 +236,8 @@ object ZarrMeta {
     * inference, eager coordinate load (values power statistics and
     * filter planning). */
   def readStore(pathStr: String): ZarrStoreMeta = {
-    // DDL paths may arrive as file: URIs from the session catalog
-    val path =
-      if (pathStr.startsWith("file:")) Paths.get(java.net.URI.create(pathStr))
-      else Paths.get(pathStr)
-    val arrays = discoverArrays(path)
+    val store = ZarrStore.open(pathStr)
+    val arrays = discoverArrays(store)
     if (arrays.isEmpty)
       throw new IllegalArgumentException(s"No Zarr arrays found under: $pathStr")
     val (coords1d, dataVars) = arrays.partition(_.nDims == 1)
@@ -261,9 +249,9 @@ object ZarrMeta {
     }
     val ordered = inferCoordOrder(coords1d, vars)
     val coordData = ordered.map { c =>
-      val raw = ChunkIO.readWholeArray(path, c)
+      val raw = ChunkIO.readWholeArray(store, c)
       CoordData(c, raw, ChunkCodec.toDoubles(raw))
     }
-    ZarrStoreMeta(pathStr, coordData, vars)
+    ZarrStoreMeta(store.path, coordData, vars)
   }
 }

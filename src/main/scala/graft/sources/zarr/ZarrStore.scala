@@ -1,0 +1,90 @@
+package graft.sources.zarr
+
+import java.nio.file.{Files, Path, Paths}
+import scala.jdk.CollectionConverters._
+
+/** Storage abstraction for a Zarr store: directory listing + file
+  * reads, with implementations for plain local paths (java.nio, the
+  * fast path) and any Hadoop FileSystem URI (`file://`, `hdfs://`,
+  * `s3a://`, `gs://` …) — the rebuild of the reference's storage
+  * backend dispatch (/root/reference/src/reader/storage.rs:63-188),
+  * except Spark's Hadoop connector ecosystem supplies every remote
+  * protocol for free.
+  *
+  * Instances are cheap descriptors (a path string); filesystem handles
+  * are opened lazily, so a ZarrStore can cross the driver→executor
+  * boundary inside an InputPartition.
+  */
+sealed trait ZarrStore extends Serializable {
+  def path: String
+  /** Names of immediate subdirectories (candidate arrays). */
+  def listDirs(): Seq[String]
+  /** Full contents of `rel` (relative to the store root), or None if
+    * the file does not exist (absent chunk ⇒ fill_value). */
+  def readBytes(rel: String): Option[Array[Byte]]
+  /** Size in bytes of `rel` if it exists (IO accounting). */
+  def sizeOf(rel: String): Option[Long]
+}
+
+object ZarrStore {
+  /** Scheme dispatch: URIs with a non-`file` scheme go through Hadoop;
+    * plain paths and `file:` use java.nio directly. */
+  def open(pathStr: String): ZarrStore = {
+    val schemeEnd = pathStr.indexOf("://")
+    if (pathStr.startsWith("file:"))
+      LocalStore(Paths.get(java.net.URI.create(pathStr)).toString)
+    else if (schemeEnd > 0) HadoopStore(pathStr)
+    else LocalStore(pathStr)
+  }
+}
+
+final case class LocalStore(path: String) extends ZarrStore {
+  @transient private lazy val root: Path = Paths.get(path)
+
+  override def listDirs(): Seq[String] = {
+    if (!Files.isDirectory(root))
+      throw new IllegalArgumentException(s"Not a directory: $path")
+    val s = Files.list(root)
+    try s.iterator().asScala.filter(Files.isDirectory(_))
+      .map(_.getFileName.toString).toSeq.sorted
+    finally s.close()
+  }
+
+  override def readBytes(rel: String): Option[Array[Byte]] = {
+    val p = root.resolve(rel)
+    if (Files.exists(p)) Some(Files.readAllBytes(p)) else None
+  }
+
+  override def sizeOf(rel: String): Option[Long] = {
+    val p = root.resolve(rel)
+    if (Files.exists(p)) Some(Files.size(p)) else None
+  }
+}
+
+final case class HadoopStore(path: String) extends ZarrStore {
+  import org.apache.hadoop.fs.{FileSystem, Path => HPath}
+
+  @transient private lazy val root = new HPath(path)
+  @transient private lazy val fs: FileSystem =
+    root.getFileSystem(new org.apache.hadoop.conf.Configuration())
+
+  override def listDirs(): Seq[String] = {
+    if (!fs.getFileStatus(root).isDirectory)
+      throw new IllegalArgumentException(s"Not a directory: $path")
+    fs.listStatus(root).filter(_.isDirectory).map(_.getPath.getName).toSeq.sorted
+  }
+
+  override def readBytes(rel: String): Option[Array[Byte]] = {
+    val p = new HPath(root, rel)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try Some(org.apache.commons.io.IOUtils.toByteArray(in)) finally in.close()
+    }
+  }
+
+  override def sizeOf(rel: String): Option[Long] = {
+    val p = new HPath(root, rel)
+    if (fs.exists(p)) Some(fs.getFileStatus(p).getLen) else None
+  }
+}

@@ -161,14 +161,13 @@ class ZarrSpec extends AnyFunSuite {
   }
 
   test("blosc chunk decodes byte-identical to plain chunk (codec parity)") {
-    import java.nio.file.Paths
     val plain = ZarrMeta.readStore(v2)
     val blosc = ZarrMeta.readStore(v2b)
     val tPlain = plain.dataVars.find(_.name == "temperature").get
     val tBlosc = blosc.dataVars.find(_.name == "temperature").get
     for (t <- 0L until 7L) {
-      val a = ChunkIO.readChunk(Paths.get(v2), tPlain, Seq(t, 0L, 0L)).asInstanceOf[Array[Long]]
-      val b = ChunkIO.readChunk(Paths.get(v2b), tBlosc, Seq(t, 0L, 0L)).asInstanceOf[Array[Long]]
+      val a = ChunkIO.readChunk(ZarrStore.open(v2), tPlain, Seq(t, 0L, 0L)).asInstanceOf[Array[Long]]
+      val b = ChunkIO.readChunk(ZarrStore.open(v2b), tBlosc, Seq(t, 0L, 0L)).asInstanceOf[Array[Long]]
       assert(a.sameElements(b), s"chunk $t mismatch")
     }
   }
