@@ -1,0 +1,162 @@
+package graft.sources.zarr
+
+import org.apache.spark.sql.connector.metric.CustomTaskMetric
+import org.apache.spark.sql.connector.read.PartitionReader
+import org.apache.spark.sql.execution.vectorized.OnHeapColumnVector
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.vectorized.{ColumnarBatch, ColumnVector}
+
+/** Columnar reader for a Zarr partition slice: fills
+  * `OnHeapColumnVector`s in 4K-row batches with an odometer walk over
+  * the filtered grid — no per-row division, no boxing, and the
+  * emitted `ColumnarBatch` feeds Spark's vectorized pipeline exactly
+  * like the parquet reader does (the Spark-native analog of the
+  * reference's single Arrow RecordBatch,
+  * /root/reference/src/reader/zarr_reader.rs:417-432 — but batched and
+  * parallel).
+  *
+  * Per data variable the reader tracks the current chunk and the flat
+  * in-chunk offset incrementally: advancing the last dimension inside
+  * one chunk is `offset += 1`; crossing any boundary recomputes from
+  * the odometer (rare: once per chunk edge).
+  */
+class ZarrColumnarReader(p: ZarrInputPartition, batchSize: Int = 4096)
+    extends PartitionReader[ColumnarBatch] {
+
+  private val store = ZarrStore.open(p.storePath)
+  private val nDims = p.ranges.length
+  private val fields = p.projection.toArray
+  private val types: Array[DataType] = fields.map {
+    case CoordField(d) => p.coords(d).meta.dtype.sparkType
+    case VarField(m) => m.dtype.sparkType
+  }
+
+  // odometer state: global indices per dimension for the current row
+  private val idx = new Array[Int](nDims)
+  private var row = p.rowStart
+  GridMath.rowToIndices(row, p.ranges, idx)
+
+  // per-var-field chunk state
+  private final class VarState(val meta: ZarrArrayMeta) {
+    val chunkIdx = new Array[Long](nDims)
+    var chunk: AnyRef = _
+    var offset: Long = -1
+    var valid = false
+    var bytesRead = 0L
+    var chunksDecoded = 0L
+
+    def locate(): Unit = {
+      var changed = !valid
+      var d = 0
+      while (d < nDims) {
+        val c = idx(d) / meta.chunks(d)
+        if (!valid || c != chunkIdx(d)) { changed = true }
+        d += 1
+      }
+      if (changed) {
+        d = 0
+        while (d < nDims) { chunkIdx(d) = idx(d) / meta.chunks(d); d += 1 }
+        bytesRead += store.sizeOf(s"${meta.name}/${meta.chunkKey(chunkIdx.toSeq)}").getOrElse(0L)
+        chunk = ChunkIO.readChunk(store, meta, chunkIdx.toSeq)
+        chunksDecoded += 1
+        valid = true
+      }
+      var off = 0L
+      d = 0
+      while (d < nDims) { off = off * meta.chunks(d) + (idx(d) % meta.chunks(d)); d += 1 }
+      offset = off
+    }
+
+    /** Fast path: the last dimension advanced by one and stayed inside
+      * the same chunk. */
+    def advanceWithinRow(): Boolean = {
+      val last = nDims - 1
+      if (idx(last) / meta.chunks(last) == chunkIdx(last)) { offset += 1; true }
+      else false
+    }
+  }
+
+  private val varStates: Array[VarState] = fields.collect { case VarField(m) => new VarState(m) }
+  private var batch: ColumnarBatch = _
+
+  override def next(): Boolean = {
+    if (row >= p.rowEnd) return false
+    val n = math.min(batchSize.toLong, p.rowEnd - row).toInt
+    val vectors = types.map(t => new OnHeapColumnVector(n, t))
+    var r = 0
+    while (r < n) {
+      // locate all var fields for this row
+      var vs = 0
+      var f = 0
+      while (f < fields.length) {
+        fields(f) match {
+          case CoordField(d) => putValue(vectors(f), r, types(f), p.coords(d).raw, idx(d))
+          case VarField(_) =>
+            val st = varStates(vs)
+            if (st.offset < 0 || !st.valid) st.locate()
+            putValue(vectors(f), r, types(f), st.chunk, st.offset.toInt)
+            vs += 1
+        }
+        f += 1
+      }
+      r += 1
+      row += 1
+      if (r < n) advanceOdometer()
+    }
+    if (row < p.rowEnd) advanceOdometer()
+    batch = new ColumnarBatch(vectors.map(_.asInstanceOf[ColumnVector]), n)
+    true
+  }
+
+  /** Increment the odometer to the next row; maintain var-field chunk
+    * state incrementally. `lastOnly` = only the last dimension moved
+    * (the overwhelmingly common case), which enables the offset++
+    * fast path. */
+  private def advanceOdometer(): Unit = {
+    val last = nDims - 1
+    idx(last) += 1
+    val lastOnly = idx(last) < p.ranges(last)._2
+    if (!lastOnly) {
+      idx(last) = p.ranges(last)._1
+      var d = last - 1
+      var carry = true
+      while (d >= 0 && carry) {
+        idx(d) += 1
+        if (idx(d) >= p.ranges(d)._2) idx(d) = p.ranges(d)._1 else carry = false
+        d -= 1
+      }
+    }
+    var vs = 0
+    while (vs < varStates.length) {
+      val st = varStates(vs)
+      if (!(lastOnly && st.valid && st.advanceWithinRow())) st.locate()
+      vs += 1
+    }
+  }
+
+  override def get(): ColumnarBatch = batch
+
+  override def close(): Unit = if (batch != null) batch.close()
+
+  override def currentMetricsValues(): Array[CustomTaskMetric] = Array(
+    new CustomTaskMetric {
+      override def name(): String = "zarrBytesRead"
+      override def value(): Long = varStates.map(_.bytesRead).sum
+    },
+    new CustomTaskMetric {
+      override def name(): String = "zarrChunksDecoded"
+      override def value(): Long = varStates.map(_.chunksDecoded).sum
+    })
+
+  private def putValue(v: OnHeapColumnVector, r: Int, t: DataType, arr: AnyRef, i: Int): Unit =
+    t match {
+      case LongType => v.putLong(r, arr.asInstanceOf[Array[Long]](i))
+      case IntegerType => v.putInt(r, arr.asInstanceOf[Array[Int]](i))
+      case DoubleType => v.putDouble(r, arr.asInstanceOf[Array[Double]](i))
+      case FloatType => v.putFloat(r, arr.asInstanceOf[Array[Float]](i))
+      case ShortType => v.putShort(r, arr.asInstanceOf[Array[Short]](i))
+      case ByteType => v.putByte(r, arr.asInstanceOf[Array[Byte]](i))
+      case BooleanType => v.putBoolean(r, arr.asInstanceOf[Array[Boolean]](i))
+      case other => throw new IllegalStateException(s"Unsupported columnar type $other")
+    }
+}

@@ -189,7 +189,11 @@ class ZarrScan(
   override def planInputPartitions(): Array[InputPartition] = ranges match {
     case None => Array.empty // provably empty: filter value absent from coordinate
     case Some(r) =>
-      val outerChunk = meta.coords.headOption.map(_.meta.chunks.head).getOrElse(1)
+      // split where the DATA chunks split: the smallest chunk extent
+      // along dim 0 across data variables (coordinate arrays are
+      // irrelevant here — they're usually single-chunk)
+      val outerChunk = meta.dataVars.map(_.chunks.head)
+        .reduceOption(math.min).filter(_ > 0).getOrElse(1)
       val projection: Seq[ProjField] = requiredSchema.fields.toSeq.map { f =>
         val ci = meta.coordNames.indexOf(f.name)
         if (ci >= 0) CoordField(ci)
@@ -331,6 +335,16 @@ final case class ZarrInputPartition(
 class ZarrReaderFactory extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     new ZarrPartitionReader(partition.asInstanceOf[ZarrInputPartition])
+
+  /** Columnar path (OnHeapColumnVector batches) whenever there are
+    * projected columns; the empty projection (bare counts) stays on
+    * the row reader. */
+  override def supportColumnarReads(partition: InputPartition): Boolean =
+    partition.asInstanceOf[ZarrInputPartition].projection.nonEmpty
+
+  override def createColumnarReader(
+      partition: InputPartition): PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] =
+    new ZarrColumnarReader(partition.asInstanceOf[ZarrInputPartition])
 }
 
 /** Row-major reader over one partition slice. Per data variable keeps

@@ -1,0 +1,104 @@
+package graft
+
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.zarr.GridMath
+
+/** Property tests for the pure grid arithmetic (SURVEY.md §7 step 9:
+  * coordKeys / limitedSubset / coordRanges are pure functions, ideal
+  * ScalaCheck targets). */
+class GridMathPropSpec extends AnyFunSuite {
+
+  /** scalatestplus isn't on the offline classpath; drive scalacheck
+    * directly. */
+  private def check(prop: Prop): Unit = {
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(200), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  private val genRanges: Gen[Array[(Int, Int)]] = for {
+    nDims <- Gen.choose(1, 4)
+    dims <- Gen.listOfN(nDims, for {
+      size <- Gen.choose(1, 12)
+      start <- Gen.choose(0, 5)
+    } yield (start, start + size))
+  } yield dims.toArray
+
+  test("rowToIndices is a bijection onto the range box") {
+    check(Prop.forAll(genRanges) { ranges =>
+      val total = GridMath.totalRows(ranges)
+      val out = new Array[Int](ranges.length)
+      val seen = scala.collection.mutable.Set.empty[Seq[Int]]
+      var ok = true
+      var r = 0L
+      while (r < total && ok) {
+        GridMath.rowToIndices(r, ranges, out)
+        ok = out.zip(ranges).forall { case (i, (s, e)) => i >= s && i < e }
+        seen += out.toSeq
+        r += 1
+      }
+      ok && seen.size == total
+    })
+  }
+
+  test("rowToIndices enumerates in row-major order (last dim fastest)") {
+    check(Prop.forAll(genRanges) { ranges =>
+      val total = GridMath.totalRows(ranges)
+      if (total < 2) true
+      else {
+        val a = new Array[Int](ranges.length)
+        val b = new Array[Int](ranges.length)
+        (0L until (total - 1)).forall { r =>
+          GridMath.rowToIndices(r, ranges, a)
+          GridMath.rowToIndices(r + 1, ranges, b)
+          // successive rows compare lexicographically ascending
+          a.toSeq.zip(b.toSeq).find { case (x, y) => x != y }
+            .forall { case (x, y) => x < y }
+        }
+      }
+    })
+  }
+
+  test("partitionSlices exactly tiles [0, min(total, limit))") {
+    val gen = for {
+      ranges <- genRanges
+      chunk <- Gen.choose(1, 8)
+      minRows <- Gen.choose(1L, 50L)
+      limit <- Gen.option(Gen.choose(0L, 200L))
+    } yield (ranges, chunk, minRows, limit)
+    check(Prop.forAll(gen) { case (ranges, chunk, minRows, limit) =>
+      val total = GridMath.totalRows(ranges)
+      val want = limit.map(math.min(_, total)).getOrElse(total)
+      val slices = GridMath.partitionSlices(ranges, chunk, limit, minRows)
+      val contiguous = slices.isEmpty ||
+        (slices.head._1 == 0 && slices.last._2 == want &&
+          slices.zip(slices.tail).forall { case (x, y) => x._2 == y._1 })
+      val nonEmpty = slices.forall { case (s, e) => e > s }
+      Prop(if (want == 0) slices.isEmpty else contiguous && nonEmpty) :| s"slices=$slices want=$want"
+    })
+  }
+
+  test("coordRanges: equality filter yields singleton range or empty result") {
+    val gen = for {
+      values <- Gen.nonEmptyListOf(Gen.choose(-50, 50)).map(_.distinct.map(_.toDouble).toArray)
+      pick <- Gen.oneOf(true, false)
+      target <- Gen.choose(-60, 60).map(_.toDouble)
+    } yield (values, pick, target)
+    check(Prop.forAll(gen) { case (values, pick, target0) =>
+      val target = if (pick && values.nonEmpty) values(0) else target0
+      GridMath.coordRanges(Seq(values), Map(0 -> target)) match {
+        case Some(r) =>
+          r.length == 1 && r(0)._2 == r(0)._1 + 1 && values(r(0)._1) == target
+        case None => !values.contains(target)
+      }
+    })
+  }
+
+  test("totalRows = product of filtered dims after coordRanges") {
+    check(Prop.forAll(genRanges) { ranges =>
+      GridMath.totalRows(ranges) ==
+        ranges.map { case (s, e) => (e - s).toLong }.product
+    })
+  }
+}
