@@ -1,0 +1,21 @@
+package graft
+import org.apache.spark.sql.SparkSession
+/** Dev tool: dump formatted plans for every query to stdout. */
+object PlanDump {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
+    val spark = SparkSession.builder().master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    SparkEntry.queries.toSeq.sortBy(_._1)
+      .filterNot(q => q._1.startsWith("st")) // streaming plans print per-batch
+      .foreach { case (name, fn) =>
+      println(s"===== $name =====")
+      try fn(spark, sfDir).explain("formatted")
+      catch { case e: Throwable => println(s"(explain failed: ${e.getMessage})") }
+    }
+    spark.stop()
+  }
+}

@@ -122,7 +122,9 @@ object ChunkCodec {
     out
   }
 
-  /** Blosc shuffle (used by the test fixture writer). */
+  /** Blosc shuffle (used by the test fixture writer). Trailing bytes
+    * that don't fill an element are copied through, mirroring
+    * [[unshuffle]]. */
   def shuffle(src: Array[Byte], typesize: Int): Array[Byte] = {
     val n = src.length / typesize
     val out = new Array[Byte](src.length)
@@ -132,6 +134,8 @@ object ChunkCodec {
       while (i < n) { out(k * n + i) = src(i * typesize + k); i += 1 }
       k += 1
     }
+    var t = n * typesize
+    while (t < src.length) { out(t) = src(t); t += 1 }
     out
   }
 
