@@ -107,6 +107,23 @@ object Dedup {
     JOIN sizes sb ON sb.doc_id = doc_b
     WHERE common / (sa.sz + sb.sz - common) >= 0.5"""
 
+  /** Apply the dedup decision: drop every document that loses a
+    * near-dup pairing (doc_b of a Jaccard ≥ 0.5 pair — the keeper is
+    * the smaller doc_id), emitting the cleaned corpus. This is the
+    * pipeline's terminal stage: candidate generation → verification →
+    * keeper selection → anti-join. */
+  def d6_dedup_apply(s: SparkSession, dir: String): DataFrame = {
+    val losers = d2_dedup_ngram(s, dir).select(col("doc_b").as("doc_id")).distinct()
+    docs(s, dir)
+      .join(losers, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+  }
+
+  private val d6Sql = s"""
+    WITH pairs AS ($d2Sql)
+    SELECT doc_id, lang, source, n_chars FROM documents
+    WHERE doc_id NOT IN (SELECT doc_b FROM pairs)"""
+
   // ------------------------------------------------------------ d3 MinHash
 
   private val nPerm = 16
@@ -264,6 +281,7 @@ object Dedup {
     "d1_dedup_exact" -> (d1_dedup_exact _),
     "d2_dedup_ngram" -> (d2_dedup_ngram _),
     "d3_dedup_minhash" -> (d3_dedup_minhash _),
+    "d6_dedup_apply" -> (d6_dedup_apply _),
     "d4_dedup_simhash" -> (d4_dedup_simhash _),
     "d5_dedup_embedding" -> (d5_dedup_embedding _))
 
@@ -271,6 +289,7 @@ object Dedup {
     "d1_dedup_exact" -> d1Sql,
     "d2_dedup_ngram" -> d2Sql,
     "d3_dedup_minhash" -> d3Sql,
+    "d6_dedup_apply" -> d6Sql,
     "d4_dedup_simhash" -> d4Sql,
     "d5_dedup_embedding" -> d5Sql)
 }

@@ -25,6 +25,16 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("dedup apply drops exactly the jaccard losers") {
+    val losers = Dedup.d2_dedup_ngram(spark, sf)
+      .select("doc_b").distinct().collect().map(_.getLong(0)).toSet
+    val survivors = Dedup.d6_dedup_apply(spark, sf)
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    val all = operators.Tables.load(spark, sf, "documents")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(survivors == all -- losers)
+  }
+
   test("minhash est_jaccard within [0.75, 1]") {
     val est = Dedup.d3_dedup_minhash(spark, sf)
       .collect().map(_.getAs[Double]("est_jaccard"))
