@@ -301,6 +301,28 @@ object Relational {
       .agg(count(lit(1)).as("n_events"), dsum(col("value"), 10).as("sum_value"),
         countDistinct(col("user_id")).as("n_users"))
 
+  /** GROUPING SETS (beyond the reference's exercised surface; free in
+    * both engines). */
+  def q24_grouping_sets(s: SparkSession, dir: String): DataFrame = {
+    Tables.views(s, dir, "orders")
+    s.sql("""
+      SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS total
+      FROM orders
+      GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """)
+  }
+
+  /** Approximate distinct counting (HyperLogLog++). No oracle — HLL
+    * sketches differ across engines; RelationalSpec bounds the error
+    * against the exact count instead. */
+  def q25_approx_distinct(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(
+        approx_count_distinct(col("l_orderkey"), rsd = 0.02).as("approx_orders"),
+        countDistinct(col("l_orderkey")).as("exact_orders"))
+
   // ---------------------------------------------------------------- oracles
 
   private val q1Sql = s"""
@@ -483,6 +505,12 @@ object Relational {
            ELSE 'small' END AS size_class
     FROM orders"""
 
+  private val q24Sql = """
+    SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+      CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS total
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())"""
+
   private val q23Sql = """
     SELECT CAST(FLOOR(EPOCH(ts) / 3600) AS BIGINT) AS hour_bucket, event_type,
       COUNT(*) AS n_events,
@@ -515,7 +543,9 @@ object Relational {
     "q20_rollup" -> (q20_rollup _),
     "q21_cube" -> (q21_cube _),
     "q22_scalar_funcs" -> (q22_scalar_funcs _),
-    "q23_events_window" -> (q23_events_window _))
+    "q23_events_window" -> (q23_events_window _),
+    "q24_grouping_sets" -> (q24_grouping_sets _),
+    "q25_approx_distinct" -> (q25_approx_distinct _))
 
   val oracle: Map[String, String] = Map(
     "q1_agg" -> q1Sql,
@@ -540,5 +570,6 @@ object Relational {
     "q20_rollup" -> q20Sql,
     "q21_cube" -> q21Sql,
     "q22_scalar_funcs" -> q22Sql,
-    "q23_events_window" -> q23Sql)
+    "q23_events_window" -> q23Sql,
+    "q24_grouping_sets" -> q24Sql)
 }

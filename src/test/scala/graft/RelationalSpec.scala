@@ -56,6 +56,14 @@ class RelationalSpec extends AnyFunSuite {
     assert(a.sameElements(b))
   }
 
+  test("q25 approx distinct within 5% of exact") {
+    operators.Relational.q25_approx_distinct(spark, sf).collect().foreach { r =>
+      val approx = r.getAs[Long]("approx_orders").toDouble
+      val exact = r.getAs[Long]("exact_orders").toDouble
+      assert(math.abs(approx - exact) / exact < 0.06, s"approx=$approx exact=$exact")
+    }
+  }
+
   test("q17 set ops return distinct custkeys") {
     val rows = operators.Relational.q17_intersect_except(spark, sf).collect()
     assert(rows.map(_.getLong(0)).distinct.length == rows.length)
