@@ -169,12 +169,60 @@ class ZarrScan(
     eqFilters: Map[Int, Double],
     pushedFilters: Array[Filter],
     limit: Option[Long],
-    minRowsPerPartition: Long) extends Scan with Batch with SupportsReportStatistics {
+    minRowsPerPartition: Long) extends Scan with Batch with SupportsReportStatistics
+    with SupportsRuntimeV2Filtering {
 
-  private val ranges: Option[GridMath.Ranges] =
+  private val staticRanges: Option[GridMath.Ranges] =
     GridMath.coordRanges(meta.coords.map(_.doubles), eqFilters)
 
+  /** Narrowed further by [[filter]] at runtime (DSv2 dynamic pruning:
+    * Spark pushes the build side's join-key values before re-planning
+    * partitions). */
+  @volatile private var ranges: Option[GridMath.Ranges] = staticRanges
+
   private def filteredRows: Long = ranges.map(GridMath.totalRows).getOrElse(0L)
+
+  /** Join-driven runtime pruning: accept IN/= predicates on coordinate
+    * columns and shrink each dimension to the bounding index range of
+    * the matched values — a superset is safe because the join itself
+    * re-filters (same posture as DPP on file sources). */
+  override def filterAttributes(): Array[NamedReference] =
+    // only coordinates surviving column pruning: Spark resolves these
+    // against the scan's (pruned) output
+    meta.coordNames.filter(requiredSchema.fieldNames.contains)
+      .map(Expressions.column).toArray
+
+  override def filter(predicates: Array[org.apache.spark.sql.connector.expressions.filter.Predicate]): Unit = {
+    val coordIdx = meta.coordNames.zipWithIndex.toMap
+    predicates.foreach { p =>
+      val children = p.children()
+      val dimOpt = children.headOption.collect {
+        case r: NamedReference if r.fieldNames().length == 1 => r.fieldNames().head
+      }.flatMap(coordIdx.get)
+      val values = children.drop(1).collect {
+        case l: org.apache.spark.sql.connector.expressions.Literal[_] =>
+          l.value() match {
+            case n: java.lang.Number => Some(n.doubleValue())
+            case _ => None
+          }
+      }.flatten
+      if ((p.name() == "IN" || p.name() == "=") && dimOpt.isDefined &&
+          values.length == children.length - 1) {
+        val d = dimOpt.get
+        ranges = ranges.flatMap { r =>
+          val hits = values.map(v =>
+            GridMath.findCoordIndex(meta.coords(d).doubles, v)).filter(_ >= 0)
+          if (hits.isEmpty) None
+          else {
+            val lo = math.max(r(d)._1, hits.min)
+            val hi = math.min(r(d)._2, hits.max + 1)
+            if (lo >= hi) None
+            else Some(r.updated(d, (lo, hi)))
+          }
+        }
+      }
+    }
+  }
 
   override def readSchema(): StructType = requiredSchema
 
