@@ -132,11 +132,97 @@ object Similarity {
         ORDER BY cosine DESC, vec_id) AS rk FROM pairs) x
     WHERE rk <= $bucketK"""
 
+  // ---------------------------------------------------------------- s3 IVF
+
+  private val centStride = 97
+  private val nprobe = 2
+  private val ivfK = 5
+
+  /** IVF (inverted-file) ANN: centroids are the vectors at a fixed id
+    * stride (deterministic, data-derived), every vector is assigned to
+    * its nearest centroid (the inverted lists), and a probe searches
+    * only the `nprobe` nearest lists. Centroids broadcast; the
+    * assignment pass is one scan; search touches ~nprobe/nlists of the
+    * corpus — the textbook IVF cost model. */
+  def s3_ann_ivf(s: SparkSession, dir: String): DataFrame = {
+    val e = withNorm(emb(s, dir))
+    val cents = e.filter(col("vec_id") % centStride === 0)
+      .select(col("vec_id").as("cid"), col("embedding").as("cemb"), col("n2").as("cn2"))
+    def centCos = VectorOps.cosineFrom(
+      VectorOps.dot(col("embedding"), col("cemb")), col("n2"), col("cn2"))
+    val wNearest = Window.partitionBy("vec_id").orderBy(col("ccos").desc, col("cid"))
+    val assign = e.crossJoin(broadcast(cents))
+      .withColumn("ccos", centCos)
+      .withColumn("crk", row_number().over(wNearest))
+      .filter(col("crk") === 1)
+      .select(col("vec_id"), col("cid"))
+    val probeLists = e.filter(col("vec_id") < nProbes)
+      .crossJoin(broadcast(cents))
+      .withColumn("ccos", centCos)
+      .withColumn("crk", row_number().over(wNearest))
+      .filter(col("crk") <= nprobe)
+      .select(col("vec_id").as("query_id"), col("cid"))
+    val wTop = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("vec_id"))
+    probeLists
+      .join(assign, "cid")
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"))
+      .distinct()
+      .join(e.select(col("vec_id").as("query_id"),
+        col("embedding").as("qemb"), col("n2").as("qn2")), "query_id")
+      .join(e, "vec_id")
+      .select(col("query_id"), col("vec_id"),
+        VectorOps.cosineFrom(
+          VectorOps.dot(col("qemb"), col("embedding")), col("qn2"), col("n2")).as("cosine"))
+      .withColumn("rk", row_number().over(wTop).cast("long"))
+      .filter(col("rk") <= ivfK)
+  }
+
+  private val s3Sql = s"""
+    WITH e AS (
+      SELECT vec_id, embedding,
+        (SELECT SUM(CAST(x AS DOUBLE) * CAST(x AS DOUBLE))
+         FROM (SELECT UNNEST(embedding) AS x) z) AS n2
+      FROM embeddings),
+    cents AS (
+      SELECT vec_id AS cid, embedding AS cemb, n2 AS cn2 FROM e
+      WHERE vec_id % $centStride = 0),
+    scored0 AS (
+      SELECT e.vec_id, c.cid,
+        (SELECT SUM(CAST(x AS DOUBLE) * CAST(y AS DOUBLE))
+         FROM (SELECT UNNEST(e.embedding) AS x, UNNEST(c.cemb) AS y) z)
+          / SQRT(e.n2 * c.cn2) AS ccos
+      FROM e CROSS JOIN cents c),
+    scored AS (
+      SELECT vec_id, cid,
+        ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS crk
+      FROM scored0),
+    assign AS (SELECT vec_id, cid FROM scored WHERE crk = 1),
+    probe_lists AS (
+      SELECT vec_id AS query_id, cid FROM scored
+      WHERE crk <= $nprobe AND vec_id < $nProbes),
+    cand AS (
+      SELECT DISTINCT p.query_id, a.vec_id
+      FROM probe_lists p JOIN assign a ON a.cid = p.cid
+      WHERE a.vec_id <> p.query_id),
+    ranked AS (
+      SELECT cand.query_id, cand.vec_id,
+        ${dotSql.format("q", "c")} / SQRT(q.n2 * c.n2) AS cosine
+      FROM cand
+      JOIN e q ON q.vec_id = cand.query_id
+      JOIN e c ON c.vec_id = cand.vec_id)
+    SELECT query_id, vec_id, cosine, CAST(rk AS BIGINT) AS rk FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+        ORDER BY cosine DESC, vec_id) AS rk FROM ranked) x
+    WHERE rk <= $ivfK"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s1_ann_brute" -> (s1_ann_brute _),
-    "s2_ann_lsh" -> (s2_ann_lsh _))
+    "s2_ann_lsh" -> (s2_ann_lsh _),
+    "s3_ann_ivf" -> (s3_ann_ivf _))
 
   val oracle: Map[String, String] = Map(
     "s1_ann_brute" -> s1Sql,
-    "s2_ann_lsh" -> s2Sql)
+    "s2_ann_lsh" -> s2Sql,
+    "s3_ann_ivf" -> s3Sql)
 }

@@ -60,6 +60,22 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("IVF ANN: ranked output with reasonable recall vs brute force") {
+    val brute = Similarity.s1_ann_brute(spark, sf).filter("rk <= 5").collect()
+      .groupBy(_.getAs[Long]("query_id"))
+      .view.mapValues(_.map(_.getAs[Long]("vec_id")).toSet).toMap
+    val ivf = Similarity.s3_ann_ivf(spark, sf).collect()
+      .groupBy(_.getAs[Long]("query_id"))
+      .view.mapValues(_.map(_.getAs[Long]("vec_id")).toSet).toMap
+    assert(ivf.nonEmpty)
+    val recalls = ivf.map { case (q, got) =>
+      brute.get(q).map(want => got.intersect(want).size.toDouble / want.size).getOrElse(0.0)
+    }
+    val mean = recalls.sum / recalls.size
+    info(f"IVF recall@5 vs brute: $mean%.2f over ${recalls.size} probes")
+    assert(mean >= 0.2) // nprobe=2 of ~6 lists; exactness is s1's job
+  }
+
   test("LSH ANN neighbors share the probe's bucket") {
     val rows = Similarity.s2_ann_lsh(spark, sf).collect()
     assert(rows.nonEmpty)
