@@ -197,18 +197,33 @@ object ZarrMeta {
       parseFill(node.get("fill_value")), isV3 = true)
   }
 
-  /** Discover arrays: walk subdirectories for `.zarray` / array-typed
+  /** Discover arrays. Zarr v2 stores with consolidated metadata
+    * (`.zmetadata`, one JSON document holding every `.zarray`) are
+    * read with a single fetch — the object-store fast path (a
+    * directory walk costs one round trip per array on s3/gs).
+    * Otherwise walk subdirectories for `.zarray` / array-typed
     * `zarr.json`. */
   def discoverArrays(store: ZarrStore): Seq[ZarrArrayMeta] = {
-    val version = detectVersion(store)
-    store.listDirs().flatMap { name =>
-      if (version == 2)
-        jsonAt(store, s"$name/.zarray").map(parseArrayV2(name, _))
-      else
-        jsonAt(store, s"$name/zarr.json")
-          .filter(n => Option(n.get("node_type")).exists(_.asText() == "array"))
-          .map(parseArrayV3(name, _))
-    }
+    jsonAt(store, ".zmetadata")
+      .filter(n => Option(n.get("metadata")).exists(_.isObject))
+      .map { n =>
+        val md = n.get("metadata")
+        md.properties().asScala.toSeq
+          .filter(_.getKey.endsWith("/.zarray"))
+          .map(e => parseArrayV2(e.getKey.stripSuffix("/.zarray"), e.getValue))
+          .sortBy(_.name)
+      }
+      .getOrElse {
+        val version = detectVersion(store)
+        store.listDirs().flatMap { name =>
+          if (version == 2)
+            jsonAt(store, s"$name/.zarray").map(parseArrayV2(name, _))
+          else
+            jsonAt(store, s"$name/zarr.json")
+              .filter(n => Option(n.get("node_type")).exists(_.asText() == "array"))
+              .map(parseArrayV3(name, _))
+        }
+      }
   }
 
   /** Dimension-order inference

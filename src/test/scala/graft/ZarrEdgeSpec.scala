@@ -77,3 +77,47 @@ class ZarrEdgeSpec extends AnyFunSuite {
     assert(p.count() == 24)
   }
 }
+
+/** Consolidated-metadata (.zmetadata) stores resolve schema with a
+  * single metadata fetch; the walk is skipped entirely. */
+class ZarrConsolidatedSpec extends org.scalatest.funsuite.AnyFunSuite {
+  import TestSession._
+  import java.nio.file.{Files, Paths, StandardCopyOption}
+
+  private lazy val store: String = {
+    val src = Paths.get("src/test/resources/zarr/synthetic_v2.zarr")
+    val dst = Files.createTempDirectory("consolidated_zarr")
+    Files.walk(src).forEach { p =>
+      val t = dst.resolve(src.relativize(p))
+      if (Files.isDirectory(p)) Files.createDirectories(t)
+      else Files.copy(p, t, StandardCopyOption.REPLACE_EXISTING)
+    }
+    // consolidate: embed every .zarray into one .zmetadata, but omit
+    // `humidity` — proving inference uses the consolidated doc, not a walk
+    val names = Seq("lat", "lon", "time", "temperature")
+    val entries = names.map { n =>
+      val z = new String(Files.readAllBytes(dst.resolve(n).resolve(".zarray")))
+      s""""$n/.zarray": $z"""
+    }.mkString(",")
+    Files.write(dst.resolve(".zmetadata"),
+      s"""{"zarr_consolidated_format": 1, "metadata": {$entries}}""".getBytes)
+    dst.toString
+  }
+
+  test("schema comes from .zmetadata (omitted array invisible)") {
+    val df = spark.read.format("zarr").load(store)
+    assert(df.columns.toSeq == Seq("time", "lon", "lat", "temperature"))
+    assert(df.count() == 700)
+  }
+
+  test("data identical to the walked store") {
+    val cons = spark.read.format("zarr").load(store)
+      .select("time", "lon", "lat", "temperature")
+      .orderBy("time", "lon", "lat").collect().map(_.toSeq).toSeq
+    val walked = spark.read.format("zarr")
+      .load("src/test/resources/zarr/synthetic_v2.zarr")
+      .select("time", "lon", "lat", "temperature")
+      .orderBy("time", "lon", "lat").collect().map(_.toSeq).toSeq
+    assert(cons == walked)
+  }
+}
