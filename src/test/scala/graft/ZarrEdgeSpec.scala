@@ -121,3 +121,65 @@ class ZarrConsolidatedSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(cons == walked)
   }
 }
+
+/** End-to-end store exercising the widened dtypes (uint16, float32,
+  * bool) through the full format("zarr") read path. */
+class ZarrMixedDTypeSpec extends org.scalatest.funsuite.AnyFunSuite {
+  import TestSession._
+  import java.nio.{ByteBuffer, ByteOrder}
+  import java.nio.file.{Files, Paths}
+
+  private lazy val store: String = {
+    val base = Files.createTempDirectory("mixed_zarr").toString
+    def w(rel: String, bytes: Array[Byte]): Unit = {
+      val p = Paths.get(base, rel)
+      Files.createDirectories(p.getParent)
+      Files.write(p, bytes)
+    }
+    def meta(shape: Seq[Int], chunks: Seq[Int], dtype: String) =
+      s"""{"zarr_format":2,"shape":[${shape.mkString(",")}],
+          "chunks":[${chunks.mkString(",")}],"dtype":"$dtype","fill_value":0,
+          "order":"C","filters":null,"dimension_separator":".","compressor":null}""".getBytes
+    w(".zgroup", """{"zarr_format":2}""".getBytes)
+    w("k/.zarray", meta(Seq(4), Seq(4), "<i4"))
+    w("k/0", { val b = ByteBuffer.allocate(16).order(ByteOrder.LITTLE_ENDIAN)
+      (0 until 4).foreach(b.putInt); b.array() })
+    // u2 data: values near the unsigned max
+    w("counts/.zarray", meta(Seq(4), Seq(4), "<u2")) // 1-D -> coordinate! use 2-D
+    // overwrite as 2-D with a second coord
+    w("j/.zarray", meta(Seq(2), Seq(2), "<i4"))
+    w("j/0", { val b = ByteBuffer.allocate(8).order(ByteOrder.LITTLE_ENDIAN)
+      (0 until 2).foreach(b.putInt); b.array() })
+    w("counts/.zarray", meta(Seq(4, 2), Seq(4, 2), "<u2"))
+    w("counts/0.0", { val b = ByteBuffer.allocate(16).order(ByteOrder.LITTLE_ENDIAN)
+      Seq(65535, 65534, 1, 2, 3, 4, 5, 6).foreach(v => b.putShort(v.toShort)); b.array() })
+    w("ratio/.zarray", meta(Seq(4, 2), Seq(4, 2), "<f4"))
+    w("ratio/0.0", { val b = ByteBuffer.allocate(32).order(ByteOrder.LITTLE_ENDIAN)
+      (0 until 8).foreach(i => b.putFloat(i * 0.5f)); b.array() })
+    w("flag/.zarray", meta(Seq(4, 2), Seq(4, 2), "|b1"))
+    w("flag/0.0", Array[Byte](1, 0, 0, 1, 1, 0, 1, 0))
+    base
+  }
+
+  test("widened types arrive with full value space") {
+    val df = spark.read.format("zarr").load(store)
+    assert(df.schema.simpleString ==
+      "struct<k:int,j:int,counts:int,flag:boolean,ratio:float>")
+    val rows = df.orderBy("k", "j").collect()
+    assert(rows.length == 8)
+    assert(rows(0).getAs[Int]("counts") == 65535) // u2 max survives widening
+    assert(rows(1).getAs[Int]("counts") == 65534)
+    assert(rows(3).getAs[Float]("ratio") == 1.5f)
+    assert(rows(0).getAs[Boolean]("flag") && !rows(1).getAs[Boolean]("flag"))
+  }
+
+  test("aggregates over widened types") {
+    val df = spark.read.format("zarr").load(store)
+    val r = df.agg(
+      org.apache.spark.sql.functions.sum("counts"),
+      org.apache.spark.sql.functions.count(org.apache.spark.sql.functions.when(
+        org.apache.spark.sql.functions.col("flag"), 1))).collect().head
+    assert(r.getLong(0) == 65535L + 65534 + 1 + 2 + 3 + 4 + 5 + 6)
+    assert(r.getLong(1) == 4)
+  }
+}

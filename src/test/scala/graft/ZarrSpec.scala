@@ -91,6 +91,16 @@ class ZarrSpec extends AnyFunSuite {
     assert(scansOf(df).head.description().contains("limit=5"))
   }
 
+  test("filter + limit: limit stays above the post-scan filter (correctness)") {
+    // with any filter present Spark keeps the Filter node, so the limit
+    // is NOT pushed into the scan — results must still be exact
+    val df = zarr(v3).filter(col("time") === 2).limit(7)
+    assert(df.count() == 7)
+    assert(df.collect().forall(_.getAs[Long]("time") == 2))
+    val scan = scansOf(df).head
+    assert(scan.description().contains("limit=-1"), scan.description())
+  }
+
   test("data-variable filter is not pushed but stays correct") {
     val df = zarr(v3).filter(col("temperature") > 50)
     val scan = scansOf(df).head
