@@ -128,8 +128,11 @@ object Relational {
   /** ROW_NUMBER() OVER (PARTITION BY … ORDER BY …) with a unique sort
     * key (§2.B windows). */
   def q7_window_rownum(s: SparkSession, dir: String): DataFrame = {
+    // (l_orderkey, l_linenumber) is NOT unique in the corpus; quantity +
+    // price complete a total order so both engines rank identically
     val w = Window.partitionBy("l_suppkey")
-      .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+      .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"),
+        col("l_quantity"), col("l_extendedprice"))
     t(s, dir, "lineitem")
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= 3)
@@ -162,7 +165,8 @@ object Relational {
     * divided by frame count so both engines agree bit-for-bit. */
   def q10_window_frame(s: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy("l_suppkey")
-      .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+      .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"),
+        col("l_quantity"), col("l_extendedprice"))
       .rowsBetween(-2, Window.currentRow)
     t(s, dir, "lineitem")
       .select(col("l_suppkey"), col("l_orderkey"),
@@ -387,7 +391,7 @@ object Relational {
     FROM (
       SELECT l_suppkey, l_orderkey, l_linenumber,
         ROW_NUMBER() OVER (PARTITION BY l_suppkey
-          ORDER BY l_shipdate, l_orderkey, l_linenumber) AS rn
+          ORDER BY l_shipdate, l_orderkey, l_linenumber, l_quantity, l_extendedprice) AS rn
       FROM lineitem) x
     WHERE rn <= 3"""
 
@@ -415,7 +419,7 @@ object Relational {
            / COUNT(*) OVER w AS DOUBLE) AS moving_avg_qty
     FROM lineitem
     WINDOW w AS (PARTITION BY l_suppkey
-      ORDER BY l_shipdate, l_orderkey, l_linenumber
+      ORDER BY l_shipdate, l_orderkey, l_linenumber, l_quantity, l_extendedprice
       ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)"""
 
   private val q11Sql = s"""
