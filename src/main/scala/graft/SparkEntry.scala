@@ -23,6 +23,7 @@ object SparkEntry {
     operators.Relational.queries ++
       pipeline.TextAnalysis.queries ++
       pipeline.Dedup.queries ++
+      pipeline.Curation.queries ++
       pipeline.Similarity.queries ++
       pipeline.Multimodal.queries ++
       sources.zarr.ZarrQueries.queries ++
@@ -34,6 +35,7 @@ object SparkEntry {
     operators.Relational.oracle ++
       pipeline.TextAnalysis.oracle ++
       pipeline.Dedup.oracle ++
+      pipeline.Curation.oracle ++
       pipeline.Similarity.oracle ++
       pipeline.Multimodal.oracle ++
       sources.zarr.ZarrQueries.oracle ++

@@ -327,6 +327,64 @@ object Relational {
         approx_count_distinct(col("l_orderkey"), rsd = 0.02).as("approx_orders"),
         countDistinct(col("l_orderkey")).as("exact_orders"))
 
+  /** As-of join, composed from a range-frame window (Spark has no ASOF
+    * JOIN operator): for each purchase event, the user's most recent
+    * view at-or-before it. One shuffle on `user_id`, no self-join —
+    * the scalable as-of at any data size. The range frame (not a rows
+    * frame) makes µs-truncation ties behave exactly like the oracle's
+    * `v.ts_us <= p.ts_us` predicate. */
+  def q26_asof_join(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "events").select(
+      col("event_id"), col("user_id"), col("event_type"),
+      unix_micros(col("ts")).as("ts_us"))
+    val w = Window.partitionBy("user_id").orderBy("ts_us")
+      .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    e.withColumn("last_view_us",
+        max(when(col("event_type") === "view", col("ts_us"))).over(w))
+      .filter(col("event_type") === "purchase" && col("last_view_us").isNotNull)
+      .select(col("event_id"), col("user_id"), col("ts_us"),
+        col("last_view_us"), (col("ts_us") - col("last_view_us")).as("gap_us"))
+  }
+
+  private val q26Sql = """
+    WITH e AS (
+      SELECT event_id, user_id, event_type, epoch_ns(ts) // 1000 AS ts_us
+      FROM events)
+    SELECT p.event_id, p.user_id, p.ts_us,
+      MAX(v.ts_us) AS last_view_us,
+      p.ts_us - MAX(v.ts_us) AS gap_us
+    FROM e p JOIN e v
+      ON v.user_id = p.user_id AND v.event_type = 'view' AND v.ts_us <= p.ts_us
+    WHERE p.event_type = 'purchase'
+    GROUP BY p.event_id, p.user_id, p.ts_us"""
+
+  /** RANGE-frame window (value-based frame, vs q10's ROWS frame):
+    * per event, activity of the same user in the preceding 60 s
+    * exclusive of the current instant. Decimal-exact value sum. */
+  def q27_range_frame(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts_us")
+      .rangeBetween(-60000000L, -1L)
+    t(s, dir, "events")
+      .select(col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("ts_us"), col("value"))
+      .select(col("event_id"), col("user_id"), col("ts_us"),
+        count(lit(1)).over(w).as("n_prev_min"),
+        coalesce(sum(dec(col("value"), 10)).over(w).cast("double"), lit(0.0))
+          .as("sum_prev_min"))
+  }
+
+  private val q27Sql = """
+    WITH e AS (
+      SELECT event_id, user_id, epoch_ns(ts) // 1000 AS ts_us, value
+      FROM events)
+    SELECT event_id, user_id, ts_us,
+      COUNT(*) OVER w AS n_prev_min,
+      COALESCE(CAST(SUM(CAST(value AS DECIMAL(10,2))) OVER w AS DOUBLE), 0.0)
+        AS sum_prev_min
+    FROM e
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts_us
+                 RANGE BETWEEN 60000000 PRECEDING AND 1 PRECEDING)"""
+
   // ---------------------------------------------------------------- oracles
 
   private val q1Sql = s"""
@@ -549,7 +607,9 @@ object Relational {
     "q22_scalar_funcs" -> (q22_scalar_funcs _),
     "q23_events_window" -> (q23_events_window _),
     "q24_grouping_sets" -> (q24_grouping_sets _),
-    "q25_approx_distinct" -> (q25_approx_distinct _))
+    "q25_approx_distinct" -> (q25_approx_distinct _),
+    "q26_asof_join" -> (q26_asof_join _),
+    "q27_range_frame" -> (q27_range_frame _))
 
   val oracle: Map[String, String] = Map(
     "q1_agg" -> q1Sql,
@@ -575,5 +635,7 @@ object Relational {
     "q21_cube" -> q21Sql,
     "q22_scalar_funcs" -> q22Sql,
     "q23_events_window" -> q23Sql,
-    "q24_grouping_sets" -> q24Sql)
+    "q24_grouping_sets" -> q24Sql,
+    "q26_asof_join" -> q26Sql,
+    "q27_range_frame" -> q27Sql)
 }

@@ -1,0 +1,232 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.operators.Tables
+
+/** Dataset-curation operators over `documents` — the corpus-shaping
+  * stages of a training-data pipeline that sit between text analysis
+  * ([[TextAnalysis]]) and deduplication ([[Dedup]]):
+  *
+  *   - c1 hash split:     deterministic train/val/test assignment
+  *                        (salted multiplicative hash of the stable id;
+  *                        reproducible across runs/cluster sizes, no
+  *                        `rand()` anywhere)
+  *   - c2 stratified:     per-language quota sampling via window
+  *                        row_number over a hash ordering — balanced
+  *                        class representation without a global sort
+  *   - c3 vocabulary:     corpus token vocabulary (term + document
+  *                        frequency), the tokenizer-training input
+  *   - c4 TF-IDF:         top-scored terms per document; idf as an
+  *                        exact integer rational (tf·1e6·N div df) so
+  *                        the score is reproducible bit-for-bit (no
+  *                        transcendental `ln` whose last-ulp behavior
+  *                        differs across libm implementations)
+  *   - c5 edit distance:  length-blocked pairwise Levenshtein near-dup
+  *                        candidates (the blocking key bounds pair
+  *                        fan-out, same scaling idea as d2's rare-gram
+  *                        cut)
+  *   - c6 pivot:          source × language document-count matrix
+  *                        (Spark `pivot` ≡ conditional aggregation)
+  *
+  * All arithmetic is exact int64 (positive operands, so `%`/`div`
+  * agree across engines) or plain counts — every op hash-matches its
+  * DuckDB oracle. Scale: c1/c2/c4 shuffle once on their natural key;
+  * c3 is a two-level aggregation with map-side partial agg; c5's
+  * shuffle key is the blocking key, never the text cross product.
+  */
+object Curation {
+
+  private val P = Hashing.P // 2^31 - 1
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents")
+
+  // ------------------------------------------------------- c1 hash split
+
+  /** Deterministic train/val/test split: bucket = salted multiplicative
+    * hash of doc_id mod 100 → 80/10/10. Assignment is a pure function
+    * of the row id — stable under repartitioning, cluster resize and
+    * re-runs, which `rand()`-based splits are not. */
+  def c1_split_hash(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(col("doc_id"),
+        expr(s"((doc_id * CAST(2654435761 AS BIGINT) + 104729) % $P) % 100").as("bucket"))
+      .withColumn("split",
+        when(col("bucket") < 80, lit("train"))
+          .when(col("bucket") < 90, lit("val"))
+          .otherwise(lit("test")))
+
+  private val c1Sql = s"""
+    SELECT doc_id,
+      ((doc_id * CAST(2654435761 AS BIGINT) + 104729) % $P) % 100 AS bucket,
+      CASE WHEN ((doc_id * CAST(2654435761 AS BIGINT) + 104729) % $P) % 100 < 80 THEN 'train'
+           WHEN ((doc_id * CAST(2654435761 AS BIGINT) + 104729) % $P) % 100 < 90 THEN 'val'
+           ELSE 'test' END AS split
+    FROM documents"""
+
+  // ------------------------------------------------- c2 stratified sample
+
+  /** Stratified sampling: first 20 docs per language under a
+    * deterministic hash ordering. One shuffle on `lang`; the per-group
+    * heap never exceeds the quota at any scale. */
+  def c2_stratified_sample(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("lang")
+      .orderBy(col("ord"), col("doc_id"))
+    docs(s, dir)
+      .select(col("doc_id"), col("lang"),
+        expr(s"(doc_id * 40503 + 17) % $P").as("ord"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= 20)
+      .select("doc_id", "lang", "rn")
+  }
+
+  private val c2Sql = s"""
+    SELECT doc_id, lang, rn FROM (
+      SELECT doc_id, lang,
+        CAST(ROW_NUMBER() OVER (
+          PARTITION BY lang
+          ORDER BY (doc_id * 40503 + 17) % $P, doc_id) AS BIGINT) AS rn
+      FROM documents)
+    WHERE rn <= 20"""
+
+  // ------------------------------------------------------- c3 vocabulary
+
+  /** Corpus vocabulary: top-100 tokens by term frequency, with document
+    * frequency. explode → two-level aggregate (map-side partial), then
+    * TakeOrdered for the top-k — no full sort. */
+  def c3_vocab(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+      .filter(col("token") =!= "")
+      .groupBy("token")
+      .agg(count(lit(1)).as("tf"), countDistinct(col("doc_id")).as("df"))
+      .orderBy(col("tf").desc, col("token"))
+      .limit(100)
+
+  private val c3Sql = """
+    WITH tok AS (
+      SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS token FROM documents)
+    SELECT token, COUNT(*) AS tf, COUNT(DISTINCT doc_id) AS df
+    FROM tok WHERE token <> ''
+    GROUP BY token
+    ORDER BY tf DESC, token
+    LIMIT 100"""
+
+  // ----------------------------------------------------------- c4 TF-IDF
+
+  /** Top-3 TF-IDF terms per document. The idf is the exact rational
+    * `tf * 1e6 * N div df` (integer division) rather than a float
+    * `ln(N/df)` — same ranking for fixed N, and bit-reproducible on any
+    * engine/libm. Two aggregations (per-doc tf, per-token df) joined on
+    * `token`; N arrives via a broadcast single-row count. */
+  def c4_tfidf(s: SparkSession, dir: String): DataFrame = {
+    val tok = docs(s, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+      .filter(col("token") =!= "")
+    val tf = tok.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+    val df = tok.groupBy("token").agg(countDistinct(col("doc_id")).as("df"))
+    val n = docs(s, dir).agg(count(lit(1)).as("n_docs"))
+    val w = Window.partitionBy("doc_id").orderBy(col("score").desc, col("token"))
+    tf.join(df, "token")
+      .crossJoin(broadcast(n))
+      .withColumn("score", expr("(tf * 1000000 * n_docs) div df"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= 3)
+      .select("doc_id", "token", "tf", "df", "score", "rn")
+  }
+
+  private val c4Sql = """
+    WITH tok AS (
+      SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS token FROM documents),
+    tok2 AS (SELECT doc_id, token FROM tok WHERE token <> ''),
+    tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM tok2 GROUP BY 1, 2),
+    df AS (SELECT token, COUNT(DISTINCT doc_id) AS df FROM tok2 GROUP BY 1),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents)
+    SELECT doc_id, token, tf, df, score, rn FROM (
+      SELECT t.doc_id, t.token, t.tf, d.df,
+        (t.tf * 1000000 * n.n_docs) // d.df AS score,
+        CAST(ROW_NUMBER() OVER (
+          PARTITION BY t.doc_id
+          ORDER BY (t.tf * 1000000 * n.n_docs) // d.df DESC, t.token) AS BIGINT) AS rn
+      FROM tf t JOIN df d ON t.token = d.token CROSS JOIN n)
+    WHERE rn <= 3"""
+
+  // ------------------------------------------------ c5 edit-distance dedup
+
+  /** Length-blocked Levenshtein near-dup candidates: pairs share the
+    * (lang, n_chars div 16) blocking key, distance computed on the
+    * 60-char prefix. The equality blocking key is the join/shuffle key,
+    * so candidate fan-out is bounded per block — the same
+    * linear-not-quadratic discipline as d2's rare-gram cut. (On this
+    * corpus the distance distribution is bimodal: true dups at ~0,
+    * unrelated text at ≥ 35 — threshold 30 sits in the gap.) */
+  def c5_editdist_pairs(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).select(col("doc_id"), col("lang"),
+      expr("n_chars div 16").as("blk"),
+      substring(col("text"), 1, 60).as("prefix"))
+    val a = d.toDF("a_id", "lang", "blk", "a_prefix")
+    val b = d.toDF("b_id", "lang", "blk", "b_prefix")
+    a.join(b, Seq("lang", "blk"))
+      .filter(col("a_id") < col("b_id"))
+      .withColumn("lev", levenshtein(col("a_prefix"), col("b_prefix")).cast("long"))
+      .filter(col("lev") <= 30)
+      .select(col("a_id"), col("b_id"), col("lang"), col("blk"), col("lev"))
+  }
+
+  private val c5Sql = """
+    WITH d AS (
+      SELECT doc_id, lang, n_chars // 16 AS blk, SUBSTRING(text, 1, 60) AS prefix
+      FROM documents)
+    SELECT a.doc_id AS a_id, b.doc_id AS b_id, a.lang, a.blk,
+      CAST(levenshtein(a.prefix, b.prefix) AS BIGINT) AS lev
+    FROM d a JOIN d b
+      ON a.lang = b.lang AND a.blk = b.blk AND a.doc_id < b.doc_id
+    WHERE levenshtein(a.prefix, b.prefix) <= 30"""
+
+  // -------------------------------------------------------------- c6 pivot
+
+  /** PIVOT: source × language document-count matrix. Spark's `pivot`
+    * with explicit values compiles to conditional aggregation — one
+    * hash aggregate, map-side partial, no extra shuffle vs a plain
+    * GROUP BY. */
+  def c6_pivot(s: SparkSession, dir: String): DataFrame = {
+    val langs = Seq("de", "en", "es", "fr", "zh")
+    docs(s, dir)
+      .groupBy("source")
+      .pivot("lang", langs)
+      .agg(count(lit(1)))
+      .na.fill(0L, langs)
+      .select(col("source") +: langs.map(l => col(l).cast("long").as(l)): _*)
+  }
+
+  private val c6Sql = """
+    SELECT source,
+      SUM(CASE WHEN lang = 'de' THEN 1 ELSE 0 END) AS de,
+      SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS en,
+      SUM(CASE WHEN lang = 'es' THEN 1 ELSE 0 END) AS es,
+      SUM(CASE WHEN lang = 'fr' THEN 1 ELSE 0 END) AS fr,
+      SUM(CASE WHEN lang = 'zh' THEN 1 ELSE 0 END) AS zh
+    FROM documents
+    GROUP BY source"""
+
+  // -------------------------------------------------------------- registry
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "c1_split_hash" -> (c1_split_hash _),
+    "c2_stratified_sample" -> (c2_stratified_sample _),
+    "c3_vocab" -> (c3_vocab _),
+    "c4_tfidf" -> (c4_tfidf _),
+    "c5_editdist_pairs" -> (c5_editdist_pairs _),
+    "c6_pivot" -> (c6_pivot _))
+
+  val oracle: Map[String, String] = Map(
+    "c1_split_hash" -> c1Sql,
+    "c2_stratified_sample" -> c2Sql,
+    "c3_vocab" -> c3Sql,
+    "c4_tfidf" -> c4Sql,
+    "c5_editdist_pairs" -> c5Sql,
+    "c6_pivot" -> c6Sql)
+}

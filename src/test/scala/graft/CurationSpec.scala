@@ -1,0 +1,94 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.pipeline._
+import graft.operators.{Relational, Tables}
+
+/** Value-level checks for the dataset-curation ops (sf0.001; the
+  * DuckDB hash gate runs at sf0.01 via tools/compare.py). */
+class CurationSpec extends AnyFunSuite {
+  import TestSession._
+
+  test("hash split covers every doc exactly once with ~80/10/10 buckets") {
+    val rows = Curation.c1_split_hash(spark, sf).collect()
+    val nDocs = Tables.load(spark, sf, "documents").count()
+    assert(rows.length == nDocs)
+    val bySplit = rows.groupBy(_.getAs[String]("split")).view.mapValues(_.length).toMap
+    assert(bySplit.keySet == Set("train", "val", "test"))
+    // Multiplicative hash mod 100: train share must dominate.
+    assert(bySplit("train") > bySplit("val") + bySplit("test"))
+    // Assignment is a pure function of doc_id: re-running is identical.
+    val again = Curation.c1_split_hash(spark, sf).collect()
+    assert(rows.map(r => (r.getLong(0), r.getString(2))).sortBy(_._1).toSeq ==
+      again.map(r => (r.getLong(0), r.getString(2))).sortBy(_._1).toSeq)
+  }
+
+  test("stratified sample takes at most the quota per language") {
+    val rows = Curation.c2_stratified_sample(spark, sf).collect()
+    val perLang = rows.groupBy(_.getAs[String]("lang")).view.mapValues(_.length)
+    assert(perLang.values.forall(_ <= 20))
+    assert(rows.forall(_.getAs[Long]("rn") <= 20))
+  }
+
+  test("vocab rows are (token, tf, df) with tf >= df and ordered by tf desc") {
+    val rows = Curation.c3_vocab(spark, sf).collect()
+    assert(rows.nonEmpty && rows.length <= 100)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("tf") >= r.getAs[Long]("df"))
+      assert(r.getAs[Long]("df") >= 1L)
+    }
+    val tfs = rows.map(_.getAs[Long]("tf")).toSeq
+    assert(tfs == tfs.sortBy(-_))
+  }
+
+  test("tfidf keeps top-3 terms per doc, score consistent with tf/df") {
+    val rows = Curation.c4_tfidf(spark, sf).collect()
+    val nDocs = Tables.load(spark, sf, "documents").count()
+    val perDoc = rows.groupBy(_.getAs[Long]("doc_id")).view.mapValues(_.length)
+    assert(perDoc.values.forall(_ <= 3))
+    rows.foreach { r =>
+      val expected = r.getAs[Long]("tf") * 1000000L * nDocs / r.getAs[Long]("df")
+      assert(r.getAs[Long]("score") == expected)
+    }
+  }
+
+  test("editdist pairs are ordered, blocked, and within threshold") {
+    val rows = Curation.c5_editdist_pairs(spark, sf).collect()
+    rows.foreach { r =>
+      assert(r.getAs[Long]("a_id") < r.getAs[Long]("b_id"))
+      assert(r.getAs[Long]("lev") <= 30L)
+    }
+  }
+
+  test("pivot counts sum to the corpus size") {
+    val rows = Curation.c6_pivot(spark, sf).collect()
+    val total = rows.map(r =>
+      Seq("de", "en", "es", "fr", "zh").map(l => r.getAs[Long](l)).sum).sum
+    assert(total == Tables.load(spark, sf, "documents").count())
+  }
+
+  test("asof join: last view precedes purchase and gap is consistent") {
+    val rows = Relational.q26_asof_join(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val ts = r.getAs[Long]("ts_us"); val lv = r.getAs[Long]("last_view_us")
+      assert(lv <= ts)
+      assert(r.getAs[Long]("gap_us") == ts - lv)
+    }
+  }
+
+  test("range frame counts only events in the preceding minute") {
+    val rows = Relational.q27_range_frame(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // Spot-check one user against a driver-side recount.
+    val byUser = rows.groupBy(_.getAs[Long]("user_id"))
+    val (_, urows) = byUser.maxBy(_._2.length)
+    val ts = urows.map(_.getAs[Long]("ts_us")).sorted
+    urows.foreach { r =>
+      val t = r.getAs[Long]("ts_us")
+      val expected = ts.count(x => x >= t - 60000000L && x <= t - 1L)
+      assert(r.getAs[Long]("n_prev_min") == expected)
+    }
+  }
+}
