@@ -51,6 +51,67 @@ object GridMath {
     Some(ranges)
   }
 
+  /** A pushed-down predicate on one coordinate dimension. Matching is
+    * epsilon-widened (superset semantics): the scan may return extra
+    * rows near the boundary, and Spark re-applies the exact filter
+    * post-scan (the Inexact contract) — so widening is always safe,
+    * while a float-noise *miss* would silently drop data. */
+  sealed trait CoordPred extends Serializable
+  object CoordPred {
+    final case class Eq(v: Double) extends CoordPred
+    /** v > t (orEqual: v >= t). */
+    final case class Gt(t: Double, orEqual: Boolean) extends CoordPred
+    /** v < t (orEqual: v <= t). */
+    final case class Lt(t: Double, orEqual: Boolean) extends CoordPred
+    final case class InSet(vs: Seq[Double]) extends CoordPred
+  }
+
+  private def eps(t: Double): Double = 1e-9 * math.max(1.0, math.abs(t))
+
+  private def matches(v: Double, p: CoordPred): Boolean = p match {
+    case CoordPred.Eq(t) => v == t || math.abs(v - t) <= eps(t)
+    // Strict bounds compare exactly: Spark's post-scan filter uses the
+    // identical double comparison, so exclusion here can never lose a
+    // row — and the pruning stays tight. Inclusive bounds widen by the
+    // equality epsilon (same coercion posture as Eq).
+    case CoordPred.Gt(t, orEq) => if (orEq) v >= t - eps(t) else v > t
+    case CoordPred.Lt(t, orEq) => if (orEq) v <= t + eps(t) else v < t
+    case CoordPred.InSet(vs) => vs.exists(t => matches(v, CoordPred.Eq(t)))
+  }
+
+  /** Effective ranges from arbitrary per-dimension predicate
+    * conjunctions (equality, range, IN): the bounding [min,max] index
+    * interval of matching values — exact-tight for sorted coordinates,
+    * a safe superset for unsorted ones. `None` ⇒ provably empty
+    * (extends the reference's equality-only pruning,
+    * filter.rs:195-321, to its roadmap "range filter pushdown",
+    * README.md:289-337). */
+  def coordRangesPred(
+      coordValues: Seq[Array[Double]],
+      preds: Map[Int, Seq[CoordPred]]): Option[Ranges] = {
+    val ranges = new Array[(Int, Int)](coordValues.length)
+    var d = 0
+    while (d < coordValues.length) {
+      val ps = preds.getOrElse(d, Nil)
+      if (ps.isEmpty) ranges(d) = (0, coordValues(d).length)
+      else {
+        val values = coordValues(d)
+        var lo = -1; var hi = -1; var i = 0
+        while (i < values.length) {
+          if (ps.forall(p => matches(values(i), p))) {
+            if (lo < 0) lo = i
+            hi = i
+          }
+          i += 1
+        }
+        if (lo < 0) return None
+        ranges(d) = (lo, hi + 1)
+      }
+      d += 1
+    }
+    Some(ranges)
+  }
+
   /** Rows in the filtered grid = Π range sizes (filter.rs:305-310). */
   def totalRows(ranges: Ranges): Long =
     ranges.foldLeft(1L) { case (acc, (s, e)) => acc * (e - s) }

@@ -13,7 +13,7 @@ import org.apache.spark.sql.connector.expressions.aggregate.{AggregateFunc, Aggr
 import org.apache.spark.sql.connector.metric.{CustomMetric, CustomSumMetric, CustomTaskMetric}
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.connector.read.colstats.ColumnStatistics
-import org.apache.spark.sql.sources.{EqualNullSafe, EqualTo, Filter}
+import org.apache.spark.sql.sources.{EqualNullSafe, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
@@ -84,32 +84,46 @@ class ZarrScanBuilder(meta: ZarrStoreMeta, options: CaseInsensitiveStringMap)
 
   private var requiredSchema: StructType = meta.schema
   private var accepted: Array[Filter] = Array.empty
-  private var eqFilters: Map[Int, Double] = Map.empty
+  private var coordPreds: Map[Int, Seq[GridMath.CoordPred]] = Map.empty
   private var limit: Option[Long] = None
   private var aggPushed: Option[Aggregation] = None
 
   override def pruneColumns(required: StructType): Unit = requiredSchema = required
 
-  /** Accept `coord = literal` (and null-safe) conjuncts for range
-    * pruning; return ALL filters as post-scan (= the reference's
-    * Inexact contract), so Spark re-applies them for correctness. */
+  /** Accept equality, range (`>`, `>=`, `<`, `<=`, and thus BETWEEN —
+    * Catalyst splits it into two conjuncts) and IN conjuncts on
+    * coordinate columns for index-range pruning; return ALL filters as
+    * post-scan (= the reference's Inexact contract), so Spark
+    * re-applies them for correctness. Extends the reference's
+    * equality-only pushdown to its roadmap range/IN pruning. */
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    import GridMath.CoordPred
     val coordIdx = meta.coordNames.zipWithIndex.toMap
     val acc = mutable.ArrayBuffer.empty[Filter]
-    val eqs = mutable.Map.empty[Int, Double]
+    val preds = mutable.Map.empty[Int, List[CoordPred]]
+    def add(f: Filter, attr: String, p: CoordPred): Unit =
+      coordIdx.get(attr).foreach { idx =>
+        acc += f; preds(idx) = p :: preds.getOrElse(idx, Nil)
+      }
     filters.foreach {
       case f @ EqualTo(attr, v) =>
-        numeric(v).zip(coordIdx.get(attr)).foreach { case (d, idx) =>
-          acc += f; eqs(idx) = d
-        }
+        numeric(v).foreach(d => add(f, attr, CoordPred.Eq(d)))
       case f @ EqualNullSafe(attr, v) =>
-        numeric(v).zip(coordIdx.get(attr)).foreach { case (d, idx) =>
-          acc += f; eqs(idx) = d
-        }
+        numeric(v).foreach(d => add(f, attr, CoordPred.Eq(d)))
+      case f @ GreaterThan(attr, v) =>
+        numeric(v).foreach(d => add(f, attr, CoordPred.Gt(d, orEqual = false)))
+      case f @ GreaterThanOrEqual(attr, v) =>
+        numeric(v).foreach(d => add(f, attr, CoordPred.Gt(d, orEqual = true)))
+      case f @ LessThan(attr, v) =>
+        numeric(v).foreach(d => add(f, attr, CoordPred.Lt(d, orEqual = false)))
+      case f @ LessThanOrEqual(attr, v) =>
+        numeric(v).foreach(d => add(f, attr, CoordPred.Lt(d, orEqual = true)))
+      case f @ In(attr, vs) if vs.nonEmpty && vs.forall(numeric(_).isDefined) =>
+        add(f, attr, CoordPred.InSet(vs.toSeq.flatMap(numeric)))
       case _ =>
     }
     accepted = acc.toArray
-    eqFilters = eqs.toMap
+    coordPreds = preds.toMap
     filters // everything evaluated post-scan too
   }
 
@@ -128,7 +142,7 @@ class ZarrScanBuilder(meta: ZarrStoreMeta, options: CaseInsensitiveStringMap)
     * every aggregate must be answerable (MIN/MAX on data variables is
     * not — only coordinates carry exact bounds). */
   override def supportCompletePushDown(aggregation: Aggregation): Boolean =
-    aggregation.groupByExpressions().isEmpty && eqFilters.isEmpty &&
+    aggregation.groupByExpressions().isEmpty && coordPreds.isEmpty &&
       accepted.isEmpty && limit.isEmpty &&
       aggregation.aggregateExpressions().forall(answerable)
 
@@ -156,7 +170,7 @@ class ZarrScanBuilder(meta: ZarrStoreMeta, options: CaseInsensitiveStringMap)
   override def build(): Scan = aggPushed match {
     case Some(agg) => new ZarrAggScan(meta, agg)
     case None =>
-      new ZarrScan(meta, requiredSchema, eqFilters, accepted, limit,
+      new ZarrScan(meta, requiredSchema, coordPreds, accepted, limit,
         options.getLong("minRowsPerPartition", 65536))
   }
 }
@@ -166,14 +180,14 @@ class ZarrScanBuilder(meta: ZarrStoreMeta, options: CaseInsensitiveStringMap)
 class ZarrScan(
     meta: ZarrStoreMeta,
     requiredSchema: StructType,
-    eqFilters: Map[Int, Double],
+    coordPreds: Map[Int, Seq[GridMath.CoordPred]],
     pushedFilters: Array[Filter],
     limit: Option[Long],
     minRowsPerPartition: Long) extends Scan with Batch with SupportsReportStatistics
     with SupportsRuntimeV2Filtering {
 
   private val staticRanges: Option[GridMath.Ranges] =
-    GridMath.coordRanges(meta.coords.map(_.doubles), eqFilters)
+    GridMath.coordRangesPred(meta.coords.map(_.doubles), coordPreds)
 
   /** Narrowed further by [[filter]] at runtime (DSv2 dynamic pruning:
     * Spark pushes the build side's join-key values before re-planning

@@ -64,15 +64,34 @@ object ZarrQueries {
        CAST(lon AS BIGINT) AS lon, CAST(lat AS BIGINT) AS lat FROM (VALUES (59,3,5,2),(59,3,7,8),(59,4,6,9),(59,5,6,8),(58,1,0,7))
        AS t(temperature, time, lon, lat)"""
 
+  /** Coordinate-range filter (BETWEEN + >=) — exercises the range
+    * pushdown that prunes the scan to 3 of 7 time-chunks before any
+    * chunk IO (the reference's roadmap "range filter pushdown",
+    * README.md:289-337). Oracle VALUES computed from the raw v2 chunk
+    * bytes (axis order time, lon, lat). */
+  def z5_zarr_range(s: SparkSession, dir: String): DataFrame =
+    zarr(s).filter(col("time").between(2, 4) && col("lat") >= 7)
+      .groupBy("time")
+      .agg(sum("temperature").as("sum_temp"), sum("humidity").as("sum_hum"),
+        count(lit(1)).as("n"))
+
+  private val z5Sql =
+    """SELECT CAST(time AS BIGINT) AS time, CAST(sum_temp AS BIGINT) AS sum_temp,
+       CAST(sum_hum AS BIGINT) AS sum_hum, CAST(n AS BIGINT) AS n
+       FROM (VALUES (2,510,1354,30),(3,-191,1383,30),(4,202,1287,30))
+       AS t(time, sum_temp, sum_hum, n)"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "z1_zarr_group_agg" -> (z1_zarr_group_agg _),
     "z2_zarr_filter_slice" -> (z2_zarr_filter_slice _),
     "z3_zarr_stats_agg" -> (z3_zarr_stats_agg _),
-    "z4_zarr_topk" -> (z4_zarr_topk _))
+    "z4_zarr_topk" -> (z4_zarr_topk _),
+    "z5_zarr_range" -> (z5_zarr_range _))
 
   val oracle: Map[String, String] = Map(
     "z1_zarr_group_agg" -> z1Sql,
     "z2_zarr_filter_slice" -> z2Sql,
     "z3_zarr_stats_agg" -> z3Sql,
-    "z4_zarr_topk" -> z4Sql)
+    "z4_zarr_topk" -> z4Sql,
+    "z5_zarr_range" -> z5Sql)
 }

@@ -95,6 +95,31 @@ class GridMathPropSpec extends AnyFunSuite {
     })
   }
 
+  test("coordRangesPred: bounding range is a superset of exact matches, tight on sorted coords") {
+    import GridMath.CoordPred
+    val gen = for {
+      values <- Gen.nonEmptyListOf(Gen.choose(-50, 50))
+        .map(_.distinct.sorted.map(_.toDouble).toArray)
+      lo <- Gen.choose(-60, 60).map(_.toDouble)
+      hi <- Gen.choose(-60, 60).map(_.toDouble)
+      loEq <- Gen.oneOf(true, false)
+      hiEq <- Gen.oneOf(true, false)
+    } yield (values, lo, hi, loEq, hiEq)
+    check(Prop.forAll(gen) { case (values, lo, hi, loEq, hiEq) =>
+      val preds = Seq(CoordPred.Gt(lo, loEq), CoordPred.Lt(hi, hiEq))
+      def exact(v: Double) =
+        (if (loEq) v >= lo else v > lo) && (if (hiEq) v <= hi else v < hi)
+      val exactIdx = values.indices.filter(i => exact(values(i)))
+      GridMath.coordRangesPred(Seq(values), Map(0 -> preds)) match {
+        case None => Prop(exactIdx.isEmpty) :| "empty must mean no exact match"
+        case Some(r) =>
+          val (s, e) = r(0)
+          // superset: every exactly-matching index falls inside [s, e)
+          Prop(exactIdx.forall(i => i >= s && i < e)) :| s"range=[$s,$e) exact=$exactIdx"
+      }
+    })
+  }
+
   test("totalRows = product of filtered dims after coordRanges") {
     check(Prop.forAll(genRanges) { ranges =>
       GridMath.totalRows(ranges) ==

@@ -101,6 +101,36 @@ class ZarrSpec extends AnyFunSuite {
     assert(scan.description().contains("limit=-1"), scan.description())
   }
 
+  test("range filter pushdown: BETWEEN prunes the time dimension") {
+    val df = zarr(v3).filter(col("time") >= 2 && col("time") <= 4)
+    val scan = scansOf(df).head
+    assert(scan.description().contains("rows=300"), scan.description())
+    assert(scan.description().contains("GreaterThanOrEqual(time,2)"))
+    assert(df.count() == 300)
+    assert(df.select("time").collect().forall { r =>
+      val t = r.getLong(0); t >= 2 && t <= 4 })
+  }
+
+  test("range filter pushdown: strict bounds and mixed dims") {
+    val df = zarr(v3).filter(col("time") > 1 && col("time") < 5 && col("lat") >= 7)
+    val scan = scansOf(df).head
+    assert(scan.description().contains("rows=90"), scan.description())
+    assert(df.count() == 90)
+  }
+
+  test("IN filter pushdown prunes to the bounding index range") {
+    val df = zarr(v3).filter(col("time").isin(1, 3))
+    val scan = scansOf(df).head
+    // bounding range [1,4) = 300 candidate rows; exact IN re-applied post-scan
+    assert(scan.description().contains("rows=300"), scan.description())
+    assert(df.count() == 200)
+  }
+
+  test("empty range (lo > hi) plans zero partitions") {
+    val df = zarr(v3).filter(col("time") > 4 && col("time") < 3)
+    assert(df.count() == 0)
+  }
+
   test("data-variable filter is not pushed but stays correct") {
     val df = zarr(v3).filter(col("temperature") > 50)
     val scan = scansOf(df).head
