@@ -41,7 +41,8 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   *     SURVEY.md §7 step 7)
   */
 class ZarrDataSource extends TableProvider
-    with org.apache.spark.sql.sources.DataSourceRegister {
+    with org.apache.spark.sql.sources.DataSourceRegister
+    with org.apache.spark.sql.sources.CreatableRelationProvider {
 
   override def shortName(): String = "zarr"
 
@@ -51,8 +52,17 @@ class ZarrDataSource extends TableProvider
     p
   }
 
-  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
-    ZarrMeta.readStore(pathOf(options)).schema
+  private def isStore(path: String): Boolean =
+    try { ZarrMeta.detectVersion(ZarrStore.open(path)); true }
+    catch { case _: Exception => false }
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
+    val path = pathOf(options)
+    // A missing/empty target is a pending WRITE: return an empty
+    // schema so DataFrameWriter.save() reaches the V1 fallback below
+    // (the table carries no SupportsWrite) instead of failing here.
+    if (isStore(path)) ZarrMeta.readStore(path).schema else new StructType()
+  }
 
   override def getTable(
       schema: StructType,
@@ -60,10 +70,70 @@ class ZarrDataSource extends TableProvider
       properties: java.util.Map[String, String]): Table = {
     val path = properties.get("path")
     require(path != null && path.nonEmpty, "Zarr source requires a path")
-    new ZarrTable(ZarrMeta.readStore(path))
+    if (isStore(path)) new ZarrTable(ZarrMeta.readStore(path))
+    else new ZarrPendingWriteTable(path, schema)
   }
 
   override def supportsExternalMetadata(): Boolean = false
+
+  /** `df.write.format("zarr")` sink. A Zarr store is a complete
+    * coordinate grid, not a row-append log, so every mode maps onto a
+    * full-store (re)write by [[ZarrWriter]] — which needs the whole
+    * DataFrame for its coordinate pre-pass, hence the V1
+    * CreatableRelationProvider hook (the same escape hatch JDBC uses)
+    * rather than per-task DSv2 DataWriters.
+    *
+    * Options: `coords` (required, comma-separated coordinate columns,
+    * outer dimension first), `chunkOuter` (outer-dim chunk extent,
+    * default 1). Modes: Overwrite replaces the store; ErrorIfExists /
+    * Ignore behave per contract; Append to an existing store is
+    * rejected (a grid has no "more rows" end to append to). */
+  override def createRelation(
+      sqlContext: org.apache.spark.sql.SQLContext,
+      mode: org.apache.spark.sql.SaveMode,
+      parameters: Map[String, String],
+      data: org.apache.spark.sql.DataFrame): org.apache.spark.sql.sources.BaseRelation = {
+    import org.apache.spark.sql.SaveMode
+    val params = parameters.map { case (k, v) => k.toLowerCase(java.util.Locale.ROOT) -> v }
+    val path = params.getOrElse("path",
+      throw new IllegalArgumentException("Zarr write requires a path"))
+    val exists = isStore(path)
+    val skip = mode match {
+      case SaveMode.ErrorIfExists if exists =>
+        throw new IllegalStateException(s"Zarr store already exists at $path (mode ErrorIfExists)")
+      case SaveMode.Append if exists =>
+        throw new UnsupportedOperationException(
+          "Append to an existing Zarr store is not supported: a store is a complete " +
+            "coordinate grid. Use mode(\"overwrite\") to replace it.")
+      case SaveMode.Ignore if exists => true
+      case _ => false
+    }
+    if (!skip) {
+      val coords = params.get("coords")
+        .map(_.split(",").map(_.trim).toSeq.filter(_.nonEmpty))
+        .filter(_.nonEmpty)
+        .getOrElse(throw new IllegalArgumentException(
+          "Zarr write requires option 'coords': comma-separated coordinate columns, outer dimension first"))
+      val chunkOuter = params.get("chunkouter").map(_.toInt).getOrElse(1)
+      if (exists) ZarrStore.open(path).deleteRecursively()
+      ZarrWriter.write(data, path, coords, chunkOuter)
+    }
+    val ctx = sqlContext
+    new org.apache.spark.sql.sources.BaseRelation {
+      override def sqlContext: org.apache.spark.sql.SQLContext = ctx
+      override def schema: StructType = data.schema
+    }
+  }
+}
+
+/** Placeholder table for a path with no store yet: no read/write
+  * capabilities, so DataFrameWriter falls back to the V1 write hook
+  * above and reads fail with a clear message. */
+class ZarrPendingWriteTable(path: String, writeSchema: StructType) extends Table {
+  override def name(): String = s"zarr:$path (no store yet)"
+  override def schema(): StructType = writeSchema
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.Collections.emptySet()
 }
 
 class ZarrTable(meta: ZarrStoreMeta) extends Table with SupportsRead {

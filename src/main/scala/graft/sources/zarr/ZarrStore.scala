@@ -24,6 +24,9 @@ sealed trait ZarrStore extends Serializable {
   def readBytes(rel: String): Option[Array[Byte]]
   /** Size in bytes of `rel` if it exists (IO accounting). */
   def sizeOf(rel: String): Option[Long]
+  /** Remove the store directory and everything under it (sink
+    * overwrite). No-op if absent. */
+  def deleteRecursively(): Unit
 }
 
 object ZarrStore {
@@ -59,6 +62,13 @@ final case class LocalStore(path: String) extends ZarrStore {
     val p = root.resolve(rel)
     if (Files.exists(p)) Some(Files.size(p)) else None
   }
+
+  override def deleteRecursively(): Unit = if (Files.exists(root)) {
+    val s = Files.walk(root)
+    try s.sorted(java.util.Comparator.reverseOrder[Path]())
+      .iterator().asScala.foreach(Files.delete)
+    finally s.close()
+  }
 }
 
 final case class HadoopStore(path: String) extends ZarrStore {
@@ -87,4 +97,7 @@ final case class HadoopStore(path: String) extends ZarrStore {
     val p = new HPath(root, rel)
     if (fs.exists(p)) Some(fs.getFileStatus(p).getLen) else None
   }
+
+  override def deleteRecursively(): Unit =
+    if (fs.exists(root)) fs.delete(root, true)
 }

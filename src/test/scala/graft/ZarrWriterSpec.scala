@@ -41,6 +41,43 @@ class ZarrWriterSpec extends AnyFunSuite {
     assert(Files.exists(Paths.get(out, "blend", "3.0.0")))
   }
 
+  test("df.write.format(zarr) overwrite + read-back round-trips") {
+    val out = Files.createTempDirectory("zarr_dfw").resolve("dfw.zarr").toString
+    val src = spark.read.format("zarr").load(v3)
+    src.write.format("zarr")
+      .option("coords", "time,lon,lat").option("chunkOuter", "2")
+      .mode("overwrite").save(out)
+    val back = spark.read.format("zarr").load(out)
+    assert(back.schema == src.schema)
+    val a = src.orderBy("time", "lon", "lat").collect().map(_.toSeq).toSeq
+    val b = back.orderBy("time", "lon", "lat").collect().map(_.toSeq).toSeq
+    assert(a == b)
+    // overwrite again with different content: store is replaced, not merged
+    src.select(col("time"), col("lon"), col("lat"),
+        (col("temperature") + 1).as("temperature"))
+      .write.format("zarr").option("coords", "time,lon,lat")
+      .mode("overwrite").save(out)
+    val t2 = spark.read.format("zarr").load(out)
+    assert(t2.schema.fieldNames.toSet == Set("time", "lon", "lat", "temperature"))
+    assert(t2.agg(sum("temperature")).collect().head.getLong(0) ==
+      src.agg(sum("temperature")).collect().head.getLong(0) + 700)
+  }
+
+  test("df.write.format(zarr) mode semantics: errorifexists, ignore, append") {
+    val out = Files.createTempDirectory("zarr_modes").resolve("m.zarr").toString
+    val src = spark.read.format("zarr").load(v3).limit(700)
+    def write(mode: String) = src.write.format("zarr")
+      .option("coords", "time,lon,lat").mode(mode).save(out)
+    write("errorifexists") // fresh path: creates
+    intercept[Exception](write("errorifexists"))
+    write("ignore") // existing: silently keeps
+    intercept[Exception](write("append"))
+    // missing coords option is a clear error
+    val out2 = Files.createTempDirectory("zarr_modes").resolve("m2.zarr").toString
+    intercept[Exception](
+      src.write.format("zarr").mode("overwrite").save(out2))
+  }
+
   test("missing cells become fill_value zero") {
     val out = Files.createTempDirectory("zarr_fill").resolve("partial.zarr").toString
     val partial = spark.read.format("zarr").load(v3)
