@@ -232,15 +232,90 @@ object ChunkCodec {
 object ChunkIO {
 
   /** Read + decode one chunk file; absent chunk files yield the
-    * fill_value (Zarr semantics). */
+    * fill_value (Zarr semantics). Sharded arrays decode the whole
+    * shard (inner chunks assembled in place). */
   def readChunk(store: ZarrStore, meta: ZarrArrayMeta, chunkIdx: Seq[Long]): AnyRef = {
     val nElems = meta.chunks.product
     store.readBytes(s"${meta.name}/${meta.chunkKey(chunkIdx)}") match {
       case None => fillArray(meta, nElems)
-      case Some(bytes) =>
-        val raw = ChunkCodec.decompress(bytes, meta.compressor, nElems * meta.dtype.size)
-        ChunkCodec.decodeTyped(raw, meta.dtype, nElems)
+      case Some(bytes) => meta.sharding match {
+        case Some(spec) => decodeShard(bytes, meta, spec)
+        case None =>
+          val raw = ChunkCodec.decompress(bytes, meta.compressor, nElems * meta.dtype.size)
+          ChunkCodec.decodeTyped(raw, meta.dtype, nElems)
+      }
     }
+  }
+
+  /** Decode a v3 shard: parse the `(offset, nbytes) uint64` index
+    * (C-order over the inner-chunk grid, 2^64-1 ⇒ missing), decode
+    * each present inner chunk with the inner codec chain, and place
+    * its elements into a fill-initialized shard-shaped array. Copies
+    * are whole innermost-dimension runs (`System.arraycopy`). */
+  private def decodeShard(bytes: Array[Byte], meta: ZarrArrayMeta, spec: ShardingSpec): AnyRef = {
+    val innerGrid: Array[Int] =
+      meta.chunks.zip(spec.innerChunks).map { case (c, i) => c / i }.toArray
+    val nInner = innerGrid.product
+    val idxLen = nInner * 16 + (if (spec.indexChecksum) 4 else 0)
+    require(bytes.length >= idxLen, s"${meta.name}: shard smaller than its index")
+    val idxOff = if (spec.indexAtEnd) bytes.length - idxLen else 0
+    if (spec.indexChecksum) {
+      val crc = new java.util.zip.CRC32C
+      crc.update(bytes, idxOff, nInner * 16)
+      val stored = java.nio.ByteBuffer.wrap(bytes, idxOff + nInner * 16, 4)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN).getInt
+      require(crc.getValue.toInt == stored,
+        s"${meta.name}: shard index crc32c mismatch")
+    }
+    val idxBuf = java.nio.ByteBuffer.wrap(bytes, idxOff, nInner * 16)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+
+    val out = fillArray(meta, meta.chunks.product)
+    val innerElems = spec.innerChunks.product
+    val innerLast = spec.innerChunks.last
+    // rows (innermost-dim runs) per inner chunk
+    val rowsPerInner = innerElems / innerLast
+    val nDims = meta.chunks.length
+    val gridIdx = new Array[Int](nDims)
+    var ci = 0
+    while (ci < nInner) {
+      val off = idxBuf.getLong(idxOff + ci * 16)
+      val nb = idxBuf.getLong(idxOff + ci * 16 + 8)
+      if (off != -1L || nb != -1L) {
+        require(off >= 0 && nb >= 0 && off + nb <= bytes.length,
+          s"${meta.name}: inner chunk $ci out of shard bounds")
+        val enc = java.util.Arrays.copyOfRange(bytes, off.toInt, (off + nb).toInt)
+        val raw = ChunkCodec.decompress(enc, spec.innerComp, innerElems * meta.dtype.size)
+        val typed = ChunkCodec.decodeTyped(raw, meta.dtype, innerElems)
+        // inner-grid coords of this chunk (C-order decode of ci)
+        var rem = ci; var d = nDims - 1
+        while (d >= 0) { gridIdx(d) = rem % innerGrid(d); rem /= innerGrid(d); d -= 1 }
+        // copy each innermost run to its position in the shard array
+        var r = 0
+        while (r < rowsPerInner) {
+          // decompose r into inner-chunk coords of dims [0, nDims-1)
+          var srcOff = 0L; var dstOff = 0L; var rr = r
+          d = nDims - 2
+          var mul = 1L; var dmul = 1L
+          // build offsets from innermost outward
+          dstOff = gridIdx(nDims - 1).toLong * innerLast
+          dmul = meta.chunks(nDims - 1).toLong
+          srcOff = 0L; mul = innerLast.toLong
+          d = nDims - 2
+          while (d >= 0) {
+            val within = rr % spec.innerChunks(d); rr /= spec.innerChunks(d)
+            srcOff += within * mul; mul *= spec.innerChunks(d)
+            dstOff += (gridIdx(d).toLong * spec.innerChunks(d) + within) * dmul
+            dmul *= meta.chunks(d)
+            d -= 1
+          }
+          System.arraycopy(typed, srcOff.toInt, out, dstOff.toInt, innerLast)
+          r += 1
+        }
+      }
+      ci += 1
+    }
+    out
   }
 
   private def fillArray(meta: ZarrArrayMeta, n: Int): AnyRef = {

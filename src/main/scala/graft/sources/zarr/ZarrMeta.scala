@@ -60,6 +60,19 @@ object ZarrDType {
   * frame is self-describing). */
 final case class ZarrCompressor(id: String, cname: String = "", shuffle: Int = 0)
 
+/** Zarr v3 `sharding_indexed` codec parameters: a chunk file (shard)
+  * holds a C-order grid of independently-encoded inner chunks plus a
+  * `(offset, nbytes) uint64` index (missing inner chunk = both
+  * 2^64-1). The shard shape must be an exact multiple of the inner
+  * chunk shape (spec invariant). Beyond the reference's surface —
+  * sharding is how real object-store datasets avoid one tiny object
+  * per chunk at scale. */
+final case class ShardingSpec(
+    innerChunks: Seq[Int],
+    innerComp: ZarrCompressor,
+    indexChecksum: Boolean,
+    indexAtEnd: Boolean) extends Serializable
+
 /** Metadata for one Zarr array (v2 `.zarray` or v3 `zarr.json`). */
 final case class ZarrArrayMeta(
     name: String,
@@ -69,7 +82,8 @@ final case class ZarrArrayMeta(
     compressor: ZarrCompressor,
     separator: String,
     fillValue: Double,
-    isV3: Boolean) extends Serializable {
+    isV3: Boolean,
+    sharding: Option[ShardingSpec] = None) extends Serializable {
 
   def nDims: Int = shape.length
   def totalElements: Long = shape.product
@@ -172,16 +186,16 @@ object ZarrMeta {
       parseFill(node.get("fill_value")), isV3 = false)
   }
 
-  private def parseArrayV3(name: String, node: JsonNode): ZarrArrayMeta = {
-    val shape = node.get("shape").elements().asScala.map(_.asLong()).toSeq
-    val chunks = node.get("chunk_grid").get("configuration").get("chunk_shape")
-      .elements().asScala.map(_.asInt()).toSeq
-    val codecs = Option(node.get("codecs")).map(_.elements().asScala.toSeq).getOrElse(Nil)
-    val littleEndian = codecs.find(_.get("name").asText() == "bytes")
+  /** Endianness of the `bytes` codec in a v3 codec list (default
+    * little). */
+  private def endianOf(codecs: Seq[JsonNode]): Boolean =
+    codecs.find(_.get("name").asText() == "bytes")
       .flatMap(c => Option(c.get("configuration")).map(_.get("endian").asText()))
       .forall(_ == "little")
-    val dtype = ZarrDType.parseV3(node.get("data_type").asText(), littleEndian)
-    val comp = codecs.map(_.get("name").asText())
+
+  /** Compression member of a v3 codec list. */
+  private def compOf(codecs: Seq[JsonNode]): ZarrCompressor =
+    codecs.map(_.get("name").asText())
       .find(n => n == "blosc" || n == "zstd" || n == "gzip")
       .map { n =>
         val cfg = codecs.find(_.get("name").asText() == n).get.get("configuration")
@@ -190,11 +204,38 @@ object ZarrMeta {
             s.asText() == "shuffle" || s.asInt(0) == 1)) 1 else 0)
       }
       .getOrElse(ZarrCompressor("none"))
+
+  private def parseArrayV3(name: String, node: JsonNode): ZarrArrayMeta = {
+    val shape = node.get("shape").elements().asScala.map(_.asLong()).toSeq
+    val chunks = node.get("chunk_grid").get("configuration").get("chunk_shape")
+      .elements().asScala.map(_.asInt()).toSeq
+    val codecs = Option(node.get("codecs")).map(_.elements().asScala.toSeq).getOrElse(Nil)
+    val shardingCfg = codecs.find(_.get("name").asText() == "sharding_indexed")
+      .map(_.get("configuration"))
+    // With sharding, the element encoding lives in the INNER codec list.
+    val elemCodecs = shardingCfg match {
+      case Some(cfg) => cfg.get("codecs").elements().asScala.toSeq
+      case None => codecs
+    }
+    val dtype = ZarrDType.parseV3(node.get("data_type").asText(), endianOf(elemCodecs))
+    val sharding = shardingCfg.map { cfg =>
+      val inner = cfg.get("chunk_shape").elements().asScala.map(_.asInt()).toSeq
+      require(chunks.zip(inner).forall { case (c, i) => i > 0 && c % i == 0 },
+        s"$name: shard shape $chunks must be a multiple of inner chunk shape $inner")
+      val idxCodecs = Option(cfg.get("index_codecs"))
+        .map(_.elements().asScala.toSeq).getOrElse(Nil)
+      ShardingSpec(
+        innerChunks = inner,
+        innerComp = compOf(elemCodecs),
+        indexChecksum = idxCodecs.exists(_.get("name").asText() == "crc32c"),
+        indexAtEnd = Option(cfg.get("index_location")).map(_.asText()).forall(_ == "end"))
+    }
+    val comp = if (sharding.isDefined) ZarrCompressor("none") else compOf(codecs)
     val sep = Option(node.get("chunk_key_encoding"))
       .flatMap(e => Option(e.get("configuration")))
       .flatMap(c => Option(c.get("separator"))).map(_.asText()).getOrElse("/")
     ZarrArrayMeta(name, shape, chunks, dtype, comp, sep,
-      parseFill(node.get("fill_value")), isV3 = true)
+      parseFill(node.get("fill_value")), isV3 = true, sharding = sharding)
   }
 
   /** Discover arrays. Zarr v2 stores with consolidated metadata
