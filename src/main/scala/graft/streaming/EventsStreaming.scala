@@ -113,11 +113,29 @@ object EventsStreaming {
       COUNT(*) AS n_events
     FROM gaps GROUP BY user_id"""
 
+  /** Streaming exact deduplication (`dropDuplicates` on the dedup
+    * key) — the streaming face of the batch dedup family (d1). Output
+    * is the kept key set, which is order-independent and so
+    * oracle-checkable; state is one entry per distinct key (use
+    * `dropDuplicatesWithinWatermark` when the key space is unbounded
+    * and re-emission after the horizon is acceptable). */
+  def st3_stream_dedup(s: SparkSession, dir: String): DataFrame = {
+    val dd = eventsStream(s, dir)
+      .dropDuplicates("user_id", "event_type")
+      .select(col("user_id"), col("event_type"))
+    runToTable(dd, "st3_out", OutputMode.Append())
+  }
+
+  private val st3Sql =
+    "SELECT DISTINCT user_id, event_type FROM events"
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "st1_stream_window_agg" -> (st1_stream_window_agg _),
-    "st2_stream_sessionize" -> (st2_stream_sessionize _))
+    "st2_stream_sessionize" -> (st2_stream_sessionize _),
+    "st3_stream_dedup" -> (st3_stream_dedup _))
 
   val oracle: Map[String, String] = Map(
     "st1_stream_window_agg" -> st1Sql,
-    "st2_stream_sessionize" -> st2Sql)
+    "st2_stream_sessionize" -> st2Sql,
+    "st3_stream_dedup" -> st3Sql)
 }
