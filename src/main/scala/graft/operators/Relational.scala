@@ -385,6 +385,104 @@ object Relational {
     WINDOW w AS (PARTITION BY user_id ORDER BY ts_us
                  RANGE BETWEEN 60000000 PRECEDING AND 1 PRECEDING)"""
 
+  /** Correlated EXISTS / NOT EXISTS (rewritten by Catalyst to
+    * semi/anti joins — the declarative twin of q6). */
+  def q28_exists(s: SparkSession, dir: String): DataFrame = {
+    Tables.views(s, dir, "customer", "orders")
+    s.sql("""
+      SELECT c_mktsegment,
+        COUNT(*) AS n_customers,
+        CAST(SUM(CASE WHEN EXISTS (
+          SELECT 1 FROM orders o
+          WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 200000)
+          THEN 1 ELSE 0 END) AS BIGINT) AS n_big_spenders
+      FROM customer c
+      GROUP BY c_mktsegment
+    """)
+  }
+
+  private val q28Sql = """
+    SELECT c_mktsegment,
+      COUNT(*) AS n_customers,
+      CAST(SUM(CASE WHEN EXISTS (
+        SELECT 1 FROM orders o
+        WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 200000)
+        THEN 1 ELSE 0 END) AS BIGINT) AS n_big_spenders
+    FROM customer c
+    GROUP BY c_mktsegment"""
+
+  /** UNPIVOT: wide → long over the two lineitem charge columns
+    * (`Dataset.unpivot`; melt semantics). */
+  def q29_unpivot(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_linenumber").cast("long").as("l_linenumber"),
+        dec(col("l_extendedprice"), 14).as("price"), dec(col("l_tax"), 4).as("tax"))
+      .unpivot(
+        Array(col("l_orderkey"), col("l_linenumber")),
+        Array(col("price").cast("double").as("price"), col("tax").cast("double").as("tax")),
+        "charge_kind", "amount")
+      .groupBy("charge_kind")
+      .agg(count(lit(1)).as("n"), dsum(col("amount"), 18).as("total"))
+
+  private val q29Sql = """
+    WITH melted AS (
+      SELECT l_orderkey, 'price' AS charge_kind,
+        CAST(CAST(l_extendedprice AS DECIMAL(14,2)) AS DOUBLE) AS amount
+      FROM lineitem
+      UNION ALL
+      SELECT l_orderkey, 'tax' AS charge_kind,
+        CAST(CAST(l_tax AS DECIMAL(4,2)) AS DOUBLE) AS amount
+      FROM lineitem)
+    SELECT charge_kind, COUNT(*) AS n,
+      CAST(SUM(CAST(amount AS DECIMAL(18,2))) AS DOUBLE) AS total
+    FROM melted GROUP BY charge_kind"""
+
+  /** Ranking-function breadth: ntile, percent_rank, cume_dist over a
+    * total order (all exact rationals of row counts — bit-identical
+    * across engines). */
+  def q30_window_ranks(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_orderstatus")
+      .orderBy(col("o_totalprice"), col("o_orderkey"))
+    t(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        ntile(4).over(w).cast("long").as("quartile"),
+        percent_rank().over(w).as("pct_rank"),
+        cume_dist().over(w).as("cume"))
+      .filter(col("o_orderkey") % 100 === 0)
+  }
+
+  private val q30Sql = """
+    SELECT o_orderkey, o_orderstatus, quartile, pct_rank, cume FROM (
+      SELECT o_orderkey, o_orderstatus,
+        CAST(NTILE(4) OVER w AS BIGINT) AS quartile,
+        PERCENT_RANK() OVER w AS pct_rank,
+        CUME_DIST() OVER w AS cume
+      FROM orders
+      WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey))
+    WHERE o_orderkey % 100 = 0"""
+
+  /** Exact interpolated percentiles at binary-exact fractions (.25/.5/
+    * .75): the interpolation arithmetic `lower + frac*(upper-lower)`
+    * is exact in double for int inputs at these fractions, so both
+    * engines agree bit-for-bit. */
+  def q31_percentiles(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .select(col("l_returnflag"), col("l_quantity").cast("long").as("q"))
+      .groupBy("l_returnflag")
+      .agg(
+        expr("percentile(q, 0.25)").as("p25"),
+        expr("percentile(q, 0.5)").as("p50"),
+        expr("percentile(q, 0.75)").as("p75"),
+        count(lit(1)).as("n"))
+
+  private val q31Sql = """
+    SELECT l_returnflag,
+      QUANTILE_CONT(CAST(l_quantity AS BIGINT), 0.25) AS p25,
+      QUANTILE_CONT(CAST(l_quantity AS BIGINT), 0.5) AS p50,
+      QUANTILE_CONT(CAST(l_quantity AS BIGINT), 0.75) AS p75,
+      COUNT(*) AS n
+    FROM lineitem GROUP BY l_returnflag"""
+
   // ---------------------------------------------------------------- oracles
 
   private val q1Sql = s"""
@@ -609,7 +707,11 @@ object Relational {
     "q24_grouping_sets" -> (q24_grouping_sets _),
     "q25_approx_distinct" -> (q25_approx_distinct _),
     "q26_asof_join" -> (q26_asof_join _),
-    "q27_range_frame" -> (q27_range_frame _))
+    "q27_range_frame" -> (q27_range_frame _),
+    "q28_exists" -> (q28_exists _),
+    "q29_unpivot" -> (q29_unpivot _),
+    "q30_window_ranks" -> (q30_window_ranks _),
+    "q31_percentiles" -> (q31_percentiles _))
 
   val oracle: Map[String, String] = Map(
     "q1_agg" -> q1Sql,
@@ -637,5 +739,9 @@ object Relational {
     "q23_events_window" -> q23Sql,
     "q24_grouping_sets" -> q24Sql,
     "q26_asof_join" -> q26Sql,
-    "q27_range_frame" -> q27Sql)
+    "q27_range_frame" -> q27Sql,
+    "q28_exists" -> q28Sql,
+    "q29_unpivot" -> q29Sql,
+    "q30_window_ranks" -> q30Sql,
+    "q31_percentiles" -> q31Sql)
 }

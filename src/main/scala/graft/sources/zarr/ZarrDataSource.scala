@@ -141,6 +141,13 @@ class ZarrTable(meta: ZarrStoreMeta) extends Table with SupportsRead {
   override def schema(): StructType = meta.schema
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ)
+  /** Group attributes surface as table properties (`SHOW TBLPROPERTIES`)
+    * — the reference's roadmap attribute exposure. */
+  override def properties(): java.util.Map[String, String] = {
+    val m = new java.util.HashMap[String, String]()
+    meta.groupAttrs.foreach { case (k, v) => m.put(k, v) }
+    m
+  }
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new ZarrScanBuilder(meta, options)
 }

@@ -83,7 +83,8 @@ final case class ZarrArrayMeta(
     separator: String,
     fillValue: Double,
     isV3: Boolean,
-    sharding: Option[ShardingSpec] = None) extends Serializable {
+    sharding: Option[ShardingSpec] = None,
+    attrs: Map[String, String] = Map.empty) extends Serializable {
 
   def nDims: Int = shape.length
   def totalElements: Long = shape.product
@@ -120,16 +121,27 @@ final case class CoordData(meta: ZarrArrayMeta, raw: AnyRef, doubles: Array[Doub
 final case class ZarrStoreMeta(
     path: String,
     coords: Seq[CoordData],
-    dataVars: Seq[ZarrArrayMeta]) extends Serializable {
+    dataVars: Seq[ZarrArrayMeta],
+    groupAttrs: Map[String, String] = Map.empty) extends Serializable {
 
   def coordNames: Seq[String] = coords.map(_.meta.name)
   def totalRows: Long = coords.map(_.length.toLong).product
 
+  private def fieldMeta(attrs: Map[String, String]): Metadata =
+    attrs.foldLeft(new MetadataBuilder()) { case (b, (k, v)) =>
+      b.putString(k, v)
+    }.build()
+
   /** Schema: coordinates first (non-nullable), then data variables
-    * (nullable) — /root/reference/src/reader/schema_inference.rs:415-434. */
+    * (nullable) — /root/reference/src/reader/schema_inference.rs:415-434.
+    * Zarr array attributes (units, long_name, …) surface as Spark
+    * column metadata — the reference's roadmap "attribute metadata
+    * exposure" (README.md:289-337). */
   def schema: StructType = StructType(
-    coords.map(c => StructField(c.meta.name, c.meta.dtype.sparkType, nullable = false)) ++
-      dataVars.map(v => StructField(v.name, v.dtype.sparkType, nullable = true)))
+    coords.map(c => StructField(c.meta.name, c.meta.dtype.sparkType,
+      nullable = false, metadata = fieldMeta(c.meta.attrs))) ++
+      dataVars.map(v => StructField(v.name, v.dtype.sparkType,
+        nullable = true, metadata = fieldMeta(v.attrs))))
 }
 
 /** Store discovery + schema inference for local Zarr v2/v3 stores.
@@ -244,6 +256,15 @@ object ZarrMeta {
     * directory walk costs one round trip per array on s3/gs).
     * Otherwise walk subdirectories for `.zarray` / array-typed
     * `zarr.json`. */
+  /** Stringify a JSON attributes object (units, long_name, …). */
+  private def attrsOf(node: Option[JsonNode]): Map[String, String] =
+    node.filter(_.isObject).map { n =>
+      n.properties().asScala.map { e =>
+        val v = e.getValue
+        e.getKey -> (if (v.isTextual) v.asText() else v.toString)
+      }.toMap
+    }.getOrElse(Map.empty)
+
   def discoverArrays(store: ZarrStore): Seq[ZarrArrayMeta] = {
     jsonAt(store, ".zmetadata")
       .filter(n => Option(n.get("metadata")).exists(_.isObject))
@@ -251,20 +272,40 @@ object ZarrMeta {
         val md = n.get("metadata")
         md.properties().asScala.toSeq
           .filter(_.getKey.endsWith("/.zarray"))
-          .map(e => parseArrayV2(e.getKey.stripSuffix("/.zarray"), e.getValue))
+          .map { e =>
+            val name = e.getKey.stripSuffix("/.zarray")
+            parseArrayV2(name, e.getValue)
+              .copy(attrs = attrsOf(Option(md.get(s"$name/.zattrs"))))
+          }
           .sortBy(_.name)
       }
       .getOrElse {
         val version = detectVersion(store)
         store.listDirs().flatMap { name =>
           if (version == 2)
-            jsonAt(store, s"$name/.zarray").map(parseArrayV2(name, _))
+            jsonAt(store, s"$name/.zarray").map(parseArrayV2(name, _)
+              .copy(attrs = attrsOf(jsonAt(store, s"$name/.zattrs"))))
           else
             jsonAt(store, s"$name/zarr.json")
               .filter(n => Option(n.get("node_type")).exists(_.asText() == "array"))
-              .map(parseArrayV3(name, _))
+              .map(n => parseArrayV3(name, n)
+                .copy(attrs = attrsOf(Option(n.get("attributes")))))
         }
       }
+  }
+
+  /** Group-level attributes: v2 root `.zattrs` (also present in
+    * consolidated metadata), v3 root `zarr.json` `attributes`. */
+  def groupAttrs(store: ZarrStore): Map[String, String] =
+    attrsOf(jsonAt(store, ".zmetadata")
+        .flatMap(n => Option(n.get("metadata")))
+        .flatMap(md => Option(md.get(".zattrs"))))
+      .orElse2(attrsOf(jsonAt(store, ".zattrs")))
+      .orElse2(attrsOf(jsonAt(store, "zarr.json").flatMap(n => Option(n.get("attributes")))))
+
+  private implicit class MapOps(m: Map[String, String]) {
+    def orElse2(other: => Map[String, String]): Map[String, String] =
+      if (m.nonEmpty) m else other
   }
 
   /** Dimension-order inference
@@ -308,6 +349,6 @@ object ZarrMeta {
       val raw = ChunkIO.readWholeArray(store, c)
       CoordData(c, raw, ChunkCodec.toDoubles(raw))
     }
-    ZarrStoreMeta(store.path, coordData, vars)
+    ZarrStoreMeta(store.path, coordData, vars, groupAttrs(store))
   }
 }

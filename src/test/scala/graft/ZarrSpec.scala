@@ -101,6 +101,23 @@ class ZarrSpec extends AnyFunSuite {
     assert(scan.description().contains("limit=-1"), scan.description())
   }
 
+  test("zarr attributes surface as column metadata and table properties") {
+    for (p <- Seq(v2, v3)) {
+      val sch = zarr(p).schema
+      val md = sch("temperature").metadata
+      assert(md.getString("units") == "K", p)
+      assert(md.getString("long_name") == "Air Temperature", p)
+      // group attrs -> table properties
+      val meta = graft.sources.zarr.ZarrMeta.readStore(p)
+      assert(meta.groupAttrs.get("title").contains("Weekly Weather Sample"), p)
+    }
+    // group attrs surface through the DSv2 Table.properties() contract
+    val table = new graft.sources.zarr.ZarrTable(
+      graft.sources.zarr.ZarrMeta.readStore(v3))
+    assert(table.properties().get("title") == "Weekly Weather Sample")
+    assert(table.properties().get("conventions") == "Zarr v3")
+  }
+
   test("range filter pushdown: BETWEEN prunes the time dimension") {
     val df = zarr(v3).filter(col("time") >= 2 && col("time") <= 4)
     val scan = scansOf(df).head
