@@ -121,9 +121,33 @@ object Multimodal {
             UNNEST(range(0, GREATEST((LENGTH(text) - 256) // 128, 0) + 1)) AS frame_id
           FROM documents) src"""
 
+  /** The resize stage: downsample each decoded item to a fixed target
+    * (here 2× box downscale of the fake dimensions + 8→4 average-pooled
+    * feature bins — a real implementation swaps the pooling body for a
+    * pixel resampler, batch shape unchanged). Runs as the same
+    * partition-wise typed map as the decoder, so decode→resize chains
+    * without an intermediate shuffle. */
+  def m3_multimodal_resize(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    decodeFeatures(mediaTable(s, dir))
+      .mapPartitions { it =>
+        it.map { f =>
+          val pooled = Array.tabulate(4)(b => (f.histogram(2 * b) + f.histogram(2 * b + 1)) / 2.0)
+          (f.doc_id, f.width / 2, f.height / 2, pooled)
+        }
+      }
+      .toDF("doc_id", "thumb_w", "thumb_h", "pooled")
+      .select(col("doc_id"),
+        col("thumb_w").cast("long").as("thumb_w"),
+        col("thumb_h").cast("long").as("thumb_h"),
+        round(element_at(col("pooled"), 1), 6).as("pool_0"),
+        round(element_at(col("pooled"), 4), 6).as("pool_3"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m1_multimodal_decode" -> (m1_multimodal_decode _),
-    "m2_multimodal_frames" -> (m2_multimodal_frames _))
+    "m2_multimodal_frames" -> (m2_multimodal_frames _),
+    "m3_multimodal_resize" -> (m3_multimodal_resize _))
 
   /** m1 is not SQL-expressible (binary feature extraction) — the
     * driver records a rows-only check for it. */

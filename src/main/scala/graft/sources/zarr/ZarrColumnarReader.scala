@@ -94,7 +94,11 @@ class ZarrColumnarReader(p: ZarrInputPartition, batchSize: Int = 4096)
           case VarField(_) =>
             val st = varStates(vs)
             if (st.offset < 0 || !st.valid) st.locate()
-            putValue(vectors(f), r, types(f), st.chunk, st.offset.toInt)
+            if (p.fillAsNull &&
+                ChunkCodec.isFill(st.meta.fillValue,
+                  ChunkCodec.elementAt(st.chunk, st.offset.toInt)))
+              vectors(f).putNull(r)
+            else putValue(vectors(f), r, types(f), st.chunk, st.offset.toInt)
             vs += 1
         }
         f += 1

@@ -221,6 +221,9 @@ class ZarrScanBuilder(meta: ZarrStoreMeta, options: CaseInsensitiveStringMap)
   override def supportCompletePushDown(aggregation: Aggregation): Boolean =
     aggregation.groupByExpressions().isEmpty && coordPreds.isEmpty &&
       accepted.isEmpty && limit.isEmpty &&
+      // fill→null can null out data-var cells, so metadata row counts
+      // no longer answer COUNT(col) — take the real scan instead
+      !options.getBoolean("fillValueAsNull", false) &&
       aggregation.aggregateExpressions().forall(answerable)
 
   override def pushAggregation(aggregation: Aggregation): Boolean = {
@@ -248,7 +251,8 @@ class ZarrScanBuilder(meta: ZarrStoreMeta, options: CaseInsensitiveStringMap)
     case Some(agg) => new ZarrAggScan(meta, agg)
     case None =>
       new ZarrScan(meta, requiredSchema, coordPreds, accepted, limit,
-        options.getLong("minRowsPerPartition", 65536))
+        options.getLong("minRowsPerPartition", 65536),
+        options.getBoolean("fillValueAsNull", false))
   }
 }
 
@@ -260,7 +264,8 @@ class ZarrScan(
     coordPreds: Map[Int, Seq[GridMath.CoordPred]],
     pushedFilters: Array[Filter],
     limit: Option[Long],
-    minRowsPerPartition: Long) extends Scan with Batch with SupportsReportStatistics
+    minRowsPerPartition: Long,
+    fillAsNull: Boolean = false) extends Scan with Batch with SupportsReportStatistics
     with SupportsRuntimeV2Filtering {
 
   private val staticRanges: Option[GridMath.Ranges] =
@@ -340,8 +345,8 @@ class ZarrScan(
           throw new IllegalArgumentException(s"Unknown column ${f.name}")))
       }
       GridMath.partitionSlices(r, outerChunk, limit, minRowsPerPartition)
-        .map(s => ZarrInputPartition(meta.path, s._1, s._2, r, meta.coords, projection)
-          : InputPartition)
+        .map(s => ZarrInputPartition(meta.path, s._1, s._2, r, meta.coords, projection,
+          fillAsNull): InputPartition)
         .toArray
   }
 
@@ -469,7 +474,8 @@ final case class ZarrInputPartition(
     rowEnd: Long,
     ranges: Array[(Int, Int)],
     coords: Seq[CoordData],
-    projection: Seq[ProjField]) extends InputPartition
+    projection: Seq[ProjField],
+    fillAsNull: Boolean = false) extends InputPartition
 
 class ZarrReaderFactory extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
@@ -538,7 +544,8 @@ class ZarrPartitionReader(p: ZarrInputPartition) extends PartitionReader[Interna
             off = off * m.chunks(d) + (idx(d) % m.chunks(d))
             d += 1
           }
-          ChunkCodec.elementAt(chunk, off.toInt)
+          val v = ChunkCodec.elementAt(chunk, off.toInt)
+          if (p.fillAsNull && ChunkCodec.isFill(m.fillValue, v)) null else v
       }
       f += 1
     }

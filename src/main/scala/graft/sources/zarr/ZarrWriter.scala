@@ -79,6 +79,13 @@ object ZarrWriter {
     val root = Paths.get(path)
     Files.createDirectories(root)
     Files.write(root.resolve(".zgroup"), """{"zarr_format":2}""".getBytes)
+    // Column metadata (units, long_name, … — e.g. from a zarr read)
+    // round-trips as the array's .zattrs.
+    def writeAttrs(dir: java.nio.file.Path, name: String): Unit = {
+      val md = schema(name).metadata
+      if (md != org.apache.spark.sql.types.Metadata.empty)
+        Files.write(dir.resolve(".zattrs"), md.json.getBytes)
+    }
     coords.zip(coordVals).zipWithIndex.foreach { case ((name, vals), i) =>
       val t = schema(name).dataType
       val (dt, elem) = dtypeOf(t)
@@ -86,6 +93,7 @@ object ZarrWriter {
       Files.createDirectories(dir)
       Files.write(dir.resolve(".zarray"),
         zarray(Seq(vals.length.toLong), Seq(vals.length), dt).getBytes)
+      writeAttrs(dir, name)
       val buf = ByteBuffer.allocate(vals.length * elem).order(ByteOrder.LITTLE_ENDIAN)
       vals.zipWithIndex.foreach { case (v, j) => putValue(buf, j, elem, t, v) }
       Files.write(dir.resolve("0"), buf.array())
@@ -97,6 +105,7 @@ object ZarrWriter {
       val dir = root.resolve(name)
       Files.createDirectories(dir)
       Files.write(dir.resolve(".zarray"), zarray(shape, chunkShape, dt).getBytes)
+      writeAttrs(dir, name)
     }
 
     // 3. executors write chunk slabs: repartition by outer-chunk id so

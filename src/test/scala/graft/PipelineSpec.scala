@@ -93,6 +93,19 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("multimodal resize halves dimensions and pools the feature bins") {
+    val features = Multimodal.m1_multimodal_decode(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    val resized = Multimodal.m3_multimodal_resize(spark, sf).collect()
+    assert(resized.length == features.size)
+    resized.foreach { r =>
+      val f = features(r.getAs[Long]("doc_id"))
+      assert(r.getAs[Long]("thumb_w") == f.getAs[Long]("width") / 2)
+      assert(r.getAs[Long]("thumb_h") == f.getAs[Long]("height") / 2)
+      assert(r.getAs[Double]("pool_0") >= 0.0 && r.getAs[Double]("pool_0") <= 1.0)
+    }
+  }
+
   test("decodeStub frame count matches payload length math") {
     val item = MediaItem(1L, "img", 10, Array.fill[Byte](600)(65))
     val f = Multimodal.decodeStub(item)

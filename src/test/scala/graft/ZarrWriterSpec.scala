@@ -88,5 +88,16 @@ class ZarrWriterSpec extends AnyFunSuite {
     val filled = back.filter(col("lat") === 5 && col("time") === 0)
       .agg(sum("temperature")).collect().head.getLong(0)
     assert(filled == 0L)
+
+    // fillValueAsNull: the same cells surface as SQL NULL instead
+    val nulled = spark.read.format("zarr")
+      .option("fillValueAsNull", "true").load(out)
+    assert(nulled.count() == 700) // row count unchanged (cells, not rows)
+    val nullCells = nulled.filter(col("temperature").isNull)
+    assert(nullCells.count() >= 10) // the removed slab (other zero cells may join it)
+    assert(nullCells.filter(col("lat") === 5 && col("time") === 0).count() == 10)
+    // COUNT(col) must NOT be answered from metadata under fill->null
+    val cnt = nulled.agg(count(col("temperature"))).collect().head.getLong(0)
+    assert(cnt == 700 - nullCells.count())
   }
 }
