@@ -246,6 +246,36 @@ object ChunkCodec {
   * arrays. */
 object ChunkIO {
 
+  /** Executor-local decoded-chunk LRU, shared across tasks and queries
+    * in this JVM — the reference's roadmap "prefetching/LRU cache"
+    * (README.md:289-337). Off unless a scan requests it
+    * (`chunkCacheEntries` read option); entries are whole decoded
+    * chunks, so capacity × chunk size bounds the memory. Hot use case:
+    * repeated interactive queries (REPL) and remote stores, where a
+    * chunk re-fetch costs an object-store round trip. */
+  private val chunkCache =
+    new java.util.LinkedHashMap[(String, String, Seq[Long]), AnyRef](64, 0.75f, true) {
+      @volatile var cap = 0
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(String, String, Seq[Long]), AnyRef]): Boolean =
+        size() > cap
+    }
+
+  def readChunkCached(store: ZarrStore, meta: ZarrArrayMeta, chunkIdx: Seq[Long],
+      cacheEntries: Int): AnyRef =
+    if (cacheEntries <= 0) readChunk(store, meta, chunkIdx)
+    else {
+      val key = (store.path, meta.name, chunkIdx)
+      chunkCache.synchronized {
+        if (chunkCache.cap < cacheEntries) chunkCache.cap = cacheEntries
+        val hit = chunkCache.get(key)
+        if (hit != null) return hit
+      }
+      val a = readChunk(store, meta, chunkIdx)
+      chunkCache.synchronized { chunkCache.put(key, a) }
+      a
+    }
+
   /** Read + decode one chunk file; absent chunk files yield the
     * fill_value (Zarr semantics). Sharded arrays decode the whole
     * shard (inner chunks assembled in place). */

@@ -57,7 +57,7 @@ class ZarrColumnarReader(p: ZarrInputPartition, batchSize: Int = 4096)
         d = 0
         while (d < nDims) { chunkIdx(d) = idx(d) / meta.chunks(d); d += 1 }
         bytesRead += store.sizeOf(s"${meta.name}/${meta.chunkKey(chunkIdx.toSeq)}").getOrElse(0L)
-        chunk = ChunkIO.readChunk(store, meta, chunkIdx.toSeq)
+        chunk = ChunkIO.readChunkCached(store, meta, chunkIdx.toSeq, p.chunkCacheEntries)
         chunksDecoded += 1
         valid = true
       }

@@ -252,7 +252,8 @@ class ZarrScanBuilder(meta: ZarrStoreMeta, options: CaseInsensitiveStringMap)
     case None =>
       new ZarrScan(meta, requiredSchema, coordPreds, accepted, limit,
         options.getLong("minRowsPerPartition", 65536),
-        options.getBoolean("fillValueAsNull", false))
+        options.getBoolean("fillValueAsNull", false),
+        options.getInt("chunkCacheEntries", 0))
   }
 }
 
@@ -265,7 +266,8 @@ class ZarrScan(
     pushedFilters: Array[Filter],
     limit: Option[Long],
     minRowsPerPartition: Long,
-    fillAsNull: Boolean = false) extends Scan with Batch with SupportsReportStatistics
+    fillAsNull: Boolean = false,
+    chunkCacheEntries: Int = 0) extends Scan with Batch with SupportsReportStatistics
     with SupportsRuntimeV2Filtering {
 
   private val staticRanges: Option[GridMath.Ranges] =
@@ -346,7 +348,7 @@ class ZarrScan(
       }
       GridMath.partitionSlices(r, outerChunk, limit, minRowsPerPartition)
         .map(s => ZarrInputPartition(meta.path, s._1, s._2, r, meta.coords, projection,
-          fillAsNull): InputPartition)
+          fillAsNull, chunkCacheEntries): InputPartition)
         .toArray
   }
 
@@ -475,7 +477,8 @@ final case class ZarrInputPartition(
     ranges: Array[(Int, Int)],
     coords: Seq[CoordData],
     projection: Seq[ProjField],
-    fillAsNull: Boolean = false) extends InputPartition
+    fillAsNull: Boolean = false,
+    chunkCacheEntries: Int = 0) extends InputPartition
 
 class ZarrReaderFactory extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
@@ -517,7 +520,7 @@ class ZarrPartitionReader(p: ZarrInputPartition) extends PartitionReader[Interna
       case Some(a) => a
       case None =>
         bytesRead += store.sizeOf(s"${meta.name}/${meta.chunkKey(chunkIdx)}").getOrElse(0L)
-        val a = ChunkIO.readChunk(store, meta, chunkIdx)
+        val a = ChunkIO.readChunkCached(store, meta, chunkIdx, p.chunkCacheEntries)
         chunksDecoded += 1
         if (cache.size >= 16) cache.remove(cache.head._1)
         cache.put(chunkIdx, a)

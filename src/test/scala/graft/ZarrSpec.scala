@@ -101,6 +101,20 @@ class ZarrSpec extends AnyFunSuite {
     assert(scan.description().contains("limit=-1"), scan.description())
   }
 
+  test("chunkCacheEntries caches decoded chunks across queries, results unchanged") {
+    val cached = spark.read.format("zarr")
+      .option("chunkCacheEntries", "32").load(v3)
+    val plain = zarr(v3)
+    val a = cached.groupBy("time").agg(sum("temperature")).collect()
+      .map(_.toSeq).toSet
+    val b = plain.groupBy("time").agg(sum("temperature")).collect()
+      .map(_.toSeq).toSet
+    assert(a == b)
+    // second run (cache warm) still correct
+    assert(cached.agg(sum("humidity")).collect().head.getLong(0) ==
+      plain.agg(sum("humidity")).collect().head.getLong(0))
+  }
+
   test("zarr attributes surface as column metadata and table properties") {
     for (p <- Seq(v2, v3)) {
       val sch = zarr(p).schema
