@@ -216,13 +216,53 @@ object Similarity {
         ORDER BY cosine DESC, vec_id) AS rk FROM ranked) x
     WHERE rk <= $ivfK"""
 
+  /** Per-label embedding statistics: class counts, centroid
+    * components (first 4 dims), mean squared norm — the "is my
+    * labeled embedding corpus balanced/degenerate" health check of a
+    * training pipeline. Cross-row float sums go through an exact
+    * decimal accumulator (associative ⇒ identical on any partitioning
+    * or cluster size); per-row norms use the codegen'd
+    * [[graft.functions.FloatVecDot]] fold. One map-side-partial
+    * aggregation, shuffle key = label. */
+  def s4_embed_stats(s: SparkSession, dir: String): DataFrame = {
+    def cdim(i: Int): Column =
+      sum(element_at(col("embedding"), i + 1).cast("double")
+        .cast(org.apache.spark.sql.types.DecimalType(20, 10)))
+        .cast("double").as(s"c$i")
+    emb(s, dir)
+      .select(col("label").cast("long").as("label"), col("embedding"),
+        VectorOps.norm2(col("embedding")).as("n2"))
+      .groupBy("label")
+      .agg(count(lit(1)).as("n"),
+        cdim(0), cdim(1), cdim(2), cdim(3),
+        sum(col("n2").cast(org.apache.spark.sql.types.DecimalType(20, 10)))
+          .cast("double").as("sum_n2"))
+  }
+
+  private val s4Sql = """
+    WITH norms AS (
+      SELECT vec_id,
+        (SELECT SUM(CAST(x AS DOUBLE) * CAST(y AS DOUBLE))
+         FROM (SELECT UNNEST(e.embedding) AS x, UNNEST(e.embedding) AS y) z) AS n2
+      FROM embeddings e)
+    SELECT CAST(e.label AS BIGINT) AS label, COUNT(*) AS n,
+      CAST(SUM(CAST(CAST(e.embedding[1] AS DOUBLE) AS DECIMAL(20,10))) AS DOUBLE) AS c0,
+      CAST(SUM(CAST(CAST(e.embedding[2] AS DOUBLE) AS DECIMAL(20,10))) AS DOUBLE) AS c1,
+      CAST(SUM(CAST(CAST(e.embedding[3] AS DOUBLE) AS DECIMAL(20,10))) AS DOUBLE) AS c2,
+      CAST(SUM(CAST(CAST(e.embedding[4] AS DOUBLE) AS DECIMAL(20,10))) AS DOUBLE) AS c3,
+      CAST(SUM(CAST(n.n2 AS DECIMAL(20,10))) AS DOUBLE) AS sum_n2
+    FROM embeddings e JOIN norms n ON e.vec_id = n.vec_id
+    GROUP BY e.label"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s1_ann_brute" -> (s1_ann_brute _),
     "s2_ann_lsh" -> (s2_ann_lsh _),
-    "s3_ann_ivf" -> (s3_ann_ivf _))
+    "s3_ann_ivf" -> (s3_ann_ivf _),
+    "s4_embed_stats" -> (s4_embed_stats _))
 
   val oracle: Map[String, String] = Map(
     "s1_ann_brute" -> s1Sql,
     "s2_ann_lsh" -> s2Sql,
-    "s3_ann_ivf" -> s3Sql)
+    "s3_ann_ivf" -> s3Sql,
+    "s4_embed_stats" -> s4Sql)
 }
