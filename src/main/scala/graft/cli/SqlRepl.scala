@@ -58,8 +58,44 @@ object SqlRepl {
     spark.stop()
   }
 
+  private val keywords =
+    ("select|from|where|group|order|by|having|limit|offset|join|left|right|full|inner|outer|" +
+      "semi|anti|cross|on|using|union|all|intersect|except|with|as|and|or|not|in|between|" +
+      "like|is|null|case|when|then|else|end|distinct|create|drop|table|options|show|describe|" +
+      "insert|into|values|partition|window|over|rows|range|preceding|following|current|row|" +
+      "cast|count|sum|avg|min|max").split('|').toSet
+
+  /** ANSI keyword/string/number highlighting of the executed statement
+    * — the port of the reference CLI's rustyline highlighter
+    * (/root/reference/src/bin/zarr_cli/main.rs; echo-time rather than
+    * keystroke-time, since this shell reads cooked lines). */
+  def highlight(sql: String): String = {
+    val esc = "\u001b["
+    def paint(color: String, t: String) = esc + color + "m" + t + esc + "0m"
+    val tok = java.util.regex.Pattern
+      .compile("'[^']*'|\\b\\d+(?:\\.\\d+)?\\b|\\b\\w+\\b")
+    val m = tok.matcher(sql)
+    val out = new StringBuilder
+    var last = 0
+    while (m.find()) {
+      out.append(sql.substring(last, m.start()))
+      val t = m.group()
+      out.append(
+        if (t.startsWith("'")) paint("32", t) // strings green
+        else if (t.head.isDigit) paint("33", t) // numbers yellow
+        else if (keywords(t.toLowerCase)) paint("36", t) // keywords cyan
+        else t)
+      last = m.end()
+    }
+    out.append(sql.substring(last)).toString
+  }
+
+  private def colorTerm: Boolean =
+    sys.env.get("TERM").exists(_ != "dumb") && System.console() != null
+
   private def runSql(spark: SparkSession, sql: String): Unit = {
     val t0 = System.nanoTime()
+    if (colorTerm) println(highlight(sql))
     try {
       val df = spark.sql(sql)
       val isDdl = sql.trim.toLowerCase.matches("^(create|drop|alter|set|use)\\b.*")
