@@ -129,13 +129,52 @@ object EventsStreaming {
   private val st3Sql =
     "SELECT DISTINCT user_id, event_type FROM events"
 
+  /** Stream-stream interval join: purchases joined to the same user's
+    * views in the preceding 10 minutes. Both sides carry watermarks
+    * and the join condition bounds event time, so state is bounded by
+    * the interval + watermark horizon — the canonical streaming join
+    * shape. Output is the (purchase, view) pair set: deterministic,
+    * so the DuckDB oracle is the equivalent batch interval join. */
+  def st4_stream_join(s: SparkSession, dir: String): DataFrame = {
+    val purchases = eventsStream(s, dir)
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("user_id").as("p_user"),
+        col("ts").as("p_ts"))
+      .withWatermark("p_ts", "1 hour")
+    val views = eventsStream(s, dir)
+      .filter(col("event_type") === "view")
+      .select(col("event_id").as("v_id"), col("user_id").as("v_user"),
+        col("ts").as("v_ts"))
+      .withWatermark("v_ts", "1 hour")
+    val joined = purchases.join(views,
+        col("p_user") === col("v_user") &&
+          col("v_ts") >= col("p_ts") - expr("INTERVAL 10 MINUTES") &&
+          col("v_ts") <= col("p_ts"))
+      .select(col("p_id"), col("v_id"), col("p_user").as("user_id"),
+        (unix_micros(col("p_ts")) - unix_micros(col("v_ts"))).as("gap_us"))
+    runToTable(joined, "st4_out", OutputMode.Append())
+  }
+
+  private val st4Sql = """
+    WITH e AS (
+      SELECT event_id, user_id, event_type, epoch_ns(ts) // 1000 AS ts_us
+      FROM events)
+    SELECT p.event_id AS p_id, v.event_id AS v_id, p.user_id,
+      p.ts_us - v.ts_us AS gap_us
+    FROM e p JOIN e v
+      ON p.user_id = v.user_id
+      AND p.event_type = 'purchase' AND v.event_type = 'view'
+      AND v.ts_us >= p.ts_us - 600000000 AND v.ts_us <= p.ts_us"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "st1_stream_window_agg" -> (st1_stream_window_agg _),
     "st2_stream_sessionize" -> (st2_stream_sessionize _),
-    "st3_stream_dedup" -> (st3_stream_dedup _))
+    "st3_stream_dedup" -> (st3_stream_dedup _),
+    "st4_stream_join" -> (st4_stream_join _))
 
   val oracle: Map[String, String] = Map(
     "st1_stream_window_agg" -> st1Sql,
     "st2_stream_sessionize" -> st2Sql,
-    "st3_stream_dedup" -> st3Sql)
+    "st3_stream_dedup" -> st3Sql,
+    "st4_stream_join" -> st4Sql)
 }
