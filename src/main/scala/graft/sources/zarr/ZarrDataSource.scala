@@ -115,8 +115,9 @@ class ZarrDataSource extends TableProvider
         .getOrElse(throw new IllegalArgumentException(
           "Zarr write requires option 'coords': comma-separated coordinate columns, outer dimension first"))
       val chunkOuter = params.get("chunkouter").map(_.toInt).getOrElse(1)
+      val version = params.get("zarrversion").map(_.toInt).getOrElse(2)
       if (exists) ZarrStore.open(path).deleteRecursively()
-      ZarrWriter.write(data, path, coords, chunkOuter)
+      ZarrWriter.write(data, path, coords, chunkOuter, version)
     }
     val ctx = sqlContext
     new org.apache.spark.sql.sources.BaseRelation {

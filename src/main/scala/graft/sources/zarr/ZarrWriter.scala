@@ -7,11 +7,14 @@ import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
-/** Distributed Zarr v2 store writer — the sink the reference lists as
-  * roadmap ("output formats", /root/reference/README.md:305). Writes a
-  * complete-grid DataFrame (coordinate columns + data-variable
-  * columns) as a Zarr v2 store: coordinates as 1-D arrays, variables
-  * chunked `(chunkOuter, full inner dims)` like the reference fixtures.
+/** Distributed Zarr store writer (v2 or v3) — the sink the reference
+  * lists as roadmap ("output formats", /root/reference/README.md:305).
+  * Writes a complete-grid DataFrame (coordinate columns +
+  * data-variable columns) as a Zarr store: coordinates as 1-D arrays,
+  * variables chunked `(chunkOuter, full inner dims)` like the
+  * reference fixtures. v2 emits `.zgroup`/`.zarray`/`.zattrs` with
+  * dotted chunk keys; v3 emits `zarr.json` documents (bytes codec,
+  * little-endian, inline attributes) with `c/`-prefixed chunk keys.
   *
   * Distribution model: rows are repartitioned by outer-chunk id, so
   * each executor task owns whole chunk slabs and writes its chunk
@@ -42,6 +45,29 @@ object ZarrWriter {
        |"dtype":"$dtype","fill_value":0,"order":"C","filters":null,
        |"dimension_separator":".","compressor":null}""".stripMargin.replace("\n", "")
 
+  private def v3TypeName(t: DataType): String = t match {
+    case LongType => "int64"
+    case IntegerType => "int32"
+    case ShortType => "int16"
+    case ByteType => "int8"
+    case DoubleType => "float64"
+    case FloatType => "float32"
+    case BooleanType => "bool"
+    case other => throw new IllegalArgumentException(s"Unsupported Zarr write type: $other")
+  }
+
+  private def zarrJsonV3(shape: Seq[Long], chunks: Seq[Int], t: DataType,
+      attrsJson: Option[String]): String = {
+    val attrs = attrsJson.map(a => s""","attributes":$a""").getOrElse("")
+    s"""{"zarr_format":3,"node_type":"array","shape":[${shape.mkString(",")}],
+       |"data_type":"${v3TypeName(t)}",
+       |"chunk_grid":{"name":"regular","configuration":{"chunk_shape":[${chunks.mkString(",")}]}},
+       |"chunk_key_encoding":{"name":"default","configuration":{"separator":"/"}},
+       |"fill_value":0,
+       |"codecs":[{"name":"bytes","configuration":{"endian":"little"}}]$attrs}"""
+      .stripMargin.replace("\n", "")
+  }
+
   private def putValue(buf: ByteBuffer, offset: Int, elem: Int, t: DataType, v: Any): Unit =
     t match {
       case LongType => buf.putLong(offset * elem, v.asInstanceOf[Long])
@@ -59,7 +85,9 @@ object ZarrWriter {
     * @param coords coordinate column names, outer dimension first
     * @param chunkOuter chunk extent along the outer dimension
     */
-  def write(df: DataFrame, path: String, coords: Seq[String], chunkOuter: Int = 1): Unit = {
+  def write(df: DataFrame, path: String, coords: Seq[String], chunkOuter: Int = 1,
+      version: Int = 2): Unit = {
+    require(version == 2 || version == 3, s"zarrVersion must be 2 or 3, got $version")
     require(coords.nonEmpty, "at least one coordinate column")
     val schema = df.schema
     val varCols = schema.fieldNames.filterNot(coords.contains).toSeq
@@ -78,34 +106,49 @@ object ZarrWriter {
     // 2. driver writes group + coordinate arrays + variable metadata
     val root = Paths.get(path)
     Files.createDirectories(root)
-    Files.write(root.resolve(".zgroup"), """{"zarr_format":2}""".getBytes)
+    if (version == 2)
+      Files.write(root.resolve(".zgroup"), """{"zarr_format":2}""".getBytes)
+    else
+      Files.write(root.resolve("zarr.json"),
+        """{"zarr_format":3,"node_type":"group"}""".getBytes)
     // Column metadata (units, long_name, … — e.g. from a zarr read)
-    // round-trips as the array's .zattrs.
-    def writeAttrs(dir: java.nio.file.Path, name: String): Unit = {
+    // round-trips as the array's .zattrs (v2) / inline attributes (v3).
+    def attrsJson(name: String): Option[String] = {
       val md = schema(name).metadata
-      if (md != org.apache.spark.sql.types.Metadata.empty)
-        Files.write(dir.resolve(".zattrs"), md.json.getBytes)
+      if (md == org.apache.spark.sql.types.Metadata.empty) None else Some(md.json)
+    }
+    def writeArrayMeta(dir: java.nio.file.Path, name: String,
+        aShape: Seq[Long], aChunks: Seq[Int]): Unit = {
+      val t = schema(name).dataType
+      if (version == 2) {
+        Files.write(dir.resolve(".zarray"),
+          zarray(aShape, aChunks, dtypeOf(t)._1).getBytes)
+        attrsJson(name).foreach(a => Files.write(dir.resolve(".zattrs"), a.getBytes))
+      } else {
+        Files.write(dir.resolve("zarr.json"),
+          zarrJsonV3(aShape, aChunks, t, attrsJson(name)).getBytes)
+      }
     }
     coords.zip(coordVals).zipWithIndex.foreach { case ((name, vals), i) =>
       val t = schema(name).dataType
-      val (dt, elem) = dtypeOf(t)
+      val (_, elem) = dtypeOf(t)
       val dir = root.resolve(name)
       Files.createDirectories(dir)
-      Files.write(dir.resolve(".zarray"),
-        zarray(Seq(vals.length.toLong), Seq(vals.length), dt).getBytes)
-      writeAttrs(dir, name)
+      writeArrayMeta(dir, name, Seq(vals.length.toLong), Seq(vals.length))
       val buf = ByteBuffer.allocate(vals.length * elem).order(ByteOrder.LITTLE_ENDIAN)
       vals.zipWithIndex.foreach { case (v, j) => putValue(buf, j, elem, t, v) }
-      Files.write(dir.resolve("0"), buf.array())
+      if (version == 2) Files.write(dir.resolve("0"), buf.array())
+      else {
+        Files.createDirectories(dir.resolve("c"))
+        Files.write(dir.resolve("c").resolve("0"), buf.array())
+      }
     }
     val innerShape = shape.drop(1).map(_.toInt)
     val chunkShape = chunkOuter +: innerShape
     varCols.foreach { name =>
-      val (dt, _) = dtypeOf(schema(name).dataType)
       val dir = root.resolve(name)
       Files.createDirectories(dir)
-      Files.write(dir.resolve(".zarray"), zarray(shape, chunkShape, dt).getBytes)
-      writeAttrs(dir, name)
+      writeArrayMeta(dir, name, shape, chunkShape)
     }
 
     // 3. executors write chunk slabs: repartition by outer-chunk id so
@@ -125,6 +168,7 @@ object ZarrWriter {
         col("__chunk"))
 
     val coordNames = coords
+    val wVersion = version
     rows.foreachPartition { it: Iterator[Row] =>
       val idx = bIdx.value
       val buffers = scala.collection.mutable.Map.empty[(Int, Int), ByteBuffer] // (chunk, var)
@@ -155,8 +199,18 @@ object ZarrWriter {
         }
       }
       buffers.foreach { case ((chunk, v), buf) =>
-        val key = (chunk.toString +: Seq.fill(coordNames.length - 1)("0")).mkString(".")
-        Files.write(Paths.get(path, varCols(v), key), buf.array())
+        val target =
+          if (wVersion == 2)
+            Paths.get(path, varCols(v),
+              (chunk.toString +: Seq.fill(coordNames.length - 1)("0")).mkString("."))
+          else {
+            val segs = Seq(varCols(v), "c", chunk.toString) ++
+              Seq.fill(coordNames.length - 1)("0")
+            val p = Paths.get(path, segs: _*)
+            Files.createDirectories(p.getParent)
+            p
+          }
+        Files.write(target, buf.array())
       }
     }
   }

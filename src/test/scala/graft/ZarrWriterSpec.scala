@@ -78,6 +78,23 @@ class ZarrWriterSpec extends AnyFunSuite {
       src.write.format("zarr").mode("overwrite").save(out2))
   }
 
+  test("zarrVersion=3 writes a v3 store that reads back identically") {
+    val out = Files.createTempDirectory("zarr_v3w").resolve("v3w.zarr").toString
+    val src = spark.read.format("zarr").load(v3)
+    src.write.format("zarr")
+      .option("coords", "time,lon,lat").option("chunkOuter", "2")
+      .option("zarrVersion", "3")
+      .mode("overwrite").save(out)
+    assert(Files.exists(Paths.get(out, "zarr.json")))
+    assert(Files.exists(Paths.get(out, "temperature", "zarr.json")))
+    assert(Files.exists(Paths.get(out, "temperature", "c", "1", "0", "0")))
+    val back = spark.read.format("zarr").load(out)
+    assert(back.schema == src.schema) // incl. attrs round-trip via v3 attributes
+    val a = src.orderBy("time", "lon", "lat").collect().map(_.toSeq).toSeq
+    val b = back.orderBy("time", "lon", "lat").collect().map(_.toSeq).toSeq
+    assert(a == b)
+  }
+
   test("missing cells become fill_value zero") {
     val out = Files.createTempDirectory("zarr_fill").resolve("partial.zarr").toString
     val partial = spark.read.format("zarr").load(v3)
