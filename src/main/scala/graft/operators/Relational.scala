@@ -483,6 +483,39 @@ object Relational {
       COUNT(*) AS n
     FROM lineitem GROUP BY l_returnflag"""
 
+  /** Hot-key aggregation through [[Skew.saltedSum]] (two-phase salted
+    * partial→final). Results are identical to the plain GROUP BY —
+    * that is the point: the oracle IS the unsalted query, proving the
+    * mitigation changes only the shuffle layout. l_returnflag has 3
+    * values over 600k rows — exactly the dominant-key shape AQE's
+    * skew-join split cannot help with (it is an aggregation). */
+  def k1_salted_agg(s: SparkSession, dir: String): DataFrame =
+    Skew.saltedSum(
+      t(s, dir, "lineitem"), "l_returnflag",
+      dec(col("l_quantity"), 12), "sum_qty", saltFactor = 8)
+      .select(col("l_returnflag"), col("sum_qty").cast("double").as("sum_qty"))
+
+  private val k1Sql = """
+    SELECT l_returnflag,
+      CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+    FROM lineitem GROUP BY l_returnflag"""
+
+  /** Hot-key join through [[Skew.saltedJoin]] (salted big side,
+    * replicated small side). Oracle = the plain join. */
+  def k2_salted_join(s: SparkSession, dir: String): DataFrame = {
+    val cust = t(s, dir, "customer")
+      .select(col("c_custkey").as("o_custkey"), col("c_mktsegment"))
+    Skew.saltedJoin(t(s, dir, "orders"), cust, "o_custkey", saltFactor = 4)
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("revenue"))
+  }
+
+  private val k2Sql = """
+    SELECT c_mktsegment, COUNT(*) AS n_orders,
+      CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS revenue
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment"""
+
   // ---------------------------------------------------------------- oracles
 
   private val q1Sql = s"""
@@ -711,7 +744,9 @@ object Relational {
     "q28_exists" -> (q28_exists _),
     "q29_unpivot" -> (q29_unpivot _),
     "q30_window_ranks" -> (q30_window_ranks _),
-    "q31_percentiles" -> (q31_percentiles _))
+    "q31_percentiles" -> (q31_percentiles _),
+    "k1_salted_agg" -> (k1_salted_agg _),
+    "k2_salted_join" -> (k2_salted_join _))
 
   val oracle: Map[String, String] = Map(
     "q1_agg" -> q1Sql,
@@ -743,5 +778,7 @@ object Relational {
     "q28_exists" -> q28Sql,
     "q29_unpivot" -> q29Sql,
     "q30_window_ranks" -> q30Sql,
-    "q31_percentiles" -> q31Sql)
+    "q31_percentiles" -> q31Sql,
+    "k1_salted_agg" -> k1Sql,
+    "k2_salted_join" -> k2Sql)
 }
