@@ -173,15 +173,41 @@ object TextAnalysis {
       FROM h) x
     WHERE rk <= 4"""
 
+  /** Corpus cleaning: stopword removal + whitespace squeeze — the
+    * text-normalization stage before tokenizer training. Output is
+    * the removal count plus an md5 of the cleaned text, so the oracle
+    * verifies CONTENT equality without shipping the corpus through
+    * the compare. Same regex subset (word-boundary alternation) in
+    * Java regex and RE2. */
+  def t5_text_clean(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).select(
+      col("doc_id"),
+      regexp_count(col("text"), lit("\\b(the|a|of|and|to|in|is|it)\\b")).cast("long").as("n_removed"),
+      md5(trim(regexp_replace(regexp_replace(
+        col("text"), "\\b(the|a|of|and|to|in|is|it)\\b", ""), " +", " ")).cast("binary"))
+        .as("clean_md5"),
+      length(trim(regexp_replace(regexp_replace(
+        col("text"), "\\b(the|a|of|and|to|in|is|it)\\b", ""), " +", " ")))
+        .cast("long").as("clean_len"))
+
+  private val t5Sql = """
+    SELECT doc_id,
+      CAST(LEN(REGEXP_EXTRACT_ALL(text, '\b(the|a|of|and|to|in|is|it)\b')) AS BIGINT) AS n_removed,
+      md5(TRIM(REGEXP_REPLACE(REGEXP_REPLACE(text, '\b(the|a|of|and|to|in|is|it)\b', '', 'g'), ' +', ' ', 'g'))) AS clean_md5,
+      CAST(LENGTH(TRIM(REGEXP_REPLACE(REGEXP_REPLACE(text, '\b(the|a|of|and|to|in|is|it)\b', '', 'g'), ' +', ' ', 'g'))) AS BIGINT) AS clean_len
+    FROM documents"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t1_text_tokens" -> (t1_text_tokens _),
     "t2_text_quality" -> (t2_text_quality _),
     "t3_text_langid" -> (t3_text_langid _),
-    "t4_text_fingerprint" -> (t4_text_fingerprint _))
+    "t4_text_fingerprint" -> (t4_text_fingerprint _),
+    "t5_text_clean" -> (t5_text_clean _))
 
   val oracle: Map[String, String] = Map(
     "t1_text_tokens" -> t1Sql,
     "t2_text_quality" -> t2Sql,
     "t3_text_langid" -> t3Sql,
-    "t4_text_fingerprint" -> t4Sql)
+    "t4_text_fingerprint" -> t4Sql,
+    "t5_text_clean" -> t5Sql)
 }

@@ -30,12 +30,16 @@ sealed trait ZarrStore extends Serializable {
 }
 
 object ZarrStore {
-  /** Scheme dispatch: URIs with a non-`file` scheme go through Hadoop;
-    * plain paths and `file:` use java.nio directly. */
+  /** Scheme dispatch: `http(s)://` uses the JDK HttpClient (read-only,
+    * consolidated-metadata stores — plain HTTP cannot list), other
+    * non-`file` schemes go through Hadoop; plain paths and `file:`
+    * use java.nio directly. */
   def open(pathStr: String): ZarrStore = {
     val schemeEnd = pathStr.indexOf("://")
     if (pathStr.startsWith("file:"))
       LocalStore(Paths.get(java.net.URI.create(pathStr)).toString)
+    else if (pathStr.startsWith("http://") || pathStr.startsWith("https://"))
+      HttpStore(pathStr.stripSuffix("/"))
     else if (schemeEnd > 0) HadoopStore(pathStr)
     else LocalStore(pathStr)
   }
@@ -100,4 +104,50 @@ final case class HadoopStore(path: String) extends ZarrStore {
 
   override def deleteRecursively(): Unit =
     if (fs.exists(root)) fs.delete(root, true)
+}
+
+/** Read-only Zarr store over plain HTTP(S) — the reference's roadmap
+  * "HTTP backend" (README.md:289-337). Plain HTTP has no directory
+  * listing, so discovery requires consolidated metadata (`.zmetadata`,
+  * one GET) or a root `zarr.json`; chunk reads are ranged to whole
+  * objects (one GET each). Executors open their own clients lazily —
+  * the store crosses the wire as just the URL. */
+final case class HttpStore(path: String) extends ZarrStore {
+  import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+
+  @transient private lazy val client: HttpClient =
+    HttpClient.newBuilder()
+      .followRedirects(HttpClient.Redirect.NORMAL)
+      .build()
+
+  private def uri(rel: String) = java.net.URI.create(s"$path/$rel")
+
+  override def listDirs(): Seq[String] =
+    throw new UnsupportedOperationException(
+      s"HTTP Zarr stores cannot list directories; publish consolidated metadata " +
+        s"(.zmetadata) at $path")
+
+  override def readBytes(rel: String): Option[Array[Byte]] = {
+    val resp = client.send(
+      HttpRequest.newBuilder(uri(rel)).GET().build(),
+      HttpResponse.BodyHandlers.ofByteArray())
+    if (resp.statusCode() == 200) Some(resp.body())
+    else if (resp.statusCode() == 404) None
+    else throw new java.io.IOException(
+      s"HTTP ${resp.statusCode()} reading ${uri(rel)}")
+  }
+
+  override def sizeOf(rel: String): Option[Long] = {
+    val resp = client.send(
+      HttpRequest.newBuilder(uri(rel))
+        .method("HEAD", HttpRequest.BodyPublishers.noBody()).build(),
+      HttpResponse.BodyHandlers.discarding())
+    if (resp.statusCode() == 200) {
+      val l = resp.headers().firstValueAsLong("Content-Length")
+      Some(if (l.isPresent) l.getAsLong else 0L)
+    } else None
+  }
+
+  override def deleteRecursively(): Unit =
+    throw new UnsupportedOperationException("HTTP Zarr stores are read-only")
 }
