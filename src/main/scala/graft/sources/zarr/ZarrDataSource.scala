@@ -116,8 +116,9 @@ class ZarrDataSource extends TableProvider
           "Zarr write requires option 'coords': comma-separated coordinate columns, outer dimension first"))
       val chunkOuter = params.get("chunkouter").map(_.toInt).getOrElse(1)
       val version = params.get("zarrversion").map(_.toInt).getOrElse(2)
+      val shardInner = params.get("shardinner").map(_.toInt).getOrElse(0)
       if (exists) ZarrStore.open(path).deleteRecursively()
-      ZarrWriter.write(data, path, coords, chunkOuter, version)
+      ZarrWriter.write(data, path, coords, chunkOuter, version, shardInner)
     }
     val ctx = sqlContext
     new org.apache.spark.sql.sources.BaseRelation {

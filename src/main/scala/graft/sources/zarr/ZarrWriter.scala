@@ -57,15 +57,44 @@ object ZarrWriter {
   }
 
   private def zarrJsonV3(shape: Seq[Long], chunks: Seq[Int], t: DataType,
-      attrsJson: Option[String]): String = {
+      attrsJson: Option[String], shardInner: Int = 0): String = {
     val attrs = attrsJson.map(a => s""","attributes":$a""").getOrElse("")
+    val bytesCodec = """{"name":"bytes","configuration":{"endian":"little"}}"""
+    val codecs =
+      if (shardInner <= 0) s"[$bytesCodec]"
+      else {
+        val innerShape = (shardInner +: chunks.drop(1)).mkString(",")
+        s"""[{"name":"sharding_indexed","configuration":{
+           |"chunk_shape":[$innerShape],
+           |"codecs":[$bytesCodec],
+           |"index_codecs":[$bytesCodec,{"name":"crc32c"}],
+           |"index_location":"end"}}]""".stripMargin.replace("\n", "")
+      }
     s"""{"zarr_format":3,"node_type":"array","shape":[${shape.mkString(",")}],
        |"data_type":"${v3TypeName(t)}",
        |"chunk_grid":{"name":"regular","configuration":{"chunk_shape":[${chunks.mkString(",")}]}},
        |"chunk_key_encoding":{"name":"default","configuration":{"separator":"/"}},
        |"fill_value":0,
-       |"codecs":[{"name":"bytes","configuration":{"endian":"little"}}]$attrs}"""
+       |"codecs":$codecs$attrs}"""
       .stripMargin.replace("\n", "")
+  }
+
+  /** Wrap a raw little-endian slab into a v3 shard: body = the inner
+    * chunks (contiguous, since inner chunks split only the outer
+    * dimension), then the (offset,nbytes) uint64le index + crc32c. */
+  private def shardify(slab: Array[Byte], nInner: Int): Array[Byte] = {
+    val innerBytes = slab.length / nInner
+    val out = ByteBuffer.allocate(slab.length + nInner * 16 + 4)
+      .order(ByteOrder.LITTLE_ENDIAN)
+    out.put(slab)
+    var i = 0
+    while (i < nInner) {
+      out.putLong(i.toLong * innerBytes); out.putLong(innerBytes.toLong); i += 1
+    }
+    val crc = new java.util.zip.CRC32C
+    crc.update(out.array(), slab.length, nInner * 16)
+    out.putInt(crc.getValue.toInt)
+    out.array()
   }
 
   private def putValue(buf: ByteBuffer, offset: Int, elem: Int, t: DataType, v: Any): Unit =
@@ -86,8 +115,10 @@ object ZarrWriter {
     * @param chunkOuter chunk extent along the outer dimension
     */
   def write(df: DataFrame, path: String, coords: Seq[String], chunkOuter: Int = 1,
-      version: Int = 2): Unit = {
+      version: Int = 2, shardInner: Int = 0): Unit = {
     require(version == 2 || version == 3, s"zarrVersion must be 2 or 3, got $version")
+    require(shardInner == 0 || (version == 3 && chunkOuter % shardInner == 0),
+      s"shardInner requires zarrVersion=3 and chunkOuter ($chunkOuter) divisible by shardInner ($shardInner)")
     require(coords.nonEmpty, "at least one coordinate column")
     val schema = df.schema
     val varCols = schema.fieldNames.filterNot(coords.contains).toSeq
@@ -125,8 +156,10 @@ object ZarrWriter {
           zarray(aShape, aChunks, dtypeOf(t)._1).getBytes)
         attrsJson(name).foreach(a => Files.write(dir.resolve(".zattrs"), a.getBytes))
       } else {
+        // only data variables shard (aShape == full grid shape)
+        val si = if (aShape == shape) shardInner else 0
         Files.write(dir.resolve("zarr.json"),
-          zarrJsonV3(aShape, aChunks, t, attrsJson(name)).getBytes)
+          zarrJsonV3(aShape, aChunks, t, attrsJson(name), si).getBytes)
       }
     }
     coords.zip(coordVals).zipWithIndex.foreach { case ((name, vals), i) =>
@@ -169,6 +202,7 @@ object ZarrWriter {
 
     val coordNames = coords
     val wVersion = version
+    val wShardInner = shardInner
     rows.foreachPartition { it: Iterator[Row] =>
       val idx = bIdx.value
       val buffers = scala.collection.mutable.Map.empty[(Int, Int), ByteBuffer] // (chunk, var)
@@ -210,7 +244,10 @@ object ZarrWriter {
             Files.createDirectories(p.getParent)
             p
           }
-        Files.write(target, buf.array())
+        val payload =
+          if (wShardInner > 0) shardify(buf.array(), chunkOuter / wShardInner)
+          else buf.array()
+        Files.write(target, payload)
       }
     }
   }

@@ -135,6 +135,23 @@ class ZarrShardingSpec extends AnyFunSuite {
     assert(chain(ex).exists(m => m != null && m.contains("crc32c")))
   }
 
+  test("sharded WRITE round-trips through the sharded reader") {
+    val out = Files.createTempDirectory("zarr_shard_w").resolve("sw.zarr").toString
+    val src = TestSession.spark.read.format("zarr")
+      .load("src/test/resources/zarr/synthetic_v3.zarr")
+    src.write.format("zarr")
+      .option("coords", "time,lon,lat").option("chunkOuter", "4")
+      .option("zarrVersion", "3").option("shardInner", "2")
+      .mode("overwrite").save(out)
+    // 7 time steps / chunkOuter 4 -> 2 shards, each 2 inner chunks
+    assert(Files.exists(java.nio.file.Paths.get(out, "temperature", "c", "1", "0", "0")))
+    val back = TestSession.spark.read.format("zarr").load(out)
+    assert(back.schema == src.schema)
+    val a = src.orderBy("time", "lon", "lat").collect().map(_.toSeq).toSeq
+    val b = back.orderBy("time", "lon", "lat").collect().map(_.toSeq).toSeq
+    assert(a == b)
+  }
+
   test("filter pushdown composes with sharded reads") {
     val root = buildStore(
       """{"name":"bytes","configuration":{"endian":"little"}}""",
