@@ -212,6 +212,40 @@ object Curation {
     FROM documents
     GROUP BY source"""
 
+  // ------------------------------------------------- c7 sequence packing
+
+  /** Sequence packing: assign documents to fixed token-budget packs
+    * (2048 tokens) by running-total position — the standard streaming
+    * packing for LLM pretraining batches. Packing runs within each
+    * language shard (`partitionBy(lang)`), so at 100 TB each shard
+    * packs independently — no global order, no single-partition
+    * bottleneck; shards are the parallelism unit exactly like a real
+    * pretraining data pipeline. Exact integer arithmetic throughout. */
+  def c7_pack_sequences(s: SparkSession, dir: String): DataFrame = {
+    val budget = 2048
+    val w = Window.partitionBy("lang").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    docs(s, dir)
+      .select(col("doc_id"), col("lang"),
+        regexp_count(col("text"), lit("\\S+")).cast("long").as("toks"))
+      .withColumn("cum_before", coalesce(sum(col("toks")).over(w), lit(0L)))
+      .select(col("doc_id"), col("lang"), col("toks"),
+        expr(s"cum_before div $budget").as("pack_id"),
+        expr(s"cum_before % $budget").as("pack_offset"))
+  }
+
+  private val c7Sql = """
+    SELECT doc_id, lang, toks,
+      cum_before // 2048 AS pack_id,
+      cum_before % 2048 AS pack_offset
+    FROM (
+      SELECT doc_id, lang,
+        CAST(LEN(REGEXP_EXTRACT_ALL(text, '\S+')) AS BIGINT) AS toks,
+        COALESCE(SUM(CAST(LEN(REGEXP_EXTRACT_ALL(text, '\S+')) AS BIGINT)) OVER (
+          PARTITION BY lang ORDER BY doc_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+      FROM documents) t"""
+
   // -------------------------------------------------------------- registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -220,7 +254,8 @@ object Curation {
     "c3_vocab" -> (c3_vocab _),
     "c4_tfidf" -> (c4_tfidf _),
     "c5_editdist_pairs" -> (c5_editdist_pairs _),
-    "c6_pivot" -> (c6_pivot _))
+    "c6_pivot" -> (c6_pivot _),
+    "c7_pack_sequences" -> (c7_pack_sequences _))
 
   val oracle: Map[String, String] = Map(
     "c1_split_hash" -> c1Sql,
@@ -228,5 +263,6 @@ object Curation {
     "c3_vocab" -> c3Sql,
     "c4_tfidf" -> c4Sql,
     "c5_editdist_pairs" -> c5Sql,
-    "c6_pivot" -> c6Sql)
+    "c6_pivot" -> c6Sql,
+    "c7_pack_sequences" -> c7Sql)
 }

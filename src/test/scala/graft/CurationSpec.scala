@@ -68,6 +68,20 @@ class CurationSpec extends AnyFunSuite {
     assert(total == Tables.load(spark, sf, "documents").count())
   }
 
+  test("sequence packing: offsets stay under budget and cumsum is consistent") {
+    val rows = Curation.c7_pack_sequences(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getAs[String]("lang")).foreach { case (_, rs) =>
+      val sorted = rs.sortBy(_.getAs[Long]("doc_id"))
+      var cum = 0L
+      sorted.foreach { r =>
+        assert(r.getAs[Long]("pack_id") == cum / 2048)
+        assert(r.getAs[Long]("pack_offset") == cum % 2048)
+        cum += r.getAs[Long]("toks")
+      }
+    }
+  }
+
   test("asof join: last view precedes purchase and gap is consistent") {
     val rows = Relational.q26_asof_join(spark, sf).collect()
     assert(rows.nonEmpty)
