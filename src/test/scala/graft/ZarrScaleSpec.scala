@@ -75,6 +75,16 @@ class ZarrScaleSpec extends AnyFunSuite {
     assert(secs < 60)
   }
 
+  test("range pushdown prunes the ERA5 shape before IO (2 of 3 time slabs)") {
+    val fdf = df.filter(col("time") >= 1095745L && col("latitude") >= 0.0)
+    val scanDesc = fdf.queryExecution.sparkPlan.collect {
+      case s: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => s.scan.description()
+    }.head
+    assert(scanDesc.contains("GreaterThanOrEqual(time,1095745)"), scanDesc)
+    val n = fdf.count()
+    assert(n < 6229440L / 2, s"range pushdown should cut the scan, counted $n")
+  }
+
   test("full-scan aggregate throughput") {
     val t0 = System.nanoTime()
     val rows = df.groupBy("time").agg(
