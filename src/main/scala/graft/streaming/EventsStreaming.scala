@@ -152,7 +152,14 @@ object EventsStreaming {
           col("v_ts") <= col("p_ts"))
       .select(col("p_id"), col("v_id"), col("p_user").as("user_id"),
         (unix_micros(col("p_ts")) - unix_micros(col("v_ts"))).as("gap_us"))
-    runToTable(joined, "st4_out", OutputMode.Append())
+    // A stream-stream join materializes one state store per shuffle
+    // partition per side; at interactive scale the per-store fixed cost
+    // dominates, so run the join with fewer state partitions. (On a
+    // real cluster this is sized to executor count instead.)
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "4")
+    try runToTable(joined, "st4_out", OutputMode.Append())
+    finally s.conf.set("spark.sql.shuffle.partitions", prev)
   }
 
   private val st4Sql = """
