@@ -246,6 +246,60 @@ object Curation {
           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
       FROM documents) t"""
 
+  // --------------------------------------------- cp1 end-to-end pipeline
+
+  /** The full curation pipeline as ONE composable DataFrame plan:
+    * clean (stopword removal) → exact-dedup on the cleaned text
+    * (keeper = min doc_id) → deterministic hash split → keep `train`
+    * → sequence-pack per language. Every stage is the same code shape
+    * as its standalone op (t5, d1, c1, c7); Catalyst fuses the
+    * per-row stages into the scan projection, and the only shuffles
+    * are the dedup hash-group and the per-language packing window. */
+  def cp1_pipeline(s: SparkSession, dir: String): DataFrame = {
+    val stop = "\\b(the|a|of|and|to|in|is|it)\\b"
+    val cleaned = docs(s, dir).select(col("doc_id"), col("lang"),
+      trim(regexp_replace(regexp_replace(col("text"), stop, ""), " +", " "))
+        .as("clean"))
+    val keep = Window.partitionBy("clean")
+    val deduped = cleaned
+      .withColumn("keeper", min(col("doc_id")).over(keep))
+      .filter(col("doc_id") === col("keeper"))
+    val split = deduped.withColumn("bucket",
+        expr(s"((doc_id * CAST(2654435761 AS BIGINT) + 104729) % $P) % 100"))
+      .filter(col("bucket") < 80) // train
+    val w = Window.partitionBy("lang").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    split
+      .select(col("doc_id"), col("lang"),
+        regexp_count(col("clean"), lit("\\S+")).cast("long").as("toks"))
+      .withColumn("cum_before", coalesce(sum(col("toks")).over(w), lit(0L)))
+      .select(col("doc_id"), col("lang"), col("toks"),
+        expr("cum_before div 2048").as("pack_id"))
+  }
+
+  private val cp1Sql = """
+    WITH cleaned AS (
+      SELECT doc_id, lang,
+        TRIM(REGEXP_REPLACE(REGEXP_REPLACE(text, '\b(the|a|of|and|to|in|is|it)\b', '', 'g'), ' +', ' ', 'g')) AS clean
+      FROM documents),
+    deduped AS (
+      SELECT * FROM (
+        SELECT doc_id, lang, clean,
+          MIN(doc_id) OVER (PARTITION BY clean) AS keeper
+        FROM cleaned) t
+      WHERE doc_id = keeper),
+    train AS (
+      SELECT doc_id, lang, clean FROM deduped
+      WHERE ((doc_id * CAST(2654435761 AS BIGINT) + 104729) % 2147483647) % 100 < 80),
+    toks AS (
+      SELECT doc_id, lang,
+        CAST(LEN(REGEXP_EXTRACT_ALL(clean, '\S+')) AS BIGINT) AS toks
+      FROM train)
+    SELECT doc_id, lang, toks,
+      COALESCE(SUM(toks) OVER (PARTITION BY lang ORDER BY doc_id
+        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 2048 AS pack_id
+    FROM toks"""
+
   // -------------------------------------------------------------- registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -255,7 +309,8 @@ object Curation {
     "c4_tfidf" -> (c4_tfidf _),
     "c5_editdist_pairs" -> (c5_editdist_pairs _),
     "c6_pivot" -> (c6_pivot _),
-    "c7_pack_sequences" -> (c7_pack_sequences _))
+    "c7_pack_sequences" -> (c7_pack_sequences _),
+    "cp1_pipeline" -> (cp1_pipeline _))
 
   val oracle: Map[String, String] = Map(
     "c1_split_hash" -> c1Sql,
@@ -264,5 +319,6 @@ object Curation {
     "c4_tfidf" -> c4Sql,
     "c5_editdist_pairs" -> c5Sql,
     "c6_pivot" -> c6Sql,
-    "c7_pack_sequences" -> c7Sql)
+    "c7_pack_sequences" -> c7Sql,
+    "cp1_pipeline" -> cp1Sql)
 }
