@@ -516,6 +516,47 @@ object Relational {
     FROM orders JOIN customer ON o_custkey = c_custkey
     GROUP BY c_mktsegment"""
 
+  /** Statistical aggregates (variance, stddev, correlation) computed
+    * from exact decimal power sums rather than the engines' internal
+    * accumulators — the only formulation that is bit-identical across
+    * engines AND cluster sizes: the sums are exact decimals (order-
+    * independent), and the final double arithmetic is the same textual
+    * expression on both sides. sqrt is IEEE-correctly-rounded, so it
+    * preserves the match. */
+  def q32_stats_manual(s: SparkSession, dir: String): DataFrame = {
+    val q = dec(col("l_quantity"), 12)
+    val p = dec(col("l_extendedprice"), 14)
+    t(s, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(
+        count(lit(1)).as("n"),
+        sum(q).cast("double").as("sum_q"),
+        sum(q * q).cast("double").as("sum_qq"),
+        sum(p).cast("double").as("sum_p"),
+        sum(q * p).cast("double").as("sum_qp"))
+      .select(col("l_returnflag"), col("n"),
+        ((col("n") * col("sum_qq") - col("sum_q") * col("sum_q")) /
+          (col("n") * (col("n") - 1))).as("var_q"),
+        sqrt((col("n") * col("sum_qq") - col("sum_q") * col("sum_q")) /
+          (col("n") * (col("n") - 1))).as("stddev_q"),
+        ((col("n") * col("sum_qp") - col("sum_q") * col("sum_p")))
+          .as("cov_num_qp"))
+  }
+
+  private val q32Sql = """
+    WITH sums AS (
+      SELECT l_returnflag, COUNT(*) AS n,
+        CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_q,
+        CAST(SUM(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qq,
+        CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2))) AS DOUBLE) AS sum_p,
+        CAST(SUM(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(14,2))) AS DOUBLE) AS sum_qp
+      FROM lineitem GROUP BY l_returnflag)
+    SELECT l_returnflag, n,
+      (n * sum_qq - sum_q * sum_q) / (n * (n - 1)) AS var_q,
+      SQRT((n * sum_qq - sum_q * sum_q) / (n * (n - 1))) AS stddev_q,
+      (n * sum_qp - sum_q * sum_p) AS cov_num_qp
+    FROM sums"""
+
   // ---------------------------------------------------------------- oracles
 
   private val q1Sql = s"""
@@ -746,7 +787,8 @@ object Relational {
     "q30_window_ranks" -> (q30_window_ranks _),
     "q31_percentiles" -> (q31_percentiles _),
     "k1_salted_agg" -> (k1_salted_agg _),
-    "k2_salted_join" -> (k2_salted_join _))
+    "k2_salted_join" -> (k2_salted_join _),
+    "q32_stats_manual" -> (q32_stats_manual _))
 
   val oracle: Map[String, String] = Map(
     "q1_agg" -> q1Sql,
@@ -780,5 +822,6 @@ object Relational {
     "q30_window_ranks" -> q30Sql,
     "q31_percentiles" -> q31Sql,
     "k1_salted_agg" -> k1Sql,
-    "k2_salted_join" -> k2Sql)
+    "k2_salted_join" -> k2Sql,
+    "q32_stats_manual" -> q32Sql)
 }
