@@ -557,6 +557,42 @@ object Relational {
       (n * sum_qp - sum_q * sum_p) AS cov_num_qp
     FROM sums"""
 
+  /** Funnel analysis over the event stream: users who viewed → first
+    * click at-or-after that view → first purchase at-or-after that
+    * click. Each stage is one aggregation + one re-join on `user_id`
+    * (same shuffle key throughout, so at scale the exchanges reuse the
+    * partitioning). Exact µs integer arithmetic. */
+  def q33_funnel(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "events").select(col("user_id"), col("event_type"),
+      unix_micros(col("ts")).as("ts_us"))
+    val v = e.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min("ts_us").as("v_ts"))
+    val c = e.filter(col("event_type") === "click").as("e")
+      .join(v, "user_id").filter(col("ts_us") >= col("v_ts"))
+      .groupBy("user_id").agg(min("ts_us").as("c_ts"))
+    val p = e.filter(col("event_type") === "purchase").as("e")
+      .join(c, "user_id").filter(col("ts_us") >= col("c_ts"))
+      .groupBy("user_id").agg(min("ts_us").as("p_ts"))
+    v.agg(count(lit(1)).as("n_view")).crossJoin(
+      c.agg(count(lit(1)).as("n_click_after_view"))).crossJoin(
+      p.agg(count(lit(1)).as("n_purchase_after_click")))
+  }
+
+  private val q33Sql = """
+    WITH e AS (
+      SELECT user_id, event_type, epoch_ns(ts) // 1000 AS ts_us FROM events),
+    v AS (SELECT user_id, MIN(ts_us) AS v_ts FROM e
+          WHERE event_type = 'view' GROUP BY user_id),
+    c AS (SELECT e.user_id, MIN(e.ts_us) AS c_ts
+          FROM e JOIN v ON e.user_id = v.user_id AND e.ts_us >= v.v_ts
+          WHERE e.event_type = 'click' GROUP BY e.user_id),
+    p AS (SELECT e.user_id, MIN(e.ts_us) AS p_ts
+          FROM e JOIN c ON e.user_id = c.user_id AND e.ts_us >= c.c_ts
+          WHERE e.event_type = 'purchase' GROUP BY e.user_id)
+    SELECT (SELECT COUNT(*) FROM v) AS n_view,
+           (SELECT COUNT(*) FROM c) AS n_click_after_view,
+           (SELECT COUNT(*) FROM p) AS n_purchase_after_click"""
+
   // ---------------------------------------------------------------- oracles
 
   private val q1Sql = s"""
@@ -788,7 +824,8 @@ object Relational {
     "q31_percentiles" -> (q31_percentiles _),
     "k1_salted_agg" -> (k1_salted_agg _),
     "k2_salted_join" -> (k2_salted_join _),
-    "q32_stats_manual" -> (q32_stats_manual _))
+    "q32_stats_manual" -> (q32_stats_manual _),
+    "q33_funnel" -> (q33_funnel _))
 
   val oracle: Map[String, String] = Map(
     "q1_agg" -> q1Sql,
@@ -823,5 +860,6 @@ object Relational {
     "q31_percentiles" -> q31Sql,
     "k1_salted_agg" -> k1Sql,
     "k2_salted_join" -> k2Sql,
-    "q32_stats_manual" -> q32Sql)
+    "q32_stats_manual" -> q32Sql,
+    "q33_funnel" -> q33Sql)
 }
