@@ -107,7 +107,12 @@ object SqlRepl {
         df.sparkSession.createDataFrame(
           java.util.Arrays.asList(rows.take(50): _*), df.schema).show(50, truncate = false)
         if (rows.length > 50) println(s"… ${rows.length - 50} more rows")
-        println(f"${rows.length} rows in ${(System.nanoTime() - t0) / 1e9}%.3fs")
+        // stats line in the reference CLI's shape: rows · cols ·
+        // estimated scan bytes · wall time (zarr_cli/main.rs:253)
+        val estBytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+        val kb = estBytes.toDouble / 1024.0
+        println(f"${rows.length} rows | ${df.columns.length} cols | " +
+          f"est $kb%.2f KB scanned | ${(System.nanoTime() - t0) / 1e9}%.3f s")
       }
     } catch {
       case NonFatal(e) =>
