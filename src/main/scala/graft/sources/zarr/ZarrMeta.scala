@@ -279,6 +279,26 @@ object ZarrMeta {
           }
           .sortBy(_.name)
       }
+      .orElse {
+        // Zarr v3 consolidated metadata: the root zarr.json may embed
+        // every child's metadata under `consolidated_metadata.metadata`
+        // (one fetch resolves the schema — required for listing-less
+        // backends like HTTP, same as v2 .zmetadata).
+        jsonAt(store, "zarr.json")
+          .flatMap(n => Option(n.get("consolidated_metadata")))
+          .flatMap(c => Option(c.get("metadata")))
+          .filter(_.isObject)
+          .map { md =>
+            md.properties().asScala.toSeq
+              .filter(e => Option(e.getValue.get("node_type"))
+                .exists(_.asText() == "array"))
+              .map { e =>
+                parseArrayV3(e.getKey, e.getValue)
+                  .copy(attrs = attrsOf(Option(e.getValue.get("attributes"))))
+              }
+              .sortBy(_.name)
+          }
+      }
       .getOrElse {
         val version = detectVersion(store)
         store.listDirs().flatMap { name =>

@@ -65,6 +65,43 @@ class ZarrHttpSpec extends AnyFunSuite {
     }
   }
 
+  /** Copy the v3 fixture and embed v3 consolidated metadata (all child
+    * zarr.json docs under root `consolidated_metadata.metadata`). */
+  private def consolidatedV3Copy(): Path = {
+    val src = Paths.get("src/test/resources/zarr/synthetic_v3.zarr")
+    val dst = Files.createTempDirectory("http_zarr_v3")
+    Files.walk(src).forEach { p =>
+      val t = dst.resolve(src.relativize(p))
+      if (Files.isDirectory(p)) Files.createDirectories(t)
+      else Files.copy(p, t, StandardCopyOption.REPLACE_EXISTING)
+    }
+    val names = Seq("lat", "lon", "time", "temperature", "humidity")
+    val entries = names.map { n =>
+      val z = new String(Files.readAllBytes(dst.resolve(n).resolve("zarr.json")))
+      s""""$n": $z"""
+    }.mkString(",")
+    val root = new String(Files.readAllBytes(dst.resolve("zarr.json"))).trim
+    val merged = root.stripSuffix("}") +
+      s""","consolidated_metadata":{"metadata":{$entries}}}"""
+    Files.write(dst.resolve("zarr.json"), merged.getBytes)
+    dst
+  }
+
+  test("v3 consolidated metadata works over http (no listing possible)") {
+    val root = consolidatedV3Copy()
+    withServer(root) { url =>
+      val http = spark.read.format("zarr").load(url)
+      val local = spark.read.format("zarr")
+        .load("src/test/resources/zarr/synthetic_v3.zarr")
+      assert(http.schema == local.schema)
+      assert(http.count() == 700)
+      assert(http.agg(org.apache.spark.sql.functions.sum("temperature"))
+        .collect().head.getLong(0) ==
+        local.agg(org.apache.spark.sql.functions.sum("temperature"))
+          .collect().head.getLong(0))
+    }
+  }
+
   test("http store without consolidated metadata fails with guidance") {
     val src = Paths.get("src/test/resources/zarr/synthetic_v2.zarr")
     withServer(src) { url =>
