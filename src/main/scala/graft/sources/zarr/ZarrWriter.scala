@@ -184,6 +184,28 @@ object ZarrWriter {
       writeArrayMeta(dir, name, shape, chunkShape)
     }
 
+    // Consolidated metadata: one-fetch discovery (required for
+    // listing-less backends like HTTP). v2 → .zmetadata; v3 → embed
+    // under the root zarr.json's `consolidated_metadata`.
+    val allNames = coords ++ varCols
+    if (version == 2) {
+      val entries = allNames.flatMap { n =>
+        val za = new String(Files.readAllBytes(root.resolve(n).resolve(".zarray")))
+        val attrs = attrsJson(n).map(a => s""""$n/.zattrs": $a""")
+        Seq(s""""$n/.zarray": $za""") ++ attrs
+      }.mkString(",")
+      Files.write(root.resolve(".zmetadata"),
+        s"""{"zarr_consolidated_format": 1, "metadata": {$entries}}""".getBytes)
+    } else {
+      val entries = allNames.map { n =>
+        val zj = new String(Files.readAllBytes(root.resolve(n).resolve("zarr.json")))
+        s""""$n": $zj"""
+      }.mkString(",")
+      Files.write(root.resolve("zarr.json"),
+        (s"""{"zarr_format":3,"node_type":"group",""" +
+          s""""consolidated_metadata":{"metadata":{$entries}}}""").getBytes)
+    }
+
     // 3. executors write chunk slabs: repartition by outer-chunk id so
     // each chunk's rows land in exactly one task
     val idxMaps: Seq[Map[Any, Int]] =

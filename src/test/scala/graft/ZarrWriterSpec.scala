@@ -95,6 +95,22 @@ class ZarrWriterSpec extends AnyFunSuite {
     assert(a == b)
   }
 
+  test("written stores carry consolidated metadata (v2 and v3)") {
+    val src = spark.read.format("zarr").load(v3)
+    for (ver <- Seq("2", "3")) {
+      val out = Files.createTempDirectory("zarr_cons").resolve(s"c$ver.zarr").toString
+      src.write.format("zarr").option("coords", "time,lon,lat")
+        .option("zarrVersion", ver).mode("overwrite").save(out)
+      if (ver == "2") assert(Files.exists(Paths.get(out, ".zmetadata")))
+      else assert(new String(Files.readAllBytes(Paths.get(out, "zarr.json")))
+        .contains("consolidated_metadata"))
+      // consolidated discovery path reads back identically
+      val back = spark.read.format("zarr").load(out)
+      assert(back.schema == src.schema)
+      assert(back.count() == 700)
+    }
+  }
+
   test("missing cells become fill_value zero") {
     val out = Files.createTempDirectory("zarr_fill").resolve("partial.zarr").toString
     val partial = spark.read.format("zarr").load(v3)
