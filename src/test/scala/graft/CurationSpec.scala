@@ -68,6 +68,25 @@ class CurationSpec extends AnyFunSuite {
     assert(total == Tables.load(spark, sf, "documents").count())
   }
 
+  test("split output written partitionBy(split) prunes partitions on read") {
+    val out = java.nio.file.Files.createTempDirectory("graft_split").toString + "/docs"
+    val split = Curation.c1_split_hash(spark, sf)
+    split.write.partitionBy("split").mode("overwrite").parquet(out)
+    // hive-layout directories per split value
+    assert(new java.io.File(s"$out/split=train").isDirectory)
+    val back = TestSession.spark.read.parquet(out)
+      .filter(org.apache.spark.sql.functions.col("split") === "train")
+    // the filter must become a partition filter (no data-file scan of val/test)
+    val scans = back.queryExecution.sparkPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    assert(scans.nonEmpty)
+    assert(scans.head.partitionFilters.exists(_.toString.contains("split")),
+      scans.head.partitionFilters.mkString(","))
+    val expected = split.filter(org.apache.spark.sql.functions.col("split") === "train").count()
+    assert(back.count() == expected)
+  }
+
   test("sequence packing: offsets stay under budget and cumsum is consistent") {
     val rows = Curation.c7_pack_sequences(spark, sf).collect()
     assert(rows.nonEmpty)
