@@ -158,33 +158,34 @@ object Curation {
 
   /** Length-blocked Levenshtein near-dup candidates: pairs share the
     * (lang, n_chars div 16) blocking key, distance computed on the
-    * 60-char prefix. The equality blocking key is the join/shuffle key,
+    * 40-char prefix. The equality blocking key is the join/shuffle key,
     * so candidate fan-out is bounded per block — the same
     * linear-not-quadratic discipline as d2's rare-gram cut. (On this
-    * corpus the distance distribution is bimodal: true dups at ~0,
-    * unrelated text at ≥ 35 — threshold 30 sits in the gap.) */
+    * corpus the distance distribution is bimodal: true dups at 0,
+    * unrelated text at ≥ 15 on the 40-char prefix — threshold 10 sits
+    * in the gap, and the shorter prefix halves the DP cost.) */
   def c5_editdist_pairs(s: SparkSession, dir: String): DataFrame = {
     val d = docs(s, dir).select(col("doc_id"), col("lang"),
       expr("n_chars div 16").as("blk"),
-      substring(col("text"), 1, 60).as("prefix"))
+      substring(col("text"), 1, 40).as("prefix"))
     val a = d.toDF("a_id", "lang", "blk", "a_prefix")
     val b = d.toDF("b_id", "lang", "blk", "b_prefix")
     a.join(b, Seq("lang", "blk"))
       .filter(col("a_id") < col("b_id"))
       .withColumn("lev", levenshtein(col("a_prefix"), col("b_prefix")).cast("long"))
-      .filter(col("lev") <= 30)
+      .filter(col("lev") <= 10)
       .select(col("a_id"), col("b_id"), col("lang"), col("blk"), col("lev"))
   }
 
   private val c5Sql = """
     WITH d AS (
-      SELECT doc_id, lang, n_chars // 16 AS blk, SUBSTRING(text, 1, 60) AS prefix
+      SELECT doc_id, lang, n_chars // 16 AS blk, SUBSTRING(text, 1, 40) AS prefix
       FROM documents)
     SELECT a.doc_id AS a_id, b.doc_id AS b_id, a.lang, a.blk,
       CAST(levenshtein(a.prefix, b.prefix) AS BIGINT) AS lev
     FROM d a JOIN d b
       ON a.lang = b.lang AND a.blk = b.blk AND a.doc_id < b.doc_id
-    WHERE levenshtein(a.prefix, b.prefix) <= 30"""
+    WHERE levenshtein(a.prefix, b.prefix) <= 10"""
 
   // -------------------------------------------------------------- c6 pivot
 

@@ -57,7 +57,7 @@ class CurationSpec extends AnyFunSuite {
     val rows = Curation.c5_editdist_pairs(spark, sf).collect()
     rows.foreach { r =>
       assert(r.getAs[Long]("a_id") < r.getAs[Long]("b_id"))
-      assert(r.getAs[Long]("lev") <= 30L)
+      assert(r.getAs[Long]("lev") <= 10L)
     }
   }
 
