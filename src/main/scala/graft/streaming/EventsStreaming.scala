@@ -53,10 +53,20 @@ object EventsStreaming {
     d.toString
   }
 
+  /** Run a bounded stream to a memory table. Stateful operators
+    * materialize one state store per shuffle partition; at interactive
+    * scale the per-store fixed cost dominates, so streams run with few
+    * state partitions (a real deployment sizes this to the cluster —
+    * state partitioning is a config, not plan structure). */
   private def runToTable(df: DataFrame, name: String, mode: OutputMode): DataFrame = {
-    val q = df.writeStream.outputMode(mode).format("memory").queryName(name).start()
-    try q.processAllAvailable() finally q.stop()
-    df.sparkSession.table(name)
+    val s = df.sparkSession
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "4")
+    try {
+      val q = df.writeStream.outputMode(mode).format("memory").queryName(name).start()
+      try q.processAllAvailable() finally q.stop()
+    } finally s.conf.set("spark.sql.shuffle.partitions", prev)
+    s.table(name)
   }
 
   /** Tumbling 1-hour event-time window aggregation with a watermark —
@@ -152,14 +162,7 @@ object EventsStreaming {
           col("v_ts") <= col("p_ts"))
       .select(col("p_id"), col("v_id"), col("p_user").as("user_id"),
         (unix_micros(col("p_ts")) - unix_micros(col("v_ts"))).as("gap_us"))
-    // A stream-stream join materializes one state store per shuffle
-    // partition per side; at interactive scale the per-store fixed cost
-    // dominates, so run the join with fewer state partitions. (On a
-    // real cluster this is sized to executor count instead.)
-    val prev = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.shuffle.partitions", "4")
-    try runToTable(joined, "st4_out", OutputMode.Append())
-    finally s.conf.set("spark.sql.shuffle.partitions", prev)
+    runToTable(joined, "st4_out", OutputMode.Append())
   }
 
   private val st4Sql = """
