@@ -117,8 +117,9 @@ class ZarrDataSource extends TableProvider
       val chunkOuter = params.get("chunkouter").map(_.toInt).getOrElse(1)
       val version = params.get("zarrversion").map(_.toInt).getOrElse(2)
       val shardInner = params.get("shardinner").map(_.toInt).getOrElse(0)
+      val shardCompress = params.get("shardcompress").exists(_.toBoolean)
       if (exists) ZarrStore.open(path).deleteRecursively()
-      ZarrWriter.write(data, path, coords, chunkOuter, version, shardInner)
+      ZarrWriter.write(data, path, coords, chunkOuter, version, shardInner, shardCompress)
     }
     val ctx = sqlContext
     new org.apache.spark.sql.sources.BaseRelation {

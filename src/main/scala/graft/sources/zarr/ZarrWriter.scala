@@ -57,16 +57,20 @@ object ZarrWriter {
   }
 
   private def zarrJsonV3(shape: Seq[Long], chunks: Seq[Int], t: DataType,
-      attrsJson: Option[String], shardInner: Int = 0): String = {
+      attrsJson: Option[String], shardInner: Int = 0,
+      shardCompress: Boolean = false): String = {
     val attrs = attrsJson.map(a => s""","attributes":$a""").getOrElse("")
     val bytesCodec = """{"name":"bytes","configuration":{"endian":"little"}}"""
     val codecs =
       if (shardInner <= 0) s"[$bytesCodec]"
       else {
         val innerShape = (shardInner +: chunks.drop(1)).mkString(",")
+        val innerCodecs =
+          if (shardCompress) s"""$bytesCodec,{"name":"gzip","configuration":{"level":5}}"""
+          else bytesCodec
         s"""[{"name":"sharding_indexed","configuration":{
            |"chunk_shape":[$innerShape],
-           |"codecs":[$bytesCodec],
+           |"codecs":[$innerCodecs],
            |"index_codecs":[$bytesCodec,{"name":"crc32c"}],
            |"index_location":"end"}}]""".stripMargin.replace("\n", "")
       }
@@ -82,19 +86,32 @@ object ZarrWriter {
   /** Wrap a raw little-endian slab into a v3 shard: body = the inner
     * chunks (contiguous, since inner chunks split only the outer
     * dimension), then the (offset,nbytes) uint64le index + crc32c. */
-  private def shardify(slab: Array[Byte], nInner: Int): Array[Byte] = {
+  private def shardify(slab: Array[Byte], nInner: Int,
+      compress: Boolean): Array[Byte] = {
     val innerBytes = slab.length / nInner
-    val out = ByteBuffer.allocate(slab.length + nInner * 16 + 4)
-      .order(ByteOrder.LITTLE_ENDIAN)
-    out.put(slab)
+    val body = new java.io.ByteArrayOutputStream()
+    val index = ByteBuffer.allocate(nInner * 16).order(ByteOrder.LITTLE_ENDIAN)
     var i = 0
     while (i < nInner) {
-      out.putLong(i.toLong * innerBytes); out.putLong(innerBytes.toLong); i += 1
+      val enc =
+        if (!compress) java.util.Arrays.copyOfRange(slab, i * innerBytes, (i + 1) * innerBytes)
+        else {
+          val bos = new java.io.ByteArrayOutputStream()
+          val g = new java.util.zip.GZIPOutputStream(bos)
+          g.write(slab, i * innerBytes, innerBytes); g.close()
+          bos.toByteArray
+        }
+      index.putLong(body.size().toLong); index.putLong(enc.length.toLong)
+      body.write(enc)
+      i += 1
     }
     val crc = new java.util.zip.CRC32C
-    crc.update(out.array(), slab.length, nInner * 16)
-    out.putInt(crc.getValue.toInt)
-    out.array()
+    crc.update(index.array())
+    body.write(index.array())
+    val tail = ByteBuffer.allocate(4).order(ByteOrder.LITTLE_ENDIAN)
+      .putInt(crc.getValue.toInt)
+    body.write(tail.array())
+    body.toByteArray
   }
 
   private def putValue(buf: ByteBuffer, offset: Int, elem: Int, t: DataType, v: Any): Unit =
@@ -115,7 +132,7 @@ object ZarrWriter {
     * @param chunkOuter chunk extent along the outer dimension
     */
   def write(df: DataFrame, path: String, coords: Seq[String], chunkOuter: Int = 1,
-      version: Int = 2, shardInner: Int = 0): Unit = {
+      version: Int = 2, shardInner: Int = 0, shardCompress: Boolean = false): Unit = {
     require(version == 2 || version == 3, s"zarrVersion must be 2 or 3, got $version")
     require(shardInner == 0 || (version == 3 && chunkOuter % shardInner == 0),
       s"shardInner requires zarrVersion=3 and chunkOuter ($chunkOuter) divisible by shardInner ($shardInner)")
@@ -159,7 +176,7 @@ object ZarrWriter {
         // only data variables shard (aShape == full grid shape)
         val si = if (aShape == shape) shardInner else 0
         Files.write(dir.resolve("zarr.json"),
-          zarrJsonV3(aShape, aChunks, t, attrsJson(name), si).getBytes)
+          zarrJsonV3(aShape, aChunks, t, attrsJson(name), si, shardCompress).getBytes)
       }
     }
     coords.zip(coordVals).zipWithIndex.foreach { case ((name, vals), i) =>
@@ -225,6 +242,7 @@ object ZarrWriter {
     val coordNames = coords
     val wVersion = version
     val wShardInner = shardInner
+    val wShardCompress = shardCompress
     rows.foreachPartition { it: Iterator[Row] =>
       val idx = bIdx.value
       val buffers = scala.collection.mutable.Map.empty[(Int, Int), ByteBuffer] // (chunk, var)
@@ -267,7 +285,8 @@ object ZarrWriter {
             p
           }
         val payload =
-          if (wShardInner > 0) shardify(buf.array(), chunkOuter / wShardInner)
+          if (wShardInner > 0)
+            shardify(buf.array(), chunkOuter / wShardInner, wShardCompress)
           else buf.array()
         Files.write(target, payload)
       }

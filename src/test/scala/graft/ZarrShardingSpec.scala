@@ -152,6 +152,24 @@ class ZarrShardingSpec extends AnyFunSuite {
     assert(a == b)
   }
 
+  test("compressed sharded WRITE (gzip inner codec) round-trips") {
+    val out = Files.createTempDirectory("zarr_shard_gz").resolve("sgz.zarr").toString
+    val src = TestSession.spark.read.format("zarr")
+      .load("src/test/resources/zarr/synthetic_v3.zarr")
+    src.write.format("zarr")
+      .option("coords", "time,lon,lat").option("chunkOuter", "4")
+      .option("zarrVersion", "3").option("shardInner", "2")
+      .option("shardCompress", "true")
+      .mode("overwrite").save(out)
+    val metaJson = new String(Files.readAllBytes(
+      java.nio.file.Paths.get(out, "temperature", "zarr.json")))
+    assert(metaJson.contains("\"gzip\""), metaJson)
+    val back = TestSession.spark.read.format("zarr").load(out)
+    val a = src.orderBy("time", "lon", "lat").collect().map(_.toSeq).toSeq
+    val b = back.orderBy("time", "lon", "lat").collect().map(_.toSeq).toSeq
+    assert(a == b)
+  }
+
   test("filter pushdown composes with sharded reads") {
     val root = buildStore(
       """{"name":"bytes","configuration":{"endian":"little"}}""",
