@@ -197,6 +197,16 @@ object ChunkCodec {
       case ('f', 4) => val a = new Array[Float](n); var i = 0; while (i < n) { a(i) = buf.getFloat(); i += 1 }; a
       case ('f', 8) => val a = new Array[Double](n); var i = 0; while (i < n) { a(i) = buf.getDouble(); i += 1 }; a
       case ('b', _) => val a = new Array[Boolean](n); var i = 0; while (i < n) { a(i) = buf.get() != 0; i += 1 }; a
+      case ('S', w) =>
+        val a = new Array[String](n); val cell = new Array[Byte](w)
+        var i = 0
+        while (i < n) {
+          buf.position(i * w); buf.get(cell)
+          var end = w; while (end > 0 && cell(end - 1) == 0) end -= 1
+          a(i) = new String(cell, 0, end, java.nio.charset.StandardCharsets.US_ASCII)
+          i += 1
+        }
+        a
       case _ => throw new IllegalArgumentException(s"Unsupported dtype: $dtype")
     }
   }
@@ -218,6 +228,9 @@ object ChunkCodec {
   }
 
   def toDoubles(typed: AnyRef): Array[Double] = typed match {
+    // string coordinates live in INDEX space for grid arithmetic:
+    // pushed string equality is translated to its index driver-side
+    case a: Array[String] => Array.tabulate(a.length)(_.toDouble)
     case a: Array[Byte] => a.map(_.toDouble)
     case a: Array[Short] => a.map(_.toDouble)
     case a: Array[Int] => a.map(_.toDouble)
@@ -238,6 +251,7 @@ object ChunkCodec {
     case a: Array[Float] => a(i)
     case a: Array[Double] => a(i)
     case a: Array[Boolean] => a(i)
+    case a: Array[String] => a(i)
     case other => throw new IllegalArgumentException(s"Unexpected array: ${other.getClass}")
   }
 }
@@ -372,6 +386,7 @@ object ChunkIO {
       case ('i', 1) => Array.fill(n)(fv.toByte)
       case ('i', 2) | ('u', 1) => Array.fill(n)(fv.toShort)
       case ('i', 4) | ('u', 2) => Array.fill(n)(fv.toInt)
+      case ('S', _) => Array.fill(n)("")
       case _ => Array.fill(n)(fv.toLong)
     }
   }

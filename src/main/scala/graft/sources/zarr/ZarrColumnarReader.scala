@@ -161,6 +161,10 @@ class ZarrColumnarReader(p: ZarrInputPartition, batchSize: Int = 4096)
       case ShortType => v.putShort(r, arr.asInstanceOf[Array[Short]](i))
       case ByteType => v.putByte(r, arr.asInstanceOf[Array[Byte]](i))
       case BooleanType => v.putBoolean(r, arr.asInstanceOf[Array[Boolean]](i))
+      case StringType =>
+        val b = arr.asInstanceOf[Array[String]](i)
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        v.putByteArray(r, b)
       case other => throw new IllegalStateException(s"Unsupported columnar type $other")
     }
 }

@@ -181,11 +181,28 @@ class ZarrScanBuilder(meta: ZarrStoreMeta, options: CaseInsensitiveStringMap)
     val coordIdx = meta.coordNames.zipWithIndex.toMap
     val acc = mutable.ArrayBuffer.empty[Filter]
     val preds = mutable.Map.empty[Int, List[CoordPred]]
+    def isStringCoord(attr: String): Boolean =
+      coordIdx.get(attr).exists(d => meta.coords(d).meta.dtype.kind == 'S')
     def add(f: Filter, attr: String, p: CoordPred): Unit =
-      coordIdx.get(attr).foreach { idx =>
+      coordIdx.get(attr).filterNot(_ => isStringCoord(attr)).foreach { idx =>
         acc += f; preds(idx) = p :: preds.getOrElse(idx, Nil)
       }
+    // String coordinates live in index space: equality on a string
+    // coord translates to equality on its index (absent value -> an
+    // impossible index, which plans zero partitions — correct, since
+    // no row can match).
+    def addStr(f: Filter, attr: String, v: String): Unit =
+      coordIdx.get(attr).filter(_ => isStringCoord(attr)).foreach { idx =>
+        val i = meta.coords(idx).raw match {
+          case a: Array[String] => a.indexOf(v)
+          case _ => -1
+        }
+        acc += f
+        preds(idx) = CoordPred.Eq(i.toDouble) :: preds.getOrElse(idx, Nil)
+      }
     filters.foreach {
+      case f @ EqualTo(attr, v: String) => addStr(f, attr, v)
+      case f @ EqualNullSafe(attr, v: String) => addStr(f, attr, v)
       case f @ EqualTo(attr, v) =>
         numeric(v).foreach(d => add(f, attr, CoordPred.Eq(d)))
       case f @ EqualNullSafe(attr, v) =>
@@ -241,12 +258,15 @@ class ZarrScanBuilder(meta: ZarrStoreMeta, options: CaseInsensitiveStringMap)
       case _ => None
     }
 
+  private def numericCoord(name: String): Boolean =
+    meta.coords.exists(c => c.meta.name == name && c.meta.dtype.kind != 'S')
+
   private def answerable(f: AggregateFunc): Boolean = f match {
     case _: CountStar => true
     case c: Count if !c.isDistinct => colName(c.column).exists(meta.schema.fieldNames.contains)
     case c: Count if c.isDistinct => colName(c.column).exists(meta.coordNames.contains)
-    case m: Min => colName(m.column).exists(meta.coordNames.contains)
-    case m: Max => colName(m.column).exists(meta.coordNames.contains)
+    case m: Min => colName(m.column).exists(numericCoord)
+    case m: Max => colName(m.column).exists(numericCoord)
     case _ => false
   }
 
@@ -288,9 +308,11 @@ class ZarrScan(
     * the matched values — a superset is safe because the join itself
     * re-filters (same posture as DPP on file sources). */
   override def filterAttributes(): Array[NamedReference] =
-    // only coordinates surviving column pruning: Spark resolves these
-    // against the scan's (pruned) output
-    meta.coordNames.filter(requiredSchema.fieldNames.contains)
+    // only NUMERIC coordinates surviving column pruning: Spark resolves
+    // these against the scan's (pruned) output; string coords live in
+    // index space and are not runtime-filterable by value
+    meta.coords.filter(c => c.meta.dtype.kind != 'S')
+      .map(_.meta.name).filter(requiredSchema.fieldNames.contains)
       .map(Expressions.column).toArray
 
   override def filter(predicates: Array[org.apache.spark.sql.connector.expressions.filter.Predicate]): Unit = {
@@ -366,7 +388,7 @@ class ZarrScan(
     val rows = limit.map(math.min(_, filteredRows)).getOrElse(filteredRows)
     val colStats = new java.util.HashMap[NamedReference, ColumnStatistics]()
     meta.coords.zipWithIndex.foreach { case (c, _) =>
-      if (requiredSchema.fieldNames.contains(c.meta.name)) {
+      if (requiredSchema.fieldNames.contains(c.meta.name) && c.meta.dtype.kind != 'S') {
         colStats.put(Expressions.column(c.meta.name), new ZarrColumnStats(c))
       }
     }
@@ -552,6 +574,11 @@ class ZarrPartitionReader(p: ZarrInputPartition) extends PartitionReader[Interna
           }
           val v = ChunkCodec.elementAt(chunk, off.toInt)
           if (p.fillAsNull && ChunkCodec.isFill(m.fillValue, v)) null else v
+      }
+      values(f) match {
+        case str: String =>
+          values(f) = org.apache.spark.unsafe.types.UTF8String.fromString(str)
+        case _ =>
       }
       f += 1
     }

@@ -28,6 +28,9 @@ final case class ZarrDType(kind: Char, size: Int, littleEndian: Boolean) {
     case ('u', 8) => LongType
     case ('f', _) => if (size == 8) DoubleType else FloatType
     case ('b', _) => BooleanType
+    // fixed-width ASCII strings (|S<n>) — the reference's roadmap
+    // "string coordinates" (README.md:319)
+    case ('S', _) => StringType
     case _ => DoubleType
   }
 }
@@ -40,7 +43,7 @@ object ZarrDType {
     if (body.length >= 2) {
       val kind = body.head
       val size = body.tail.takeWhile(_.isDigit)
-      if ("iufb".contains(kind) && size.nonEmpty) ZarrDType(kind, size.toInt, le)
+      if ("iufbS".contains(kind) && size.nonEmpty) ZarrDType(kind, size.toInt, le)
       else ZarrDType('f', 8, littleEndian = true)
     } else ZarrDType('f', 8, littleEndian = true)
   }

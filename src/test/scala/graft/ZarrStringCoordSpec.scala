@@ -1,0 +1,87 @@
+package graft
+
+import java.nio.{ByteBuffer, ByteOrder}
+import java.nio.file.{Files, Path, Paths}
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** String coordinates (`|S<n>` fixed-width ASCII) — the reference's
+  * roadmap "string/datetime coordinates" (README.md:319). Store:
+  * station(|S4: "alp","bern","cgn") × hour(int64: 0..3) with an int64
+  * reading grid. String equality filters translate to index-space
+  * pruning; numeric pruning machinery never touches string dims. */
+class ZarrStringCoordSpec extends AnyFunSuite {
+  import TestSession._
+
+  private lazy val store: Path = {
+    val root = Files.createTempDirectory("zarr_strcoord")
+    def writeJson(rel: String, s2: String): Unit = {
+      val p = root.resolve(rel)
+      Files.createDirectories(p.getParent)
+      Files.write(p, s2.getBytes)
+    }
+    writeJson(".zgroup", """{"zarr_format":2}""")
+    def meta(shape: Seq[Int], chunks: Seq[Int], dtype: String) =
+      s"""{"zarr_format":2,"shape":[${shape.mkString(",")}],
+          "chunks":[${chunks.mkString(",")}],"dtype":"$dtype","fill_value":0,
+          "order":"C","filters":null,"dimension_separator":".","compressor":null}"""
+    // station |S4, padded with NULs
+    writeJson("station/.zarray", meta(Seq(3), Seq(3), "|S4"))
+    val st = Array("alp", "bern", "cgn")
+    val sbuf = ByteBuffer.allocate(3 * 4)
+    st.foreach { n =>
+      val b = n.getBytes("US-ASCII")
+      sbuf.put(java.util.Arrays.copyOf(b, 4))
+    }
+    Files.write(root.resolve("station").resolve("0"), sbuf.array())
+    // hour int64 0..3
+    writeJson("hour/.zarray", meta(Seq(4), Seq(4), "<i8"))
+    val hbuf = ByteBuffer.allocate(4 * 8).order(ByteOrder.LITTLE_ENDIAN)
+    (0 until 4).foreach(h => hbuf.putLong(h.toLong))
+    Files.write(root.resolve("hour").resolve("0"), hbuf.array())
+    // reading[station, hour] = 100*station_idx + hour
+    writeJson("reading/.zarray", meta(Seq(3, 4), Seq(1, 4), "<i8"))
+    for (si <- 0 until 3) {
+      val buf = ByteBuffer.allocate(4 * 8).order(ByteOrder.LITTLE_ENDIAN)
+      (0 until 4).foreach(h => buf.putLong(100L * si + h))
+      Files.write(root.resolve("reading").resolve(s"$si.0"), buf.array())
+    }
+    root
+  }
+
+  private def df = spark.read.format("zarr").load(store.toString)
+
+  test("string coordinate surfaces as StringType with correct values") {
+    assert(df.schema("station").dataType == org.apache.spark.sql.types.StringType)
+    assert(df.count() == 12)
+    val rows = df.orderBy("station", "hour").collect()
+    assert(rows.map(_.getString(0)).distinct.toSeq == Seq("alp", "bern", "cgn"))
+    // value grid intact through the string dimension
+    rows.foreach { r =>
+      val si = Seq("alp", "bern", "cgn").indexOf(r.getString(0))
+      assert(r.getAs[Long]("reading") == 100L * si + r.getAs[Long]("hour"))
+    }
+  }
+
+  test("string equality filter prunes to one station slab") {
+    val f = df.filter(col("station") === "bern")
+    assert(f.count() == 4)
+    assert(f.collect().forall(_.getString(0) == "bern"))
+    // pruning happened at plan time: candidate rows = 4 of 12
+    val scan = f.queryExecution.sparkPlan.collect {
+      case s: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => s.scan.description()
+    }.head
+    assert(scan.contains("rows=4"), scan)
+    // absent station: provably empty, zero partitions
+    assert(df.filter(col("station") === "nope").count() == 0)
+  }
+
+  test("numeric pruning still applies on the numeric dim; min/max agg not metadata-answered for strings") {
+    val f = df.filter(col("hour") >= 2 && col("station") === "cgn")
+    assert(f.count() == 2)
+    assert(f.agg(sum("reading")).collect().head.getLong(0) == (202L + 203L))
+    // MIN(station) must come from a real scan (no index-double leak)
+    assert(df.agg(min("station")).collect().head.getString(0) == "alp")
+  }
+}
