@@ -197,6 +197,11 @@ object ChunkCodec {
       case ('f', 4) => val a = new Array[Float](n); var i = 0; while (i < n) { a(i) = buf.getFloat(); i += 1 }; a
       case ('f', 8) => val a = new Array[Double](n); var i = 0; while (i < n) { a(i) = buf.getDouble(); i += 1 }; a
       case ('b', _) => val a = new Array[Boolean](n); var i = 0; while (i < n) { a(i) = buf.get() != 0; i += 1 }; a
+      case ('M', _) =>
+        // datetime64 → epoch micros (Spark's internal TimestampType)
+        val a = new Array[Long](n); var i = 0
+        while (i < n) { a(i) = buf.getLong() * dtype.tsMulUs / dtype.tsDivUs; i += 1 }
+        a
       case ('S', w) =>
         val a = new Array[String](n); val cell = new Array[Byte](w)
         var i = 0

@@ -154,7 +154,7 @@ class ZarrColumnarReader(p: ZarrInputPartition, batchSize: Int = 4096)
 
   private def putValue(v: OnHeapColumnVector, r: Int, t: DataType, arr: AnyRef, i: Int): Unit =
     t match {
-      case LongType => v.putLong(r, arr.asInstanceOf[Array[Long]](i))
+      case LongType | TimestampType => v.putLong(r, arr.asInstanceOf[Array[Long]](i))
       case IntegerType => v.putInt(r, arr.asInstanceOf[Array[Int]](i))
       case DoubleType => v.putDouble(r, arr.asInstanceOf[Array[Double]](i))
       case FloatType => v.putFloat(r, arr.asInstanceOf[Array[Float]](i))

@@ -226,6 +226,12 @@ class ZarrScanBuilder(meta: ZarrStoreMeta, options: CaseInsensitiveStringMap)
 
   private def numeric(v: Any): Option[Double] = v match {
     case n: java.lang.Number => Some(n.doubleValue())
+    // datetime coords decode to epoch micros, so timestamp literals
+    // compare in micro space (exact in double until epoch ~2^53 µs)
+    case t: java.sql.Timestamp =>
+      Some((t.getTime * 1000L + (t.getNanos / 1000) % 1000).toDouble)
+    case i: java.time.Instant =>
+      Some((i.getEpochSecond * 1000000L + i.getNano / 1000).toDouble)
     case _ => None
   }
 

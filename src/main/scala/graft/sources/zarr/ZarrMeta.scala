@@ -12,7 +12,8 @@ import org.apache.spark.sql.types._
   * `"<i8"`, `">f4"`, `"|b1"`; v3 plain names like `"int64"`. Unknown
   * inputs default to float64 (the reference's v2 fallback).
   */
-final case class ZarrDType(kind: Char, size: Int, littleEndian: Boolean) {
+final case class ZarrDType(kind: Char, size: Int, littleEndian: Boolean,
+    tsMulUs: Long = 0, tsDivUs: Long = 1) {
 
   /** Spark mapping per SURVEY.md §1.5: unsigned types widen (Spark has
     * no unsigned); uint64 documented-as-LongType; float16 widens to
@@ -31,6 +32,8 @@ final case class ZarrDType(kind: Char, size: Int, littleEndian: Boolean) {
     // fixed-width ASCII strings (|S<n>) — the reference's roadmap
     // "string coordinates" (README.md:319)
     case ('S', _) => StringType
+    // datetime64 (<M8[unit]) — values decode to epoch microseconds
+    case ('M', _) => TimestampType
     case _ => DoubleType
   }
 }
@@ -40,7 +43,20 @@ object ZarrDType {
   def parseV2(s: String): ZarrDType = {
     val le = !s.startsWith(">")
     val body = if (s.nonEmpty && "<>|=".contains(s.head)) s.tail else s
-    if (body.length >= 2) {
+    if (body.startsWith("M8[")) {
+      // datetime64 with unit → conversion factors to microseconds
+      val (mul, div) = body.stripPrefix("M8[").stripSuffix("]") match {
+        case "ns" => (1L, 1000L)
+        case "us" => (1L, 1L)
+        case "ms" => (1000L, 1L)
+        case "s" => (1000000L, 1L)
+        case "m" => (60000000L, 1L)
+        case "h" => (3600000000L, 1L)
+        case "D" => (86400000000L, 1L)
+        case _ => (1L, 1L)
+      }
+      ZarrDType('M', 8, le, mul, div)
+    } else if (body.length >= 2) {
       val kind = body.head
       val size = body.tail.takeWhile(_.isDigit)
       if ("iufbS".contains(kind) && size.nonEmpty) ZarrDType(kind, size.toInt, le)

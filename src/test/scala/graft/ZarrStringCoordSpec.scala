@@ -77,6 +77,54 @@ class ZarrStringCoordSpec extends AnyFunSuite {
     assert(df.filter(col("station") === "nope").count() == 0)
   }
 
+  private lazy val dtStore: Path = {
+    val root = Files.createTempDirectory("zarr_dtcoord")
+    def writeJson(rel: String, s2: String): Unit = {
+      val p = root.resolve(rel)
+      Files.createDirectories(p.getParent)
+      Files.write(p, s2.getBytes)
+    }
+    writeJson(".zgroup", """{"zarr_format":2}""")
+    def meta(shape: Seq[Int], chunks: Seq[Int], dtype: String) =
+      s"""{"zarr_format":2,"shape":[${shape.mkString(",")}],
+          "chunks":[${chunks.mkString(",")}],"dtype":"$dtype","fill_value":0,
+          "order":"C","filters":null,"dimension_separator":".","compressor":null}"""
+    // time datetime64[h]: 3 hourly steps from 2020-01-01T00
+    writeJson("time/.zarray", meta(Seq(3), Seq(3), "<M8[h]"))
+    val base = java.time.Instant.parse("2020-01-01T00:00:00Z").getEpochSecond / 3600
+    val tbuf = ByteBuffer.allocate(3 * 8).order(ByteOrder.LITTLE_ENDIAN)
+    (0 until 3).foreach(h => tbuf.putLong(base + h))
+    Files.write(root.resolve("time").resolve("0"), tbuf.array())
+    writeJson("x/.zarray", meta(Seq(2), Seq(2), "<i8"))
+    val xbuf = ByteBuffer.allocate(2 * 8).order(ByteOrder.LITTLE_ENDIAN)
+    (0 until 2).foreach(x => xbuf.putLong(x.toLong))
+    Files.write(root.resolve("x").resolve("0"), xbuf.array())
+    writeJson("v/.zarray", meta(Seq(3, 2), Seq(1, 2), "<i8"))
+    for (t <- 0 until 3) {
+      val buf = ByteBuffer.allocate(2 * 8).order(ByteOrder.LITTLE_ENDIAN)
+      (0 until 2).foreach(x => buf.putLong(10L * t + x))
+      Files.write(root.resolve("v").resolve(s"$t.0"), buf.array())
+    }
+    root
+  }
+
+  test("datetime64 coordinate surfaces as TimestampType; timestamp filter prunes") {
+    val d = spark.read.format("zarr").load(dtStore.toString)
+    assert(d.schema("time").dataType == org.apache.spark.sql.types.TimestampType)
+    assert(d.count() == 6)
+    val one = d.filter(col("time") === lit("2020-01-01 01:00:00").cast("timestamp"))
+    assert(one.count() == 2)
+    assert(one.agg(sum("v")).collect().head.getLong(0) == 10L + 11L)
+    // plan-time pruning to the one-hour slab (2 of 6 candidate rows)
+    val scan = one.queryExecution.sparkPlan.collect {
+      case s: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => s.scan.description()
+    }.head
+    assert(scan.contains("rows=2"), scan)
+    // event-time functions work on the decoded values
+    assert(d.select(hour(col("time"))).distinct().collect()
+      .map(_.getInt(0)).sorted.toSeq == Seq(0, 1, 2))
+  }
+
   test("numeric pruning still applies on the numeric dim; min/max agg not metadata-answered for strings") {
     val f = df.filter(col("hour") >= 2 && col("station") === "cgn")
     assert(f.count() == 2)
