@@ -165,6 +165,7 @@ class ZarrScanBuilder(meta: ZarrStoreMeta, options: CaseInsensitiveStringMap)
   private var requiredSchema: StructType = meta.schema
   private var accepted: Array[Filter] = Array.empty
   private var coordPreds: Map[Int, Seq[GridMath.CoordPred]] = Map.empty
+  private var varPreds: Map[String, Seq[GridMath.CoordPred]] = Map.empty
   private var limit: Option[Long] = None
   private var aggPushed: Option[Aggregation] = None
 
@@ -200,27 +201,46 @@ class ZarrScanBuilder(meta: ZarrStoreMeta, options: CaseInsensitiveStringMap)
         acc += f
         preds(idx) = CoordPred.Eq(i.toDouble) :: preds.getOrElse(idx, Nil)
       }
+    // Data-variable predicates prune whole partitions via the
+    // `.zstats` per-chunk min/max sidecars (reference roadmap
+    // "data-variable filter pushdown" / "statistics-based chunk
+    // pruning") — only for variables that carry stats, and always
+    // Inexact (Spark re-filters rows post-scan).
+    val statVars = meta.dataVars.filter(_.chunkStats.nonEmpty).map(_.name).toSet
+    val vps = mutable.Map.empty[String, List[CoordPred]]
+    def addVar(f: Filter, attr: String, p: CoordPred): Unit =
+      if (statVars(attr)) { acc += f; vps(attr) = p :: vps.getOrElse(attr, Nil) }
     filters.foreach {
       case f @ EqualTo(attr, v: String) => addStr(f, attr, v)
       case f @ EqualNullSafe(attr, v: String) => addStr(f, attr, v)
       case f @ EqualTo(attr, v) =>
-        numeric(v).foreach(d => add(f, attr, CoordPred.Eq(d)))
+        numeric(v).foreach { d =>
+          add(f, attr, CoordPred.Eq(d)); addVar(f, attr, CoordPred.Eq(d)) }
       case f @ EqualNullSafe(attr, v) =>
         numeric(v).foreach(d => add(f, attr, CoordPred.Eq(d)))
       case f @ GreaterThan(attr, v) =>
-        numeric(v).foreach(d => add(f, attr, CoordPred.Gt(d, orEqual = false)))
+        numeric(v).foreach { d =>
+          add(f, attr, CoordPred.Gt(d, orEqual = false))
+          addVar(f, attr, CoordPred.Gt(d, orEqual = false)) }
       case f @ GreaterThanOrEqual(attr, v) =>
-        numeric(v).foreach(d => add(f, attr, CoordPred.Gt(d, orEqual = true)))
+        numeric(v).foreach { d =>
+          add(f, attr, CoordPred.Gt(d, orEqual = true))
+          addVar(f, attr, CoordPred.Gt(d, orEqual = true)) }
       case f @ LessThan(attr, v) =>
-        numeric(v).foreach(d => add(f, attr, CoordPred.Lt(d, orEqual = false)))
+        numeric(v).foreach { d =>
+          add(f, attr, CoordPred.Lt(d, orEqual = false))
+          addVar(f, attr, CoordPred.Lt(d, orEqual = false)) }
       case f @ LessThanOrEqual(attr, v) =>
-        numeric(v).foreach(d => add(f, attr, CoordPred.Lt(d, orEqual = true)))
+        numeric(v).foreach { d =>
+          add(f, attr, CoordPred.Lt(d, orEqual = true))
+          addVar(f, attr, CoordPred.Lt(d, orEqual = true)) }
       case f @ In(attr, vs) if vs.nonEmpty && vs.forall(numeric(_).isDefined) =>
         add(f, attr, CoordPred.InSet(vs.toSeq.flatMap(numeric)))
       case _ =>
     }
     accepted = acc.toArray
     coordPreds = preds.toMap
+    varPreds = vps.toMap.map { case (k, v) => k -> v.toSeq }
     filters // everything evaluated post-scan too
   }
 
@@ -282,7 +302,8 @@ class ZarrScanBuilder(meta: ZarrStoreMeta, options: CaseInsensitiveStringMap)
       new ZarrScan(meta, requiredSchema, coordPreds, accepted, limit,
         options.getLong("minRowsPerPartition", 65536),
         options.getBoolean("fillValueAsNull", false),
-        options.getInt("chunkCacheEntries", 0))
+        options.getInt("chunkCacheEntries", 0),
+        varPreds)
   }
 }
 
@@ -296,7 +317,9 @@ class ZarrScan(
     limit: Option[Long],
     minRowsPerPartition: Long,
     fillAsNull: Boolean = false,
-    chunkCacheEntries: Int = 0) extends Scan with Batch with SupportsReportStatistics
+    chunkCacheEntries: Int = 0,
+    varPreds: Map[String, Seq[GridMath.CoordPred]] = Map.empty)
+    extends Scan with Batch with SupportsReportStatistics
     with SupportsRuntimeV2Filtering {
 
   private val staticRanges: Option[GridMath.Ranges] =
@@ -378,9 +401,50 @@ class ZarrScan(
           throw new IllegalArgumentException(s"Unknown column ${f.name}")))
       }
       GridMath.partitionSlices(r, outerChunk, limit, minRowsPerPartition)
+        .filter(s => sliceMayMatch(s._1, s._2, r))
         .map(s => ZarrInputPartition(meta.path, s._1, s._2, r, meta.coords, projection,
           fillAsNull, chunkCacheEntries): InputPartition)
         .toArray
+  }
+
+  /** Statistics-based partition pruning for pushed data-variable
+    * predicates: a slice is dropped only if, for some predicated
+    * variable, EVERY chunk the slice covers provably fails the
+    * predicate conjunction by its `.zstats` [min,max]. Chunks without
+    * a stats entry are assumed possible (never prune blind). */
+  private def sliceMayMatch(rowStart: Long, rowEnd: Long, r: GridMath.Ranges): Boolean = {
+    if (varPreds.isEmpty) return true
+    def possible(p: GridMath.CoordPred, mn: Double, mx: Double): Boolean = p match {
+      case GridMath.CoordPred.Eq(t) => t >= mn - 1e-9 && t <= mx + 1e-9
+      case GridMath.CoordPred.Gt(t, orEq) => if (orEq) mx >= t else mx > t
+      case GridMath.CoordPred.Lt(t, orEq) => if (orEq) mn <= t else mn < t
+      case GridMath.CoordPred.InSet(vs) => vs.exists(t => t >= mn - 1e-9 && t <= mx + 1e-9)
+    }
+    val idx = new Array[Int](r.length)
+    GridMath.rowToIndices(rowStart, r, idx); val o0 = idx(0)
+    GridMath.rowToIndices(rowEnd - 1, r, idx); val o1 = idx(0)
+    varPreds.forall { case (name, preds) =>
+      meta.dataVars.find(_.name == name).forall { m =>
+        val innerGrid = m.chunkGrid.drop(1)
+        val coveredOuter = (o0 / m.chunks.head) to (o1 / m.chunks.head)
+        val nChunks = coveredOuter.size.toLong * innerGrid.product
+        if (nChunks > 1024) true // too many to enumerate; don't prune
+        else {
+          // any covered chunk whose stats allow the predicates keeps the slice
+          def anyPossible(prefix: List[Long], dims: Seq[Long]): Boolean = dims match {
+            case Nil =>
+              val key = m.chunkKey(prefix.reverse)
+              m.chunkStats.get(key) match {
+                case Some((mn, mx)) => preds.forall(p => possible(p, mn, mx))
+                case None => true // unknown chunk (absent or unstatted)
+              }
+            case d +: rest =>
+              (0L until d).exists(i => anyPossible(i :: prefix, rest))
+          }
+          coveredOuter.exists(co => anyPossible(List(co.toLong), innerGrid))
+        }
+      }
+    }
   }
 
   override def createReaderFactory(): PartitionReaderFactory = new ZarrReaderFactory

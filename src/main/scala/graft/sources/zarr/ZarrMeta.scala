@@ -103,7 +103,11 @@ final case class ZarrArrayMeta(
     fillValue: Double,
     isV3: Boolean,
     sharding: Option[ShardingSpec] = None,
-    attrs: Map[String, String] = Map.empty) extends Serializable {
+    attrs: Map[String, String] = Map.empty,
+    /** Per-chunk [min,max] sidecar stats (`.zstats`, written by
+      * [[ZarrWriter]]) keyed by chunk file key — powers
+      * statistics-based chunk pruning for data-variable filters. */
+    chunkStats: Map[String, (Double, Double)] = Map.empty) extends Serializable {
 
   def nDims: Int = shape.length
   def totalElements: Long = shape.product
@@ -275,6 +279,17 @@ object ZarrMeta {
     * directory walk costs one round trip per array on s3/gs).
     * Otherwise walk subdirectories for `.zarray` / array-typed
     * `zarr.json`. */
+  /** Per-chunk stats sidecar (`<name>/.zstats`): {"chunks": {key: [min,max]}}. */
+  private def statsOf(store: ZarrStore, name: String): Map[String, (Double, Double)] =
+    jsonAt(store, s"$name/.zstats")
+      .flatMap(n => Option(n.get("chunks"))).filter(_.isObject)
+      .map { c =>
+        c.properties().asScala.map { e =>
+          e.getKey -> (e.getValue.get(0).asDouble(), e.getValue.get(1).asDouble())
+        }.toMap
+      }
+      .getOrElse(Map.empty)
+
   /** Stringify a JSON attributes object (units, long_name, …). */
   private def attrsOf(node: Option[JsonNode]): Map[String, String] =
     node.filter(_.isObject).map { n =>
@@ -294,7 +309,8 @@ object ZarrMeta {
           .map { e =>
             val name = e.getKey.stripSuffix("/.zarray")
             parseArrayV2(name, e.getValue)
-              .copy(attrs = attrsOf(Option(md.get(s"$name/.zattrs"))))
+              .copy(attrs = attrsOf(Option(md.get(s"$name/.zattrs"))),
+                chunkStats = statsOf(store, name))
           }
           .sortBy(_.name)
       }
@@ -313,7 +329,8 @@ object ZarrMeta {
                 .exists(_.asText() == "array"))
               .map { e =>
                 parseArrayV3(e.getKey, e.getValue)
-                  .copy(attrs = attrsOf(Option(e.getValue.get("attributes"))))
+                  .copy(attrs = attrsOf(Option(e.getValue.get("attributes"))),
+                    chunkStats = statsOf(store, e.getKey))
               }
               .sortBy(_.name)
           }
@@ -323,12 +340,14 @@ object ZarrMeta {
         store.listDirs().flatMap { name =>
           if (version == 2)
             jsonAt(store, s"$name/.zarray").map(parseArrayV2(name, _)
-              .copy(attrs = attrsOf(jsonAt(store, s"$name/.zattrs"))))
+              .copy(attrs = attrsOf(jsonAt(store, s"$name/.zattrs")),
+                chunkStats = statsOf(store, name)))
           else
             jsonAt(store, s"$name/zarr.json")
               .filter(n => Option(n.get("node_type")).exists(_.asText() == "array"))
               .map(n => parseArrayV3(name, n)
-                .copy(attrs = attrsOf(Option(n.get("attributes")))))
+                .copy(attrs = attrsOf(Option(n.get("attributes"))),
+                  chunkStats = statsOf(store, name)))
         }
       }
   }

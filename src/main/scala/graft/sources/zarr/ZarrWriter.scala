@@ -243,9 +243,26 @@ object ZarrWriter {
     val wVersion = version
     val wShardInner = shardInner
     val wShardCompress = shardCompress
-    rows.foreachPartition { it: Iterator[Row] =>
+    // Executors write their chunk slabs and return per-chunk min/max —
+    // the driver persists them as `<var>/.zstats` sidecars powering
+    // statistics-based chunk pruning (the reference's roadmap
+    // "statistics-based chunk pruning" / "data-variable filter
+    // pushdown", README.md:289-337; zarr itself has no chunk stats, so
+    // this is a sidecar extension readers may ignore).
+    val statRows: Array[((Int, Int), (Double, Double))] =
+      rows.rdd.mapPartitions { it: Iterator[Row] =>
       val idx = bIdx.value
       val buffers = scala.collection.mutable.Map.empty[(Int, Int), ByteBuffer] // (chunk, var)
+      val stats = scala.collection.mutable.Map.empty[(Int, Int), (Double, Double, Long)]
+      def trackStat(chunk: Int, v: Int, value: Any): Unit = {
+        val d = value match {
+          case n: java.lang.Number => n.doubleValue()
+          case b: Boolean => if (b) 1.0 else 0.0
+          case _ => return
+        }
+        val cur = stats.getOrElse((chunk, v), (d, d, 0L))
+        stats((chunk, v)) = (math.min(cur._1, d), math.max(cur._2, d), cur._3 + 1)
+      }
       def bufFor(chunk: Int, v: Int): ByteBuffer =
         buffers.getOrElseUpdate((chunk, v), {
           // Zarr v2 edge chunks are stored at FULL chunk shape (the
@@ -268,11 +285,13 @@ object ZarrWriter {
         var v = 0
         while (v < varCols.length) {
           val (_, elem) = dtypeOf(varTypes(v))
-          putValue(bufFor(chunk, v), local.toInt, elem, varTypes(v), row.getAs[Any](varCols(v)))
+          val value = row.getAs[Any](varCols(v))
+          putValue(bufFor(chunk, v), local.toInt, elem, varTypes(v), value)
+          trackStat(chunk, v, value)
           v += 1
         }
       }
-      buffers.foreach { case ((chunk, v), buf) =>
+      buffers.toSeq.map { case ((chunk, v), buf) =>
         val target =
           if (wVersion == 2)
             Paths.get(path, varCols(v),
@@ -289,7 +308,29 @@ object ZarrWriter {
             shardify(buf.array(), chunkOuter / wShardInner, wShardCompress)
           else buf.array()
         Files.write(target, payload)
-      }
+        // widen by fill_value (0) ONLY for partially-filled chunks —
+        // their unwritten cells hold fill, so stats must cover it;
+        // fully-covered chunks keep their tight range
+        val cells = chunkOuter * innerRows
+        val (mn0, mx0, cnt) = stats.getOrElse((chunk, v), (0.0, 0.0, 0L))
+        val (mn, mx) =
+          if (cnt >= cells) (mn0, mx0)
+          else (math.min(mn0, 0.0), math.max(mx0, 0.0))
+        ((chunk, v), (mn, mx))
+      }.iterator
+    }.collect()
+
+    // driver writes the stats sidecars (one JSON per variable)
+    varCols.zipWithIndex.foreach { case (name, v) =>
+      val entries = statRows.collect { case ((chunk, vv), (mn, mx)) if vv == v =>
+        val key =
+          if (version == 2)
+            (chunk.toString +: Seq.fill(coords.length - 1)("0")).mkString(".")
+          else ("c" +: chunk.toString +: Seq.fill(coords.length - 1)("0")).mkString("/")
+        s""""$key": [$mn, $mx]"""
+      }.mkString(",")
+      Files.write(Paths.get(path, name, ".zstats"),
+        s"""{"chunks": {$entries}}""".getBytes)
     }
   }
 
