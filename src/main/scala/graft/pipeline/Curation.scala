@@ -203,13 +203,16 @@ object Curation {
       .select(col("source") +: langs.map(l => col(l).cast("long").as(l)): _*)
   }
 
+  // CAST AS BIGINT: DuckDB SUM over ints yields HUGEINT (arrow
+  // decimal128), which the driver's type-sensitive hash rejects
+  // against Spark's int64 even when values agree.
   private val c6Sql = """
     SELECT source,
-      SUM(CASE WHEN lang = 'de' THEN 1 ELSE 0 END) AS de,
-      SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS en,
-      SUM(CASE WHEN lang = 'es' THEN 1 ELSE 0 END) AS es,
-      SUM(CASE WHEN lang = 'fr' THEN 1 ELSE 0 END) AS fr,
-      SUM(CASE WHEN lang = 'zh' THEN 1 ELSE 0 END) AS zh
+      CAST(SUM(CASE WHEN lang = 'de' THEN 1 ELSE 0 END) AS BIGINT) AS de,
+      CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS en,
+      CAST(SUM(CASE WHEN lang = 'es' THEN 1 ELSE 0 END) AS BIGINT) AS es,
+      CAST(SUM(CASE WHEN lang = 'fr' THEN 1 ELSE 0 END) AS BIGINT) AS fr,
+      CAST(SUM(CASE WHEN lang = 'zh' THEN 1 ELSE 0 END) AS BIGINT) AS zh
     FROM documents
     GROUP BY source"""
 
@@ -237,8 +240,8 @@ object Curation {
 
   private val c7Sql = """
     SELECT doc_id, lang, toks,
-      cum_before // 2048 AS pack_id,
-      cum_before % 2048 AS pack_offset
+      CAST(cum_before // 2048 AS BIGINT) AS pack_id,
+      CAST(cum_before % 2048 AS BIGINT) AS pack_offset
     FROM (
       SELECT doc_id, lang,
         CAST(LEN(REGEXP_EXTRACT_ALL(text, '\S+')) AS BIGINT) AS toks,
@@ -297,8 +300,8 @@ object Curation {
         CAST(LEN(REGEXP_EXTRACT_ALL(clean, '\S+')) AS BIGINT) AS toks
       FROM train)
     SELECT doc_id, lang, toks,
-      COALESCE(SUM(toks) OVER (PARTITION BY lang ORDER BY doc_id
-        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 2048 AS pack_id
+      CAST(COALESCE(SUM(toks) OVER (PARTITION BY lang ORDER BY doc_id
+        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 2048 AS BIGINT) AS pack_id
     FROM toks"""
 
   // -------------------------------------------------------------- registry

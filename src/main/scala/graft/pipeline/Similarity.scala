@@ -121,7 +121,8 @@ object Similarity {
         (SELECT SUM(CAST(x AS DOUBLE) * CAST(x AS DOUBLE))
          FROM (SELECT UNNEST(embedding) AS x) z) AS n2
       FROM embeddings),
-    eb AS (SELECT vec_id, embedding, n2, ${bucketSql("e")} AS bucket FROM e),
+    eb AS (SELECT vec_id, embedding, n2,
+      CAST(${bucketSql("e")} AS BIGINT) AS bucket FROM e),
     pairs AS (
       SELECT q.vec_id AS query_id, c.vec_id AS vec_id, q.bucket AS bucket,
         ${dotSql.format("q", "c")} / SQRT(q.n2 * c.n2) AS cosine

@@ -198,9 +198,15 @@ object ChunkCodec {
       case ('f', 8) => val a = new Array[Double](n); var i = 0; while (i < n) { a(i) = buf.getDouble(); i += 1 }; a
       case ('b', _) => val a = new Array[Boolean](n); var i = 0; while (i < n) { a(i) = buf.get() != 0; i += 1 }; a
       case ('M', _) =>
-        // datetime64 → epoch micros (Spark's internal TimestampType)
+        // datetime64 → epoch micros (Spark's internal TimestampType).
+        // floorDiv matches numpy/Spark floor semantics for pre-epoch
+        // ns values; multiplyExact fails loudly instead of silently
+        // wrapping for out-of-range coarse-unit (h/D) values.
         val a = new Array[Long](n); var i = 0
-        while (i < n) { a(i) = buf.getLong() * dtype.tsMulUs / dtype.tsDivUs; i += 1 }
+        while (i < n) {
+          a(i) = Math.floorDiv(Math.multiplyExact(buf.getLong(), dtype.tsMulUs), dtype.tsDivUs)
+          i += 1
+        }
         a
       case ('S', w) =>
         val a = new Array[String](n); val cell = new Array[Byte](w)
@@ -279,6 +285,16 @@ object ChunkIO {
           e: java.util.Map.Entry[(String, String, Seq[Long]), AnyRef]): Boolean =
         size() > cap
     }
+
+  /** Drop every cached chunk for `path` — called when a store at that
+    * path is rewritten or deleted in this JVM, so later scans with
+    * `chunkCacheEntries>0` never serve stale data. (On a multi-JVM
+    * cluster each executor purges its own cache via the same hooks;
+    * rewriting a live store path concurrently with readers is
+    * undefined regardless, as with any file format.) */
+  def invalidatePath(path: String): Unit = chunkCache.synchronized {
+    chunkCache.keySet().removeIf(_._1 == path)
+  }
 
   def readChunkCached(store: ZarrStore, meta: ZarrArrayMeta, chunkIdx: Seq[Long],
       cacheEntries: Int): AnyRef =
@@ -419,6 +435,7 @@ object ChunkIO {
     case x: Array[Float] => if (x.length == n) x else x.take(n)
     case x: Array[Double] => if (x.length == n) x else x.take(n)
     case x: Array[Boolean] => if (x.length == n) x else x.take(n)
+    case x: Array[String] => if (x.length == n) x else x.take(n)
     case other => other
   }
 

@@ -52,9 +52,20 @@ class ZarrDataSource extends TableProvider
     p
   }
 
+  /** Does a Zarr store exist at `path`? Only the not-found family maps
+    * to `false`; transient IO failures (network, permissions, HTTP 5xx)
+    * propagate — otherwise a blip on an EXISTING store would
+    * misclassify it as absent, giving reads an empty schema and letting
+    * ErrorIfExists/Ignore/Append writes proceed as if the target were
+    * free. */
   private def isStore(path: String): Boolean =
     try { ZarrMeta.detectVersion(ZarrStore.open(path)); true }
-    catch { case _: Exception => false }
+    catch {
+      case _: IllegalArgumentException => false // no dir / not a Zarr store
+      case _: java.io.FileNotFoundException => false
+      case _: java.nio.file.NoSuchFileException => false
+      case _: UnsupportedOperationException => false // listing-less backend, no metadata
+    }
 
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
     val path = pathOf(options)
@@ -118,8 +129,25 @@ class ZarrDataSource extends TableProvider
       val version = params.get("zarrversion").map(_.toInt).getOrElse(2)
       val shardInner = params.get("shardinner").map(_.toInt).getOrElse(0)
       val shardCompress = params.get("shardcompress").exists(_.toBoolean)
+      if (ZarrStore.open(path).isInstanceOf[HttpStore])
+        throw new UnsupportedOperationException(
+          s"HTTP Zarr stores are read-only; cannot write to $path")
+      // Write the new store to a temp sibling first, then swap: the
+      // existing store is destroyed only after the full write succeeds,
+      // so a failed job never leaves the target path half-written (or,
+      // worse, deleted). All IO goes through ZarrStore, so hdfs://s3a://
+      // targets write remotely, not to a bogus local dir named after
+      // the URI.
+      val tmpPath = path.stripSuffix("/") + ".__graft_tmp"
+      ZarrStore.open(tmpPath).deleteRecursively() // stale temp from a crashed run
+      try ZarrWriter.write(data, tmpPath, coords, chunkOuter, version, shardInner, shardCompress)
+      catch { case e: Throwable =>
+        try ZarrStore.open(tmpPath).deleteRecursively()
+        catch { case cleanup: Exception => e.addSuppressed(cleanup) }
+        throw e
+      }
       if (exists) ZarrStore.open(path).deleteRecursively()
-      ZarrWriter.write(data, path, coords, chunkOuter, version, shardInner, shardCompress)
+      ZarrStore.open(tmpPath).moveTo(path)
     }
     val ctx = sqlContext
     new org.apache.spark.sql.sources.BaseRelation {

@@ -183,7 +183,7 @@ object ZarrMeta {
   def detectVersion(store: ZarrStore): Int = {
     def exists(rel: String) = store.sizeOf(rel).isDefined
     if (exists("zarr.json")) 3
-    else if (exists(".zgroup") || exists(".zarray")) 2
+    else if (exists(".zgroup") || exists(".zarray") || exists(".zmetadata")) 2
     else {
       val subs = store.listDirs()
       if (subs.exists(d => exists(s"$d/zarr.json"))) 3

@@ -24,8 +24,17 @@ sealed trait ZarrStore extends Serializable {
   def readBytes(rel: String): Option[Array[Byte]]
   /** Size in bytes of `rel` if it exists (IO accounting). */
   def sizeOf(rel: String): Option[Long]
+  /** Write the full contents of `rel`, creating parent directories as
+    * needed (sink path — works for any writable backend, so
+    * `df.write.format("zarr")` targets hdfs://, s3a://, … the same way
+    * it targets local paths). */
+  def writeBytes(rel: String, data: Array[Byte]): Unit
+  /** Rename this store's root directory to `destPath` (same
+    * filesystem). Used by the sink's write-to-temp-then-swap commit. */
+  def moveTo(destPath: String): Unit
   /** Remove the store directory and everything under it (sink
-    * overwrite). No-op if absent. */
+    * overwrite). No-op if absent. Also drops any decoded chunks cached
+    * for this path in this JVM. */
   def deleteRecursively(): Unit
 }
 
@@ -67,11 +76,27 @@ final case class LocalStore(path: String) extends ZarrStore {
     if (Files.exists(p)) Some(Files.size(p)) else None
   }
 
-  override def deleteRecursively(): Unit = if (Files.exists(root)) {
-    val s = Files.walk(root)
-    try s.sorted(java.util.Comparator.reverseOrder[Path]())
-      .iterator().asScala.foreach(Files.delete)
-    finally s.close()
+  override def writeBytes(rel: String, data: Array[Byte]): Unit = {
+    val p = root.resolve(rel)
+    Files.createDirectories(p.getParent)
+    Files.write(p, data)
+  }
+
+  override def moveTo(destPath: String): Unit = {
+    val dest = Paths.get(destPath)
+    Option(dest.getParent).foreach(Files.createDirectories(_))
+    Files.move(root, dest)
+    ChunkIO.invalidatePath(destPath)
+  }
+
+  override def deleteRecursively(): Unit = {
+    if (Files.exists(root)) {
+      val s = Files.walk(root)
+      try s.sorted(java.util.Comparator.reverseOrder[Path]())
+        .iterator().asScala.foreach(Files.delete)
+      finally s.close()
+    }
+    ChunkIO.invalidatePath(path)
   }
 }
 
@@ -102,8 +127,23 @@ final case class HadoopStore(path: String) extends ZarrStore {
     if (fs.exists(p)) Some(fs.getFileStatus(p).getLen) else None
   }
 
-  override def deleteRecursively(): Unit =
+  override def writeBytes(rel: String, data: Array[Byte]): Unit = {
+    val out = fs.create(new HPath(root, rel), true) // creates parent dirs
+    try out.write(data) finally out.close()
+  }
+
+  override def moveTo(destPath: String): Unit = {
+    val dest = new HPath(destPath)
+    Option(dest.getParent).foreach(fs.mkdirs)
+    if (!fs.rename(root, dest))
+      throw new java.io.IOException(s"Failed to rename $path to $destPath")
+    ChunkIO.invalidatePath(destPath)
+  }
+
+  override def deleteRecursively(): Unit = {
     if (fs.exists(root)) fs.delete(root, true)
+    ChunkIO.invalidatePath(path)
+  }
 }
 
 /** Read-only Zarr store over plain HTTP(S) — the reference's roadmap
@@ -145,8 +185,16 @@ final case class HttpStore(path: String) extends ZarrStore {
     if (resp.statusCode() == 200) {
       val l = resp.headers().firstValueAsLong("Content-Length")
       Some(if (l.isPresent) l.getAsLong else 0L)
-    } else None
+    } else if (resp.statusCode() == 404) None
+    else throw new java.io.IOException(
+      s"HTTP ${resp.statusCode()} probing ${uri(rel)}") // 5xx is an error, not not-found
   }
+
+  override def writeBytes(rel: String, data: Array[Byte]): Unit =
+    throw new UnsupportedOperationException("HTTP Zarr stores are read-only")
+
+  override def moveTo(destPath: String): Unit =
+    throw new UnsupportedOperationException("HTTP Zarr stores are read-only")
 
   override def deleteRecursively(): Unit =
     throw new UnsupportedOperationException("HTTP Zarr stores are read-only")

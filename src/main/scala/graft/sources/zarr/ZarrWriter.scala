@@ -1,7 +1,6 @@
 package graft.sources.zarr
 
 import java.nio.{ByteBuffer, ByteOrder}
-import java.nio.file.{Files, Paths}
 
 import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.functions._
@@ -25,7 +24,9 @@ import org.apache.spark.sql.types._
   *
   * Contract: the input must cover the full cartesian product of its
   * coordinate values at most once; missing cells become `fill_value`
-  * (0). Local filesystem paths (executors write with java.nio).
+  * (0). All IO goes through [[ZarrStore]], so any writable backend
+  * (local, hdfs://, s3a://, …) works; executors open their own store
+  * handle from the serialized descriptor.
   */
 object ZarrWriter {
 
@@ -152,12 +153,11 @@ object ZarrWriter {
       s"input has $n rows but the coordinate grid only has $totalRows cells (duplicates?)")
 
     // 2. driver writes group + coordinate arrays + variable metadata
-    val root = Paths.get(path)
-    Files.createDirectories(root)
+    val store = ZarrStore.open(path)
     if (version == 2)
-      Files.write(root.resolve(".zgroup"), """{"zarr_format":2}""".getBytes)
+      store.writeBytes(".zgroup", """{"zarr_format":2}""".getBytes)
     else
-      Files.write(root.resolve("zarr.json"),
+      store.writeBytes("zarr.json",
         """{"zarr_format":3,"node_type":"group"}""".getBytes)
     // Column metadata (units, long_name, … — e.g. from a zarr read)
     // round-trips as the array's .zattrs (v2) / inline attributes (v3).
@@ -165,41 +165,29 @@ object ZarrWriter {
       val md = schema(name).metadata
       if (md == org.apache.spark.sql.types.Metadata.empty) None else Some(md.json)
     }
-    def writeArrayMeta(dir: java.nio.file.Path, name: String,
-        aShape: Seq[Long], aChunks: Seq[Int]): Unit = {
+    def writeArrayMeta(name: String, aShape: Seq[Long], aChunks: Seq[Int]): Unit = {
       val t = schema(name).dataType
       if (version == 2) {
-        Files.write(dir.resolve(".zarray"),
-          zarray(aShape, aChunks, dtypeOf(t)._1).getBytes)
-        attrsJson(name).foreach(a => Files.write(dir.resolve(".zattrs"), a.getBytes))
+        store.writeBytes(s"$name/.zarray", zarray(aShape, aChunks, dtypeOf(t)._1).getBytes)
+        attrsJson(name).foreach(a => store.writeBytes(s"$name/.zattrs", a.getBytes))
       } else {
         // only data variables shard (aShape == full grid shape)
         val si = if (aShape == shape) shardInner else 0
-        Files.write(dir.resolve("zarr.json"),
+        store.writeBytes(s"$name/zarr.json",
           zarrJsonV3(aShape, aChunks, t, attrsJson(name), si, shardCompress).getBytes)
       }
     }
-    coords.zip(coordVals).zipWithIndex.foreach { case ((name, vals), i) =>
+    coords.zip(coordVals).foreach { case (name, vals) =>
       val t = schema(name).dataType
       val (_, elem) = dtypeOf(t)
-      val dir = root.resolve(name)
-      Files.createDirectories(dir)
-      writeArrayMeta(dir, name, Seq(vals.length.toLong), Seq(vals.length))
+      writeArrayMeta(name, Seq(vals.length.toLong), Seq(vals.length))
       val buf = ByteBuffer.allocate(vals.length * elem).order(ByteOrder.LITTLE_ENDIAN)
       vals.zipWithIndex.foreach { case (v, j) => putValue(buf, j, elem, t, v) }
-      if (version == 2) Files.write(dir.resolve("0"), buf.array())
-      else {
-        Files.createDirectories(dir.resolve("c"))
-        Files.write(dir.resolve("c").resolve("0"), buf.array())
-      }
+      store.writeBytes(if (version == 2) s"$name/0" else s"$name/c/0", buf.array())
     }
     val innerShape = shape.drop(1).map(_.toInt)
     val chunkShape = chunkOuter +: innerShape
-    varCols.foreach { name =>
-      val dir = root.resolve(name)
-      Files.createDirectories(dir)
-      writeArrayMeta(dir, name, shape, chunkShape)
-    }
+    varCols.foreach(name => writeArrayMeta(name, shape, chunkShape))
 
     // Consolidated metadata: one-fetch discovery (required for
     // listing-less backends like HTTP). v2 → .zmetadata; v3 → embed
@@ -207,18 +195,18 @@ object ZarrWriter {
     val allNames = coords ++ varCols
     if (version == 2) {
       val entries = allNames.flatMap { n =>
-        val za = new String(Files.readAllBytes(root.resolve(n).resolve(".zarray")))
+        val za = new String(store.readBytes(s"$n/.zarray").get)
         val attrs = attrsJson(n).map(a => s""""$n/.zattrs": $a""")
         Seq(s""""$n/.zarray": $za""") ++ attrs
       }.mkString(",")
-      Files.write(root.resolve(".zmetadata"),
+      store.writeBytes(".zmetadata",
         s"""{"zarr_consolidated_format": 1, "metadata": {$entries}}""".getBytes)
     } else {
       val entries = allNames.map { n =>
-        val zj = new String(Files.readAllBytes(root.resolve(n).resolve("zarr.json")))
+        val zj = new String(store.readBytes(s"$n/zarr.json").get)
         s""""$n": $zj"""
       }.mkString(",")
-      Files.write(root.resolve("zarr.json"),
+      store.writeBytes("zarr.json",
         (s"""{"zarr_format":3,"node_type":"group",""" +
           s""""consolidated_metadata":{"metadata":{$entries}}}""").getBytes)
     }
@@ -243,6 +231,7 @@ object ZarrWriter {
     val wVersion = version
     val wShardInner = shardInner
     val wShardCompress = shardCompress
+    val wStore = store // serializable descriptor; executors open lazily
     // Executors write their chunk slabs and return per-chunk min/max —
     // the driver persists them as `<var>/.zstats` sidecars powering
     // statistics-based chunk pruning (the reference's roadmap
@@ -292,22 +281,18 @@ object ZarrWriter {
         }
       }
       buffers.toSeq.map { case ((chunk, v), buf) =>
-        val target =
+        val rel =
           if (wVersion == 2)
-            Paths.get(path, varCols(v),
-              (chunk.toString +: Seq.fill(coordNames.length - 1)("0")).mkString("."))
-          else {
-            val segs = Seq(varCols(v), "c", chunk.toString) ++
-              Seq.fill(coordNames.length - 1)("0")
-            val p = Paths.get(path, segs: _*)
-            Files.createDirectories(p.getParent)
-            p
-          }
+            varCols(v) + "/" +
+              (chunk.toString +: Seq.fill(coordNames.length - 1)("0")).mkString(".")
+          else
+            (Seq(varCols(v), "c", chunk.toString) ++
+              Seq.fill(coordNames.length - 1)("0")).mkString("/")
         val payload =
           if (wShardInner > 0)
             shardify(buf.array(), chunkOuter / wShardInner, wShardCompress)
           else buf.array()
-        Files.write(target, payload)
+        wStore.writeBytes(rel, payload)
         // widen by fill_value (0) ONLY for partially-filled chunks —
         // their unwritten cells hold fill, so stats must cover it;
         // fully-covered chunks keep their tight range
@@ -329,9 +314,10 @@ object ZarrWriter {
           else ("c" +: chunk.toString +: Seq.fill(coords.length - 1)("0")).mkString("/")
         s""""$key": [$mn, $mx]"""
       }.mkString(",")
-      Files.write(Paths.get(path, name, ".zstats"),
-        s"""{"chunks": {$entries}}""".getBytes)
+      store.writeBytes(s"$name/.zstats", s"""{"chunks": {$entries}}""".getBytes)
     }
+    // a rewrite at this path must not serve chunks cached before it
+    ChunkIO.invalidatePath(store.path)
   }
 
   /** Chunk id column without a UDF: a chained CASE over the (small)

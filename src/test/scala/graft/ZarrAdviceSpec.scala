@@ -1,0 +1,144 @@
+package graft
+
+import java.nio.{ByteBuffer, ByteOrder}
+import java.nio.file.{Files, Path, Paths}
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.zarr.{ChunkCodec, HadoopStore, ZarrDType, ZarrWriter}
+
+/** Regression coverage for the round-2 advisory findings: sink writes
+  * routed through the storage abstraction (remote-capable, write-to-
+  * temp-then-swap), decoded-chunk cache invalidation on rewrite,
+  * string-coordinate truncation at chunk overhang, not-found vs
+  * IO-error classification, and datetime64 floor conversion. */
+class ZarrAdviceSpec extends AnyFunSuite {
+  import TestSession._
+
+  private val v3 = "src/test/resources/zarr/synthetic_v3.zarr"
+
+  test("HadoopStore writeBytes/readBytes/moveTo/deleteRecursively round-trip") {
+    val tmp = Files.createTempDirectory("zarr_hadoop")
+    val store = HadoopStore(s"file:$tmp/store.zarr")
+    store.writeBytes("a/.zarray", "{}".getBytes)
+    store.writeBytes("a/0.0", Array[Byte](1, 2, 3))
+    assert(store.readBytes("a/0.0").get.toSeq == Seq[Byte](1, 2, 3))
+    assert(store.sizeOf("a/0.0").contains(3L))
+    store.moveTo(s"file:$tmp/moved.zarr")
+    val moved = HadoopStore(s"file:$tmp/moved.zarr")
+    assert(moved.readBytes("a/0.0").get.toSeq == Seq[Byte](1, 2, 3))
+    assert(!Files.exists(tmp.resolve("store.zarr")))
+    moved.deleteRecursively()
+    assert(!Files.exists(tmp.resolve("moved.zarr")))
+    assert(moved.readBytes("a/0.0").isEmpty)
+  }
+
+  test("failed overwrite leaves the existing store intact (temp+swap)") {
+    val out = Files.createTempDirectory("zarr_swap").resolve("s.zarr").toString
+    val src = spark.read.format("zarr").load(v3)
+    src.write.format("zarr").option("coords", "time,lon,lat")
+      .mode("overwrite").save(out)
+    val before = spark.read.format("zarr").load(out)
+      .agg(sum("temperature")).collect().head.getLong(0)
+    // duplicate rows violate the complete-grid contract -> write fails
+    intercept[Exception] {
+      src.union(src).write.format("zarr").option("coords", "time,lon,lat")
+        .mode("overwrite").save(out)
+    }
+    // old store still present and readable; no temp dir left behind
+    val after = spark.read.format("zarr").load(out)
+      .agg(sum("temperature")).collect().head.getLong(0)
+    assert(after == before)
+    assert(!Files.exists(Paths.get(out + ".__graft_tmp")))
+  }
+
+  test("chunk cache does not serve stale data after an overwrite") {
+    val out = Files.createTempDirectory("zarr_stale").resolve("c.zarr").toString
+    val src = spark.read.format("zarr").load(v3)
+      .select(col("time"), col("lon"), col("lat"), col("temperature"))
+    ZarrWriter.write(src, out, coords = Seq("time", "lon", "lat"), chunkOuter = 2)
+    def cached = spark.read.format("zarr")
+      .option("chunkCacheEntries", "64").load(out)
+    val first = cached.agg(sum("temperature")).collect().head.getLong(0)
+    // rewrite the SAME path with shifted values
+    ZarrWriter.write(
+      src.withColumn("temperature", col("temperature") + 100),
+      out, coords = Seq("time", "lon", "lat"), chunkOuter = 2)
+    val second = cached.agg(sum("temperature")).collect().head.getLong(0)
+    assert(second == first + 100L * 700L)
+  }
+
+  test("1-D string coordinate with chunk extent > shape truncates padding") {
+    val root = Files.createTempDirectory("zarr_strtrunc")
+    def writeJson(rel: String, s2: String): Unit = {
+      val p = root.resolve(rel)
+      Files.createDirectories(p.getParent)
+      Files.write(p, s2.getBytes)
+    }
+    writeJson(".zgroup", """{"zarr_format":2}""")
+    def meta(shape: Seq[Int], chunks: Seq[Int], dtype: String) =
+      s"""{"zarr_format":2,"shape":[${shape.mkString(",")}],
+          "chunks":[${chunks.mkString(",")}],"dtype":"$dtype","fill_value":0,
+          "order":"C","filters":null,"dimension_separator":".","compressor":null}"""
+    // station |S4: shape 3 but chunk extent 5 -> 2 cells of NUL padding
+    writeJson("station/.zarray", meta(Seq(3), Seq(5), "|S4"))
+    val sbuf = ByteBuffer.allocate(5 * 4)
+    Seq("alp", "bern", "cgn").foreach(n =>
+      sbuf.put(java.util.Arrays.copyOf(n.getBytes("US-ASCII"), 4)))
+    Files.write(root.resolve("station").resolve("0"), sbuf.array())
+    writeJson("hour/.zarray", meta(Seq(2), Seq(2), "<i8"))
+    val hbuf = ByteBuffer.allocate(2 * 8).order(ByteOrder.LITTLE_ENDIAN)
+    (0 until 2).foreach(h => hbuf.putLong(h.toLong))
+    Files.write(root.resolve("hour").resolve("0"), hbuf.array())
+    writeJson("reading/.zarray", meta(Seq(3, 2), Seq(1, 2), "<i8"))
+    for (si <- 0 until 3) {
+      val buf = ByteBuffer.allocate(2 * 8).order(ByteOrder.LITTLE_ENDIAN)
+      (0 until 2).foreach(h => buf.putLong(100L * si + h))
+      Files.write(root.resolve("reading").resolve(s"$si.0"), buf.array())
+    }
+    val d = spark.read.format("zarr").load(root.toString)
+    assert(d.count() == 6) // 3 stations x 2 hours, NOT 5 x 2
+    assert(d.select("station").distinct().collect().map(_.getString(0)).sorted.toSeq
+      == Seq("alp", "bern", "cgn"))
+  }
+
+  test("reading a non-store directory fails clearly; IO errors are not misread as absent") {
+    // empty dir: classified as "no store yet" (pending write), read errors
+    val empty = Files.createTempDirectory("zarr_empty").toString
+    val e = intercept[Exception](
+      spark.read.format("zarr").load(empty).count())
+    assert(e.getMessage != null)
+    // HTTP server that 500s on everything: must surface an IO error,
+    // not an empty-schema pending-write table
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/", (ex: com.sun.net.httpserver.HttpExchange) => {
+      ex.sendResponseHeaders(500, -1); ex.close()
+    })
+    server.start()
+    try {
+      val url = s"http://127.0.0.1:${server.getAddress.getPort}/store.zarr"
+      val err = intercept[Exception](spark.read.format("zarr").load(url))
+      def chain(t: Throwable): Seq[Throwable] =
+        Seq(t) ++ Option(t.getCause).toSeq.flatMap(chain)
+      assert(chain(err).exists(_.getMessage.contains("HTTP 500")), err.toString)
+    } finally server.stop(0)
+  }
+
+  test("datetime64 conversion floors toward negative infinity and rejects overflow") {
+    val ns = ZarrDType.parseV2("<M8[ns]")
+    def dec(dtype: ZarrDType, vs: Long*): Seq[Long] = {
+      val buf = ByteBuffer.allocate(vs.length * 8).order(ByteOrder.LITTLE_ENDIAN)
+      vs.foreach(buf.putLong)
+      ChunkCodec.decodeTyped(buf.array(), dtype, vs.length)
+        .asInstanceOf[Array[Long]].toSeq
+    }
+    // pre-epoch ns values floor (numpy/Spark semantics), not round to zero
+    assert(dec(ns, -1500L, -1000L, -999L, 1500L) == Seq(-2L, -1L, -1L, 1L))
+    // day-resolution overflow fails loudly instead of wrapping
+    val day = ZarrDType.parseV2("<M8[D]")
+    assert(dec(day, 2L) == Seq(2L * 86400000000L))
+    intercept[ArithmeticException](dec(day, Long.MaxValue / 86400000000L + 1))
+  }
+}
