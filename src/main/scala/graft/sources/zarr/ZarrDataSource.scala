@@ -129,6 +129,7 @@ class ZarrDataSource extends TableProvider
       val version = params.get("zarrversion").map(_.toInt).getOrElse(2)
       val shardInner = params.get("shardinner").map(_.toInt).getOrElse(0)
       val shardCompress = params.get("shardcompress").exists(_.toBoolean)
+      val compressor = params.getOrElse("compressor", "none")
       if (ZarrStore.open(path).isInstanceOf[HttpStore])
         throw new UnsupportedOperationException(
           s"HTTP Zarr stores are read-only; cannot write to $path")
@@ -140,7 +141,8 @@ class ZarrDataSource extends TableProvider
       // the URI.
       val tmpPath = path.stripSuffix("/") + ".__graft_tmp"
       ZarrStore.open(tmpPath).deleteRecursively() // stale temp from a crashed run
-      try ZarrWriter.write(data, tmpPath, coords, chunkOuter, version, shardInner, shardCompress)
+      try ZarrWriter.write(data, tmpPath, coords, chunkOuter, version, shardInner,
+        shardCompress, compressor)
       catch { case e: Throwable =>
         try ZarrStore.open(tmpPath).deleteRecursively()
         catch { case cleanup: Exception => e.addSuppressed(cleanup) }

@@ -81,17 +81,54 @@ object ZarrQueries {
        FROM (VALUES (2,510,1354,30),(3,-191,1383,30),(4,202,1287,30))
        AS t(time, sum_temp, sum_hum, n)"""
 
+  /** Sink round-trip INSIDE the graded gate: aggregate `lineitem` into
+    * a (l_linenumber × l_orderkey%4) grid, write it as a
+    * zstd-compressed Zarr store (overwrite → temp+swap), read it back
+    * through the connector. The oracle reproduces the read-back —
+    * including fill_value 0 for grid cells with no input rows — as a
+    * cross join of the distinct coordinate values LEFT JOINed to the
+    * aggregate. Exercises writer, compressor, consolidated metadata
+    * and reader against DuckDB at every sf. */
+  def z6_zarr_roundtrip(s: SparkSession, dir: String): DataFrame = {
+    val li = graft.operators.Tables.load(s, dir, "lineitem")
+    val grid = li.select(
+        col("l_linenumber").cast("long").as("ln"),
+        (col("l_orderkey") % 4).cast("long").as("k"),
+        col("l_quantity").cast("long").as("qty"))
+      .groupBy("ln", "k").agg(sum(col("qty")).as("sum_qty"))
+    val out = s"${System.getProperty("java.io.tmpdir")}/graft_z6_${math.abs(dir.hashCode)}.zarr"
+    grid.write.format("zarr")
+      .option("coords", "ln,k").option("chunkOuter", "2")
+      .option("compressor", "zstd")
+      .mode("overwrite").save(out)
+    s.read.format("zarr").load(out).select("ln", "k", "sum_qty")
+  }
+
+  private val z6Sql = """
+    WITH agg AS (
+      SELECT CAST(l_linenumber AS BIGINT) AS ln,
+             CAST(l_orderkey % 4 AS BIGINT) AS k,
+             CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+      FROM lineitem GROUP BY 1, 2),
+    lns AS (SELECT DISTINCT ln FROM agg),
+    ks AS (SELECT DISTINCT k FROM agg)
+    SELECT l.ln, kk.k, CAST(COALESCE(a.sum_qty, 0) AS BIGINT) AS sum_qty
+    FROM lns l CROSS JOIN ks kk
+    LEFT JOIN agg a ON a.ln = l.ln AND a.k = kk.k"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "z1_zarr_group_agg" -> (z1_zarr_group_agg _),
     "z2_zarr_filter_slice" -> (z2_zarr_filter_slice _),
     "z3_zarr_stats_agg" -> (z3_zarr_stats_agg _),
     "z4_zarr_topk" -> (z4_zarr_topk _),
-    "z5_zarr_range" -> (z5_zarr_range _))
+    "z5_zarr_range" -> (z5_zarr_range _),
+    "z6_zarr_roundtrip" -> (z6_zarr_roundtrip _))
 
   val oracle: Map[String, String] = Map(
     "z1_zarr_group_agg" -> z1Sql,
     "z2_zarr_filter_slice" -> z2Sql,
     "z3_zarr_stats_agg" -> z3Sql,
     "z4_zarr_topk" -> z4Sql,
-    "z5_zarr_range" -> z5Sql)
+    "z5_zarr_range" -> z5Sql,
+    "z6_zarr_roundtrip" -> z6Sql)
 }

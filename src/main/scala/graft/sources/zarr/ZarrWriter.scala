@@ -41,10 +41,35 @@ object ZarrWriter {
     case other => throw new IllegalArgumentException(s"Unsupported Zarr write type: $other")
   }
 
-  private def zarray(shape: Seq[Long], chunks: Seq[Int], dtype: String): String =
+  private def compressorJson(c: String): String = c match {
+    case "none" => "null"
+    case "zstd" => """{"id":"zstd","level":3}"""
+    case "gzip" => """{"id":"gzip","level":5}"""
+    case other => throw new IllegalArgumentException(
+      s"Unsupported write compressor: $other (use none, zstd or gzip)")
+  }
+
+  /** Compress one chunk payload for writing (readers decode any of
+    * these). zstd default level 3: the object-store sweet spot —
+    * decode speed close to lz4, ratio close to zlib. */
+  private def compressPayload(raw: Array[Byte], c: String): Array[Byte] = c match {
+    case "none" => raw
+    case "zstd" => com.github.luben.zstd.Zstd.compress(raw, 3)
+    case "gzip" =>
+      val bos = new java.io.ByteArrayOutputStream()
+      val g = new java.util.zip.GZIPOutputStream(bos) {
+        `def`.setLevel(5)
+      }
+      g.write(raw); g.close()
+      bos.toByteArray
+  }
+
+  private def zarray(shape: Seq[Long], chunks: Seq[Int], dtype: String,
+      compressor: String): String =
     s"""{"zarr_format":2,"shape":[${shape.mkString(",")}],"chunks":[${chunks.mkString(",")}],
        |"dtype":"$dtype","fill_value":0,"order":"C","filters":null,
-       |"dimension_separator":".","compressor":null}""".stripMargin.replace("\n", "")
+       |"dimension_separator":".","compressor":${compressorJson(compressor)}}"""
+      .stripMargin.replace("\n", "")
 
   private def v3TypeName(t: DataType): String = t match {
     case LongType => "int64"
@@ -59,11 +84,19 @@ object ZarrWriter {
 
   private def zarrJsonV3(shape: Seq[Long], chunks: Seq[Int], t: DataType,
       attrsJson: Option[String], shardInner: Int = 0,
-      shardCompress: Boolean = false): String = {
+      shardCompress: Boolean = false, compressor: String = "none"): String = {
     val attrs = attrsJson.map(a => s""","attributes":$a""").getOrElse("")
     val bytesCodec = """{"name":"bytes","configuration":{"endian":"little"}}"""
     val codecs =
-      if (shardInner <= 0) s"[$bytesCodec]"
+      if (shardInner <= 0) {
+        compressor match {
+          case "none" => s"[$bytesCodec]"
+          case "zstd" => s"""[$bytesCodec,{"name":"zstd","configuration":{"level":3}}]"""
+          case "gzip" => s"""[$bytesCodec,{"name":"gzip","configuration":{"level":5}}]"""
+          case other => throw new IllegalArgumentException(
+            s"Unsupported write compressor: $other")
+        }
+      }
       else {
         val innerShape = (shardInner +: chunks.drop(1)).mkString(",")
         val innerCodecs =
@@ -133,10 +166,14 @@ object ZarrWriter {
     * @param chunkOuter chunk extent along the outer dimension
     */
   def write(df: DataFrame, path: String, coords: Seq[String], chunkOuter: Int = 1,
-      version: Int = 2, shardInner: Int = 0, shardCompress: Boolean = false): Unit = {
+      version: Int = 2, shardInner: Int = 0, shardCompress: Boolean = false,
+      compressor: String = "none"): Unit = {
     require(version == 2 || version == 3, s"zarrVersion must be 2 or 3, got $version")
     require(shardInner == 0 || (version == 3 && chunkOuter % shardInner == 0),
       s"shardInner requires zarrVersion=3 and chunkOuter ($chunkOuter) divisible by shardInner ($shardInner)")
+    require(shardInner == 0 || compressor == "none",
+      "shardInner and compressor are mutually exclusive (use shardCompress for sharded stores)")
+    compressorJson(compressor) // validate early
     require(coords.nonEmpty, "at least one coordinate column")
     val schema = df.schema
     val varCols = schema.fieldNames.filterNot(coords.contains).toSeq
@@ -168,13 +205,15 @@ object ZarrWriter {
     def writeArrayMeta(name: String, aShape: Seq[Long], aChunks: Seq[Int]): Unit = {
       val t = schema(name).dataType
       if (version == 2) {
-        store.writeBytes(s"$name/.zarray", zarray(aShape, aChunks, dtypeOf(t)._1).getBytes)
+        store.writeBytes(s"$name/.zarray",
+          zarray(aShape, aChunks, dtypeOf(t)._1, compressor).getBytes)
         attrsJson(name).foreach(a => store.writeBytes(s"$name/.zattrs", a.getBytes))
       } else {
         // only data variables shard (aShape == full grid shape)
         val si = if (aShape == shape) shardInner else 0
         store.writeBytes(s"$name/zarr.json",
-          zarrJsonV3(aShape, aChunks, t, attrsJson(name), si, shardCompress).getBytes)
+          zarrJsonV3(aShape, aChunks, t, attrsJson(name), si, shardCompress,
+            compressor).getBytes)
       }
     }
     coords.zip(coordVals).foreach { case (name, vals) =>
@@ -183,7 +222,8 @@ object ZarrWriter {
       writeArrayMeta(name, Seq(vals.length.toLong), Seq(vals.length))
       val buf = ByteBuffer.allocate(vals.length * elem).order(ByteOrder.LITTLE_ENDIAN)
       vals.zipWithIndex.foreach { case (v, j) => putValue(buf, j, elem, t, v) }
-      store.writeBytes(if (version == 2) s"$name/0" else s"$name/c/0", buf.array())
+      store.writeBytes(if (version == 2) s"$name/0" else s"$name/c/0",
+        compressPayload(buf.array(), compressor))
     }
     val innerShape = shape.drop(1).map(_.toInt)
     val chunkShape = chunkOuter +: innerShape
@@ -232,6 +272,7 @@ object ZarrWriter {
     val wShardInner = shardInner
     val wShardCompress = shardCompress
     val wStore = store // serializable descriptor; executors open lazily
+    val wCompressor = compressor
     // Executors write their chunk slabs and return per-chunk min/max —
     // the driver persists them as `<var>/.zstats` sidecars powering
     // statistics-based chunk pruning (the reference's roadmap
@@ -291,7 +332,7 @@ object ZarrWriter {
         val payload =
           if (wShardInner > 0)
             shardify(buf.array(), chunkOuter / wShardInner, wShardCompress)
-          else buf.array()
+          else compressPayload(buf.array(), wCompressor)
         wStore.writeBytes(rel, payload)
         // widen by fill_value (0) ONLY for partially-filled chunks —
         // their unwritten cells hold fill, so stats must cover it;

@@ -111,6 +111,35 @@ class ZarrWriterSpec extends AnyFunSuite {
     }
   }
 
+  test("compressed writes (zstd, gzip; v2 and v3) read back identically and shrink chunks") {
+    val src = spark.read.format("zarr").load(v3)
+    val plainSize = {
+      val out = Files.createTempDirectory("zarr_comp").resolve("plain.zarr")
+      src.write.format("zarr").option("coords", "time,lon,lat")
+        .option("chunkOuter", "7").mode("overwrite").save(out.toString)
+      Files.size(out.resolve("temperature").resolve("0.0.0"))
+    }
+    for (comp <- Seq("zstd", "gzip"); ver <- Seq("2", "3")) {
+      val out = Files.createTempDirectory("zarr_comp").resolve(s"$comp$ver.zarr")
+      src.write.format("zarr").option("coords", "time,lon,lat")
+        .option("chunkOuter", "7").option("compressor", comp)
+        .option("zarrVersion", ver).mode("overwrite").save(out.toString)
+      val chunk = if (ver == "2") out.resolve("temperature").resolve("0.0.0")
+        else out.resolve("temperature").resolve("c").resolve("0").resolve("0").resolve("0")
+      assert(Files.size(chunk) < plainSize, s"$comp v$ver did not compress")
+      val back = spark.read.format("zarr").load(out.toString)
+      assert(back.schema == src.schema)
+      val a = src.orderBy("time", "lon", "lat").collect().map(_.toSeq).toSeq
+      val b = back.orderBy("time", "lon", "lat").collect().map(_.toSeq).toSeq
+      assert(a == b, s"$comp v$ver round-trip mismatch")
+    }
+    // unknown compressor is a clear, early error
+    intercept[Exception](
+      src.write.format("zarr").option("coords", "time,lon,lat")
+        .option("compressor", "lzma").mode("overwrite")
+        .save(Files.createTempDirectory("zarr_comp").resolve("bad.zarr").toString))
+  }
+
   test("missing cells become fill_value zero") {
     val out = Files.createTempDirectory("zarr_fill").resolve("partial.zarr").toString
     val partial = spark.read.format("zarr").load(v3)
