@@ -30,10 +30,14 @@ object Bench {
       }
     val p1 = timedPass(); val p2 = timedPass()
     val results = p1.zip(p2).map { case ((n, a), (_, b)) => n -> math.min(a, b) }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // 4-decimal rounding keeps the whole line under the log-tail window
+    // the driver captures (a full-precision line for 70+ queries was
+    // truncated mid-JSON in rounds 1-2)
+    def r4(v: Double): String = String.format(java.util.Locale.ROOT, "%.4f", v)
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + r4(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${r4(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

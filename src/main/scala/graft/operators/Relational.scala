@@ -593,6 +593,31 @@ object Relational {
            (SELECT COUNT(*) FROM c) AS n_click_after_view,
            (SELECT COUNT(*) FROM p) AS n_purchase_after_click"""
 
+  /** Approximate quantiles (GK sketch via `approx_percentile` with
+    * accuracy 10000) next to their exact counterparts in one pass.
+    * Like q25 (HLL++) this is rows-only for the driver (DuckDB's
+    * approx_quantile is a different sketch); RelationalSpec pins the
+    * error bound: rank error ≤ n/accuracy, which on the dense 1..50
+    * quantity domain means |approx − exact| ≤ 1. At scale the sketch
+    * is the point: constant memory per group and a mergeable partial
+    * per partition, vs percentile()'s full value buffer. */
+  def q34_approx_quantile(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .select(col("l_returnflag"), col("l_quantity").cast("long").as("q"))
+      .groupBy("l_returnflag")
+      .agg(
+        expr("approx_percentile(q, array(0.25, 0.5, 0.75), 10000)").as("ap"),
+        expr("percentile(q, array(0.25, 0.5, 0.75))").as("ep"),
+        count(lit(1)).as("n"))
+      .select(col("l_returnflag"),
+        element_at(col("ap"), 1).cast("long").as("ap25"),
+        element_at(col("ap"), 2).cast("long").as("ap50"),
+        element_at(col("ap"), 3).cast("long").as("ap75"),
+        element_at(col("ep"), 1).as("ep25"),
+        element_at(col("ep"), 2).as("ep50"),
+        element_at(col("ep"), 3).as("ep75"),
+        col("n"))
+
   // ---------------------------------------------------------------- oracles
 
   private val q1Sql = s"""
@@ -825,7 +850,8 @@ object Relational {
     "k1_salted_agg" -> (k1_salted_agg _),
     "k2_salted_join" -> (k2_salted_join _),
     "q32_stats_manual" -> (q32_stats_manual _),
-    "q33_funnel" -> (q33_funnel _))
+    "q33_funnel" -> (q33_funnel _),
+    "q34_approx_quantile" -> (q34_approx_quantile _))
 
   val oracle: Map[String, String] = Map(
     "q1_agg" -> q1Sql,

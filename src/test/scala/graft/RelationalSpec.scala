@@ -65,6 +65,18 @@ class RelationalSpec extends AnyFunSuite {
     }
   }
 
+  test("q34 approx quantiles within the GK rank-error bound of exact") {
+    operators.Relational.q34_approx_quantile(spark, sf).collect().foreach { r =>
+      for (p <- Seq("25", "50", "75")) {
+        val ap = r.getAs[Long](s"ap$p").toDouble
+        val ep = r.getAs[Double](s"ep$p")
+        // accuracy 10000 ⇒ rank error ≤ n/10000; quantities are dense
+        // integers 1..50, so that is at most one value step
+        assert(math.abs(ap - ep) <= 1.0 + 1e-9, s"p$p approx=$ap exact=$ep")
+      }
+    }
+  }
+
   test("q17 set ops return distinct custkeys") {
     val rows = operators.Relational.q17_intersect_except(spark, sf).collect()
     assert(rows.map(_.getLong(0)).distinct.length == rows.length)
