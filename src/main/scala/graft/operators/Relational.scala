@@ -618,6 +618,54 @@ object Relational {
         element_at(col("ep"), 3).as("ep75"),
         col("n"))
 
+  /** Higher-order array functions (transform / filter / aggregate /
+    * slice) over per-document token arrays — the lambda-function
+    * surface Spark codegens without UDFs. All arithmetic is exact
+    * int64; DuckDB mirrors with list_transform / list_filter /
+    * list_aggregate and 1-based slices. */
+  def q35_higher_order(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"),
+        expr("filter(split(text, ' '), x -> length(x) > 0)").as("toks"))
+      .select(col("doc_id"),
+        size(col("toks")).cast("long").as("n_toks"),
+        expr("CAST(size(filter(toks, x -> length(x) > 4)) AS BIGINT)").as("n_long"),
+        expr("aggregate(toks, 0L, (acc, x) -> acc + CAST(length(x) AS BIGINT))")
+          .as("total_len"),
+        expr("transform(slice(toks, 1, 3), x -> upper(x))").as("head3"))
+
+  private val q35Sql = """
+    WITH toks AS (
+      SELECT doc_id,
+        list_filter(STRING_SPLIT(text, ' '), x -> LENGTH(x) > 0) AS toks
+      FROM documents)
+    SELECT doc_id,
+      CAST(LEN(toks) AS BIGINT) AS n_toks,
+      CAST(LEN(list_filter(toks, x -> LENGTH(x) > 4)) AS BIGINT) AS n_long,
+      CAST(list_aggregate(list_transform(toks, x -> LENGTH(x)), 'sum') AS BIGINT)
+        AS total_len,
+      list_transform(toks[1:3], x -> UPPER(x)) AS head3
+    FROM toks"""
+
+  /** Array aggregation: per-(lang, source) sorted id lists with
+    * min/max/count — collect_list + sort_array gives a deterministic
+    * array result (one shuffle on the group key; the per-group array
+    * is the parallelism-bounded payload, same as any list aggregate). */
+  def q36_array_agg(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .groupBy("lang", "source")
+      .agg(
+        sort_array(collect_list(col("doc_id"))).as("ids"),
+        min(col("doc_id")).as("lo"),
+        max(col("doc_id")).as("hi"),
+        count(lit(1)).as("n"))
+
+  private val q36Sql = """
+    SELECT lang, source,
+      list_sort(list(doc_id)) AS ids,
+      MIN(doc_id) AS lo, MAX(doc_id) AS hi, COUNT(*) AS n
+    FROM documents GROUP BY lang, source"""
+
   // ---------------------------------------------------------------- oracles
 
   private val q1Sql = s"""
@@ -851,7 +899,9 @@ object Relational {
     "k2_salted_join" -> (k2_salted_join _),
     "q32_stats_manual" -> (q32_stats_manual _),
     "q33_funnel" -> (q33_funnel _),
-    "q34_approx_quantile" -> (q34_approx_quantile _))
+    "q34_approx_quantile" -> (q34_approx_quantile _),
+    "q35_higher_order" -> (q35_higher_order _),
+    "q36_array_agg" -> (q36_array_agg _))
 
   val oracle: Map[String, String] = Map(
     "q1_agg" -> q1Sql,
@@ -887,5 +937,7 @@ object Relational {
     "k1_salted_agg" -> k1Sql,
     "k2_salted_join" -> k2Sql,
     "q32_stats_manual" -> q32Sql,
-    "q33_funnel" -> q33Sql)
+    "q33_funnel" -> q33Sql,
+    "q35_higher_order" -> q35Sql,
+    "q36_array_agg" -> q36Sql)
 }
