@@ -104,6 +104,38 @@ object ChunkCodec {
     } catch { case _: Exception => None }
   }
 
+  /** Encode one Blosc frame (the write side of [[bloscDecompress]],
+    * from the same public c-blosc layout): byte-shuffled source, one
+    * block covering the whole payload, a single `[int32 csize][LZ4
+    * stream]` (stored raw when LZ4 does not help — csize ==
+    * uncompressed marks it, exactly what the decoder expects).
+    * Shuffling int/float grids before LZ4 is where blosc's ratio
+    * comes from, and it exercises the reader's unshuffle path. */
+  def bloscCompress(raw: Array[Byte], typesize: Int): Array[Byte] = {
+    val doShuffle = typesize > 1 && raw.length % typesize == 0
+    val src = if (doShuffle) shuffle(raw, typesize) else raw
+    val comp = lz4.fastCompressor()
+    val maxLen = comp.maxCompressedLength(src.length)
+    val tmp = new Array[Byte](maxLen)
+    val clen = comp.compress(src, 0, src.length, tmp, 0, maxLen)
+    val stored = clen >= src.length // incompressible: store raw
+    val payload = if (stored) src else java.util.Arrays.copyOf(tmp, clen)
+    val frame = ByteBuffer.allocate(16 + 4 + 4 + payload.length)
+      .order(ByteOrder.LITTLE_ENDIAN)
+    frame.put(0, 2.toByte) // blosc format version
+    frame.put(1, 1.toByte) // lz4 format version
+    frame.put(2, (if (doShuffle) FlagByteShuffle else 0).toByte)
+    frame.put(3, typesize.toByte)
+    frame.putInt(4, raw.length) // nbytes
+    frame.putInt(8, raw.length) // blocksize = nbytes: one block
+    frame.putInt(12, frame.capacity()) // cbytes
+    frame.putInt(16, 20) // offset table: single block at byte 20
+    frame.putInt(20, if (stored) src.length else clen)
+    var i = 0
+    while (i < payload.length) { frame.put(24 + i, payload(i)); i += 1 }
+    frame.array()
+  }
+
   /** Undo Blosc byte-shuffle: input holds all first bytes of each
     * element, then all second bytes, … */
   def unshuffle(src: Array[Byte], typesize: Int): Array[Byte] = {

@@ -45,24 +45,29 @@ object ZarrWriter {
     case "none" => "null"
     case "zstd" => """{"id":"zstd","level":3}"""
     case "gzip" => """{"id":"gzip","level":5}"""
+    case "blosc" => """{"id":"blosc","cname":"lz4","clevel":5,"shuffle":1}"""
     case other => throw new IllegalArgumentException(
-      s"Unsupported write compressor: $other (use none, zstd or gzip)")
+      s"Unsupported write compressor: $other (use none, blosc, zstd or gzip)")
   }
 
   /** Compress one chunk payload for writing (readers decode any of
     * these). zstd default level 3: the object-store sweet spot —
-    * decode speed close to lz4, ratio close to zlib. */
-  private def compressPayload(raw: Array[Byte], c: String): Array[Byte] = c match {
-    case "none" => raw
-    case "zstd" => com.github.luben.zstd.Zstd.compress(raw, 3)
-    case "gzip" =>
-      val bos = new java.io.ByteArrayOutputStream()
-      val g = new java.util.zip.GZIPOutputStream(bos) {
-        `def`.setLevel(5)
-      }
-      g.write(raw); g.close()
-      bos.toByteArray
-  }
+    * decode speed close to lz4, ratio close to zlib. blosc =
+    * byte-shuffle + LZ4 frames ([[ChunkCodec.bloscCompress]]), the
+    * reference fixtures' codec. */
+  private def compressPayload(raw: Array[Byte], c: String, typesize: Int): Array[Byte] =
+    c match {
+      case "none" => raw
+      case "zstd" => com.github.luben.zstd.Zstd.compress(raw, 3)
+      case "blosc" => ChunkCodec.bloscCompress(raw, typesize)
+      case "gzip" =>
+        val bos = new java.io.ByteArrayOutputStream()
+        val g = new java.util.zip.GZIPOutputStream(bos) {
+          `def`.setLevel(5)
+        }
+        g.write(raw); g.close()
+        bos.toByteArray
+    }
 
   private def zarray(shape: Seq[Long], chunks: Seq[Int], dtype: String,
       compressor: String): String =
@@ -93,6 +98,9 @@ object ZarrWriter {
           case "none" => s"[$bytesCodec]"
           case "zstd" => s"""[$bytesCodec,{"name":"zstd","configuration":{"level":3}}]"""
           case "gzip" => s"""[$bytesCodec,{"name":"gzip","configuration":{"level":5}}]"""
+          case "blosc" =>
+            s"""[$bytesCodec,{"name":"blosc","configuration":{"cname":"lz4",""" +
+              s""""clevel":5,"shuffle":"shuffle","typesize":${dtypeOf(t)._2}}}]"""
           case other => throw new IllegalArgumentException(
             s"Unsupported write compressor: $other")
         }
@@ -223,7 +231,7 @@ object ZarrWriter {
       val buf = ByteBuffer.allocate(vals.length * elem).order(ByteOrder.LITTLE_ENDIAN)
       vals.zipWithIndex.foreach { case (v, j) => putValue(buf, j, elem, t, v) }
       store.writeBytes(if (version == 2) s"$name/0" else s"$name/c/0",
-        compressPayload(buf.array(), compressor))
+        compressPayload(buf.array(), compressor, elem))
     }
     val innerShape = shape.drop(1).map(_.toInt)
     val chunkShape = chunkOuter +: innerShape
@@ -332,7 +340,7 @@ object ZarrWriter {
         val payload =
           if (wShardInner > 0)
             shardify(buf.array(), chunkOuter / wShardInner, wShardCompress)
-          else compressPayload(buf.array(), wCompressor)
+          else compressPayload(buf.array(), wCompressor, dtypeOf(varTypes(v))._2)
         wStore.writeBytes(rel, payload)
         // widen by fill_value (0) ONLY for partially-filled chunks —
         // their unwritten cells hold fill, so stats must cover it;

@@ -176,15 +176,42 @@ object EventsStreaming {
       AND p.event_type = 'purchase' AND v.event_type = 'view'
       AND v.ts_us >= p.ts_us - 600000000 AND v.ts_us <= p.ts_us"""
 
+  /** Stream-static enrichment join: the event stream joined to the
+    * static `customer` dimension (broadcast — no shuffle of the
+    * stream, no state store for the static side), then aggregated per
+    * market segment. The canonical "enrich a stream with a dim table"
+    * shape: at scale the static side is broadcast once per executor
+    * and the stream flows through map-side, state bounded by the
+    * aggregation keys only. */
+  def st5_stream_static_join(s: SparkSession, dir: String): DataFrame = {
+    val dim = broadcast(Tables.load(s, dir, "customer")
+      .select(col("c_custkey"), col("c_mktsegment")))
+    val joined = eventsStream(s, dir)
+      .join(dim, col("user_id") === col("c_custkey"))
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast(org.apache.spark.sql.types.DecimalType(10, 2)))
+          .cast("double").as("sum_value"))
+    runToTable(joined, "st5_out", OutputMode.Complete())
+  }
+
+  private val st5Sql = """
+    SELECT c_mktsegment, COUNT(*) AS n_events,
+      CAST(SUM(CAST(value AS DECIMAL(10,2))) AS DOUBLE) AS sum_value
+    FROM events JOIN customer ON user_id = c_custkey
+    GROUP BY c_mktsegment"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "st1_stream_window_agg" -> (st1_stream_window_agg _),
     "st2_stream_sessionize" -> (st2_stream_sessionize _),
     "st3_stream_dedup" -> (st3_stream_dedup _),
-    "st4_stream_join" -> (st4_stream_join _))
+    "st4_stream_join" -> (st4_stream_join _),
+    "st5_stream_static_join" -> (st5_stream_static_join _))
 
   val oracle: Map[String, String] = Map(
     "st1_stream_window_agg" -> st1Sql,
     "st2_stream_sessionize" -> st2Sql,
     "st3_stream_dedup" -> st3Sql,
-    "st4_stream_join" -> st4Sql)
+    "st4_stream_join" -> st4Sql,
+    "st5_stream_static_join" -> st5Sql)
 }

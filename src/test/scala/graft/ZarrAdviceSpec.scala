@@ -126,6 +126,26 @@ class ZarrAdviceSpec extends AnyFunSuite {
     } finally server.stop(0)
   }
 
+  test("blosc encoder round-trips through the parity-tested decoder") {
+    val rnd = new scala.util.Random(7)
+    // compressible: shuffled int64-ish pattern
+    val comp = Array.tabulate(800)(i => (i / 8).toByte)
+    val f1 = ChunkCodec.bloscCompress(comp, 8)
+    assert(f1.length < comp.length, "compressible payload did not shrink")
+    assert(ChunkCodec.bloscDecompress(f1).toSeq == comp.toSeq)
+    // incompressible: random bytes take the stored-raw stream path
+    val raw = Array.fill(256)(rnd.nextInt().toByte)
+    val f2 = ChunkCodec.bloscCompress(raw, 8)
+    assert(ChunkCodec.bloscDecompress(f2).toSeq == raw.toSeq)
+    // header honors the public c-blosc layout the reader parses
+    assert(f1(0) == 2 && f1(3) == 8)
+    val nbytes = java.nio.ByteBuffer.wrap(f1).order(ByteOrder.LITTLE_ENDIAN).getInt(4)
+    assert(nbytes == comp.length)
+    // odd payload length: shuffle skipped, still round-trips
+    val odd = Array.tabulate(33)(_.toByte)
+    assert(ChunkCodec.bloscDecompress(ChunkCodec.bloscCompress(odd, 8)).toSeq == odd.toSeq)
+  }
+
   test("datetime64 conversion floors toward negative infinity and rejects overflow") {
     val ns = ZarrDType.parseV2("<M8[ns]")
     def dec(dtype: ZarrDType, vs: Long*): Seq[Long] = {

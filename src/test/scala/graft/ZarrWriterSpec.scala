@@ -119,7 +119,7 @@ class ZarrWriterSpec extends AnyFunSuite {
         .option("chunkOuter", "7").mode("overwrite").save(out.toString)
       Files.size(out.resolve("temperature").resolve("0.0.0"))
     }
-    for (comp <- Seq("zstd", "gzip"); ver <- Seq("2", "3")) {
+    for (comp <- Seq("zstd", "gzip", "blosc"); ver <- Seq("2", "3")) {
       val out = Files.createTempDirectory("zarr_comp").resolve(s"$comp$ver.zarr")
       src.write.format("zarr").option("coords", "time,lon,lat")
         .option("chunkOuter", "7").option("compressor", comp)
