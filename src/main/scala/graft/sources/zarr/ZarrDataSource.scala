@@ -130,6 +130,8 @@ class ZarrDataSource extends TableProvider
       val shardInner = params.get("shardinner").map(_.toInt).getOrElse(0)
       val shardCompress = params.get("shardcompress").exists(_.toBoolean)
       val compressor = params.getOrElse("compressor", "none")
+      val chunkShape = params.get("chunkshape")
+        .map(_.split(",").map(_.trim.toInt).toSeq).getOrElse(Nil)
       if (ZarrStore.open(path).isInstanceOf[HttpStore])
         throw new UnsupportedOperationException(
           s"HTTP Zarr stores are read-only; cannot write to $path")
@@ -142,7 +144,7 @@ class ZarrDataSource extends TableProvider
       val tmpPath = path.stripSuffix("/") + ".__graft_tmp"
       ZarrStore.open(tmpPath).deleteRecursively() // stale temp from a crashed run
       try ZarrWriter.write(data, tmpPath, coords, chunkOuter, version, shardInner,
-        shardCompress, compressor)
+        shardCompress, compressor, chunkShape)
       catch { case e: Throwable =>
         try ZarrStore.open(tmpPath).deleteRecursively()
         catch { case cleanup: Exception => e.addSuppressed(cleanup) }

@@ -175,10 +175,8 @@ object ZarrWriter {
     */
   def write(df: DataFrame, path: String, coords: Seq[String], chunkOuter: Int = 1,
       version: Int = 2, shardInner: Int = 0, shardCompress: Boolean = false,
-      compressor: String = "none"): Unit = {
+      compressor: String = "none", chunkShape: Seq[Int] = Nil): Unit = {
     require(version == 2 || version == 3, s"zarrVersion must be 2 or 3, got $version")
-    require(shardInner == 0 || (version == 3 && chunkOuter % shardInner == 0),
-      s"shardInner requires zarrVersion=3 and chunkOuter ($chunkOuter) divisible by shardInner ($shardInner)")
     require(shardInner == 0 || compressor == "none",
       "shardInner and compressor are mutually exclusive (use shardCompress for sharded stores)")
     compressorJson(compressor) // validate early
@@ -196,6 +194,21 @@ object ZarrWriter {
     val n = df.count()
     require(n <= totalRows,
       s"input has $n rows but the coordinate grid only has $totalRows cells (duplicates?)")
+
+    // Effective data-variable chunk shape: explicit `chunkShape` (full
+    // N-dim control — at scale inner dims need chunking too, so one
+    // chunk targets ~tens of MB, not a whole hyperslab) or the default
+    // (chunkOuter, full inner dims) matching the reference fixtures.
+    val chunks: Seq[Int] =
+      if (chunkShape.nonEmpty) chunkShape else chunkOuter +: shape.drop(1).map(_.toInt)
+    require(chunks.length == coords.length,
+      s"chunkShape has ${chunks.length} dims but the grid has ${coords.length}")
+    require(chunks.forall(_ >= 1), s"chunk extents must be >= 1: $chunks")
+    require(chunks.map(_.toLong).product * 8 <= Int.MaxValue,
+      s"one chunk (${chunks.mkString("x")}) exceeds the 2 GiB buffer limit")
+    val outerChunk = chunks.head
+    require(shardInner == 0 || (version == 3 && outerChunk % shardInner == 0),
+      s"shardInner requires zarrVersion=3 and outer chunk extent ($outerChunk) divisible by shardInner ($shardInner)")
 
     // 2. driver writes group + coordinate arrays + variable metadata
     val store = ZarrStore.open(path)
@@ -233,9 +246,7 @@ object ZarrWriter {
       store.writeBytes(if (version == 2) s"$name/0" else s"$name/c/0",
         compressPayload(buf.array(), compressor, elem))
     }
-    val innerShape = shape.drop(1).map(_.toInt)
-    val chunkShape = chunkOuter +: innerShape
-    varCols.foreach(name => writeArrayMeta(name, shape, chunkShape))
+    varCols.foreach(name => writeArrayMeta(name, shape, chunks))
 
     // Consolidated metadata: one-fetch discovery (required for
     // listing-less backends like HTTP). v2 → .zmetadata; v3 → embed
@@ -260,17 +271,17 @@ object ZarrWriter {
     }
 
     // 3. executors write chunk slabs: repartition by outer-chunk id so
-    // each chunk's rows land in exactly one task
+    // every chunk (including all inner chunks of an outer slab) lands
+    // in exactly one task
     val idxMaps: Seq[Map[Any, Int]] =
       coordVals.map(_.zipWithIndex.toMap)
-    val innerRows = innerShape.map(_.toLong).product
     val spark = df.sparkSession
     val bIdx = spark.sparkContext.broadcast(idxMaps)
     val varTypes = varCols.map(schema(_).dataType)
-    val nOuterChunks = ((shape.head + chunkOuter - 1) / chunkOuter).toInt
+    val nOuterChunks = ((shape.head + outerChunk - 1) / outerChunk).toInt
 
     val outerName = coords.head
-    val chunkIdCol = udfFreeChunkId(df, outerName, idxMaps.head, chunkOuter)
+    val chunkIdCol = udfFreeChunkId(df, outerName, idxMaps.head, outerChunk)
     val rows = df.withColumn("__chunk", chunkIdCol)
       .repartition(math.min(nOuterChunks, math.max(1, spark.sparkContext.defaultParallelism)),
         col("__chunk"))
@@ -281,86 +292,85 @@ object ZarrWriter {
     val wShardCompress = shardCompress
     val wStore = store // serializable descriptor; executors open lazily
     val wCompressor = compressor
+    val wChunks = chunks
+    def chunkRel(v: Int, ci: Seq[Int]): String =
+      if (wVersion == 2) varCols(v) + "/" + ci.mkString(".")
+      else (Seq(varCols(v), "c") ++ ci.map(_.toString)).mkString("/")
     // Executors write their chunk slabs and return per-chunk min/max —
     // the driver persists them as `<var>/.zstats` sidecars powering
     // statistics-based chunk pruning (the reference's roadmap
     // "statistics-based chunk pruning" / "data-variable filter
     // pushdown", README.md:289-337; zarr itself has no chunk stats, so
     // this is a sidecar extension readers may ignore).
-    val statRows: Array[((Int, Int), (Double, Double))] =
+    val statRows: Array[((Seq[Int], Int), (Double, Double))] =
       rows.rdd.mapPartitions { it: Iterator[Row] =>
       val idx = bIdx.value
-      val buffers = scala.collection.mutable.Map.empty[(Int, Int), ByteBuffer] // (chunk, var)
-      val stats = scala.collection.mutable.Map.empty[(Int, Int), (Double, Double, Long)]
-      def trackStat(chunk: Int, v: Int, value: Any): Unit = {
+      val nDims = coordNames.length
+      val chunkCells = wChunks.map(_.toLong).product
+      val buffers = scala.collection.mutable.Map.empty[(Seq[Int], Int), ByteBuffer]
+      val stats = scala.collection.mutable.Map.empty[(Seq[Int], Int), (Double, Double, Long)]
+      def trackStat(ci: Seq[Int], v: Int, value: Any): Unit = {
         val d = value match {
           case n: java.lang.Number => n.doubleValue()
           case b: Boolean => if (b) 1.0 else 0.0
           case _ => return
         }
-        val cur = stats.getOrElse((chunk, v), (d, d, 0L))
-        stats((chunk, v)) = (math.min(cur._1, d), math.max(cur._2, d), cur._3 + 1)
+        val cur = stats.getOrElse((ci, v), (d, d, 0L))
+        stats((ci, v)) = (math.min(cur._1, d), math.max(cur._2, d), cur._3 + 1)
       }
-      def bufFor(chunk: Int, v: Int): ByteBuffer =
-        buffers.getOrElseUpdate((chunk, v), {
+      def bufFor(ci: Seq[Int], v: Int): ByteBuffer =
+        buffers.getOrElseUpdate((ci, v), {
           // Zarr v2 edge chunks are stored at FULL chunk shape (the
           // overhang is fill padding) — readers size buffers from the
           // chunk shape, not the array shape
           val (_, elem) = dtypeOf(varTypes(v))
-          ByteBuffer.allocate((chunkOuter * innerRows).toInt * elem)
+          ByteBuffer.allocate(chunkCells.toInt * elem)
             .order(ByteOrder.LITTLE_ENDIAN)
         })
       it.foreach { row =>
-        val outerIdx = idx.head(row.getAs[Any](coordNames.head))
-        val chunk = outerIdx / chunkOuter
-        var inner = 0L
-        var d = 1
-        while (d < coordNames.length) {
-          inner = inner * idx(d).size + idx(d)(row.getAs[Any](coordNames(d)))
+        // grid indices → (chunk index vector, C-order offset in chunk)
+        val ci = new Array[Int](nDims)
+        var local = 0L
+        var d = 0
+        while (d < nDims) {
+          val gi = idx(d)(row.getAs[Any](coordNames(d)))
+          ci(d) = gi / wChunks(d)
+          local = local * wChunks(d) + (gi % wChunks(d))
           d += 1
         }
-        val local = (outerIdx - chunk * chunkOuter) * innerRows + inner
+        val key = ci.toSeq
         var v = 0
         while (v < varCols.length) {
           val (_, elem) = dtypeOf(varTypes(v))
           val value = row.getAs[Any](varCols(v))
-          putValue(bufFor(chunk, v), local.toInt, elem, varTypes(v), value)
-          trackStat(chunk, v, value)
+          putValue(bufFor(key, v), local.toInt, elem, varTypes(v), value)
+          trackStat(key, v, value)
           v += 1
         }
       }
-      buffers.toSeq.map { case ((chunk, v), buf) =>
-        val rel =
-          if (wVersion == 2)
-            varCols(v) + "/" +
-              (chunk.toString +: Seq.fill(coordNames.length - 1)("0")).mkString(".")
-          else
-            (Seq(varCols(v), "c", chunk.toString) ++
-              Seq.fill(coordNames.length - 1)("0")).mkString("/")
+      buffers.toSeq.map { case ((ci, v), buf) =>
         val payload =
           if (wShardInner > 0)
-            shardify(buf.array(), chunkOuter / wShardInner, wShardCompress)
+            shardify(buf.array(), wChunks.head / wShardInner, wShardCompress)
           else compressPayload(buf.array(), wCompressor, dtypeOf(varTypes(v))._2)
-        wStore.writeBytes(rel, payload)
+        wStore.writeBytes(chunkRel(v, ci), payload)
         // widen by fill_value (0) ONLY for partially-filled chunks —
         // their unwritten cells hold fill, so stats must cover it;
         // fully-covered chunks keep their tight range
-        val cells = chunkOuter * innerRows
-        val (mn0, mx0, cnt) = stats.getOrElse((chunk, v), (0.0, 0.0, 0L))
+        val (mn0, mx0, cnt) = stats.getOrElse((ci, v), (0.0, 0.0, 0L))
         val (mn, mx) =
-          if (cnt >= cells) (mn0, mx0)
+          if (cnt >= chunkCells) (mn0, mx0)
           else (math.min(mn0, 0.0), math.max(mx0, 0.0))
-        ((chunk, v), (mn, mx))
+        ((ci, v), (mn, mx))
       }.iterator
     }.collect()
 
     // driver writes the stats sidecars (one JSON per variable)
     varCols.zipWithIndex.foreach { case (name, v) =>
-      val entries = statRows.collect { case ((chunk, vv), (mn, mx)) if vv == v =>
+      val entries = statRows.collect { case ((ci, vv), (mn, mx)) if vv == v =>
         val key =
-          if (version == 2)
-            (chunk.toString +: Seq.fill(coords.length - 1)("0")).mkString(".")
-          else ("c" +: chunk.toString +: Seq.fill(coords.length - 1)("0")).mkString("/")
+          if (version == 2) ci.mkString(".")
+          else ("c" +: ci.map(_.toString)).mkString("/")
         s""""$key": [$mn, $mx]"""
       }.mkString(",")
       store.writeBytes(s"$name/.zstats", s"""{"chunks": {$entries}}""".getBytes)

@@ -140,6 +140,36 @@ class ZarrWriterSpec extends AnyFunSuite {
         .save(Files.createTempDirectory("zarr_comp").resolve("bad.zarr").toString))
   }
 
+  test("chunkShape writes an N-dim chunk grid that reads back identically") {
+    val out = Files.createTempDirectory("zarr_cshape").resolve("cs.zarr").toString
+    val src = spark.read.format("zarr").load(v3)
+    // 7x10x10 grid in 2x5x5 chunks -> 4x2x2 = 16 chunk files per var
+    src.write.format("zarr")
+      .option("coords", "time,lon,lat").option("chunkShape", "2,5,5")
+      .mode("overwrite").save(out)
+    assert(Files.exists(Paths.get(out, "temperature", "3.1.1"))) // edge chunk
+    assert(Files.exists(Paths.get(out, "temperature", "0.0.0")))
+    assert(!Files.exists(Paths.get(out, "temperature", "4.0.0")))
+    val back = spark.read.format("zarr").load(out)
+    val a = src.orderBy("time", "lon", "lat").collect().map(_.toSeq).toSeq
+    val b = back.orderBy("time", "lon", "lat").collect().map(_.toSeq).toSeq
+    assert(a == b)
+    // .zstats keys cover the inner grid and pruning still works
+    val stats = new String(Files.readAllBytes(Paths.get(out, "temperature", ".zstats")))
+    assert(stats.contains("\"3.1.1\""))
+    val filtered = back.filter(col("temperature") > 55)
+    val expected = src.filter(col("temperature") > 55)
+    assert(filtered.collect().map(_.toSeq).toSet == expected.collect().map(_.toSeq).toSet)
+    // combined with a compressor
+    val out2 = Files.createTempDirectory("zarr_cshape").resolve("cs2.zarr").toString
+    src.write.format("zarr")
+      .option("coords", "time,lon,lat").option("chunkShape", "2,5,5")
+      .option("compressor", "blosc").option("zarrVersion", "3")
+      .mode("overwrite").save(out2)
+    val back2 = spark.read.format("zarr").load(out2)
+    assert(back2.orderBy("time", "lon", "lat").collect().map(_.toSeq).toSeq == a)
+  }
+
   test("missing cells become fill_value zero") {
     val out = Files.createTempDirectory("zarr_fill").resolve("partial.zarr").toString
     val partial = spark.read.format("zarr").load(v3)
