@@ -38,7 +38,30 @@ object ZarrWriter {
     case DoubleType => ("<f8", 8)
     case FloatType => ("<f4", 4)
     case BooleanType => ("|b1", 1)
+    // datetime64[us] — the reader's canonical unit, so a zarr-read
+    // timestamp coordinate round-trips losslessly (v2 stores only; v3
+    // core has no datetime type)
+    case TimestampType => ("<M8[us]", 8)
     case other => throw new IllegalArgumentException(s"Unsupported Zarr write type: $other")
+  }
+
+  /** Coordinate dtype, which unlike data variables may be fixed-width
+    * ASCII: width = longest value (`|S<w>`, NUL-padded like numpy). */
+  private def coordDtype(t: DataType, vals: Array[Any]): (String, Int) = t match {
+    case StringType =>
+      val w = math.max(1, vals.map(_.asInstanceOf[String]
+        .getBytes(java.nio.charset.StandardCharsets.US_ASCII).length).max)
+      (s"|S$w", w)
+    case other => dtypeOf(other)
+  }
+
+  private def epochMicros(v: Any): Long = v match {
+    case t: java.sql.Timestamp =>
+      Math.addExact(Math.multiplyExact(Math.floorDiv(t.getTime, 1000L), 1000000L),
+        (t.getNanos / 1000).toLong)
+    case i: java.time.Instant =>
+      Math.addExact(Math.multiplyExact(i.getEpochSecond, 1000000L), (i.getNano / 1000).toLong)
+    case other => throw new IllegalArgumentException(s"Not a timestamp: $other")
   }
 
   private def compressorJson(c: String): String = c match {
@@ -70,11 +93,13 @@ object ZarrWriter {
     }
 
   private def zarray(shape: Seq[Long], chunks: Seq[Int], dtype: String,
-      compressor: String): String =
+      compressor: String): String = {
+    val fill = if (dtype.startsWith("|S")) "null" else "0"
     s"""{"zarr_format":2,"shape":[${shape.mkString(",")}],"chunks":[${chunks.mkString(",")}],
-       |"dtype":"$dtype","fill_value":0,"order":"C","filters":null,
+       |"dtype":"$dtype","fill_value":$fill,"order":"C","filters":null,
        |"dimension_separator":".","compressor":${compressorJson(compressor)}}"""
       .stripMargin.replace("\n", "")
+  }
 
   private def v3TypeName(t: DataType): String = t match {
     case LongType => "int64"
@@ -165,6 +190,12 @@ object ZarrWriter {
       case DoubleType => buf.putDouble(offset * elem, v.asInstanceOf[Double])
       case FloatType => buf.putFloat(offset * elem, v.asInstanceOf[Float])
       case BooleanType => buf.put(offset * elem, if (v.asInstanceOf[Boolean]) 1.toByte else 0.toByte)
+      case TimestampType => buf.putLong(offset * elem, epochMicros(v))
+      case StringType =>
+        val b = v.asInstanceOf[String].getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+        require(b.length <= elem, s"string '$v' exceeds coordinate width $elem")
+        var i = 0
+        while (i < elem) { buf.put(offset * elem + i, if (i < b.length) b(i) else 0.toByte); i += 1 }
       case other => throw new IllegalArgumentException(other.toString)
     }
 
@@ -223,11 +254,12 @@ object ZarrWriter {
       val md = schema(name).metadata
       if (md == org.apache.spark.sql.types.Metadata.empty) None else Some(md.json)
     }
-    def writeArrayMeta(name: String, aShape: Seq[Long], aChunks: Seq[Int]): Unit = {
+    def writeArrayMeta(name: String, aShape: Seq[Long], aChunks: Seq[Int],
+        dtypeStr: String): Unit = {
       val t = schema(name).dataType
       if (version == 2) {
         store.writeBytes(s"$name/.zarray",
-          zarray(aShape, aChunks, dtypeOf(t)._1, compressor).getBytes)
+          zarray(aShape, aChunks, dtypeStr, compressor).getBytes)
         attrsJson(name).foreach(a => store.writeBytes(s"$name/.zattrs", a.getBytes))
       } else {
         // only data variables shard (aShape == full grid shape)
@@ -239,14 +271,17 @@ object ZarrWriter {
     }
     coords.zip(coordVals).foreach { case (name, vals) =>
       val t = schema(name).dataType
-      val (_, elem) = dtypeOf(t)
-      writeArrayMeta(name, Seq(vals.length.toLong), Seq(vals.length))
+      require(version == 2 || (t != StringType && t != TimestampType),
+        s"string/datetime coordinate '$name' requires zarrVersion=2 " +
+          "(Zarr v3 core has no fixed-width string or datetime64 data type)")
+      val (dtypeStr, elem) = coordDtype(t, vals)
+      writeArrayMeta(name, Seq(vals.length.toLong), Seq(vals.length), dtypeStr)
       val buf = ByteBuffer.allocate(vals.length * elem).order(ByteOrder.LITTLE_ENDIAN)
       vals.zipWithIndex.foreach { case (v, j) => putValue(buf, j, elem, t, v) }
       store.writeBytes(if (version == 2) s"$name/0" else s"$name/c/0",
         compressPayload(buf.array(), compressor, elem))
     }
-    varCols.foreach(name => writeArrayMeta(name, shape, chunks))
+    varCols.foreach(name => writeArrayMeta(name, shape, chunks, dtypeOf(schema(name).dataType)._1))
 
     // Consolidated metadata: one-fetch discovery (required for
     // listing-less backends like HTTP). v2 → .zmetadata; v3 → embed
@@ -313,6 +348,10 @@ object ZarrWriter {
         val d = value match {
           case n: java.lang.Number => n.doubleValue()
           case b: Boolean => if (b) 1.0 else 0.0
+          // datetime values decode to epoch micros, so stats (and the
+          // pruning comparisons) live in micro space too
+          case t: java.sql.Timestamp => epochMicros(t).toDouble
+          case i: java.time.Instant => epochMicros(i).toDouble
           case _ => return
         }
         val cur = stats.getOrElse((ci, v), (d, d, 0L))

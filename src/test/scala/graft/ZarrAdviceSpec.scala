@@ -146,6 +146,47 @@ class ZarrAdviceSpec extends AnyFunSuite {
     assert(ChunkCodec.bloscDecompress(ChunkCodec.bloscCompress(odd, 8)).toSeq == odd.toSeq)
   }
 
+  test("string and datetime coordinates round-trip through the writer (v2)") {
+    import org.apache.spark.sql.types.{StringType, TimestampType}
+    val s = spark
+    import s.implicits._
+    // string coordinate: station x hour grid built in Spark
+    val src = Seq(
+      ("alp", 0L, 10L), ("alp", 1L, 11L),
+      ("bern", 0L, 20L), ("bern", 1L, 21L),
+      ("cgn", 0L, 30L), ("cgn", 1L, 31L))
+      .toDF("station", "hour", "reading")
+    val out = Files.createTempDirectory("zarr_strw").resolve("s.zarr").toString
+    src.write.format("zarr").option("coords", "station,hour")
+      .mode("overwrite").save(out)
+    val back = spark.read.format("zarr").load(out)
+    assert(back.schema("station").dataType == StringType)
+    assert(back.orderBy("station", "hour").collect().map(_.toSeq).toSeq ==
+      src.orderBy("station", "hour").collect().map(_.toSeq).toSeq)
+    // string equality pushdown works on the written store
+    assert(back.filter(col("station") === "bern").count() == 2)
+
+    // datetime coordinate: hourly timestamps, written as <M8[us]
+    val dt = Seq(0L, 3600L, 7200L).flatMap(sec => Seq(0L, 1L).map(x =>
+      (new java.sql.Timestamp(sec * 1000), x, sec + x)))
+      .toDF("time", "x", "v")
+    val out2 = Files.createTempDirectory("zarr_dtw").resolve("d.zarr").toString
+    dt.write.format("zarr").option("coords", "time,x")
+      .mode("overwrite").save(out2)
+    val back2 = spark.read.format("zarr").load(out2)
+    assert(back2.schema("time").dataType == TimestampType)
+    assert(back2.orderBy("time", "x").collect().map(_.toSeq).toSeq ==
+      dt.orderBy("time", "x").collect().map(_.toSeq).toSeq)
+    // v3 rejects with a clear message
+    val e = intercept[Exception](
+      src.write.format("zarr").option("coords", "station,hour")
+        .option("zarrVersion", "3").mode("overwrite")
+        .save(Files.createTempDirectory("zarr_strw").resolve("v3.zarr").toString))
+    def chain(t: Throwable): Seq[Throwable] =
+      Seq(t) ++ Option(t.getCause).toSeq.flatMap(chain)
+    assert(chain(e).exists(c => Option(c.getMessage).exists(_.contains("zarrVersion=2"))))
+  }
+
   test("datetime64 conversion floors toward negative infinity and rejects overflow") {
     val ns = ZarrDType.parseV2("<M8[ns]")
     def dec(dtype: ZarrDType, vs: Long*): Seq[Long] = {
