@@ -82,10 +82,13 @@ class ZarrDataSource extends TableProvider
     val path = properties.get("path")
     require(path != null && path.nonEmpty, "Zarr source requires a path")
     if (isStore(path)) new ZarrTable(ZarrMeta.readStore(path))
-    else new ZarrPendingWriteTable(path, schema)
+    else new ZarrPendingWriteTable(path, schema, properties.asScala.toMap)
   }
 
-  override def supportsExternalMetadata(): Boolean = false
+  /** True so `CREATE TABLE … USING zarr … AS SELECT` can hand the
+    * query's schema to [[ZarrPendingWriteTable]]; an existing store's
+    * own metadata still wins on read (see getTable). */
+  override def supportsExternalMetadata(): Boolean = true
 
   /** `df.write.format("zarr")` sink. A Zarr store is a complete
     * coordinate grid, not a row-append log, so every mode maps onto a
@@ -119,40 +122,8 @@ class ZarrDataSource extends TableProvider
       case SaveMode.Ignore if exists => true
       case _ => false
     }
-    if (!skip) {
-      val coords = params.get("coords")
-        .map(_.split(",").map(_.trim).toSeq.filter(_.nonEmpty))
-        .filter(_.nonEmpty)
-        .getOrElse(throw new IllegalArgumentException(
-          "Zarr write requires option 'coords': comma-separated coordinate columns, outer dimension first"))
-      val chunkOuter = params.get("chunkouter").map(_.toInt).getOrElse(1)
-      val version = params.get("zarrversion").map(_.toInt).getOrElse(2)
-      val shardInner = params.get("shardinner").map(_.toInt).getOrElse(0)
-      val shardCompress = params.get("shardcompress").exists(_.toBoolean)
-      val compressor = params.getOrElse("compressor", "none")
-      val chunkShape = params.get("chunkshape")
-        .map(_.split(",").map(_.trim.toInt).toSeq).getOrElse(Nil)
-      if (ZarrStore.open(path).isInstanceOf[HttpStore])
-        throw new UnsupportedOperationException(
-          s"HTTP Zarr stores are read-only; cannot write to $path")
-      // Write the new store to a temp sibling first, then swap: the
-      // existing store is destroyed only after the full write succeeds,
-      // so a failed job never leaves the target path half-written (or,
-      // worse, deleted). All IO goes through ZarrStore, so hdfs://s3a://
-      // targets write remotely, not to a bogus local dir named after
-      // the URI.
-      val tmpPath = path.stripSuffix("/") + ".__graft_tmp"
-      ZarrStore.open(tmpPath).deleteRecursively() // stale temp from a crashed run
-      try ZarrWriter.write(data, tmpPath, coords, chunkOuter, version, shardInner,
-        shardCompress, compressor, chunkShape)
-      catch { case e: Throwable =>
-        try ZarrStore.open(tmpPath).deleteRecursively()
-        catch { case cleanup: Exception => e.addSuppressed(cleanup) }
-        throw e
-      }
-      if (exists) ZarrStore.open(path).deleteRecursively()
-      ZarrStore.open(tmpPath).moveTo(path)
-    }
+    if (!skip)
+      ZarrDataSource.writeWithModes(data, params, replaceExisting = exists)
     val ctx = sqlContext
     new org.apache.spark.sql.sources.BaseRelation {
       override def sqlContext: org.apache.spark.sql.SQLContext = ctx
@@ -161,21 +132,143 @@ class ZarrDataSource extends TableProvider
   }
 }
 
-/** Placeholder table for a path with no store yet: no read/write
-  * capabilities, so DataFrameWriter falls back to the V1 write hook
-  * above and reads fail with a clear message. */
-class ZarrPendingWriteTable(path: String, writeSchema: StructType) extends Table {
+object ZarrDataSource {
+
+  /** Shared sink path for the V1 hook and the DSv2 V1Write fallback
+    * (CTAS / INSERT OVERWRITE): validate options, write the full store
+    * to a temp sibling via [[ZarrWriter]], swap into place on success.
+    * `replaceExisting` = an existing store at the path may be replaced
+    * (overwrite/truncate); plain INSERT INTO an existing store is
+    * rejected — a complete grid has no append point. */
+  private[zarr] def writeWithModes(data: org.apache.spark.sql.DataFrame,
+      params: Map[String, String], replaceExisting: Boolean): Unit = {
+    val path = params.getOrElse("path",
+      throw new IllegalArgumentException("Zarr write requires a path"))
+    val exists = try { ZarrMeta.detectVersion(ZarrStore.open(path)); true }
+      catch {
+        case _: IllegalArgumentException => false
+        case _: java.io.FileNotFoundException => false
+        case _: java.nio.file.NoSuchFileException => false
+        case _: UnsupportedOperationException => false
+      }
+    if (exists && !replaceExisting)
+      throw new UnsupportedOperationException(
+        "Append to an existing Zarr store is not supported: a store is a complete " +
+          "coordinate grid. Use overwrite to replace it.")
+    val coords = params.get("coords")
+      .map(_.split(",").map(_.trim).toSeq.filter(_.nonEmpty))
+      .filter(_.nonEmpty)
+      .getOrElse(throw new IllegalArgumentException(
+        "Zarr write requires option 'coords': comma-separated coordinate columns, outer dimension first"))
+    val chunkOuter = params.get("chunkouter").map(_.toInt).getOrElse(1)
+    val version = params.get("zarrversion").map(_.toInt).getOrElse(2)
+    val shardInner = params.get("shardinner").map(_.toInt).getOrElse(0)
+    val shardCompress = params.get("shardcompress").exists(_.toBoolean)
+    val compressor = params.getOrElse("compressor", "none")
+    val chunkShape = params.get("chunkshape")
+      .map(_.split(",").map(_.trim.toInt).toSeq).getOrElse(Nil)
+    if (ZarrStore.open(path).isInstanceOf[HttpStore])
+      throw new UnsupportedOperationException(
+        s"HTTP Zarr stores are read-only; cannot write to $path")
+    // Write the new store to a temp sibling first, then swap: the
+    // existing store is destroyed only after the full write succeeds,
+    // so a failed job never leaves the target path half-written (or,
+    // worse, deleted). All IO goes through ZarrStore, so hdfs://s3a://
+    // targets write remotely, not to a bogus local dir named after
+    // the URI.
+    val tmpPath = path.stripSuffix("/") + ".__graft_tmp"
+    ZarrStore.open(tmpPath).deleteRecursively() // stale temp from a crashed run
+    try ZarrWriter.write(data, tmpPath, coords, chunkOuter, version, shardInner,
+      shardCompress, compressor, chunkShape)
+    catch { case e: Throwable =>
+      try ZarrStore.open(tmpPath).deleteRecursively()
+      catch { case cleanup: Exception => e.addSuppressed(cleanup) }
+      throw e
+    }
+    if (exists) ZarrStore.open(path).deleteRecursively()
+    ZarrStore.open(tmpPath).moveTo(path)
+  }
+}
+
+/** Table for a path with no store yet. Declares only `V1_BATCH_WRITE`:
+  * `df.write.format("zarr")` still reaches the V1 createRelation hook,
+  * reads fail with a clear message, and SQL
+  * `CREATE TABLE … USING zarr OPTIONS (path, coords) AS SELECT …`
+  * works through the DSv2 V1Write fallback (the write itself is the
+  * same whole-DataFrame [[ZarrWriter]] path — a Zarr store is a
+  * complete grid needing a coordinate pre-pass, not a row-append
+  * log). */
+class ZarrPendingWriteTable(path: String, writeSchema: StructType,
+    tableProps: Map[String, String] = Map.empty)
+    extends Table
+    with org.apache.spark.sql.connector.catalog.SupportsWrite {
   override def name(): String = s"zarr:$path (no store yet)"
   override def schema(): StructType = writeSchema
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.Collections.emptySet()
+    java.util.EnumSet.of(TableCapability.V1_BATCH_WRITE,
+      TableCapability.TRUNCATE)
+
+  override def newWriteBuilder(
+      info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.WriteBuilder =
+    new org.apache.spark.sql.connector.write.WriteBuilder
+      with org.apache.spark.sql.connector.write.SupportsTruncate {
+      private var replace = false
+      override def truncate(): org.apache.spark.sql.connector.write.WriteBuilder = {
+        replace = true; this
+      }
+      override def build(): org.apache.spark.sql.connector.write.Write =
+        new org.apache.spark.sql.connector.write.V1Write {
+          override def toInsertableRelation: org.apache.spark.sql.sources.InsertableRelation =
+            (data: org.apache.spark.sql.DataFrame, overwrite: Boolean) => {
+              // table-level OPTIONS (CTAS DDL) + write-time options,
+              // write-time winning; path pinned to this table's
+              val params = (tableProps ++
+                info.options.asCaseSensitiveMap().asScala.toMap ++
+                Map("path" -> path)).map { case (k, v) =>
+                  k.toLowerCase(java.util.Locale.ROOT) -> v }
+              ZarrDataSource.writeWithModes(data, params,
+                replaceExisting = overwrite || replace)
+            }
+        }
+    }
 }
 
-class ZarrTable(meta: ZarrStoreMeta) extends Table with SupportsRead {
+class ZarrTable(meta: ZarrStoreMeta) extends Table with SupportsRead
+    with org.apache.spark.sql.connector.catalog.SupportsWrite {
   override def name(): String = s"zarr:${meta.path}"
   override def schema(): StructType = meta.schema
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ)
+    java.util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)
+
+  /** `INSERT OVERWRITE` = full-grid replace through the same V1Write
+    * path as CTAS; coords default to the existing store's own
+    * dimension order, so `INSERT OVERWRITE TABLE t SELECT …` needs no
+    * options. Plain `INSERT INTO` is rejected downstream (a complete
+    * grid has no append point). */
+  override def newWriteBuilder(
+      info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.WriteBuilder =
+    new org.apache.spark.sql.connector.write.WriteBuilder
+      with org.apache.spark.sql.connector.write.SupportsTruncate {
+      private var replace = false
+      override def truncate(): org.apache.spark.sql.connector.write.WriteBuilder = {
+        replace = true; this
+      }
+      override def build(): org.apache.spark.sql.connector.write.Write =
+        new org.apache.spark.sql.connector.write.V1Write {
+          override def toInsertableRelation: org.apache.spark.sql.sources.InsertableRelation =
+            (data: org.apache.spark.sql.DataFrame, overwrite: Boolean) => {
+              val params = (Map("coords" -> meta.coordNames.mkString(",")) ++
+                info.options.asCaseSensitiveMap().asScala.toMap ++
+                Map("path" -> meta.path)).map { case (k, v) =>
+                  k.toLowerCase(java.util.Locale.ROOT) -> v }
+              ZarrDataSource.writeWithModes(data, params,
+                replaceExisting = overwrite || replace)
+            }
+        }
+    }
   /** Group attributes surface as table properties (`SHOW TBLPROPERTIES`)
     * — the reference's roadmap attribute exposure. */
   override def properties(): java.util.Map[String, String] = {

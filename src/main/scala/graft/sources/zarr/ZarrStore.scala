@@ -83,10 +83,18 @@ final case class LocalStore(path: String) extends ZarrStore {
   }
 
   override def moveTo(destPath: String): Unit = {
-    val dest = Paths.get(destPath)
+    // normalize through the dispatcher: `file:` URIs (e.g. from
+    // V2SessionCatalog table specs) must resolve to a local path, not
+    // a literal "./file:" directory
+    val dest = ZarrStore.open(destPath) match {
+      case LocalStore(p) => Paths.get(p)
+      case other => throw new IllegalArgumentException(
+        s"Cannot move local store $path to non-local target $destPath")
+    }
     Option(dest.getParent).foreach(Files.createDirectories(_))
     Files.move(root, dest)
-    ChunkIO.invalidatePath(destPath)
+    // cache keys hold the NORMALIZED path (ZarrStore.open(...).path)
+    ChunkIO.invalidatePath(dest.toString)
   }
 
   override def deleteRecursively(): Unit = {

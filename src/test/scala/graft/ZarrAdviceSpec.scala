@@ -126,6 +126,37 @@ class ZarrAdviceSpec extends AnyFunSuite {
     } finally server.stop(0)
   }
 
+  test("CTAS and INSERT OVERWRITE drive the sink from SQL") {
+    val out = Files.createTempDirectory("zarr_ctas").resolve("t.zarr")
+    spark.read.format("zarr").load(v3).createOrReplaceTempView("ctas_src")
+    try {
+      spark.sql(
+        s"""CREATE TABLE zarr_ctas_t USING zarr
+           OPTIONS (path '$out', coords 'time,lon,lat')
+           AS SELECT * FROM ctas_src""")
+      assert(Files.exists(out.resolve(".zgroup")))
+      assert(spark.table("zarr_ctas_t").count() == 700)
+      assert(spark.read.format("zarr").load(out.toString).count() == 700)
+      val before = spark.table("zarr_ctas_t")
+        .agg(sum("temperature")).collect().head.getLong(0)
+      // INSERT OVERWRITE replaces the grid; coords come from the store
+      spark.sql(
+        """INSERT OVERWRITE TABLE zarr_ctas_t
+           SELECT time, lon, lat, humidity, temperature + 1 AS temperature
+           FROM ctas_src""")
+      val after = spark.read.format("zarr").load(out.toString)
+        .agg(sum("temperature")).collect().head.getLong(0)
+      assert(after == before + 700)
+      // plain INSERT INTO a complete grid is rejected
+      val e = intercept[Exception](
+        spark.sql("INSERT INTO zarr_ctas_t SELECT * FROM ctas_src"))
+      def chain(t: Throwable): Seq[Throwable] =
+        Seq(t) ++ Option(t.getCause).toSeq.flatMap(chain)
+      assert(chain(e).exists(c => Option(c.getMessage)
+        .exists(_.toLowerCase.contains("append"))), e.toString)
+    } finally spark.sql("DROP TABLE IF EXISTS zarr_ctas_t")
+  }
+
   test("blosc encoder round-trips through the parity-tested decoder") {
     val rnd = new scala.util.Random(7)
     // compressible: shuffled int64-ish pattern
