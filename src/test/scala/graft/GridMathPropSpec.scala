@@ -3,7 +3,7 @@ package graft
 import org.scalacheck.{Gen, Prop, Test => SCTest}
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.sources.zarr.GridMath
+import graft.sources.zarr.{ChunkCodec, GridMath}
 
 /** Property tests for the pure grid arithmetic (SURVEY.md §7 step 9:
   * coordKeys / limitedSubset / coordRanges are pure functions, ideal
@@ -124,6 +124,25 @@ class GridMathPropSpec extends AnyFunSuite {
     check(Prop.forAll(genRanges) { ranges =>
       GridMath.totalRows(ranges) ==
         ranges.map { case (s, e) => (e - s).toLong }.product
+    })
+  }
+
+  test("blosc compress/decompress round-trips for arbitrary payloads and typesizes") {
+    val genPayload = for {
+      n <- Gen.choose(0, 4096)
+      mode <- Gen.oneOf("const", "ramp", "random")
+      seed <- Gen.choose(0, 1000000)
+    } yield mode match {
+      case "const" => Array.fill(n)(42.toByte)
+      case "ramp" => Array.tabulate(n)(i => (i / 7).toByte)
+      case _ =>
+        val r = new scala.util.Random(seed); Array.fill(n)(r.nextInt().toByte)
+    }
+    check(Prop.forAll(genPayload, Gen.oneOf(1, 2, 4, 8)) { (payload, typesize) =>
+      val frame = ChunkCodec.bloscCompress(payload, typesize)
+      val back = ChunkCodec.bloscDecompress(frame)
+      Prop(back.sameElements(payload)) :|
+        s"n=${payload.length} ts=$typesize frame=${frame.length}"
     })
   }
 }
