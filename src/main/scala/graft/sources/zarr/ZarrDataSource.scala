@@ -175,9 +175,12 @@ object ZarrDataSource {
     // so a failed job never leaves the target path half-written (or,
     // worse, deleted). All IO goes through ZarrStore, so hdfs://s3a://
     // targets write remotely, not to a bogus local dir named after
-    // the URI.
-    val tmpPath = path.stripSuffix("/") + ".__graft_tmp"
-    ZarrStore.open(tmpPath).deleteRecursively() // stale temp from a crashed run
+    // the URI. The suffix is unique per write so two concurrent jobs
+    // targeting the same path never interleave into one temp dir
+    // (last swap wins, same as any overwrite race); a killed JVM can
+    // leave a .__graft_tmp_* sibling behind — harmless, never read.
+    val tmpPath = path.stripSuffix("/") +
+      s".__graft_tmp_${java.util.UUID.randomUUID().toString.take(8)}"
     try ZarrWriter.write(data, tmpPath, coords, chunkOuter, version, shardInner,
       shardCompress, compressor, chunkShape)
     catch { case e: Throwable =>

@@ -50,7 +50,9 @@ class ZarrAdviceSpec extends AnyFunSuite {
     val after = spark.read.format("zarr").load(out)
       .agg(sum("temperature")).collect().head.getLong(0)
     assert(after == before)
-    assert(!Files.exists(Paths.get(out + ".__graft_tmp")))
+    // failed write cleaned up its unique temp sibling
+    val siblings = Files.list(Paths.get(out).getParent).toArray.map(_.toString)
+    assert(!siblings.exists(_.contains("__graft_tmp")), siblings.mkString(","))
   }
 
   test("chunk cache does not serve stale data after an overwrite") {
@@ -124,6 +126,32 @@ class ZarrAdviceSpec extends AnyFunSuite {
         Seq(t) ++ Option(t.getCause).toSeq.flatMap(chain)
       assert(chain(err).exists(_.getMessage.contains("HTTP 500")), err.toString)
     } finally server.stop(0)
+  }
+
+  test("streaming foreachBatch can write a Zarr store (stream -> grid snapshot)") {
+    // The sink is a complete-grid writer, so the streaming composition
+    // is foreachBatch + overwrite: each micro-batch replaces the store
+    // with the latest aggregated grid snapshot — the standard pattern
+    // for non-append sinks (JDBC upserts, etc.).
+    val src = spark.read.format("zarr").load(v3)
+      .select("time", "lon", "lat", "temperature")
+    val streamDir = Files.createTempDirectory("zarr_stream_in")
+    src.coalesce(1).write.mode("overwrite").parquet(streamDir.toString)
+    val out = Files.createTempDirectory("zarr_stream_out").resolve("s.zarr").toString
+    val stream = spark.readStream.schema(src.schema).parquet(streamDir.toString)
+    val q = stream.writeStream.outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        batch.write.format("zarr")
+          .option("coords", "time,lon,lat").option("chunkOuter", "2")
+          .mode("overwrite").save(out)
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(60000)
+    val back = spark.read.format("zarr").load(out)
+    assert(back.count() == 700)
+    assert(back.agg(sum("temperature")).collect().head.getLong(0) ==
+      src.agg(sum("temperature")).collect().head.getLong(0))
   }
 
   test("CTAS and INSERT OVERWRITE drive the sink from SQL") {
