@@ -210,6 +210,16 @@ object ZarrMeta {
     val shape = node.get("shape").elements().asScala.map(_.asLong()).toSeq
     val chunks = node.get("chunks").elements().asScala.map(_.asInt()).toSeq
     val dtype = ZarrDType.parseV2(node.get("dtype").asText())
+    // Refuse filter chains rather than silently decoding garbage:
+    // numcodecs filters (delta, quantize, …) transform bytes BEFORE
+    // the compressor and this reader does not implement them.
+    Option(node.get("filters")).filterNot(_.isNull).filter(_.isArray)
+      .filter(_.size() > 0).foreach { f =>
+        val ids = f.elements().asScala.map(n =>
+          Option(n.get("id")).map(_.asText()).getOrElse(n.toString)).mkString(", ")
+        throw new UnsupportedOperationException(
+          s"$name: Zarr v2 filters are not supported (found: $ids)")
+      }
     val comp = Option(node.get("compressor")).filterNot(_.isNull).map { c =>
       ZarrCompressor(c.get("id").asText(),
         Option(c.get("cname")).map(_.asText()).getOrElse(""),
@@ -240,16 +250,31 @@ object ZarrMeta {
       }
       .getOrElse(ZarrCompressor("none"))
 
+  /** Codec names this reader implements; anything else must error, not
+    * silently mis-decode. (crc32c appears only as a shard INDEX codec;
+    * as a chunk codec it would append a checksum we don't strip.) */
+  private val supportedV3Codecs = Set("bytes", "blosc", "zstd", "gzip", "sharding_indexed")
+
   private def parseArrayV3(name: String, node: JsonNode): ZarrArrayMeta = {
     val shape = node.get("shape").elements().asScala.map(_.asLong()).toSeq
     val chunks = node.get("chunk_grid").get("configuration").get("chunk_shape")
       .elements().asScala.map(_.asInt()).toSeq
     val codecs = Option(node.get("codecs")).map(_.elements().asScala.toSeq).getOrElse(Nil)
+    def checkCodecs(cs: Seq[JsonNode], where: String): Unit = {
+      val unknown = cs.map(_.get("name").asText()).filterNot(supportedV3Codecs)
+      if (unknown.nonEmpty)
+        throw new UnsupportedOperationException(
+          s"$name: unsupported Zarr v3 $where codec(s): ${unknown.mkString(", ")}")
+    }
+    checkCodecs(codecs, "chunk")
     val shardingCfg = codecs.find(_.get("name").asText() == "sharding_indexed")
       .map(_.get("configuration"))
     // With sharding, the element encoding lives in the INNER codec list.
     val elemCodecs = shardingCfg match {
-      case Some(cfg) => cfg.get("codecs").elements().asScala.toSeq
+      case Some(cfg) =>
+        val inner = cfg.get("codecs").elements().asScala.toSeq
+        checkCodecs(inner, "shard inner")
+        inner
       case None => codecs
     }
     val dtype = ZarrDType.parseV3(node.get("data_type").asText(), endianOf(elemCodecs))

@@ -246,6 +246,36 @@ class ZarrAdviceSpec extends AnyFunSuite {
     assert(chain(e).exists(c => Option(c.getMessage).exists(_.contains("zarrVersion=2"))))
   }
 
+  test("unsupported v2 filters and unknown v3 codecs error instead of mis-decoding") {
+    // v2 store with a delta filter: must refuse loudly
+    val root = Files.createTempDirectory("zarr_filters")
+    Files.write(root.resolve(".zgroup"), """{"zarr_format":2}""".getBytes)
+    val dir = root.resolve("x"); Files.createDirectories(dir)
+    Files.write(dir.resolve(".zarray"),
+      """{"zarr_format":2,"shape":[4],"chunks":[4],"dtype":"<i8","fill_value":0,
+         "order":"C","filters":[{"id":"delta","dtype":"<i8"}],"compressor":null}""".getBytes)
+    Files.write(dir.resolve("0"), new Array[Byte](32))
+    val e = intercept[Exception](spark.read.format("zarr").load(root.toString).count())
+    def chain(t: Throwable): Seq[Throwable] =
+      Seq(t) ++ Option(t.getCause).toSeq.flatMap(chain)
+    assert(chain(e).exists(c => Option(c.getMessage).exists(_.contains("delta"))), e.toString)
+
+    // v3 array with a transpose codec: must refuse loudly
+    val root3 = Files.createTempDirectory("zarr_codecs3")
+    Files.write(root3.resolve("zarr.json"),
+      """{"zarr_format":3,"node_type":"group"}""".getBytes)
+    val d3 = root3.resolve("y"); Files.createDirectories(d3)
+    Files.write(d3.resolve("zarr.json"),
+      """{"zarr_format":3,"node_type":"array","shape":[4],"data_type":"int64",
+         "chunk_grid":{"name":"regular","configuration":{"chunk_shape":[4]}},
+         "chunk_key_encoding":{"name":"default","configuration":{"separator":"/"}},
+         "fill_value":0,
+         "codecs":[{"name":"transpose","configuration":{"order":[0]}},
+                   {"name":"bytes","configuration":{"endian":"little"}}]}""".getBytes)
+    val e3 = intercept[Exception](spark.read.format("zarr").load(root3.toString).count())
+    assert(chain(e3).exists(c => Option(c.getMessage).exists(_.contains("transpose"))), e3.toString)
+  }
+
   test("datetime64 conversion floors toward negative infinity and rejects overflow") {
     val ns = ZarrDType.parseV2("<M8[ns]")
     def dec(dtype: ZarrDType, vs: Long*): Seq[Long] = {
