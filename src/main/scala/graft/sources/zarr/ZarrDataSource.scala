@@ -288,6 +288,7 @@ class ZarrScanBuilder(meta: ZarrStoreMeta, options: CaseInsensitiveStringMap)
     with SupportsPushDownRequiredColumns
     with SupportsPushDownFilters
     with SupportsPushDownLimit
+    with SupportsPushDownOffset
     with SupportsPushDownAggregates {
 
   private var requiredSchema: StructType = meta.schema
@@ -295,6 +296,7 @@ class ZarrScanBuilder(meta: ZarrStoreMeta, options: CaseInsensitiveStringMap)
   private var coordPreds: Map[Int, Seq[GridMath.CoordPred]] = Map.empty
   private var varPreds: Map[String, Seq[GridMath.CoordPred]] = Map.empty
   private var limit: Option[Long] = None
+  private var offset: Long = 0L
   private var aggPushed: Option[Aggregation] = None
 
   override def pruneColumns(required: StructType): Unit = requiredSchema = required
@@ -388,13 +390,20 @@ class ZarrScanBuilder(meta: ZarrStoreMeta, options: CaseInsensitiveStringMap)
   override def pushLimit(n: Int): Boolean = { limit = Some(n.toLong); true }
   override def isPartiallyPushed: Boolean = true
 
+  /** OFFSET is EXACT here (Spark then drops the Offset operator): the
+    * flattened grid enumerates rows in deterministic row-major order,
+    * so skipping the first n row ids is precisely SQL's offset over
+    * this scan. Spark pushes LIMIT as limit+offset first, so the
+    * planned row window is [offset, pushedLimit). */
+  override def pushOffset(n: Int): Boolean = { offset = n.toLong; true }
+
   /** Metadata-answerable aggregates, with the reference's guards
     * (count_optimization.rs:67-148): no GROUP BY, no filters, and
     * every aggregate must be answerable (MIN/MAX on data variables is
     * not — only coordinates carry exact bounds). */
   override def supportCompletePushDown(aggregation: Aggregation): Boolean =
     aggregation.groupByExpressions().isEmpty && coordPreds.isEmpty &&
-      accepted.isEmpty && limit.isEmpty &&
+      accepted.isEmpty && limit.isEmpty && offset == 0L &&
       // fill→null can null out data-var cells, so metadata row counts
       // no longer answer COUNT(col) — take the real scan instead
       !options.getBoolean("fillValueAsNull", false) &&
@@ -431,7 +440,7 @@ class ZarrScanBuilder(meta: ZarrStoreMeta, options: CaseInsensitiveStringMap)
         options.getLong("minRowsPerPartition", 65536),
         options.getBoolean("fillValueAsNull", false),
         options.getInt("chunkCacheEntries", 0),
-        varPreds)
+        varPreds, offset)
   }
 }
 
@@ -446,7 +455,8 @@ class ZarrScan(
     minRowsPerPartition: Long,
     fillAsNull: Boolean = false,
     chunkCacheEntries: Int = 0,
-    varPreds: Map[String, Seq[GridMath.CoordPred]] = Map.empty)
+    varPreds: Map[String, Seq[GridMath.CoordPred]] = Map.empty,
+    offset: Long = 0L)
     extends Scan with Batch with SupportsReportStatistics
     with SupportsRuntimeV2Filtering {
 
@@ -511,7 +521,8 @@ class ZarrScan(
   override def description(): String = {
     val r = ranges.map(_.map { case (s, e) => s"[$s,$e)" }.mkString(",")).getOrElse("EMPTY")
     s"ZarrScan path=${meta.path} rows=$filteredRows ranges=$r " +
-      s"limit=${limit.getOrElse(-1L)} pushedFilters=[${pushedFilters.mkString(", ")}]"
+      s"limit=${limit.getOrElse(-1L)} offset=$offset " +
+      s"pushedFilters=[${pushedFilters.mkString(", ")}]"
   }
 
   override def planInputPartitions(): Array[InputPartition] = ranges match {
@@ -529,6 +540,13 @@ class ZarrScan(
           throw new IllegalArgumentException(s"Unknown column ${f.name}")))
       }
       GridMath.partitionSlices(r, outerChunk, limit, minRowsPerPartition)
+        // pushed OFFSET clips the leading rows of the (deterministic,
+        // row-major) row space; slices are global row-id ranges, so a
+        // plain clip is exact
+        .flatMap { case (s0, e0) =>
+          val s1 = math.max(s0, offset)
+          if (s1 < e0) Some((s1, e0)) else None
+        }
         .filter(s => sliceMayMatch(s._1, s._2, r))
         .map(s => ZarrInputPartition(meta.path, s._1, s._2, r, meta.coords, projection,
           fillAsNull, chunkCacheEntries): InputPartition)
@@ -583,7 +601,8 @@ class ZarrScan(
   override def estimateStatistics(): Statistics = {
     val rowWidth = math.max(8,
       requiredSchema.fields.map(_.dataType.defaultSize).sum)
-    val rows = limit.map(math.min(_, filteredRows)).getOrElse(filteredRows)
+    val rows = math.max(0L,
+      limit.map(math.min(_, filteredRows)).getOrElse(filteredRows) - offset)
     val colStats = new java.util.HashMap[NamedReference, ColumnStatistics]()
     meta.coords.zipWithIndex.foreach { case (c, _) =>
       if (requiredSchema.fieldNames.contains(c.meta.name) && c.meta.dtype.kind != 'S') {

@@ -246,6 +246,26 @@ class ZarrAdviceSpec extends AnyFunSuite {
     assert(chain(e).exists(c => Option(c.getMessage).exists(_.contains("zarrVersion=2"))))
   }
 
+  test("OFFSET pushes into the scan and skips leading grid rows exactly") {
+    val df = spark.read.format("zarr").load(v3)
+      .select("time", "lon", "lat", "temperature")
+    val all = df.collect().map(_.toSeq).toSeq // deterministic row-major order
+    assert(df.offset(10).collect().map(_.toSeq).toSeq == all.drop(10))
+    assert(df.offset(13).limit(5).collect().map(_.toSeq).toSeq ==
+      all.slice(13, 18))
+    // offset reached the scan (not a post-scan operator only)
+    val scanDesc = df.offset(10).queryExecution.sparkPlan.collect {
+      case s: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+        s.scan.description()
+    }.head
+    assert(scanDesc.contains("offset=10"), scanDesc)
+    // SQL LIMIT/OFFSET and filters compose
+    assert(df.filter(col("time") === 3).offset(7).limit(3)
+      .collect().map(_.toSeq).toSeq ==
+      all.filter(_.head == 3L).slice(7, 10))
+    assert(df.offset(700).collect().isEmpty)
+  }
+
   test("unsupported v2 filters and unknown v3 codecs error instead of mis-decoding") {
     // v2 store with a delta filter: must refuse loudly
     val root = Files.createTempDirectory("zarr_filters")
