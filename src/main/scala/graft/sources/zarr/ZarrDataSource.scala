@@ -477,8 +477,12 @@ class ZarrScan(
   override def filterAttributes(): Array[NamedReference] =
     // only NUMERIC coordinates surviving column pruning: Spark resolves
     // these against the scan's (pruned) output; string coords live in
-    // index space and are not runtime-filterable by value
-    meta.coords.filter(c => c.meta.dtype.kind != 'S')
+    // index space and are not runtime-filterable by value. With a
+    // pushed OFFSET, runtime narrowing would change which rows the
+    // offset skips (row ids are relative to the planned ranges), so
+    // dynamic pruning is disabled for that — pathological — shape.
+    if (offset > 0L) Array.empty
+    else meta.coords.filter(c => c.meta.dtype.kind != 'S')
       .map(_.meta.name).filter(requiredSchema.fieldNames.contains)
       .map(Expressions.column).toArray
 
