@@ -254,6 +254,20 @@ object ChunkCodec {
     }
   }
 
+  /** Decode a numcodecs `delta`-filtered chunk in place: the payload
+    * stores `[x0, x1-x0, x2-x1, …]`; decoding integrates (cumulative
+    * sum). Integer sums wrap, matching numpy's dtype arithmetic. */
+  def deltaDecode(typed: AnyRef): AnyRef = typed match {
+    case a: Array[Byte] => var i = 1; while (i < a.length) { a(i) = (a(i) + a(i - 1)).toByte; i += 1 }; a
+    case a: Array[Short] => var i = 1; while (i < a.length) { a(i) = (a(i) + a(i - 1)).toShort; i += 1 }; a
+    case a: Array[Int] => var i = 1; while (i < a.length) { a(i) = a(i) + a(i - 1); i += 1 }; a
+    case a: Array[Long] => var i = 1; while (i < a.length) { a(i) = a(i) + a(i - 1); i += 1 }; a
+    case a: Array[Float] => var i = 1; while (i < a.length) { a(i) = a(i) + a(i - 1); i += 1 }; a
+    case a: Array[Double] => var i = 1; while (i < a.length) { a(i) = a(i) + a(i - 1); i += 1 }; a
+    case other => throw new IllegalArgumentException(
+      s"delta filter unsupported for ${other.getClass}")
+  }
+
   /** Comparison view of a typed array (filter matching + statistics). */
   /** Is `v` (an element from [[elementAt]]) the array's fill value?
     * Used by the `fillValueAsNull` read option (reference roadmap
@@ -354,7 +368,8 @@ object ChunkIO {
         case Some(spec) => decodeShard(bytes, meta, spec)
         case None =>
           val raw = ChunkCodec.decompress(bytes, meta.compressor, nElems * meta.dtype.size)
-          ChunkCodec.decodeTyped(raw, meta.dtype, nElems)
+          val typed = ChunkCodec.decodeTyped(raw, meta.dtype, nElems)
+          if (meta.deltaFilter) ChunkCodec.deltaDecode(typed) else typed
       }
     }
   }

@@ -104,6 +104,9 @@ final case class ZarrArrayMeta(
     isV3: Boolean,
     sharding: Option[ShardingSpec] = None,
     attrs: Map[String, String] = Map.empty,
+    /** numcodecs `delta` filter: chunk payload stores first value +
+      * successive differences; decode integrates (cumulative sum). */
+    deltaFilter: Boolean = false,
     /** Per-chunk [min,max] sidecar stats (`.zstats`, written by
       * [[ZarrWriter]]) keyed by chunk file key — powers
       * statistics-based chunk pruning for data-variable filters. */
@@ -210,16 +213,22 @@ object ZarrMeta {
     val shape = node.get("shape").elements().asScala.map(_.asLong()).toSeq
     val chunks = node.get("chunks").elements().asScala.map(_.asInt()).toSeq
     val dtype = ZarrDType.parseV2(node.get("dtype").asText())
-    // Refuse filter chains rather than silently decoding garbage:
-    // numcodecs filters (delta, quantize, …) transform bytes BEFORE
-    // the compressor and this reader does not implement them.
-    Option(node.get("filters")).filterNot(_.isNull).filter(_.isArray)
-      .filter(_.size() > 0).foreach { f =>
-        val ids = f.elements().asScala.map(n =>
-          Option(n.get("id")).map(_.asText()).getOrElse(n.toString)).mkString(", ")
-        throw new UnsupportedOperationException(
-          s"$name: Zarr v2 filters are not supported (found: $ids)")
-      }
+    // Filters transform values BEFORE the compressor. The common
+    // single `delta` filter (integer coordinates) is implemented
+    // (decode = cumulative sum, numcodecs semantics); anything else
+    // must refuse loudly rather than silently decode garbage.
+    val filterIds = Option(node.get("filters")).filterNot(_.isNull).filter(_.isArray)
+      .map(_.elements().asScala.map(n =>
+        Option(n.get("id")).map(_.asText()).getOrElse(n.toString)).toSeq)
+      .getOrElse(Nil)
+    val delta = filterIds == Seq("delta")
+    if (filterIds.nonEmpty && !delta)
+      throw new UnsupportedOperationException(
+        s"$name: unsupported Zarr v2 filter chain: ${filterIds.mkString(", ")}" +
+          " (only a single 'delta' filter is supported)")
+    if (delta && !"iuf".contains(dtype.kind))
+      throw new UnsupportedOperationException(
+        s"$name: 'delta' filter on non-numeric dtype ${node.get("dtype").asText()} is not supported")
     val comp = Option(node.get("compressor")).filterNot(_.isNull).map { c =>
       ZarrCompressor(c.get("id").asText(),
         Option(c.get("cname")).map(_.asText()).getOrElse(""),
@@ -228,7 +237,7 @@ object ZarrMeta {
     val sep = Option(node.get("dimension_separator")).filterNot(_.isNull)
       .map(_.asText()).getOrElse(".")
     ZarrArrayMeta(name, shape, chunks, dtype, comp, sep,
-      parseFill(node.get("fill_value")), isV3 = false)
+      parseFill(node.get("fill_value")), isV3 = false, deltaFilter = delta)
   }
 
   /** Endianness of the `bytes` codec in a v3 codec list (default

@@ -267,18 +267,29 @@ class ZarrAdviceSpec extends AnyFunSuite {
   }
 
   test("unsupported v2 filters and unknown v3 codecs error instead of mis-decoding") {
-    // v2 store with a delta filter: must refuse loudly
+    // v2 store with a quantize filter (not implemented): must refuse loudly
     val root = Files.createTempDirectory("zarr_filters")
     Files.write(root.resolve(".zgroup"), """{"zarr_format":2}""".getBytes)
     val dir = root.resolve("x"); Files.createDirectories(dir)
     Files.write(dir.resolve(".zarray"),
-      """{"zarr_format":2,"shape":[4],"chunks":[4],"dtype":"<i8","fill_value":0,
-         "order":"C","filters":[{"id":"delta","dtype":"<i8"}],"compressor":null}""".getBytes)
+      """{"zarr_format":2,"shape":[4],"chunks":[4],"dtype":"<f8","fill_value":0,
+         "order":"C","filters":[{"id":"quantize","digits":2}],"compressor":null}""".getBytes)
     Files.write(dir.resolve("0"), new Array[Byte](32))
     val e = intercept[Exception](spark.read.format("zarr").load(root.toString).count())
     def chain(t: Throwable): Seq[Throwable] =
       Seq(t) ++ Option(t.getCause).toSeq.flatMap(chain)
-    assert(chain(e).exists(c => Option(c.getMessage).exists(_.contains("delta"))), e.toString)
+    assert(chain(e).exists(c => Option(c.getMessage).exists(_.contains("quantize"))), e.toString)
+
+    // delta on a non-numeric dtype: refused at parse time
+    val rootS = Files.createTempDirectory("zarr_filters_s")
+    Files.write(rootS.resolve(".zgroup"), """{"zarr_format":2}""".getBytes)
+    val dirS = rootS.resolve("s"); Files.createDirectories(dirS)
+    Files.write(dirS.resolve(".zarray"),
+      """{"zarr_format":2,"shape":[4],"chunks":[4],"dtype":"|S4","fill_value":0,
+         "order":"C","filters":[{"id":"delta","dtype":"|S4"}],"compressor":null}""".getBytes)
+    Files.write(dirS.resolve("0"), new Array[Byte](16))
+    val eS = intercept[Exception](spark.read.format("zarr").load(rootS.toString).count())
+    assert(chain(eS).exists(c => Option(c.getMessage).exists(_.contains("delta"))), eS.toString)
 
     // v3 array with a transpose codec: must refuse loudly
     val root3 = Files.createTempDirectory("zarr_codecs3")
@@ -294,6 +305,44 @@ class ZarrAdviceSpec extends AnyFunSuite {
                    {"name":"bytes","configuration":{"endian":"little"}}]}""".getBytes)
     val e3 = intercept[Exception](spark.read.format("zarr").load(root3.toString).count())
     assert(chain(e3).exists(c => Option(c.getMessage).exists(_.contains("transpose"))), e3.toString)
+  }
+
+  test("v2 delta filter decodes per chunk (numcodecs cumulative sum)") {
+    // time: int64 coord, 2 delta-encoded chunks; m[time,y]: float64 data
+    // var, delta over the flattened C-order chunk (numcodecs semantics).
+    val root = Files.createTempDirectory("zarr_delta")
+    Files.write(root.resolve(".zgroup"), """{"zarr_format":2}""".getBytes)
+    def meta(shape: String, chunks: String, dtype: String) =
+      s"""{"zarr_format":2,"shape":[$shape],"chunks":[$chunks],"dtype":"$dtype",
+          "fill_value":-1,"order":"C","filters":[{"id":"delta","dtype":"$dtype"}],
+          "compressor":null}"""
+    def put(rel: String, longs: Seq[Long] = Nil, doubles: Seq[Double] = Nil): Unit = {
+      val p = root.resolve(rel); Files.createDirectories(p.getParent)
+      val buf = ByteBuffer.allocate((longs.length + doubles.length) * 8)
+        .order(ByteOrder.LITTLE_ENDIAN)
+      longs.foreach(buf.putLong); doubles.foreach(buf.putDouble)
+      Files.write(p, buf.array())
+    }
+    Files.createDirectories(root.resolve("time"))
+    Files.write(root.resolve("time/.zarray"), meta("6", "3", "<i8").getBytes)
+    put("time/0", longs = Seq(10L, 3L, 4L))  // → 10, 13, 17
+    put("time/1", longs = Seq(20L, 4L, 5L))  // → 20, 24, 29
+    Files.createDirectories(root.resolve("y"))
+    Files.write(root.resolve("y/.zarray"),
+      """{"zarr_format":2,"shape":[2],"chunks":[2],"dtype":"<i8","fill_value":-1,
+         "order":"C","filters":null,"compressor":null}""".getBytes)
+    put("y/0", longs = Seq(0L, 1L))
+    Files.createDirectories(root.resolve("m"))
+    Files.write(root.resolve("m/.zarray"), meta("6,2", "3,2", "<f8").getBytes)
+    put("m/0.0", doubles = Seq(1.0, 1, 1, 1, 1, 1))  // → 1..6
+    put("m/1.0", doubles = Seq(7.0, 1, 1, 1, 1, 1))  // → 7..12
+    val rows = spark.read.format("zarr").load(root.toString)
+      .orderBy("time", "y").collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val times = Seq(10L, 13L, 17L, 20L, 24L, 29L)
+    val expected = for (t <- 0 until 6; y <- 0 until 2)
+      yield (times(t), y.toLong, (t * 2 + y + 1).toDouble)
+    assert(rows == expected)
   }
 
   test("datetime64 conversion floors toward negative infinity and rejects overflow") {
