@@ -1,0 +1,118 @@
+package graft
+
+import java.nio.{ByteBuffer, ByteOrder}
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Kerchunk / fsspec ReferenceFileSystem reading: a virtual Zarr store
+  * whose metadata is inline JSON and whose chunks are byte ranges into
+  * a separate archive file — the reference's roadmap "icechunk/
+  * kerchunk" row (/root/reference/README.md:289-337). The refs
+  * document below exercises every ref form: inline UTF-8, inline
+  * base64, `[url, offset, length]` ranges (with `{{template}}`
+  * substitution), and a whole-file `[url]` ref.
+  */
+class ZarrKerchunkSpec extends AnyFunSuite {
+  import TestSession._
+
+  private def le(longs: Seq[Long] = Nil, doubles: Seq[Double] = Nil): Array[Byte] = {
+    val buf = ByteBuffer.allocate((longs.length + doubles.length) * 8)
+      .order(ByteOrder.LITTLE_ENDIAN)
+    longs.foreach(buf.putLong); doubles.foreach(buf.putDouble)
+    buf.array()
+  }
+
+  /** A refs JSON + archive laid out like a kerchunked netCDF: one
+    * archive file holding both m chunks at nonzero offsets, time chunk
+    * inline base64, y chunk in its own whole file. */
+  private lazy val refsPath: String = {
+    val dir = Files.createTempDirectory("kerchunk")
+    // archive: 16 junk bytes, then chunk m/0.0 (6 doubles), then m/1.0
+    val m00 = le(doubles = Seq(0, 1, 10, 11, 20, 21))
+    val m10 = le(doubles = Seq(30, 31, 40, 41, 50, 51))
+    val junk = Array.fill[Byte](16)(0x5a)
+    Files.write(dir.resolve("archive.bin"), junk ++ m00 ++ m10)
+    Files.write(dir.resolve("y_chunk.bin"), le(longs = Seq(7L, 8L)))
+    val timeB64 = java.util.Base64.getEncoder.encodeToString(
+      le(longs = Seq(100L, 200L, 300L, 400L, 500L, 600L)))
+    def zarray(shape: String, chunks: String, dtype: String) =
+      s"""{\\"zarr_format\\":2,\\"shape\\":[$shape],\\"chunks\\":[$chunks],
+         |\\"dtype\\":\\"$dtype\\",\\"fill_value\\":-1,\\"order\\":\\"C\\",
+         |\\"filters\\":null,\\"compressor\\":null}""".stripMargin.replace("\n", "")
+    val refs =
+      s"""{"version": 1,
+         | "templates": {"u": "archive.bin"},
+         | "refs": {
+         |  ".zgroup": "{\\"zarr_format\\":2}",
+         |  "time/.zarray": "${zarray("6", "6", "<i8")}",
+         |  "time/0": "base64:$timeB64",
+         |  "y/.zarray": "${zarray("2", "2", "<i8")}",
+         |  "y/0": ["y_chunk.bin"],
+         |  "m/.zarray": "${zarray("6,2", "3,2", "<f8")}",
+         |  "m/0.0": ["{{u}}", 16, 48],
+         |  "m/1.0": ["{{u}}", 64, 48]
+         | }}""".stripMargin
+    val p = dir.resolve("refs.json")
+    Files.write(p, refs.getBytes)
+    p.toString
+  }
+
+  test("refs file reads as a virtual store: schema, values, ranged chunks") {
+    val df = spark.read.format("zarr").load(refsPath)
+    assert(df.schema.simpleString == "struct<time:bigint,y:bigint,m:double>")
+    val rows = df.orderBy("time", "y").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val expected = for (t <- 0 until 6; y <- 0 until 2)
+      yield ((t + 1) * 100L, (7 + y).toLong, (t * 10 + y).toDouble)
+    assert(rows == expected)
+  }
+
+  test("filter pushdown prunes chunks through the reference layer") {
+    val df = spark.read.format("zarr").option("minRowsPerPartition", "1").load(refsPath)
+    assert(df.rdd.getNumPartitions == 2) // outer chunks of m
+    val f = df.filter(col("time") === 500L)
+    assert(f.collect().map(_.getDouble(2)).sorted.toSeq == Seq(40.0, 41.0))
+  }
+
+  test("writes to a reference store are refused") {
+    val e = intercept[Exception] {
+      spark.range(2).selectExpr("id as time", "id as y", "CAST(id AS DOUBLE) as m")
+        .write.format("zarr").option("coords", "time,y").mode("overwrite").save(refsPath)
+    }
+    def chain(t: Throwable): Seq[Throwable] =
+      Seq(t) ++ Option(t.getCause).toSeq.flatMap(chain)
+    assert(chain(e).exists(c => Option(c.getMessage).exists(m =>
+      m.contains("read-only") || m.contains("Unsupported"))), e.toString)
+  }
+
+  test("version-0 documents (bare refs map) and gen refusal") {
+    val dir = Files.createTempDirectory("kerchunk_v0")
+    Files.write(dir.resolve("x.bin"), le(longs = Seq(1L, 2L, 3L)))
+    def za(shape: String, chunks: String) =
+      s"""{\\"zarr_format\\":2,\\"shape\\":[$shape],\\"chunks\\":[$chunks],""" +
+        """\"dtype\":\"<i8\",\"fill_value\":0,\"order\":\"C\",""" +
+        """\"filters\":null,\"compressor\":null}"""
+    val refs0 =
+      s"""{".zgroup": "{\\"zarr_format\\":2}",
+         | "x/.zarray": "${za("3", "3")}",
+         | "x/0": ["x.bin", 0, 24],
+         | "v/.zarray": "${za("3,1", "3,1")}",
+         | "v/0.0": ["x.bin"],
+         | "dim/.zarray": "${za("1", "1")}",
+         | "dim/0": "base64:${java.util.Base64.getEncoder.encodeToString(le(longs = Seq(9L)))}"
+         |}""".stripMargin
+    val p0 = dir.resolve("v0.json"); Files.write(p0, refs0.getBytes)
+    val rows = spark.read.format("zarr").load(p0.toString)
+      .orderBy("x").collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(rows == Seq((1L, 9L, 1L), (2L, 9L, 2L), (3L, 9L, 3L)))
+
+    val genDoc = """{"version":1,"refs":{".zgroup":"{}"},"gen":[{"key":"a{{i}}"}]}"""
+    val pg = dir.resolve("gen.json"); Files.write(pg, genDoc.getBytes)
+    val e = intercept[Exception](spark.read.format("zarr").load(pg.toString).count())
+    def chain(t: Throwable): Seq[Throwable] =
+      Seq(t) ++ Option(t.getCause).toSeq.flatMap(chain)
+    assert(chain(e).exists(c => Option(c.getMessage).exists(_.contains("gen"))), e.toString)
+  }
+}
