@@ -256,15 +256,23 @@ object ChunkCodec {
 
   /** Decode a numcodecs `delta`-filtered chunk in place: the payload
     * stores `[x0, x1-x0, x2-x1, …]`; decoding integrates (cumulative
-    * sum). Integer sums wrap, matching numpy's dtype arithmetic. */
-  def deltaDecode(typed: AnyRef): AnyRef = typed match {
-    case a: Array[Byte] => var i = 1; while (i < a.length) { a(i) = (a(i) + a(i - 1)).toByte; i += 1 }; a
-    case a: Array[Short] => var i = 1; while (i < a.length) { a(i) = (a(i) + a(i - 1)).toShort; i += 1 }; a
-    case a: Array[Int] => var i = 1; while (i < a.length) { a(i) = a(i) + a(i - 1); i += 1 }; a
-    case a: Array[Long] => var i = 1; while (i < a.length) { a(i) = a(i) + a(i - 1); i += 1 }; a
-    case a: Array[Float] => var i = 1; while (i < a.length) { a(i) = a(i) + a(i - 1); i += 1 }; a
-    case a: Array[Double] => var i = 1; while (i < a.length) { a(i) = a(i) + a(i - 1); i += 1 }; a
-    case other => throw new IllegalArgumentException(
+    * sum). Sums wrap at the SOURCE dtype's width (numpy dtype
+    * arithmetic) — unsigned types are widened by [[decodeTyped]], so
+    * their cumsum re-wraps via a mask at the original width. */
+  def deltaDecode(typed: AnyRef, dtype: ZarrDType): AnyRef = (typed, dtype.kind, dtype.size) match {
+    case (a: Array[Short], 'u', 1) =>
+      var i = 1; while (i < a.length) { a(i) = ((a(i) + a(i - 1)) & 0xff).toShort; i += 1 }; a
+    case (a: Array[Int], 'u', 2) =>
+      var i = 1; while (i < a.length) { a(i) = (a(i) + a(i - 1)) & 0xffff; i += 1 }; a
+    case (a: Array[Long], 'u', 4) =>
+      var i = 1; while (i < a.length) { a(i) = (a(i) + a(i - 1)) & 0xffffffffL; i += 1 }; a
+    case (a: Array[Byte], _, _) => var i = 1; while (i < a.length) { a(i) = (a(i) + a(i - 1)).toByte; i += 1 }; a
+    case (a: Array[Short], _, _) => var i = 1; while (i < a.length) { a(i) = (a(i) + a(i - 1)).toShort; i += 1 }; a
+    case (a: Array[Int], _, _) => var i = 1; while (i < a.length) { a(i) = a(i) + a(i - 1); i += 1 }; a
+    case (a: Array[Long], _, _) => var i = 1; while (i < a.length) { a(i) = a(i) + a(i - 1); i += 1 }; a
+    case (a: Array[Float], _, _) => var i = 1; while (i < a.length) { a(i) = a(i) + a(i - 1); i += 1 }; a
+    case (a: Array[Double], _, _) => var i = 1; while (i < a.length) { a(i) = a(i) + a(i - 1); i += 1 }; a
+    case (other, _, _) => throw new IllegalArgumentException(
       s"delta filter unsupported for ${other.getClass}")
   }
 
@@ -369,7 +377,7 @@ object ChunkIO {
         case None =>
           val raw = ChunkCodec.decompress(bytes, meta.compressor, nElems * meta.dtype.size)
           val typed = ChunkCodec.decodeTyped(raw, meta.dtype, nElems)
-          if (meta.deltaFilter) ChunkCodec.deltaDecode(typed) else typed
+          if (meta.deltaFilter) ChunkCodec.deltaDecode(typed, meta.dtype) else typed
       }
     }
   }

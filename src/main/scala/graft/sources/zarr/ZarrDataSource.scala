@@ -182,7 +182,8 @@ object ZarrDataSource {
     val tmpPath = path.stripSuffix("/") +
       s".__graft_tmp_${java.util.UUID.randomUUID().toString.take(8)}"
     try ZarrWriter.write(data, tmpPath, coords, chunkOuter, version, shardInner,
-      shardCompress, compressor, chunkShape)
+      shardCompress, compressor, chunkShape,
+      deltaFilter = params.get("deltafilter").exists(_.toBoolean))
     catch { case e: Throwable =>
       try ZarrStore.open(tmpPath).deleteRecursively()
       catch { case cleanup: Exception => e.addSuppressed(cleanup) }

@@ -226,9 +226,13 @@ object ZarrMeta {
       throw new UnsupportedOperationException(
         s"$name: unsupported Zarr v2 filter chain: ${filterIds.mkString(", ")}" +
           " (only a single 'delta' filter is supported)")
-    if (delta && !"iuf".contains(dtype.kind))
+    // datetime64 decodes via unit conversion BEFORE integration, which
+    // only commutes with the cumulative sum at the identity unit (us).
+    val deltaOk = "iuf".contains(dtype.kind) ||
+      (dtype.kind == 'M' && dtype.tsMulUs == 1 && dtype.tsDivUs == 1)
+    if (delta && !deltaOk)
       throw new UnsupportedOperationException(
-        s"$name: 'delta' filter on non-numeric dtype ${node.get("dtype").asText()} is not supported")
+        s"$name: 'delta' filter on dtype ${node.get("dtype").asText()} is not supported")
     val comp = Option(node.get("compressor")).filterNot(_.isNull).map { c =>
       ZarrCompressor(c.get("id").asText(),
         Option(c.get("cname")).map(_.asText()).getOrElse(""),

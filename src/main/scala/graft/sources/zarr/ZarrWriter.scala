@@ -92,11 +92,54 @@ object ZarrWriter {
         bos.toByteArray
     }
 
+  /** Delta-eligible on WRITE: exact-integer element types only. Float
+    * delta exists in numcodecs but float add/subtract does not
+    * round-trip bit-exactly, so the writer refuses to produce it. */
+  private def deltaEligible(t: DataType): Boolean = t match {
+    case LongType | IntegerType | ShortType | ByteType | TimestampType => true
+    case _ => false
+  }
+
+  /** numcodecs `delta` encode over a serialized LE chunk payload:
+    * first element kept, each later element replaced by its difference
+    * from the previous (the read side integrates — ChunkCodec
+    * .deltaDecode). Regular grids (time steps, sequential ids) become
+    * near-constant streams, which is where the compressor ratio comes
+    * from. */
+  private def deltaEncode(raw: Array[Byte], t: DataType): Array[Byte] = {
+    val buf = ByteBuffer.wrap(raw).order(ByteOrder.LITTLE_ENDIAN)
+    t match {
+      case LongType | TimestampType =>
+        val n = raw.length / 8
+        var prev = if (n > 0) buf.getLong(0) else 0L
+        var i = 1
+        while (i < n) { val cur = buf.getLong(i * 8); buf.putLong(i * 8, cur - prev); prev = cur; i += 1 }
+      case IntegerType =>
+        val n = raw.length / 4
+        var prev = if (n > 0) buf.getInt(0) else 0
+        var i = 1
+        while (i < n) { val cur = buf.getInt(i * 4); buf.putInt(i * 4, cur - prev); prev = cur; i += 1 }
+      case ShortType =>
+        val n = raw.length / 2
+        var prev = if (n > 0) buf.getShort(0) else 0.toShort
+        var i = 1
+        while (i < n) { val cur = buf.getShort(i * 2); buf.putShort(i * 2, (cur - prev).toShort); prev = cur; i += 1 }
+      case ByteType =>
+        var prev = if (raw.length > 0) raw(0) else 0.toByte
+        var i = 1
+        while (i < raw.length) { val cur = raw(i); raw(i) = (cur - prev).toByte; prev = cur; i += 1 }
+      case other => throw new IllegalArgumentException(s"delta filter not writable for $other")
+    }
+    raw
+  }
+
   private def zarray(shape: Seq[Long], chunks: Seq[Int], dtype: String,
-      compressor: String): String = {
+      compressor: String, delta: Boolean = false): String = {
     val fill = if (dtype.startsWith("|S")) "null" else "0"
+    val filters =
+      if (delta) s"""[{"id":"delta","dtype":"$dtype"}]""" else "null"
     s"""{"zarr_format":2,"shape":[${shape.mkString(",")}],"chunks":[${chunks.mkString(",")}],
-       |"dtype":"$dtype","fill_value":$fill,"order":"C","filters":null,
+       |"dtype":"$dtype","fill_value":$fill,"order":"C","filters":$filters,
        |"dimension_separator":".","compressor":${compressorJson(compressor)}}"""
       .stripMargin.replace("\n", "")
   }
@@ -206,8 +249,11 @@ object ZarrWriter {
     */
   def write(df: DataFrame, path: String, coords: Seq[String], chunkOuter: Int = 1,
       version: Int = 2, shardInner: Int = 0, shardCompress: Boolean = false,
-      compressor: String = "none", chunkShape: Seq[Int] = Nil): Unit = {
+      compressor: String = "none", chunkShape: Seq[Int] = Nil,
+      deltaFilter: Boolean = false): Unit = {
     require(version == 2 || version == 3, s"zarrVersion must be 2 or 3, got $version")
+    require(!deltaFilter || version == 2,
+      "deltaFilter requires zarrVersion=2 (numcodecs filters are a v2 concept)")
     require(shardInner == 0 || compressor == "none",
       "shardInner and compressor are mutually exclusive (use shardCompress for sharded stores)")
     compressorJson(compressor) // validate early
@@ -259,7 +305,8 @@ object ZarrWriter {
       val t = schema(name).dataType
       if (version == 2) {
         store.writeBytes(s"$name/.zarray",
-          zarray(aShape, aChunks, dtypeStr, compressor).getBytes)
+          zarray(aShape, aChunks, dtypeStr, compressor,
+            delta = deltaFilter && deltaEligible(t)).getBytes)
         attrsJson(name).foreach(a => store.writeBytes(s"$name/.zattrs", a.getBytes))
       } else {
         // only data variables shard (aShape == full grid shape)
@@ -278,8 +325,10 @@ object ZarrWriter {
       writeArrayMeta(name, Seq(vals.length.toLong), Seq(vals.length), dtypeStr)
       val buf = ByteBuffer.allocate(vals.length * elem).order(ByteOrder.LITTLE_ENDIAN)
       vals.zipWithIndex.foreach { case (v, j) => putValue(buf, j, elem, t, v) }
+      val payload =
+        if (deltaFilter && deltaEligible(t)) deltaEncode(buf.array(), t) else buf.array()
       store.writeBytes(if (version == 2) s"$name/0" else s"$name/c/0",
-        compressPayload(buf.array(), compressor, elem))
+        compressPayload(payload, compressor, elem))
     }
     varCols.foreach(name => writeArrayMeta(name, shape, chunks, dtypeOf(schema(name).dataType)._1))
 
@@ -328,6 +377,7 @@ object ZarrWriter {
     val wStore = store // serializable descriptor; executors open lazily
     val wCompressor = compressor
     val wChunks = chunks
+    val wDelta = deltaFilter
     def chunkRel(v: Int, ci: Seq[Int]): String =
       if (wVersion == 2) varCols(v) + "/" + ci.mkString(".")
       else (Seq(varCols(v), "c") ++ ci.map(_.toString)).mkString("/")
@@ -391,7 +441,12 @@ object ZarrWriter {
         val payload =
           if (wShardInner > 0)
             shardify(buf.array(), wChunks.head / wShardInner, wShardCompress)
-          else compressPayload(buf.array(), wCompressor, dtypeOf(varTypes(v))._2)
+          else {
+            val t = varTypes(v)
+            val raw =
+              if (wDelta && deltaEligible(t)) deltaEncode(buf.array(), t) else buf.array()
+            compressPayload(raw, wCompressor, dtypeOf(t)._2)
+          }
         wStore.writeBytes(chunkRel(v, ci), payload)
         // widen by fill_value (0) ONLY for partially-filled chunks —
         // their unwritten cells hold fill, so stats must cover it;

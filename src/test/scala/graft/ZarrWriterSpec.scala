@@ -140,6 +140,39 @@ class ZarrWriterSpec extends AnyFunSuite {
         .save(Files.createTempDirectory("zarr_comp").resolve("bad.zarr").toString))
   }
 
+  test("deltaFilter writes integer arrays with a delta filter that round-trips") {
+    import org.apache.spark.sql.functions._
+    // regular integer grid + a double var (delta must NOT apply to floats)
+    val df = spark.range(60).select(
+      (col("id") / 6).cast("long").as("t"),
+      (col("id") % 6).cast("long").as("x"),
+      (col("id") * 1000 + 5).as("seq"),
+      (col("id") * 0.5).as("val"))
+    val out = Files.createTempDirectory("zarr_delta_w").resolve("d.zarr")
+    df.write.format("zarr").option("coords", "t,x").option("chunkOuter", "5")
+      .option("deltaFilter", "true").option("compressor", "zstd")
+      .mode("overwrite").save(out.toString)
+    // integer arrays carry the filter; the float array does not
+    assert(new String(Files.readAllBytes(out.resolve("seq").resolve(".zarray")))
+      .contains(""""filters":[{"id":"delta""""))
+    assert(new String(Files.readAllBytes(out.resolve("val").resolve(".zarray")))
+      .contains(""""filters":null"""))
+    val back = spark.read.format("zarr").load(out.toString)
+    assert(back.orderBy("t", "x").collect().map(_.toSeq).toSeq ==
+      df.orderBy("t", "x").collect().map(_.toSeq).toSeq)
+    // the point of delta: a regular sequence compresses far better
+    val plain = Files.createTempDirectory("zarr_delta_w").resolve("p.zarr")
+    df.write.format("zarr").option("coords", "t,x").option("chunkOuter", "5")
+      .option("compressor", "zstd").mode("overwrite").save(plain.toString)
+    assert(Files.size(out.resolve("seq").resolve("0.0")) <
+      Files.size(plain.resolve("seq").resolve("0.0")))
+    // v3 has no numcodecs filters: refused early
+    intercept[Exception](
+      df.write.format("zarr").option("coords", "t,x").option("deltaFilter", "true")
+        .option("zarrVersion", "3").mode("overwrite")
+        .save(Files.createTempDirectory("zarr_delta_w").resolve("bad.zarr").toString))
+  }
+
   test("chunkShape writes an N-dim chunk grid that reads back identically") {
     val out = Files.createTempDirectory("zarr_cshape").resolve("cs.zarr").toString
     val src = spark.read.format("zarr").load(v3)
