@@ -163,7 +163,13 @@ object ZarrDataSource {
     val chunkOuter = params.get("chunkouter").map(_.toInt).getOrElse(1)
     val version = params.get("zarrversion").map(_.toInt).getOrElse(2)
     val shardInner = params.get("shardinner").map(_.toInt).getOrElse(0)
-    val shardCompress = params.get("shardcompress").exists(_.toBoolean)
+    // codec name for shard inner chunks; boolean spellings kept for
+    // compatibility ("true" = the original gzip behavior)
+    val shardCompress = params.get("shardcompress").map {
+      case "true" => "gzip"
+      case "false" => "none"
+      case c => c
+    }.getOrElse("none")
     val compressor = params.getOrElse("compressor", "none")
     val chunkShape = params.get("chunkshape")
       .map(_.split(",").map(_.trim.toInt).toSeq).getOrElse(Nil)

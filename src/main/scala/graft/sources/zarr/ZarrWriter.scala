@@ -157,30 +157,26 @@ object ZarrWriter {
 
   private def zarrJsonV3(shape: Seq[Long], chunks: Seq[Int], t: DataType,
       attrsJson: Option[String], shardInner: Int = 0,
-      shardCompress: Boolean = false, compressor: String = "none"): String = {
+      shardCompress: String = "none", compressor: String = "none"): String = {
     val attrs = attrsJson.map(a => s""","attributes":$a""").getOrElse("")
     val bytesCodec = """{"name":"bytes","configuration":{"endian":"little"}}"""
+    def chain(c: String): String = c match {
+      case "none" => s"[$bytesCodec]"
+      case "zstd" => s"""[$bytesCodec,{"name":"zstd","configuration":{"level":3}}]"""
+      case "gzip" => s"""[$bytesCodec,{"name":"gzip","configuration":{"level":5}}]"""
+      case "blosc" =>
+        s"""[$bytesCodec,{"name":"blosc","configuration":{"cname":"lz4",""" +
+          s""""clevel":5,"shuffle":"shuffle","typesize":${dtypeOf(t)._2}}}]"""
+      case other => throw new IllegalArgumentException(
+        s"Unsupported write compressor: $other")
+    }
     val codecs =
-      if (shardInner <= 0) {
-        compressor match {
-          case "none" => s"[$bytesCodec]"
-          case "zstd" => s"""[$bytesCodec,{"name":"zstd","configuration":{"level":3}}]"""
-          case "gzip" => s"""[$bytesCodec,{"name":"gzip","configuration":{"level":5}}]"""
-          case "blosc" =>
-            s"""[$bytesCodec,{"name":"blosc","configuration":{"cname":"lz4",""" +
-              s""""clevel":5,"shuffle":"shuffle","typesize":${dtypeOf(t)._2}}}]"""
-          case other => throw new IllegalArgumentException(
-            s"Unsupported write compressor: $other")
-        }
-      }
+      if (shardInner <= 0) chain(compressor)
       else {
         val innerShape = (shardInner +: chunks.drop(1)).mkString(",")
-        val innerCodecs =
-          if (shardCompress) s"""$bytesCodec,{"name":"gzip","configuration":{"level":5}}"""
-          else bytesCodec
         s"""[{"name":"sharding_indexed","configuration":{
            |"chunk_shape":[$innerShape],
-           |"codecs":[$innerCodecs],
+           |"codecs":${chain(shardCompress)},
            |"index_codecs":[$bytesCodec,{"name":"crc32c"}],
            |"index_location":"end"}}]""".stripMargin.replace("\n", "")
       }
@@ -197,20 +193,14 @@ object ZarrWriter {
     * chunks (contiguous, since inner chunks split only the outer
     * dimension), then the (offset,nbytes) uint64le index + crc32c. */
   private def shardify(slab: Array[Byte], nInner: Int,
-      compress: Boolean): Array[Byte] = {
+      codec: String, typesize: Int): Array[Byte] = {
     val innerBytes = slab.length / nInner
     val body = new java.io.ByteArrayOutputStream()
     val index = ByteBuffer.allocate(nInner * 16).order(ByteOrder.LITTLE_ENDIAN)
     var i = 0
     while (i < nInner) {
-      val enc =
-        if (!compress) java.util.Arrays.copyOfRange(slab, i * innerBytes, (i + 1) * innerBytes)
-        else {
-          val bos = new java.io.ByteArrayOutputStream()
-          val g = new java.util.zip.GZIPOutputStream(bos)
-          g.write(slab, i * innerBytes, innerBytes); g.close()
-          bos.toByteArray
-        }
+      val raw = java.util.Arrays.copyOfRange(slab, i * innerBytes, (i + 1) * innerBytes)
+      val enc = compressPayload(raw, codec, typesize)
       index.putLong(body.size().toLong); index.putLong(enc.length.toLong)
       body.write(enc)
       i += 1
@@ -248,7 +238,7 @@ object ZarrWriter {
     * @param chunkOuter chunk extent along the outer dimension
     */
   def write(df: DataFrame, path: String, coords: Seq[String], chunkOuter: Int = 1,
-      version: Int = 2, shardInner: Int = 0, shardCompress: Boolean = false,
+      version: Int = 2, shardInner: Int = 0, shardCompress: String = "none",
       compressor: String = "none", chunkShape: Seq[Int] = Nil,
       deltaFilter: Boolean = false): Unit = {
     require(version == 2 || version == 3, s"zarrVersion must be 2 or 3, got $version")
@@ -257,6 +247,8 @@ object ZarrWriter {
     require(shardInner == 0 || compressor == "none",
       "shardInner and compressor are mutually exclusive (use shardCompress for sharded stores)")
     compressorJson(compressor) // validate early
+    require(Set("none", "gzip", "zstd", "blosc")(shardCompress),
+      s"Unsupported shardCompress codec: $shardCompress (use none, gzip, zstd or blosc)")
     require(coords.nonEmpty, "at least one coordinate column")
     val schema = df.schema
     val varCols = schema.fieldNames.filterNot(coords.contains).toSeq
@@ -440,7 +432,8 @@ object ZarrWriter {
       buffers.toSeq.map { case ((ci, v), buf) =>
         val payload =
           if (wShardInner > 0)
-            shardify(buf.array(), wChunks.head / wShardInner, wShardCompress)
+            shardify(buf.array(), wChunks.head / wShardInner, wShardCompress,
+              dtypeOf(varTypes(v))._2)
           else {
             val t = varTypes(v)
             val raw =

@@ -170,6 +170,33 @@ class ZarrShardingSpec extends AnyFunSuite {
     assert(a == b)
   }
 
+  test("zstd and blosc shard inner codecs round-trip") {
+    val src = TestSession.spark.read.format("zarr")
+      .load("src/test/resources/zarr/synthetic_v3.zarr")
+    for (codec <- Seq("zstd", "blosc")) {
+      val out = Files.createTempDirectory(s"zarr_shard_$codec").resolve("s.zarr").toString
+      src.write.format("zarr")
+        .option("coords", "time,lon,lat").option("chunkOuter", "4")
+        .option("zarrVersion", "3").option("shardInner", "2")
+        .option("shardCompress", codec)
+        .mode("overwrite").save(out)
+      val metaJson = new String(Files.readAllBytes(
+        java.nio.file.Paths.get(out, "temperature", "zarr.json")))
+      assert(metaJson.contains(s""""$codec""""), metaJson)
+      val back = TestSession.spark.read.format("zarr").load(out)
+      val a = src.orderBy("time", "lon", "lat").collect().map(_.toSeq).toSeq
+      val b = back.orderBy("time", "lon", "lat").collect().map(_.toSeq).toSeq
+      assert(a == b, s"shardCompress=$codec round-trip mismatch")
+    }
+    // unknown inner codec is an early, clear error
+    intercept[Exception](
+      src.write.format("zarr")
+        .option("coords", "time,lon,lat").option("zarrVersion", "3")
+        .option("shardInner", "2").option("chunkOuter", "4")
+        .option("shardCompress", "lzma").mode("overwrite")
+        .save(Files.createTempDirectory("zarr_shard_bad").resolve("b.zarr").toString))
+  }
+
   test("filter pushdown composes with sharded reads") {
     val root = buildStore(
       """{"name":"bytes","configuration":{"endian":"little"}}""",
