@@ -365,10 +365,38 @@ object ChunkIO {
       a
     }
 
+  /** Chunk decodes in this JVM — a test/diagnostic hook for asserting
+    * IO-efficiency properties (e.g. band caching bounds re-decodes). */
+  val decodeCount = new java.util.concurrent.atomic.AtomicLong(0)
+
+  /** Per-variable LRU capacity sized so one "row band" of chunks —
+    * every chunk the row-major odometer revisits while sweeping the
+    * inner dimensions of one outer position — stays decoded. Without
+    * this a store with multi-chunk INNER dimensions re-decodes each
+    * inner chunk once per grid row (chunk-extent× amplification; the
+    * ERA5 chunking (1, lat-block, lon-block) is the canonical case).
+    * Bounded by a 64 MiB per-variable budget so task memory stays
+    * predictable when chunks are large; dim 0 is excluded because the
+    * outer walk never returns to a finished outer chunk. */
+  def bandCacheCap(meta: ZarrArrayMeta, ranges: Array[(Int, Int)]): Int = {
+    var inner = 1L
+    var d = 1
+    while (d < ranges.length) {
+      val lo = ranges(d)._1 / meta.chunks(d)
+      val hi = math.max(ranges(d)._1, ranges(d)._2 - 1) / meta.chunks(d)
+      inner = math.min(inner * (hi - lo + 1), 1L << 20)
+      d += 1
+    }
+    val chunkBytes = meta.chunks.foldLeft(math.max(1, meta.dtype.size).toLong)(_ * _)
+    val budgetEntries = math.max(1L, (64L << 20) / math.max(1L, chunkBytes))
+    math.max(1L, math.min(inner, budgetEntries)).toInt
+  }
+
   /** Read + decode one chunk file; absent chunk files yield the
     * fill_value (Zarr semantics). Sharded arrays decode the whole
     * shard (inner chunks assembled in place). */
   def readChunk(store: ZarrStore, meta: ZarrArrayMeta, chunkIdx: Seq[Long]): AnyRef = {
+    decodeCount.incrementAndGet()
     val nElems = meta.chunks.product
     store.readBytes(s"${meta.name}/${meta.chunkKey(chunkIdx)}") match {
       case None => fillArray(meta, nElems)

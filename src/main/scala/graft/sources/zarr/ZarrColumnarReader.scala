@@ -45,6 +45,16 @@ class ZarrColumnarReader(p: ZarrInputPartition, batchSize: Int = 4096)
     var bytesRead = 0L
     var chunksDecoded = 0L
 
+    // Row-band LRU: the odometer revisits inner-dimension chunks once
+    // per grid row; holding one band avoids chunk-extent× re-decodes
+    // (see ChunkIO.bandCacheCap).
+    private val bandCap = ChunkIO.bandCacheCap(meta, p.ranges)
+    private val band =
+      new java.util.LinkedHashMap[Seq[Long], AnyRef](8, 0.75f, true) {
+        override def removeEldestEntry(
+            e: java.util.Map.Entry[Seq[Long], AnyRef]): Boolean = size() > bandCap
+      }
+
     def locate(): Unit = {
       var changed = !valid
       var d = 0
@@ -56,9 +66,15 @@ class ZarrColumnarReader(p: ZarrInputPartition, batchSize: Int = 4096)
       if (changed) {
         d = 0
         while (d < nDims) { chunkIdx(d) = idx(d) / meta.chunks(d); d += 1 }
-        bytesRead += store.sizeOf(s"${meta.name}/${meta.chunkKey(chunkIdx.toSeq)}").getOrElse(0L)
-        chunk = ChunkIO.readChunkCached(store, meta, chunkIdx.toSeq, p.chunkCacheEntries)
-        chunksDecoded += 1
+        val key = chunkIdx.toSeq
+        val hit = band.get(key)
+        if (hit != null) chunk = hit
+        else {
+          bytesRead += store.sizeOf(s"${meta.name}/${meta.chunkKey(key)}").getOrElse(0L)
+          chunk = ChunkIO.readChunkCached(store, meta, key, p.chunkCacheEntries)
+          chunksDecoded += 1
+          band.put(key, chunk)
+        }
         valid = true
       }
       var off = 0L

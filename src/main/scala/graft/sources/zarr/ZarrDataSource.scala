@@ -762,20 +762,24 @@ class ZarrPartitionReader(p: ZarrInputPartition) extends PartitionReader[Interna
   private var bytesRead = 0L
   private var chunksDecoded = 0L
 
-  private val chunkCaches: Map[String, mutable.LinkedHashMap[Seq[Long], AnyRef]] =
+  // band-sized per-variable LRUs (see ChunkIO.bandCacheCap): inner
+  // chunks revisit once per grid row, and a too-small cache would
+  // re-decode them chunk-extent× times
+  private val chunkCaches: Map[String, (mutable.LinkedHashMap[Seq[Long], AnyRef], Int)] =
     p.projection.collect { case VarField(m) =>
-      m.name -> new mutable.LinkedHashMap[Seq[Long], AnyRef]
+      m.name -> (new mutable.LinkedHashMap[Seq[Long], AnyRef],
+        ChunkIO.bandCacheCap(m, p.ranges))
     }.toMap
 
   private def chunkFor(meta: ZarrArrayMeta, chunkIdx: Seq[Long]): AnyRef = {
-    val cache = chunkCaches(meta.name)
+    val (cache, cap) = chunkCaches(meta.name)
     cache.get(chunkIdx) match {
       case Some(a) => a
       case None =>
         bytesRead += store.sizeOf(s"${meta.name}/${meta.chunkKey(chunkIdx)}").getOrElse(0L)
         val a = ChunkIO.readChunkCached(store, meta, chunkIdx, p.chunkCacheEntries)
         chunksDecoded += 1
-        if (cache.size >= 16) cache.remove(cache.head._1)
+        if (cache.size >= cap) cache.remove(cache.head._1)
         cache.put(chunkIdx, a)
         a
     }

@@ -4,6 +4,7 @@ import java.nio.{ByteBuffer, ByteOrder}
 import java.nio.file.{Files, Paths}
 
 import org.apache.spark.sql.functions._
+import graft.sources.zarr.ChunkIO
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Generality probes for the Zarr connector beyond the committed
@@ -69,6 +70,19 @@ class ZarrEdgeSpec extends AnyFunSuite {
     assert(f.count() == 6)
     assert(f.select("measurement").collect().map(_.getDouble(0)).sorted.toSeq ==
       Seq(100.0, 101.0, 102.0, 103.0, 104.0, 105.0))
+  }
+
+  test("inner-dimension chunks decode once per band, not once per grid row") {
+    // measurement is 4x6 in (2,3) chunks: the row-major walk revisits
+    // each inner chunk twice per outer band; without the band cache
+    // that's 8 decodes, with it exactly one per chunk position (4,
+    // including the absent 1.1 synthesized as fill).
+    val frame = df // readStore here: coordinate decodes land before the measurement
+    val q = frame.agg(sum("measurement"))
+    val before = ChunkIO.decodeCount.get()
+    q.collect()
+    val decoded = ChunkIO.decodeCount.get() - before
+    assert(decoded == 4, s"expected 4 chunk decodes, got $decoded")
   }
 
   test("partition count follows outer chunks when minRowsPerPartition is small") {
