@@ -99,4 +99,43 @@ class ZarrScaleSpec extends AnyFunSuite {
     val n = df.filter(col("latitude") === 45.25 && col("longitude") === 300.0).count()
     assert(n == T * H)
   }
+
+  test("inner-chunked variant decodes each chunk once (band cache at ERA5 shape)") {
+    // Same grid, but spatially chunked (1,1,103,360): 7x4=28 inner
+    // chunks per (t,h) slab. The row-major walk revisits the 4
+    // longitude chunks on every latitude row — 721x amplification
+    // without the band cache.
+    val base = Files.createTempDirectory("era5_inner").toString
+    def writeJson(rel: String, s2: String): Unit = {
+      val p = Paths.get(base, rel)
+      Files.createDirectories(p.getParent)
+      Files.write(p, s2.getBytes)
+    }
+    writeJson(".zgroup", """{"zarr_format":2}""")
+    def meta(shape: Seq[Int], chunks: Seq[Int], dtype: String) =
+      s"""{"zarr_format":2,"shape":[${shape.mkString(",")}],
+          "chunks":[${chunks.mkString(",")}],"dtype":"$dtype","fill_value":0,
+          "order":"C","filters":null,"dimension_separator":".","compressor":null}"""
+    def writeCoord(name: String, n: Int): Unit = {
+      writeJson(s"$name/.zarray", meta(Seq(n), Seq(n), "<i8"))
+      val buf = ByteBuffer.allocate(n * 8).order(ByteOrder.LITTLE_ENDIAN)
+      (0 until n).foreach(i => buf.putLong(i.toLong))
+      Files.write(Paths.get(base, name, "0"), buf.array())
+    }
+    val (t, lat, lon, cLat, cLon) = (2, 721, 1440, 103, 360)
+    writeCoord("time", t); writeCoord("latitude", lat); writeCoord("longitude", lon)
+    writeJson("v/.zarray", meta(Seq(t, lat, lon), Seq(1, cLat, cLon), "<f4"))
+    for (ti <- 0 until t; la <- 0 until (lat + cLat - 1) / cLat; lo <- 0 until lon / cLon) {
+      val buf = ByteBuffer.allocate(cLat * cLon * 4).order(ByteOrder.LITTLE_ENDIAN)
+      (0 until cLat * cLon).foreach(i => buf.putFloat((i % 100).toFloat))
+      Files.write(Paths.get(base, "v", s"$ti.$la.$lo"), buf.array())
+    }
+    val frame = spark.read.format("zarr").load(base)
+    val q = frame.agg(sum("v"))
+    val before = graft.sources.zarr.ChunkIO.decodeCount.get()
+    q.collect()
+    val decoded = graft.sources.zarr.ChunkIO.decodeCount.get() - before
+    val nChunks = t * ((lat + cLat - 1) / cLat) * (lon / cLon) // 2*7*4 = 56
+    assert(decoded == nChunks, s"expected $nChunks decodes, got $decoded")
+  }
 }
