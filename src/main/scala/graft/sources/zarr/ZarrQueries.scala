@@ -1,5 +1,7 @@
 package graft.sources.zarr
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -116,13 +118,58 @@ object ZarrQueries {
     FROM lns l CROSS JOIN ks kk
     LEFT JOIN agg a ON a.ln = l.ln AND a.k = kk.k"""
 
+  /** Kerchunk/fsspec reference reading INSIDE the graded gate: build a
+    * refs JSON over the committed v2 store (metadata inline, chunks as
+    * a mix of whole-file `[url]` and ranged `[url, offset, length]`
+    * refs — both resolution paths exercised), read it as a virtual
+    * store, aggregate per lat. Oracle = VALUES computed independently
+    * from the raw chunk bytes (sf-independent, like z1-z5). */
+  def z7_zarr_kerchunk(s: SparkSession, dir: String): DataFrame = {
+    import java.nio.file.{Files, Paths}
+    val srcV2 = "/root/repo/src/test/resources/zarr/synthetic_v2.zarr"
+    val src = Paths.get(srcV2)
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val root = mapper.createObjectNode()
+    root.put("version", 1)
+    val refs = root.putObject("refs")
+    val walk = Files.walk(src)
+    val files =
+      try walk.filter(Files.isRegularFile(_)).iterator().asScala.toSeq
+        .sortBy(p => src.relativize(p).toString)
+      finally walk.close()
+    files.zipWithIndex.foreach { case (p, i) =>
+      val key = src.relativize(p).toString.replace(java.io.File.separatorChar, '/')
+      if (p.getFileName.toString.startsWith("."))
+        refs.put(key, new String(Files.readAllBytes(p), java.nio.charset.StandardCharsets.UTF_8))
+      else {
+        val arr = refs.putArray(key)
+        arr.add(p.toAbsolutePath.toString)
+        if (i % 2 == 0) { arr.add(0L); arr.add(Files.size(p)) }
+      }
+    }
+    val out = Paths.get(System.getProperty("java.io.tmpdir"), "graft_z7_refs.json")
+    Files.write(out, mapper.writeValueAsBytes(root))
+    s.read.format("zarr").load(out.toString)
+      .groupBy("lat")
+      .agg(sum("temperature").as("sum_temp"), sum("humidity").as("sum_hum"),
+        count(lit(1)).as("n"))
+  }
+
+  private val z7Sql =
+    """SELECT CAST(lat AS BIGINT) AS lat, CAST(sum_temp AS BIGINT) AS sum_temp,
+       CAST(sum_hum AS BIGINT) AS sum_hum, CAST(n AS BIGINT) AS n
+       FROM (VALUES (0,723,2959,70),(1,372,2922,70),(2,-65,3207,70),(3,202,3092,70),
+       (4,791,3288,70),(5,294,2877,70),(6,-181,3249,70),(7,631,2896,70),
+       (8,188,3056,70),(9,297,2974,70)) AS t(lat, sum_temp, sum_hum, n)"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "z1_zarr_group_agg" -> (z1_zarr_group_agg _),
     "z2_zarr_filter_slice" -> (z2_zarr_filter_slice _),
     "z3_zarr_stats_agg" -> (z3_zarr_stats_agg _),
     "z4_zarr_topk" -> (z4_zarr_topk _),
     "z5_zarr_range" -> (z5_zarr_range _),
-    "z6_zarr_roundtrip" -> (z6_zarr_roundtrip _))
+    "z6_zarr_roundtrip" -> (z6_zarr_roundtrip _),
+    "z7_zarr_kerchunk" -> (z7_zarr_kerchunk _))
 
   val oracle: Map[String, String] = Map(
     "z1_zarr_group_agg" -> z1Sql,
@@ -130,5 +177,6 @@ object ZarrQueries {
     "z3_zarr_stats_agg" -> z3Sql,
     "z4_zarr_topk" -> z4Sql,
     "z5_zarr_range" -> z5Sql,
-    "z6_zarr_roundtrip" -> z6Sql)
+    "z6_zarr_roundtrip" -> z6Sql,
+    "z7_zarr_kerchunk" -> z7Sql)
 }
