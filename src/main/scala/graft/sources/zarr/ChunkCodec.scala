@@ -369,6 +369,17 @@ object ChunkIO {
     * IO-efficiency properties (e.g. band caching bounds re-decodes). */
   val decodeCount = new java.util.concurrent.atomic.AtomicLong(0)
 
+  /** Shared executor for read-ahead chunk fetches (reference roadmap
+    * "prefetching"): small and daemonized — prefetch overlaps the NEXT
+    * chunk's store latency with the CURRENT chunk's decode/emit, it is
+    * not a parallel scan (partitions already give that). */
+  lazy val prefetchPool: java.util.concurrent.ExecutorService =
+    java.util.concurrent.Executors.newFixedThreadPool(4, (r: Runnable) => {
+      val t = new Thread(r, "zarr-prefetch")
+      t.setDaemon(true)
+      t
+    })
+
   /** Per-variable LRU capacity sized so one "row band" of chunks —
     * every chunk the row-major odometer revisits while sweeping the
     * inner dimensions of one outer position — stays decoded. Without

@@ -55,6 +55,37 @@ class ZarrColumnarReader(p: ZarrInputPartition, batchSize: Int = 4096)
             e: java.util.Map.Entry[Seq[Long], AnyRef]): Boolean = size() > bandCap
       }
 
+    // With the band cache in place, cache MISSES occur in exact
+    // C-order over the chunk grid restricted to this partition's
+    // ranges — so a one-ahead prediction is precise, and prefetching
+    // the predicted chunk overlaps its store latency (one object-store
+    // round trip per chunk on remote backends) with the current
+    // chunk's decode/emit.
+    private val chunkLo = Array.tabulate(nDims)(d => p.ranges(d)._1 / meta.chunks(d))
+    private val chunkHi = Array.tabulate(nDims)(d =>
+      math.max(p.ranges(d)._1, p.ranges(d)._2 - 1) / meta.chunks(d))
+    private var pending: (Seq[Long], java.util.concurrent.Future[AnyRef]) = null
+
+    private def nextChunkKey(cur: Seq[Long]): Seq[Long] = {
+      val n = cur.toArray
+      var d = nDims - 1
+      while (d >= 0) {
+        if (n(d) < chunkHi(d)) { n(d) += 1; return n.toSeq }
+        n(d) = chunkLo(d)
+        d -= 1
+      }
+      null
+    }
+
+    private def fetch(key: Seq[Long]): AnyRef = {
+      if (pending != null && pending._1 == key) {
+        val f = pending._2
+        pending = null
+        try f.get()
+        catch { case e: java.util.concurrent.ExecutionException => throw e.getCause }
+      } else ChunkIO.readChunkCached(store, meta, key, p.chunkCacheEntries)
+    }
+
     def locate(): Unit = {
       var changed = !valid
       var d = 0
@@ -71,9 +102,18 @@ class ZarrColumnarReader(p: ZarrInputPartition, batchSize: Int = 4096)
         if (hit != null) chunk = hit
         else {
           bytesRead += store.sizeOf(s"${meta.name}/${meta.chunkKey(key)}").getOrElse(0L)
-          chunk = ChunkIO.readChunkCached(store, meta, key, p.chunkCacheEntries)
+          chunk = fetch(key)
           chunksDecoded += 1
           band.put(key, chunk)
+          if (p.prefetch && pending == null) {
+            val nk = nextChunkKey(key)
+            if (nk != null && band.get(nk) == null)
+              pending = (nk, ChunkIO.prefetchPool.submit(
+                new java.util.concurrent.Callable[AnyRef] {
+                  override def call(): AnyRef =
+                    ChunkIO.readChunkCached(store, meta, nk, p.chunkCacheEntries)
+                }))
+          }
         }
         valid = true
       }

@@ -447,7 +447,12 @@ class ZarrScanBuilder(meta: ZarrStoreMeta, options: CaseInsensitiveStringMap)
         options.getLong("minRowsPerPartition", 65536),
         options.getBoolean("fillValueAsNull", false),
         options.getInt("chunkCacheEntries", 0),
-        varPreds, offset)
+        varPreds, offset,
+        // read-ahead defaults ON for remote backends (each chunk costs
+        // a round trip there) and OFF for local files; explicit option
+        // wins either way
+        prefetch = Option(options.get("prefetch")).map(_.toBoolean)
+          .getOrElse(!ZarrStore.open(meta.path).isInstanceOf[LocalStore]))
   }
 }
 
@@ -463,7 +468,8 @@ class ZarrScan(
     fillAsNull: Boolean = false,
     chunkCacheEntries: Int = 0,
     varPreds: Map[String, Seq[GridMath.CoordPred]] = Map.empty,
-    offset: Long = 0L)
+    offset: Long = 0L,
+    prefetch: Boolean = false)
     extends Scan with Batch with SupportsReportStatistics
     with SupportsRuntimeV2Filtering {
 
@@ -560,7 +566,7 @@ class ZarrScan(
         }
         .filter(s => sliceMayMatch(s._1, s._2, r))
         .map(s => ZarrInputPartition(meta.path, s._1, s._2, r, meta.coords, projection,
-          fillAsNull, chunkCacheEntries): InputPartition)
+          fillAsNull, chunkCacheEntries, prefetch): InputPartition)
         .toArray
   }
 
@@ -731,7 +737,8 @@ final case class ZarrInputPartition(
     coords: Seq[CoordData],
     projection: Seq[ProjField],
     fillAsNull: Boolean = false,
-    chunkCacheEntries: Int = 0) extends InputPartition
+    chunkCacheEntries: Int = 0,
+    prefetch: Boolean = false) extends InputPartition
 
 class ZarrReaderFactory extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =

@@ -85,6 +85,20 @@ class ZarrEdgeSpec extends AnyFunSuite {
     assert(decoded == 4, s"expected 4 chunk decodes, got $decoded")
   }
 
+  test("prefetch returns identical data and still decodes each chunk once") {
+    val pf = spark.read.format("zarr").option("prefetch", "true").load(store)
+    val q = pf.agg(sum("measurement"))
+    val before = ChunkIO.decodeCount.get()
+    val withPf = q.collect().head.getDouble(0)
+    val decoded = ChunkIO.decodeCount.get() - before
+    // one-ahead prediction follows the exact miss order, so prefetch
+    // adds zero wasted decodes
+    assert(decoded == 4, s"expected 4 chunk decodes with prefetch, got $decoded")
+    assert(withPf == df.agg(sum("measurement")).collect().head.getDouble(0))
+    assert(pf.orderBy("depth", "x").collect().map(_.toSeq).toSeq ==
+      df.orderBy("depth", "x").collect().map(_.toSeq).toSeq)
+  }
+
   test("partition count follows outer chunks when minRowsPerPartition is small") {
     val p = spark.read.format("zarr").option("minRowsPerPartition", "1").load(store)
     assert(p.rdd.getNumPartitions == 2) // outer dim 4, chunk 2
