@@ -145,4 +145,52 @@ class GridMathPropSpec extends AnyFunSuite {
         s"n=${payload.length} ts=$typesize frame=${frame.length}"
     })
   }
+
+  test("delta decode inverts numcodecs wrapping diffs at every integer width") {
+    import graft.sources.zarr.ZarrDType
+    import java.nio.{ByteBuffer, ByteOrder}
+    val gen = for {
+      dt <- Gen.oneOf("|i1", "<i2", "<i4", "<i8", "|u1", "<u2", "<u4", "<u8")
+      n <- Gen.choose(1, 200)
+      vals <- Gen.listOfN(n, Gen.choose(Long.MinValue, Long.MaxValue))
+    } yield (dt, vals.toArray)
+    check(Prop.forAll(gen) { case (dtStr, raw0) =>
+      val dtype = ZarrDType.parseV2(dtStr)
+      val w = dtype.size
+      val mask = if (w == 8) -1L else (1L << (8 * w)) - 1
+      val vals = raw0.map(_ & mask) // source-domain bit patterns
+      // numcodecs encode: first value, then differences wrapping at
+      // the dtype width (numpy subtraction)
+      val stored = vals.indices.map(i =>
+        if (i == 0) vals(0) else (vals(i) - vals(i - 1)) & mask)
+      val buf = ByteBuffer.allocate(vals.length * w).order(ByteOrder.LITTLE_ENDIAN)
+      stored.foreach { v =>
+        w match {
+          case 1 => buf.put(v.toByte)
+          case 2 => buf.putShort(v.toShort)
+          case 4 => buf.putInt(v.toInt)
+          case 8 => buf.putLong(v)
+        }
+      }
+      val typed = ChunkCodec.decodeTyped(buf.array(), dtype, vals.length)
+      val out = ChunkCodec.deltaDecode(typed, dtype)
+      // expected: the widened (Spark-typed) view of the original values
+      val expect: Seq[Long] = vals.toSeq.map { v =>
+        (dtype.kind, w) match {
+          case ('i', 1) => v.toByte.toLong
+          case ('i', 2) => v.toShort.toLong
+          case ('i', 4) => v.toInt.toLong
+          case _ => v // i8 and all unsigned widenings keep the raw pattern
+        }
+      }
+      val got: Seq[Long] = out match {
+        case a: Array[Byte] => a.map(_.toLong).toSeq
+        case a: Array[Short] => a.map(_.toLong).toSeq
+        case a: Array[Int] => a.map(_.toLong).toSeq
+        case a: Array[Long] => a.toSeq
+        case other => sys.error(s"unexpected ${other.getClass}")
+      }
+      Prop(got == expect) :| s"$dtStr n=${vals.length}"
+    })
+  }
 }

@@ -87,6 +87,17 @@ class ZarrKerchunkSpec extends AnyFunSuite {
       m.contains("read-only") || m.contains("Unsupported"))), e.toString)
   }
 
+  test("SQL DDL registers a reference store like any other path") {
+    spark.sql(s"CREATE TABLE kerchunk_t USING zarr OPTIONS (path '$refsPath')")
+    try {
+      val rows = spark.sql(
+        "SELECT y, SUM(m) AS s FROM kerchunk_t WHERE time >= 400 GROUP BY y ORDER BY y")
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      // times 400,500,600 -> t=3,4,5; m(t,y) = t*10+y
+      assert(rows == Seq((7L, 120.0), (8L, 123.0)))
+    } finally spark.sql("DROP TABLE kerchunk_t")
+  }
+
   test("version-0 documents (bare refs map) and gen refusal") {
     val dir = Files.createTempDirectory("kerchunk_v0")
     Files.write(dir.resolve("x.bin"), le(longs = Seq(1L, 2L, 3L)))
