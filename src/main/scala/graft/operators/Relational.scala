@@ -666,6 +666,41 @@ object Relational {
       MIN(doc_id) AS lo, MAX(doc_id) AS hi, COUNT(*) AS n
     FROM documents GROUP BY lang, source"""
 
+  /** Recursive CTE: a month ladder spanning the order history (gap
+    * months included with zero counts) — the calendar-dimension
+    * generation every reporting pipeline needs. SURVEY §2.B listed
+    * recursive CTEs as a gap ("Spark has none"); Spark 4 added
+    * `WITH RECURSIVE` (SPARK-24497), so the same ANSI text now runs on
+    * both engines. Recursion depth = month span (~80), far under
+    * Spark's recursion limit; the ladder is driver-tiny and the join
+    * against per-month aggregates is the only distributed work. */
+  private val q37Text = """
+    WITH RECURSIVE months(m) AS (
+      SELECT CAST((SELECT MIN(YEAR(o_orderdate) * 12 + MONTH(o_orderdate)) FROM orders) AS BIGINT)
+      UNION ALL
+      SELECT m + 1 FROM months
+      WHERE m < (SELECT MAX(YEAR(o_orderdate) * 12 + MONTH(o_orderdate)) FROM orders)
+    ),
+    per AS (
+      SELECT CAST(YEAR(o_orderdate) * 12 + MONTH(o_orderdate) AS BIGINT) AS m,
+        COUNT(*) AS n_orders,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS revenue
+      FROM orders GROUP BY 1
+    )
+    SELECT months.m AS month_id,
+      CAST(FLOOR((months.m - 1) / 12) AS BIGINT) AS yr,
+      CAST((months.m - 1) % 12 + 1 AS BIGINT) AS mo,
+      CAST(COALESCE(per.n_orders, 0) AS BIGINT) AS n_orders,
+      CAST(COALESCE(per.revenue, 0.0) AS DOUBLE) AS revenue
+    FROM months LEFT JOIN per ON per.m = months.m"""
+
+  def q37_recursive_cte(s: SparkSession, dir: String): DataFrame = {
+    Tables.views(s, dir, "orders")
+    s.sql(q37Text)
+  }
+
+  private val q37Sql = q37Text
+
   // ---------------------------------------------------------------- oracles
 
   private val q1Sql = s"""
@@ -901,7 +936,8 @@ object Relational {
     "q33_funnel" -> (q33_funnel _),
     "q34_approx_quantile" -> (q34_approx_quantile _),
     "q35_higher_order" -> (q35_higher_order _),
-    "q36_array_agg" -> (q36_array_agg _))
+    "q36_array_agg" -> (q36_array_agg _),
+    "q37_recursive_cte" -> (q37_recursive_cte _))
 
   val oracle: Map[String, String] = Map(
     "q1_agg" -> q1Sql,
@@ -939,5 +975,6 @@ object Relational {
     "q32_stats_manual" -> q32Sql,
     "q33_funnel" -> q33Sql,
     "q35_higher_order" -> q35Sql,
-    "q36_array_agg" -> q36Sql)
+    "q36_array_agg" -> q36Sql,
+    "q37_recursive_cte" -> q37Sql)
 }
