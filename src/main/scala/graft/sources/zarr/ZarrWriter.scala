@@ -68,9 +68,10 @@ object ZarrWriter {
     case "none" => "null"
     case "zstd" => """{"id":"zstd","level":3}"""
     case "gzip" => """{"id":"gzip","level":5}"""
+    case "zlib" => """{"id":"zlib","level":6}"""
     case "blosc" => """{"id":"blosc","cname":"lz4","clevel":5,"shuffle":1}"""
     case other => throw new IllegalArgumentException(
-      s"Unsupported write compressor: $other (use none, blosc, zstd or gzip)")
+      s"Unsupported write compressor: $other (use none, blosc, zlib, zstd or gzip)")
   }
 
   /** Compress one chunk payload for writing (readers decode any of
@@ -89,6 +90,14 @@ object ZarrWriter {
           `def`.setLevel(5)
         }
         g.write(raw); g.close()
+        bos.toByteArray
+      case "zlib" =>
+        val d = new java.util.zip.Deflater(6)
+        d.setInput(raw); d.finish()
+        val bos = new java.io.ByteArrayOutputStream(raw.length / 2 + 16)
+        val buf = new Array[Byte](8192)
+        while (!d.finished()) bos.write(buf, 0, d.deflate(buf))
+        d.end()
         bos.toByteArray
     }
 

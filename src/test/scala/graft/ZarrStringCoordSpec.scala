@@ -125,6 +125,43 @@ class ZarrStringCoordSpec extends AnyFunSuite {
       .map(_.getInt(0)).sorted.toSeq == Seq(0, 1, 2))
   }
 
+  test("fixed-width string DATA variable reads as StringType values") {
+    // label[station, hour] |S6: NUL-padded codes; absent chunk -> ""
+    val root = Files.createTempDirectory("zarr_strvar")
+    def writeJson(rel: String, s2: String): Unit = {
+      val p = root.resolve(rel)
+      Files.createDirectories(p.getParent)
+      Files.write(p, s2.getBytes)
+    }
+    writeJson(".zgroup", """{"zarr_format":2}""")
+    def meta(shape: Seq[Int], chunks: Seq[Int], dtype: String, fill: String = "0") =
+      s"""{"zarr_format":2,"shape":[${shape.mkString(",")}],
+          "chunks":[${chunks.mkString(",")}],"dtype":"$dtype","fill_value":$fill,
+          "order":"C","filters":null,"dimension_separator":".","compressor":null}"""
+    // equal-length dims order alphabetically-last first: y = dim0
+    writeJson("y/.zarray", meta(Seq(2), Seq(2), "<i8"))
+    val ibuf = ByteBuffer.allocate(16).order(ByteOrder.LITTLE_ENDIAN)
+    ibuf.putLong(0L); ibuf.putLong(1L)
+    Files.write(root.resolve("y").resolve("0"), ibuf.array())
+    writeJson("x/.zarray", meta(Seq(2), Seq(2), "<i8"))
+    Files.write(root.resolve("x").resolve("0"), ibuf.array())
+    writeJson("label/.zarray", meta(Seq(2, 2), Seq(1, 2), "|S6", "null"))
+    val lbuf = ByteBuffer.allocate(12)
+    Seq("ok", "warn").foreach { v =>
+      lbuf.put(java.util.Arrays.copyOf(v.getBytes("US-ASCII"), 6))
+    }
+    Files.write(root.resolve("label").resolve("0.0"), lbuf.array())
+    // chunk 1.0 absent -> fill ""
+    val d = spark.read.format("zarr").load(root.toString)
+    assert(d.columns.toSeq == Seq("y", "x", "label"))
+    assert(d.schema("label").dataType == org.apache.spark.sql.types.StringType)
+    val rows = d.orderBy("y", "x").collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getString(2))).toSeq
+    assert(rows == Seq((0L, 0L, "ok"), (0L, 1L, "warn"), (1L, 0L, ""), (1L, 1L, "")))
+    // filters evaluate post-scan on the string var
+    assert(d.filter(col("label") === "warn").count() == 1)
+  }
+
   test("numeric pruning still applies on the numeric dim; min/max agg not metadata-answered for strings") {
     val f = df.filter(col("hour") >= 2 && col("station") === "cgn")
     assert(f.count() == 2)

@@ -133,6 +133,15 @@ class ZarrWriterSpec extends AnyFunSuite {
       val b = back.orderBy("time", "lon", "lat").collect().map(_.toSeq).toSeq
       assert(a == b, s"$comp v$ver round-trip mismatch")
     }
+    // zlib (v2-only numcodecs codec) round-trips too
+    val zl = Files.createTempDirectory("zarr_comp").resolve("zlib.zarr")
+    src.write.format("zarr").option("coords", "time,lon,lat")
+      .option("chunkOuter", "7").option("compressor", "zlib")
+      .mode("overwrite").save(zl.toString)
+    assert(Files.size(zl.resolve("temperature").resolve("0.0.0")) < plainSize)
+    assert(spark.read.format("zarr").load(zl.toString)
+      .orderBy("time", "lon", "lat").collect().map(_.toSeq).toSeq ==
+      src.orderBy("time", "lon", "lat").collect().map(_.toSeq).toSeq)
     // unknown compressor is a clear, early error
     intercept[Exception](
       src.write.format("zarr").option("coords", "time,lon,lat")
