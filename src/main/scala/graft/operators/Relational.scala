@@ -701,6 +701,26 @@ object Relational {
 
   private val q37Sql = q37Text
 
+  /** Semi-structured extraction: events.props is a JSON string; pull a
+    * typed field out and aggregate — the metadata-extraction step every
+    * ingest pipeline has. `get_json_object` stays inside codegen (no
+    * UDF); at scale this runs map-side with only the small per-type
+    * aggregate shuffling. */
+  def q38_json_extract(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum("k").as("sum_k"),
+        min("k").as("min_k"), max("k").as("max_k"))
+
+  private val q38Sql = """
+    SELECT event_type, COUNT(*) AS n,
+      CAST(SUM(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS sum_k,
+      CAST(MIN(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS min_k,
+      CAST(MAX(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS max_k
+    FROM events GROUP BY event_type"""
+
   // ---------------------------------------------------------------- oracles
 
   private val q1Sql = s"""
@@ -937,7 +957,8 @@ object Relational {
     "q34_approx_quantile" -> (q34_approx_quantile _),
     "q35_higher_order" -> (q35_higher_order _),
     "q36_array_agg" -> (q36_array_agg _),
-    "q37_recursive_cte" -> (q37_recursive_cte _))
+    "q37_recursive_cte" -> (q37_recursive_cte _),
+    "q38_json_extract" -> (q38_json_extract _))
 
   val oracle: Map[String, String] = Map(
     "q1_agg" -> q1Sql,
@@ -976,5 +997,6 @@ object Relational {
     "q33_funnel" -> q33Sql,
     "q35_higher_order" -> q35Sql,
     "q36_array_agg" -> q36Sql,
-    "q37_recursive_cte" -> q37Sql)
+    "q37_recursive_cte" -> q37Sql,
+    "q38_json_extract" -> q38Sql)
 }
