@@ -696,7 +696,18 @@ object Relational {
 
   def q37_recursive_cte(s: SparkSession, dir: String): DataFrame = {
     Tables.views(s, dir, "orders")
-    s.sql(q37Text)
+    // Bounds computed once, driver-side (two tiny aggregates), then
+    // inlined as literals: scalar subqueries inside the recursive step
+    // are re-evaluated per iteration — ~80 full `orders` scans for an
+    // 80-month ladder. The oracle keeps the subquery form (one pass in
+    // DuckDB); results are identical.
+    val Array(lo, hi) = s.sql(
+      """SELECT MIN(YEAR(o_orderdate) * 12 + MONTH(o_orderdate)),
+                MAX(YEAR(o_orderdate) * 12 + MONTH(o_orderdate)) FROM orders""")
+      .collect().head.toSeq.map(v => v.asInstanceOf[Number].longValue).toArray
+    s.sql(q37Text
+      .replace("(SELECT MIN(YEAR(o_orderdate) * 12 + MONTH(o_orderdate)) FROM orders)", lo.toString)
+      .replace("(SELECT MAX(YEAR(o_orderdate) * 12 + MONTH(o_orderdate)) FROM orders)", hi.toString))
   }
 
   private val q37Sql = q37Text
