@@ -87,6 +87,37 @@ class ZarrKerchunkSpec extends AnyFunSuite {
       m.contains("read-only") || m.contains("Unsupported"))), e.toString)
   }
 
+  test("kerchunk over a blosc-compressed store decodes through the codec chain") {
+    // refs into the committed blosc fixture: decompression is driven by
+    // the inline .zarray metadata, not by the reference layer
+    val src = Paths.get("src/test/resources/zarr/synthetic_v2_blosc.zarr")
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val root = mapper.createObjectNode()
+    root.put("version", 1)
+    val refs = root.putObject("refs")
+    val walk = java.nio.file.Files.walk(src)
+    try {
+      import scala.jdk.CollectionConverters._
+      walk.filter(Files.isRegularFile(_)).iterator().asScala.foreach { p =>
+        val key = src.relativize(p).toString.replace(java.io.File.separatorChar, '/')
+        if (p.getFileName.toString.startsWith("."))
+          refs.put(key, new String(Files.readAllBytes(p),
+            java.nio.charset.StandardCharsets.UTF_8))
+        else {
+          val arr = refs.putArray(key)
+          arr.add(p.toAbsolutePath.toString); arr.add(0L); arr.add(Files.size(p))
+        }
+      }
+    } finally walk.close()
+    val out = Files.createTempDirectory("kerchunk_blosc").resolve("refs.json")
+    Files.write(out, mapper.writeValueAsBytes(root))
+    val viaRefs = spark.read.format("zarr").load(out.toString)
+      .orderBy("time", "lon", "lat").collect().map(_.toSeq).toSeq
+    val direct = spark.read.format("zarr").load(src.toString)
+      .orderBy("time", "lon", "lat").collect().map(_.toSeq).toSeq
+    assert(viaRefs == direct && direct.nonEmpty)
+  }
+
   test("SQL DDL registers a reference store like any other path") {
     spark.sql(s"CREATE TABLE kerchunk_t USING zarr OPTIONS (path '$refsPath')")
     try {
