@@ -13,6 +13,45 @@ case class Ev(user_id: Long, ts_us: Long)
 /** Per-user session summary emitted by the stateful stage. */
 case class UserSessions(user_id: Long, n_sessions: Long, n_events: Long)
 
+/** Event projection for the transformWithState stage (value pre-cast
+  * to exact cents so the state arithmetic is integer). */
+case class EvV(user_id: Long, ts_us: Long, cents: Long)
+
+/** Per-user running summary held in a ValueState and emitted per
+  * batch. */
+case class UserSummary(user_id: Long, n_events: Long, first_us: Long,
+    last_us: Long, value_cents: Long)
+
+/** `transformWithState` processor (Spark 4's arbitrary-state API,
+  * successor to mapGroupsWithState: typed named states, timers, TTL —
+  * requires the RocksDB state store provider). Merges incoming events
+  * into a per-user running summary; on an unbounded stream the same
+  * state carries across micro-batches, with TTL available to bound
+  * it. */
+class UserSummaryProc extends org.apache.spark.sql.streaming.StatefulProcessor[Long, EvV, UserSummary] {
+  import org.apache.spark.sql.streaming.{OutputMode => OM, TimeMode, TimerValues, TTLConfig, ValueState}
+
+  @transient private var st: ValueState[UserSummary] = _
+
+  override def init(outputMode: OM, timeMode: TimeMode): Unit =
+    st = getHandle.getValueState[UserSummary]("summary",
+      org.apache.spark.sql.Encoders.product[UserSummary], TTLConfig.NONE)
+
+  override def handleInputRows(key: Long, rows: Iterator[EvV],
+      timerValues: TimerValues): Iterator[UserSummary] = {
+    val init =
+      if (st.exists()) st.get()
+      else UserSummary(key, 0L, Long.MaxValue, Long.MinValue, 0L)
+    val merged = rows.foldLeft(init) { (acc, e) =>
+      UserSummary(key, acc.n_events + 1,
+        math.min(acc.first_us, e.ts_us), math.max(acc.last_us, e.ts_us),
+        acc.value_cents + e.cents)
+    }
+    st.update(merged)
+    Iterator.single(merged)
+  }
+}
+
 /** Structured Streaming over the `events` table (stream-shaped:
   * event_id, ts, user_id, event_type, value, props).
   *
@@ -201,17 +240,47 @@ object EventsStreaming {
     FROM events JOIN customer ON user_id = c_custkey
     GROUP BY c_mktsegment"""
 
+  /** Arbitrary stateful processing via `transformWithState`: per-user
+    * running summaries in a named ValueState (RocksDB-backed — the
+    * provider this API requires; set for this query only, restored
+    * after). Bounded input arrives as one batch, so the emitted
+    * summaries equal the batch aggregate the oracle computes. */
+  def st6_stream_transform_state(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.streaming.TimeMode
+    val ds: Dataset[EvV] = eventsStream(s, dir)
+      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+        (col("value").cast(org.apache.spark.sql.types.DecimalType(10, 2)) * 100)
+          .cast("long").as("cents")).as[EvV]
+    val out = ds.groupByKey(_.user_id)
+      .transformWithState(new UserSummaryProc, TimeMode.None(), OutputMode.Append())
+    val prevProvider = s.conf.get("spark.sql.streaming.stateStore.providerClass")
+    s.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try runToTable(out.toDF(), "st6_out", OutputMode.Append())
+    finally s.conf.set("spark.sql.streaming.stateStore.providerClass", prevProvider)
+  }
+
+  private val st6Sql = """
+    SELECT user_id, COUNT(*) AS n_events,
+      MIN(epoch_ns(ts) // 1000) AS first_us,
+      MAX(epoch_ns(ts) // 1000) AS last_us,
+      CAST(SUM(CAST(CAST(value AS DECIMAL(10,2)) * 100 AS BIGINT)) AS BIGINT) AS value_cents
+    FROM events GROUP BY user_id"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "st1_stream_window_agg" -> (st1_stream_window_agg _),
     "st2_stream_sessionize" -> (st2_stream_sessionize _),
     "st3_stream_dedup" -> (st3_stream_dedup _),
     "st4_stream_join" -> (st4_stream_join _),
-    "st5_stream_static_join" -> (st5_stream_static_join _))
+    "st5_stream_static_join" -> (st5_stream_static_join _),
+    "st6_stream_transform_state" -> (st6_stream_transform_state _))
 
   val oracle: Map[String, String] = Map(
     "st1_stream_window_agg" -> st1Sql,
     "st2_stream_sessionize" -> st2Sql,
     "st3_stream_dedup" -> st3Sql,
     "st4_stream_join" -> st4Sql,
-    "st5_stream_static_join" -> st5Sql)
+    "st5_stream_static_join" -> st5Sql,
+    "st6_stream_transform_state" -> st6Sql)
 }
