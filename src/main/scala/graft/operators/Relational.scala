@@ -732,6 +732,26 @@ object Relational {
       CAST(MAX(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS max_k
     FROM events GROUP BY event_type"""
 
+  /** Correlated LATERAL join: top-2 orders per customer — the
+    * "top-N per group via lateral subquery" idiom (both engines run
+    * the identical ANSI text; Catalyst decorrelates it into a ranked
+    * window, so no per-customer rescan happens at scale). Restricted
+    * to one nation to keep gate output compact. */
+  private val q39Text = """
+    SELECT c_custkey, o_orderkey, o_totalprice
+    FROM customer, LATERAL (
+      SELECT o_orderkey, o_totalprice FROM orders
+      WHERE o_custkey = c_custkey
+      ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+    WHERE c_nationkey = 7"""
+
+  def q39_lateral(s: SparkSession, dir: String): DataFrame = {
+    Tables.views(s, dir, "customer", "orders")
+    s.sql(q39Text)
+  }
+
+  private val q39Sql = q39Text
+
   // ---------------------------------------------------------------- oracles
 
   private val q1Sql = s"""
@@ -969,7 +989,8 @@ object Relational {
     "q35_higher_order" -> (q35_higher_order _),
     "q36_array_agg" -> (q36_array_agg _),
     "q37_recursive_cte" -> (q37_recursive_cte _),
-    "q38_json_extract" -> (q38_json_extract _))
+    "q38_json_extract" -> (q38_json_extract _),
+    "q39_lateral" -> (q39_lateral _))
 
   val oracle: Map[String, String] = Map(
     "q1_agg" -> q1Sql,
@@ -1009,5 +1030,6 @@ object Relational {
     "q35_higher_order" -> q35Sql,
     "q36_array_agg" -> q36Sql,
     "q37_recursive_cte" -> q37Sql,
-    "q38_json_extract" -> q38Sql)
+    "q38_json_extract" -> q38Sql,
+    "q39_lateral" -> q39Sql)
 }
