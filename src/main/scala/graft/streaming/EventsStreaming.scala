@@ -13,6 +13,10 @@ case class Ev(user_id: Long, ts_us: Long)
 /** Per-user session summary emitted by the stateful stage. */
 case class UserSessions(user_id: Long, n_sessions: Long, n_events: Long)
 
+/** Sessionization carry-over state: last seen event time + running
+  * totals (public: Encoder codegen requires accessible classes). */
+case class SessState(last_us: Long, n_sessions: Long, n_events: Long)
+
 /** Event projection for the transformWithState stage (value pre-cast
   * to exact cents so the state arithmetic is integer). */
 case class EvV(user_id: Long, ts_us: Long, cents: Long)
@@ -136,20 +140,35 @@ object EventsStreaming {
     * one batch, so every group emits its final counts immediately; in
     * continuous operation the same function holds per-user state
     * between triggers. */
+  /** The stateful sessionization stage: folds each batch's (sorted)
+    * events onto carried per-user state, so a session spanning a
+    * micro-batch boundary is not split and counts are cumulative. */
+  def sessionStage(ds: Dataset[Ev]): Dataset[UserSessions] = {
+    import ds.sparkSession.implicits._
+    ds.groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessState, UserSessions](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (user: Long, evs: Iterator[Ev], state: GroupState[SessState]) =>
+          val ts = evs.map(_.ts_us).toArray.sorted
+          val gapUs = 30L * 60 * 1000000
+          val prev = state.getOption.getOrElse(SessState(Long.MinValue, 0L, 0L))
+          var last = prev.last_us
+          var nSess = prev.n_sessions
+          ts.foreach { t =>
+            if (last == Long.MinValue || t - last > gapUs) nSess += 1
+            last = t
+          }
+          val next = SessState(last, nSess, prev.n_events + ts.length)
+          state.update(next)
+          Iterator(UserSessions(user, next.n_sessions, next.n_events))
+      }
+  }
+
   def st2_stream_sessionize(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val ds: Dataset[Ev] = eventsStream(s, dir)
       .select(col("user_id"), unix_micros(col("ts")).as("ts_us")).as[Ev]
-    val sessions = ds.groupByKey(_.user_id)
-      .flatMapGroupsWithState[Long, UserSessions](
-        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
-        (user: Long, evs: Iterator[Ev], state: GroupState[Long]) =>
-          val ts = evs.map(_.ts_us).toArray.sorted
-          val gapUs = 30L * 60 * 1000000
-          val sessions = 1L + ts.zip(ts.tail).count { case (a, b) => b - a > gapUs }
-          Iterator(UserSessions(user, sessions, ts.length.toLong))
-      }
-    runToTable(sessions.toDF(), "st2_out", OutputMode.Append())
+    runToTable(sessionStage(ds).toDF(), "st2_out", OutputMode.Append())
   }
 
   private val st2Sql = """

@@ -7,7 +7,7 @@ import org.apache.spark.sql.streaming.TimeMode
 import org.apache.spark.sql.streaming.OutputMode
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.streaming.{EvV, UserSummaryProc}
+import graft.streaming.{Ev, EvV, EventsStreaming, UserSummaryProc}
 
 /** transformWithState across MULTIPLE micro-batches — the gate runs
   * the stream bounded (one batch), so cross-batch state carry-over is
@@ -58,5 +58,37 @@ class StreamingStateSpec extends AnyFunSuite {
     // single-batch users emit once with plain totals
     assert(rows.filter(_._1 == 2L).toSeq == Seq((2L, 1L, 150L, 150L, 5L)))
     assert(rows.filter(_._1 == 3L).toSeq == Seq((3L, 1L, 300L, 300L, 1L)))
+  }
+
+  test("sessionization does not split a session at a micro-batch boundary") {
+    import spark.implicits._
+    val min = 60L * 1000000
+    val dir = Files.createTempDirectory("sess_stream")
+    def put(name: String, rows: Seq[Ev]): Unit = {
+      val tmp = Files.createTempDirectory("sess_batch")
+      rows.toDS().coalesce(1).write.mode("overwrite").parquet(tmp.resolve("out").toString)
+      val part = Files.list(tmp.resolve("out"))
+        .filter(_.getFileName.toString.endsWith(".parquet")).findFirst().get()
+      Files.copy(part, dir.resolve(name), StandardCopyOption.REPLACE_EXISTING)
+    }
+    // batch boundary falls INSIDE a session (gap 10min < 30min); a
+    // later 60-min gap starts session 2
+    put("a.parquet", Seq(Ev(1L, 0L), Ev(1L, 10 * min)))
+    put("b.parquet", Seq(Ev(1L, 20 * min), Ev(1L, 80 * min)))
+    val sdf = spark.readStream
+      .schema(implicitly[org.apache.spark.sql.Encoder[Ev]].schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(dir.toString)
+    val out = EventsStreaming.sessionStage(sdf.as[Ev])
+    val q = out.toDF().writeStream.outputMode("append")
+      .format("memory").queryName("sess_multi").start()
+    try q.processAllAvailable() finally q.stop()
+    val rows = spark.table("sess_multi").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._3)
+    assert(rows.length == 2, rows.toSeq.toString)
+    // cumulative after batch 2: 2 sessions, 4 events — a stateless
+    // per-batch fold would report 2 sessions over only 2 events and
+    // would also have split the boundary-spanning session
+    assert(rows.last == ((1L, 2L, 4L)), rows.toSeq.toString)
   }
 }
