@@ -162,30 +162,36 @@ object Dedup {
       .filter(col("est_jaccard") >= 0.75)
   }
 
-  private val d3Sql = {
+  /** d3's CTE chain and final select, kept separate so d7 can reuse
+    * the pair generation inside its own (recursive) WITH. */
+  private val d3Ctes = {
     val mins = (1 to nPerm).map(j => s"MIN(${permHash(j, "code")}) AS m$j").mkString(", ")
     val bandSelects = (0 until nBands).map { b =>
       s"SELECT doc_id, $b AS band, m${bandRows * b + 1} AS h1, m${bandRows * b + 2} AS h2, " +
         s"m${bandRows * b + 3} AS h3, m${bandRows * b + 4} AS h4 FROM sig"
     }.mkString(" UNION ALL ")
-    val agree = (1 to nPerm)
-      .map(j => s"CASE WHEN sa.m$j = sb.m$j THEN 1 ELSE 0 END")
-      .mkString("(", " + ", s") / ${nPerm}.0")
-    s"""
-    WITH g AS (${TextAnalysis.gramSql}),
+    s"""g AS (${TextAnalysis.gramSql}),
     sig AS (SELECT doc_id, $mins FROM g GROUP BY doc_id),
     bands AS ($bandSelects),
     cand AS (
       SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
       FROM bands a JOIN bands b
         ON a.band = b.band AND a.h1 = b.h1 AND a.h2 = b.h2
-        AND a.h3 = b.h3 AND a.h4 = b.h4 AND a.doc_id < b.doc_id)
-    SELECT doc_a, doc_b, $agree AS est_jaccard
+        AND a.h3 = b.h3 AND a.h4 = b.h4 AND a.doc_id < b.doc_id)"""
+  }
+
+  private val d3Agree = (1 to nPerm)
+    .map(j => s"CASE WHEN sa.m$j = sb.m$j THEN 1 ELSE 0 END")
+    .mkString("(", " + ", s") / ${nPerm}.0")
+
+  private val d3Final = s"""
+    SELECT doc_a, doc_b, $d3Agree AS est_jaccard
     FROM cand
     JOIN sig sa ON sa.doc_id = doc_a
     JOIN sig sb ON sb.doc_id = doc_b
-    WHERE $agree >= 0.75"""
-  }
+    WHERE $d3Agree >= 0.75"""
+
+  private val d3Sql = s"WITH $d3Ctes $d3Final"
 
   // ------------------------------------------------------------ d4 SimHash
 
@@ -277,13 +283,81 @@ object Dedup {
 
   // ------------------------------------------------------------ wiring
 
+  // --------------------------------------------------- d7 dup clusters
+
+  /** Near-dup CLUSTERS from the MinHash pair graph: connected
+    * components by iterative min-label propagation — a session spans
+    * A~B, B~C even when A and C never pair directly, so keeper
+    * selection must be per component, not per pairwise edge. Each
+    * iteration is one shuffle join (label flows along edges);
+    * convergence takes graph-diameter iterations — near-dup components
+    * are shallow (stars/cliques), so this is 2-4 rounds in practice;
+    * the large-star/small-star variant halves that at extreme scale.
+    * The DuckDB oracle computes the same components via a recursive
+    * transitive closure. */
+  def d7_dedup_clusters(s: SparkSession, dir: String): DataFrame = {
+    val pairs = d3_dedup_minhash(s, dir).select("doc_a", "doc_b")
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .unionAll(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // Iterative algorithms MUST truncate lineage each round
+    // (localCheckpoint): a persisted plan still nests the previous
+    // iteration's logical plan, and the growing tree OOMs the DRIVER
+    // after enough rounds regardless of data size.
+    var labels = edges.select(col("src").as("doc_id")).distinct()
+      .select(col("doc_id"), col("doc_id").as("cluster_id"))
+      .localCheckpoint(true)
+    var converged = false
+    while (!converged) {
+      // neighbor min: labels flow one hop along edges
+      val nbrMin = edges.join(labels, edges("dst") === labels("doc_id"))
+        .groupBy(col("src")).agg(min("cluster_id").as("nbr_min"))
+      val step = labels
+        .select(col("doc_id"), col("cluster_id").as("old_label"))
+        .join(nbrMin, col("doc_id") === nbrMin("src"), "left")
+        .select(col("doc_id"),
+          least(col("old_label"), coalesce(col("nbr_min"), col("old_label")))
+            .as("mid"), col("old_label"))
+      // pointer jump: label(label(x)) — halves the remaining distance,
+      // so convergence is O(log diameter) rather than O(diameter)
+      val parents = labels.select(col("doc_id").as("p_id"), col("cluster_id").as("p_label"))
+      val updated = step.join(parents, step("mid") === parents("p_id"), "left")
+        .select(col("doc_id"),
+          least(col("mid"), coalesce(col("p_label"), col("mid"))).as("cluster_id"),
+          col("old_label"))
+        .localCheckpoint(true)
+      converged = updated.filter(col("cluster_id") =!= col("old_label")).count() == 0
+      labels = updated.select("doc_id", "cluster_id")
+    }
+    edges.unpersist()
+    val sizes = labels.groupBy("cluster_id").agg(count(lit(1)).as("cluster_size"))
+    labels.join(sizes, "cluster_id").select("doc_id", "cluster_id", "cluster_size")
+  }
+
+  private val d7Sql = s"""
+    WITH RECURSIVE $d3Ctes,
+    pairs AS ($d3Final),
+    edges AS (
+      SELECT doc_a AS s, doc_b AS d FROM pairs
+      UNION SELECT doc_b, doc_a FROM pairs),
+    reach(n, r) AS (
+      SELECT DISTINCT s, s FROM edges
+      UNION
+      SELECT e.d, reach.r FROM reach JOIN edges e ON e.s = reach.n),
+    lab AS (SELECT n AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY n)
+    SELECT l.doc_id, l.cluster_id, c.cluster_size
+    FROM lab l JOIN (
+      SELECT cluster_id, COUNT(*) AS cluster_size FROM lab GROUP BY cluster_id) c
+    USING (cluster_id)"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d1_dedup_exact" -> (d1_dedup_exact _),
     "d2_dedup_ngram" -> (d2_dedup_ngram _),
     "d3_dedup_minhash" -> (d3_dedup_minhash _),
     "d6_dedup_apply" -> (d6_dedup_apply _),
     "d4_dedup_simhash" -> (d4_dedup_simhash _),
-    "d5_dedup_embedding" -> (d5_dedup_embedding _))
+    "d5_dedup_embedding" -> (d5_dedup_embedding _),
+    "d7_dedup_clusters" -> (d7_dedup_clusters _))
 
   val oracle: Map[String, String] = Map(
     "d1_dedup_exact" -> d1Sql,
@@ -291,5 +365,6 @@ object Dedup {
     "d3_dedup_minhash" -> d3Sql,
     "d6_dedup_apply" -> d6Sql,
     "d4_dedup_simhash" -> d4Sql,
-    "d5_dedup_embedding" -> d5Sql)
+    "d5_dedup_embedding" -> d5Sql,
+    "d7_dedup_clusters" -> d7Sql)
 }
