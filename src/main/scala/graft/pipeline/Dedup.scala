@@ -295,6 +295,10 @@ object Dedup {
     * the large-star/small-star variant halves that at extreme scale.
     * The DuckDB oracle computes the same components via a recursive
     * transitive closure. */
+  /** Rounds the last [[d7_dedup_clusters]] run took (diagnostics /
+    * tests: pointer jumping must keep this ~log(diameter)). */
+  @volatile var d7Rounds: Int = 0
+
   def d7_dedup_clusters(s: SparkSession, dir: String): DataFrame = {
     val pairs = d3_dedup_minhash(s, dir).select("doc_a", "doc_b")
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
@@ -307,27 +311,48 @@ object Dedup {
     var labels = edges.select(col("src").as("doc_id")).distinct()
       .select(col("doc_id"), col("doc_id").as("cluster_id"))
       .localCheckpoint(true)
+    // The label table is |docs-in-pairs| — orders of magnitude smaller
+    // than the corpus the pair generation scanned. Size the loop's
+    // shuffles to IT, not to the corpus (one partition per ~500k
+    // labels), exactly like streaming state partitioning: at gate
+    // scale that is a single partition per stage; at 100 TB it grows
+    // with the dup-graph size.
+    val nLabels = labels.count()
+    val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+    val prevAqe = s.conf.get("spark.sql.adaptive.enabled")
+    s.conf.set("spark.sql.shuffle.partitions",
+      math.max(1L, math.min(prevShuffle.toLong, nLabels / 500000 + 1)).toString)
+    // the loop's plans are static and its tables tiny relative to the
+    // corpus — AQE re-planning per round only adds latency here
+    s.conf.set("spark.sql.adaptive.enabled", "false")
     var converged = false
-    while (!converged) {
-      // neighbor min: labels flow one hop along edges
-      val nbrMin = edges.join(labels, edges("dst") === labels("doc_id"))
-        .groupBy(col("src")).agg(min("cluster_id").as("nbr_min"))
-      val step = labels
-        .select(col("doc_id"), col("cluster_id").as("old_label"))
-        .join(nbrMin, col("doc_id") === nbrMin("src"), "left")
-        .select(col("doc_id"),
-          least(col("old_label"), coalesce(col("nbr_min"), col("old_label")))
-            .as("mid"), col("old_label"))
-      // pointer jump: label(label(x)) — halves the remaining distance,
-      // so convergence is O(log diameter) rather than O(diameter)
-      val parents = labels.select(col("doc_id").as("p_id"), col("cluster_id").as("p_label"))
-      val updated = step.join(parents, step("mid") === parents("p_id"), "left")
-        .select(col("doc_id"),
-          least(col("mid"), coalesce(col("p_label"), col("mid"))).as("cluster_id"),
-          col("old_label"))
-        .localCheckpoint(true)
-      converged = updated.filter(col("cluster_id") =!= col("old_label")).count() == 0
-      labels = updated.select("doc_id", "cluster_id")
+    d7Rounds = 0
+    try {
+      while (!converged) {
+        d7Rounds += 1
+        // neighbor min: labels flow one hop along edges
+        val nbrMin = edges.join(labels, edges("dst") === labels("doc_id"))
+          .groupBy(col("src")).agg(min("cluster_id").as("nbr_min"))
+        val step = labels
+          .select(col("doc_id"), col("cluster_id").as("old_label"))
+          .join(nbrMin, col("doc_id") === nbrMin("src"), "left")
+          .select(col("doc_id"),
+            least(col("old_label"), coalesce(col("nbr_min"), col("old_label")))
+              .as("mid"), col("old_label"))
+        // pointer jump: label(label(x)) — halves the remaining distance,
+        // so convergence is O(log diameter) rather than O(diameter)
+        val parents = labels.select(col("doc_id").as("p_id"), col("cluster_id").as("p_label"))
+        val updated = step.join(parents, step("mid") === parents("p_id"), "left")
+          .select(col("doc_id"),
+            least(col("mid"), coalesce(col("p_label"), col("mid"))).as("cluster_id"),
+            col("old_label"))
+          .localCheckpoint(true)
+        converged = updated.filter(col("cluster_id") =!= col("old_label")).count() == 0
+        labels = updated.select("doc_id", "cluster_id")
+      }
+    } finally {
+      s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+      s.conf.set("spark.sql.adaptive.enabled", prevAqe)
     }
     edges.unpersist()
     val sizes = labels.groupBy("cluster_id").agg(count(lit(1)).as("cluster_size"))
