@@ -112,13 +112,21 @@ class ZarrDataSource extends TableProvider
     val path = params.getOrElse("path",
       throw new IllegalArgumentException("Zarr write requires a path"))
     val exists = isStore(path)
+    // Append to an existing store extends the grid along the OUTER
+    // dimension (whole new chunks, metadata shape edit) — the
+    // time-series ingest path. Appending to an absent store is a
+    // fresh write, per standard Spark sink semantics.
+    if (mode == SaveMode.Append && exists) {
+      ZarrWriter.append(data, path)
+      val ctx0 = sqlContext
+      return new org.apache.spark.sql.sources.BaseRelation {
+        override def sqlContext: org.apache.spark.sql.SQLContext = ctx0
+        override def schema: StructType = data.schema
+      }
+    }
     val skip = mode match {
       case SaveMode.ErrorIfExists if exists =>
         throw new IllegalStateException(s"Zarr store already exists at $path (mode ErrorIfExists)")
-      case SaveMode.Append if exists =>
-        throw new UnsupportedOperationException(
-          "Append to an existing Zarr store is not supported: a store is a complete " +
-            "coordinate grid. Use mode(\"overwrite\") to replace it.")
       case SaveMode.Ignore if exists => true
       case _ => false
     }
@@ -151,10 +159,11 @@ object ZarrDataSource {
         case _: java.nio.file.NoSuchFileException => false
         case _: UnsupportedOperationException => false
       }
-    if (exists && !replaceExisting)
-      throw new UnsupportedOperationException(
-        "Append to an existing Zarr store is not supported: a store is a complete " +
-          "coordinate grid. Use overwrite to replace it.")
+    if (exists && !replaceExisting) {
+      // plain INSERT INTO an existing store = outer-dimension append
+      ZarrWriter.append(data, path)
+      return
+    }
     val coords = params.get("coords")
       .map(_.split(",").map(_.trim).toSeq.filter(_.nonEmpty))
       .filter(_.nonEmpty)

@@ -483,4 +483,272 @@ object ZarrWriter {
       when(col(outer) === lit(value), lit(i / chunkOuter)).otherwise(acc)
     }
   }
+
+  /** Row-domain value → the coordinate raw domain ([[ChunkCodec
+    * .elementAt]]): timestamps become epoch micros, everything else is
+    * already the typed value. */
+  private def rawOf(v: Any): Any = v match {
+    case t: java.sql.Timestamp => epochMicros(t)
+    case i: java.time.Instant => epochMicros(i)
+    case other => other
+  }
+
+  /** Serialize one raw-domain value at `offset` (little-endian). */
+  private def putRaw(buf: ByteBuffer, offset: Int, dtype: ZarrDType, v: Any): Unit = {
+    val elem = dtype.size
+    (dtype.kind, dtype.size) match {
+      case ('i', 8) | ('M', _) => buf.putLong(offset * elem, v.asInstanceOf[Long])
+      case ('i', 4) => buf.putInt(offset * elem, v.asInstanceOf[Int])
+      case ('i', 2) => buf.putShort(offset * elem, v.asInstanceOf[Short])
+      case ('i', 1) => buf.put(offset * elem, v.asInstanceOf[Byte])
+      case ('f', 8) => buf.putDouble(offset * elem, v.asInstanceOf[Double])
+      case ('f', 4) => buf.putFloat(offset * elem, v.asInstanceOf[Float])
+      case ('b', _) => buf.put(offset * elem, if (v.asInstanceOf[Boolean]) 1.toByte else 0.toByte)
+      case other => throw new UnsupportedOperationException(
+        s"append cannot serialize coordinate dtype $other")
+    }
+  }
+
+  /** Back-map a store's parsed compressor to this writer's codec name;
+    * refuses combinations the writer cannot reproduce. */
+  private def codecNameOf(c: ZarrCompressor, what: String): String = c.id match {
+    case "none" | "zstd" | "gzip" | "zlib" => c.id
+    case "blosc" if c.cname == "lz4" || c.cname.isEmpty => "blosc"
+    case other => throw new UnsupportedOperationException(
+      s"append cannot re-encode $what compressed with '$other" +
+        (if (c.cname.nonEmpty) s"/${c.cname}" else "") + "'")
+  }
+
+  /** Edit the outer extent of an array's metadata document in place
+    * (v2 `.zarray` or v3 `zarr.json`) — everything else (attributes,
+    * fill_value, codecs, filters) is preserved verbatim. */
+  private def editShape(store: ZarrStore, rel: String, newOuter: Long,
+      newOuterChunks: Option[Int]): Unit = {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val node = mapper.readTree(store.readBytes(rel).getOrElse(
+      throw new IllegalStateException(s"missing metadata document $rel")))
+      .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+    node.withArray("shape").set(0,
+      com.fasterxml.jackson.databind.node.LongNode.valueOf(newOuter))
+    newOuterChunks.foreach { c =>
+      if (node.has("chunks")) // v2
+        node.withArray("chunks").set(0,
+          com.fasterxml.jackson.databind.node.IntNode.valueOf(c))
+      else // v3 regular chunk grid
+        node.get("chunk_grid").get("configuration")
+          .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+          .withArray("chunk_shape").set(0,
+            com.fasterxml.jackson.databind.node.IntNode.valueOf(c))
+    }
+    store.writeBytes(rel, mapper.writeValueAsBytes(node))
+  }
+
+  /** Append new OUTER-dimension slabs to an existing store: the
+    * time-series ingest path (each batch adds whole outer chunks; no
+    * existing chunk object is rewritten). Requirements, all enforced
+    * loudly: the existing outer extent is a multiple of the outer
+    * chunk extent (new chunks start on a boundary), new outer values
+    * sort strictly after the existing ones, inner coordinates match
+    * the store exactly, and the store is unsharded with a codec this
+    * writer can produce. Metadata documents are edited in place
+    * (shape only), so attributes/fill/codecs survive verbatim; the
+    * outer coordinate array is rewritten as one chunk. Chunk data
+    * lands before any metadata changes, so a crash leaves the store
+    * readable at its OLD shape plus unreferenced chunk objects —
+    * never a torn grid. (Concurrent reads during append see either
+    * the old or the new shape, like any metadata swap.) */
+  def append(df: DataFrame, path: String): Unit = {
+    val store = ZarrStore.open(path)
+    val meta0 = ZarrMeta.readStore(path)
+    require(meta0.dataVars.forall(_.sharding.isEmpty),
+      "append to sharded stores is not supported")
+    val coordNames = meta0.coordNames
+    val varNames = meta0.dataVars.map(_.name)
+    val schema = df.schema
+    require(schema.fieldNames.toSet == (coordNames ++ varNames).toSet,
+      s"append input columns ${schema.fieldNames.mkString(",")} must be exactly " +
+        s"the store's columns ${(coordNames ++ varNames).mkString(",")}")
+    (meta0.coords.map(c => c.meta.name -> c.meta.dtype.sparkType) ++
+      meta0.dataVars.map(v => v.name -> v.dtype.sparkType)).foreach { case (n, t) =>
+      require(schema(n).dataType == t,
+        s"append column $n has type ${schema(n).dataType}, store expects $t")
+    }
+
+    val outer = meta0.coords.head
+    val outerName = outer.meta.name
+    require("iM".contains(outer.meta.dtype.kind) || outer.meta.dtype.kind == 'f',
+      s"append outer coordinate must be numeric or datetime, got dtype ${outer.meta.dtype}")
+    val outerChunk = meta0.dataVars.head.chunks.head
+    require(meta0.dataVars.forall(_.chunks == meta0.dataVars.head.chunks),
+      "append requires all data variables to share one chunk shape")
+    require(outer.length % outerChunk == 0,
+      s"existing outer extent ${outer.length} is not a multiple of the outer chunk " +
+        s"extent $outerChunk — append would straddle a chunk; rewrite the store instead")
+    meta0.dataVars.foreach(v => codecNameOf(v.compressor, v.name)) // validate early
+
+    // new outer values: distinct, sorted, strictly after the existing max
+    val newOuterVals: Array[Any] =
+      df.select(col(outerName)).distinct().orderBy(col(outerName)).collect().map(_.get(0))
+    require(newOuterVals.nonEmpty, "append input has no rows")
+    val existingMax = outer.doubles.max
+    val newMins = newOuterVals.map {
+      case t: java.sql.Timestamp => epochMicros(t).toDouble
+      case i: java.time.Instant => epochMicros(i).toDouble
+      case n: java.lang.Number => n.doubleValue()
+      case other => throw new UnsupportedOperationException(
+        s"append outer value $other is not numeric/datetime")
+    }
+    require(newMins.head > existingMax,
+      s"append outer values must sort strictly after the existing maximum " +
+        s"($existingMax); got ${newMins.head}")
+
+    // inner coordinates must match the store exactly
+    meta0.coords.tail.foreach { c =>
+      val dfVals = df.select(col(c.meta.name)).distinct().orderBy(col(c.meta.name))
+        .collect().map(r => rawOf(r.get(0))).toSeq
+      val stored = (0 until c.length).map(i => ChunkCodec.elementAt(c.raw, i))
+      require(dfVals == stored,
+        s"append inner coordinate ${c.meta.name} does not match the store " +
+          s"(got ${dfVals.take(5)}…, store has ${stored.take(5)}…)")
+    }
+
+    val oldLen = outer.length
+    // global grid index per dimension, raw-domain keys
+    val outerIdx: Map[Any, Int] =
+      newOuterVals.zipWithIndex.map { case (v, i) => (v, oldLen + i) }.toMap
+    val innerIdx: Seq[Map[Any, Int]] = meta0.coords.tail.map { c =>
+      (0 until c.length).map(i => ChunkCodec.elementAt(c.raw, i) -> i).toMap
+    }
+
+    val spark = df.sparkSession
+    val bInner = spark.sparkContext.broadcast(innerIdx)
+    val varMetas = meta0.dataVars
+    val nNewOuterChunks = (newOuterVals.length + outerChunk - 1) / outerChunk
+    val rows = df.withColumn("__chunk", udfFreeChunkId(df, outerName, outerIdx, outerChunk))
+      .repartition(math.min(nNewOuterChunks,
+        math.max(1, spark.sparkContext.defaultParallelism)), col("__chunk"))
+
+    val wStore = store
+    val coordNamesL = coordNames
+    val statRows: Array[((Seq[Long], Int), (Double, Double))] =
+      rows.rdd.mapPartitions { (it: Iterator[Row]) =>
+        val inner = bInner.value
+        val nDims = coordNamesL.length
+        val buffers = scala.collection.mutable.Map.empty[(Seq[Long], Int), ByteBuffer]
+        val stats = scala.collection.mutable.Map.empty[(Seq[Long], Int), (Double, Double, Long)]
+        def trackStat(ci: Seq[Long], v: Int, value: Any): Unit = {
+          val d = value match {
+            case n: java.lang.Number => n.doubleValue()
+            case b: Boolean => if (b) 1.0 else 0.0
+            case t: java.sql.Timestamp => epochMicros(t).toDouble
+            case i: java.time.Instant => epochMicros(i).toDouble
+            case _ => return
+          }
+          val cur = stats.getOrElse((ci, v), (d, d, 0L))
+          stats((ci, v)) = (math.min(cur._1, d), math.max(cur._2, d), cur._3 + 1)
+        }
+        it.foreach { row =>
+          val ci = new Array[Long](nDims)
+          var local = 0L
+          var d = 0
+          var gi = 0
+          while (d < nDims) {
+            val m = varMetas.head.chunks(d)
+            gi =
+              if (d == 0) outerIdx(row.getAs[Any](coordNamesL(0)))
+              else inner(d - 1)(rawOf(row.getAs[Any](coordNamesL(d))))
+            ci(d) = gi / m
+            local = local * m + (gi % m)
+            d += 1
+          }
+          val key = ci.toSeq
+          var v = 0
+          while (v < varMetas.length) {
+            val m = varMetas(v)
+            val buf = buffers.getOrElseUpdate((key, v),
+              ByteBuffer.allocate(m.chunks.product * m.dtype.size)
+                .order(ByteOrder.LITTLE_ENDIAN))
+            val value = row.getAs[Any](m.name)
+            putValue(buf, local.toInt, m.dtype.size, m.dtype.sparkType, value)
+            trackStat(key, v, value)
+            v += 1
+          }
+        }
+        buffers.toSeq.map { case ((ci, v), buf) =>
+          val m = varMetas(v)
+          val raw =
+            if (m.deltaFilter) deltaEncode(buf.array(), m.dtype.sparkType) else buf.array()
+          val payload = compressPayload(raw, codecNameOf(m.compressor, m.name), m.dtype.size)
+          wStore.writeBytes(s"${m.name}/${m.chunkKey(ci)}", payload)
+          val chunkCells = m.chunks.map(_.toLong).product
+          val (mn0, mx0, cnt) = stats.getOrElse((ci, v), (0.0, 0.0, 0L))
+          val fv = m.fillValue
+          val (mn, mx) =
+            if (cnt >= chunkCells) (mn0, mx0)
+            else if (java.lang.Double.isFinite(fv)) (math.min(mn0, fv), math.max(mx0, fv))
+            else (Double.NaN, Double.NaN) // partial + non-finite fill: no stats entry
+          ((ci, v), (mn, mx))
+        }.iterator
+      }.collect()
+
+    // 1) rewrite the outer coordinate as one chunk (old raw + new values)
+    val newLen = oldLen + newOuterVals.length
+    val cmeta = outer.meta
+    val cbuf = ByteBuffer.allocate(newLen * cmeta.dtype.size).order(ByteOrder.LITTLE_ENDIAN)
+    (0 until oldLen).foreach(i => putRaw(cbuf, i, cmeta.dtype, ChunkCodec.elementAt(outer.raw, i)))
+    newOuterVals.zipWithIndex.foreach { case (v, i) =>
+      putRaw(cbuf, oldLen + i, cmeta.dtype, rawOf(v))
+    }
+    val craw = if (cmeta.deltaFilter) deltaEncode(cbuf.array(), cmeta.dtype.sparkType)
+      else cbuf.array()
+    store.writeBytes(s"$outerName/${cmeta.chunkKey(Seq(0L))}",
+      compressPayload(craw, codecNameOf(cmeta.compressor, outerName), cmeta.dtype.size))
+
+    // 2) metadata shape edits (coordinate first: a reader racing the
+    // append must never see variables longer than their dimensions)
+    val metaRel = (n: String) => if (meta0.coords.head.meta.isV3) s"$n/zarr.json" else s"$n/.zarray"
+    editShape(store, metaRel(outerName), newLen, Some(newLen))
+    varNames.foreach(n => editShape(store, metaRel(n), newLen, None))
+
+    // 3) merge + rewrite .zstats sidecars
+    varMetas.zipWithIndex.foreach { case (m, v) =>
+      val fresh = statRows.collect {
+        case ((ci, vv), (mn, mx)) if vv == v && !mn.isNaN => m.chunkKey(ci) -> (mn, mx)
+      }.toMap
+      val merged = m.chunkStats ++ fresh
+      if (merged.nonEmpty) {
+        val entries = merged.map { case (k, (mn, mx)) => s""""$k": [$mn, $mx]""" }.mkString(",")
+        store.writeBytes(s"${m.name}/.zstats", s"""{"chunks": {$entries}}""".getBytes)
+      }
+    }
+
+    // 4) refresh consolidated metadata if the store carries it
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    store.readBytes(".zmetadata").foreach { bytes =>
+      val node = mapper.readTree(bytes)
+        .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+      val md = node.get("metadata")
+        .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+      (coordNames ++ varNames).foreach { n =>
+        store.readBytes(s"$n/.zarray").foreach(b =>
+          md.set[com.fasterxml.jackson.databind.JsonNode](s"$n/.zarray", mapper.readTree(b)))
+      }
+      store.writeBytes(".zmetadata", mapper.writeValueAsBytes(node))
+    }
+    if (meta0.coords.head.meta.isV3) store.readBytes("zarr.json").foreach { bytes =>
+      val node = mapper.readTree(bytes)
+        .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+      Option(node.get("consolidated_metadata"))
+        .flatMap(c => Option(c.get("metadata")))
+        .collect { case o: com.fasterxml.jackson.databind.node.ObjectNode => o }
+        .foreach { md =>
+          (coordNames ++ varNames).foreach { n =>
+            store.readBytes(s"$n/zarr.json").foreach(b =>
+              md.set[com.fasterxml.jackson.databind.JsonNode](n, mapper.readTree(b)))
+          }
+          store.writeBytes("zarr.json", mapper.writeValueAsBytes(node))
+        }
+    }
+    ChunkIO.invalidatePath(store.path)
+  }
 }

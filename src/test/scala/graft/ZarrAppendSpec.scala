@@ -1,0 +1,98 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Outer-dimension append — the time-series ingest path: each batch
+  * adds whole outer chunks, metadata shape is edited in place, no
+  * existing chunk object is rewritten. */
+class ZarrAppendSpec extends AnyFunSuite {
+  import TestSession._
+
+  private def grid(ts: Seq[Long]) = {
+    import spark.implicits._
+    ts.flatMap(t => (0L until 3L).map(x => (t, x, t * 10.0 + x)))
+      .toDF("t", "x", "v")
+  }
+
+  private def fresh(ts: Seq[Long], opts: Map[String, String] = Map.empty): String = {
+    val out = Files.createTempDirectory("zarr_append").resolve("a.zarr").toString
+    val w = grid(ts).write.format("zarr")
+      .option("coords", "t,x").option("chunkOuter", "2")
+    opts.foldLeft(w) { case (ww, (k, v)) => ww.option(k, v) }
+      .mode("overwrite").save(out)
+    out
+  }
+
+  test("append extends the grid with whole new chunks; values and stats intact") {
+    val out = fresh(Seq(0L, 1L, 2L, 3L), Map("compressor" -> "zstd"))
+    val before = Files.list(java.nio.file.Paths.get(out, "v")).count()
+    grid(Seq(4L, 5L, 6L, 7L)).write.format("zarr").mode("append").save(out)
+    val back = spark.read.format("zarr").load(out)
+    assert(back.orderBy("t", "x").collect().map(_.toSeq).toSeq ==
+      grid(0L to 7L).orderBy("t", "x").collect().map(_.toSeq).toSeq)
+    // only NEW chunk files appeared (2 new outer chunks per var)
+    val after = Files.list(java.nio.file.Paths.get(out, "v")).count()
+    assert(after == before + 2, s"$before -> $after")
+    // merged .zstats still prune: v >= 60 lives only in the appended slabs
+    val pruned = spark.read.format("zarr").option("minRowsPerPartition", "1")
+      .load(out).filter(col("v") >= 60.0)
+    assert(pruned.rdd.getNumPartitions == 1, s"got ${pruned.rdd.getNumPartitions}")
+    assert(pruned.count() == 6)
+  }
+
+  test("append validations refuse loudly") {
+    val out = fresh(Seq(0L, 1L, 2L, 3L))
+    // overlapping / non-increasing outer values
+    intercept[Exception](
+      grid(Seq(3L, 4L)).write.format("zarr").mode("append").save(out))
+    // inner coordinate mismatch
+    intercept[Exception] {
+      import spark.implicits._
+      Seq((4L, 9L, 1.0)).toDF("t", "x", "v")
+        .write.format("zarr").mode("append").save(out)
+    }
+    // misaligned existing outer extent (3 rows, chunkOuter 2)
+    val odd = fresh(Seq(0L, 1L, 2L))
+    intercept[Exception](
+      grid(Seq(3L, 4L)).write.format("zarr").mode("append").save(odd))
+    // schema mismatch (extra column)
+    intercept[Exception] {
+      import spark.implicits._
+      Seq((4L, 0L, 1.0, 9L)).toDF("t", "x", "v", "extra")
+        .write.format("zarr").mode("append").save(out)
+    }
+  }
+
+  test("append works on v3 stores and delta-filtered v2 stores") {
+    for (opts <- Seq(Map("zarrVersion" -> "3"),
+        Map("deltaFilter" -> "true", "compressor" -> "zstd"))) {
+      val out = fresh(Seq(0L, 1L), opts)
+      grid(Seq(2L, 3L)).write.format("zarr").mode("append").save(out)
+      val back = spark.read.format("zarr").load(out)
+      assert(back.orderBy("t", "x").collect().map(_.toSeq).toSeq ==
+        grid(0L to 3L).orderBy("t", "x").collect().map(_.toSeq).toSeq, opts.toString)
+    }
+  }
+
+  test("consolidated metadata keeps the new shape (one-fetch discovery)") {
+    val out = fresh(Seq(0L, 1L))
+    grid(Seq(2L, 3L)).write.format("zarr").mode("append").save(out)
+    val zmeta = new String(Files.readAllBytes(java.nio.file.Paths.get(out, ".zmetadata")))
+    assert(zmeta.contains(""""shape":[4"""") || zmeta.contains(""""shape" : [ 4""")
+      || zmeta.replaceAll("\\s", "").contains(""""shape":[4"""), zmeta.take(400))
+  }
+
+  test("SQL INSERT INTO appends") {
+    val out = fresh(Seq(0L, 1L))
+    spark.sql(s"CREATE TABLE zappend USING zarr OPTIONS (path '$out', coords 't,x')")
+    try {
+      spark.sql("INSERT INTO zappend SELECT t + 2 AS t, x, v + 20.0 AS v FROM zappend")
+      assert(spark.read.format("zarr").load(out).count() == 12)
+      assert(spark.sql("SELECT SUM(v) FROM zappend").collect().head.getDouble(0) ==
+        grid(0L to 3L).agg(sum("v")).collect().head.getDouble(0))
+    } finally spark.sql("DROP TABLE zappend")
+  }
+}

@@ -71,6 +71,7 @@ class ZarrWriterSpec extends AnyFunSuite {
     write("errorifexists") // fresh path: creates
     intercept[Exception](write("errorifexists"))
     write("ignore") // existing: silently keeps
+    // append with mismatched (overlapping) outer values is refused
     intercept[Exception](write("append"))
     // missing coords option is a clear error
     val out2 = Files.createTempDirectory("zarr_modes").resolve("m2.zarr").toString
