@@ -162,6 +162,27 @@ object ZarrQueries {
        (4,791,3288,70),(5,294,2877,70),(6,-181,3249,70),(7,631,2896,70),
        (8,188,3056,70),(9,297,2974,70)) AS t(lat, sum_temp, sum_hum, n)"""
 
+  /** Outer-dimension APPEND inside the graded gate: write the
+    * ln ≤ 4 half of the z6 grid, append ln ∈ {5,6,7} as new outer
+    * slabs (whole new chunks, in-place shape edit), read the combined
+    * store back. The oracle is z6's full-grid query — append must be
+    * indistinguishable from having written everything at once. */
+  def z8_zarr_append(s: SparkSession, dir: String): DataFrame = {
+    val li = graft.operators.Tables.load(s, dir, "lineitem")
+    def grid(cond: org.apache.spark.sql.Column) = li.filter(cond).select(
+        col("l_linenumber").cast("long").as("ln"),
+        (col("l_orderkey") % 4).cast("long").as("k"),
+        col("l_quantity").cast("long").as("qty"))
+      .groupBy("ln", "k").agg(sum(col("qty")).as("sum_qty"))
+    val out = s"${System.getProperty("java.io.tmpdir")}/graft_z8_${math.abs(dir.hashCode)}.zarr"
+    grid(col("l_linenumber") <= 4).write.format("zarr")
+      .option("coords", "ln,k").option("chunkOuter", "2")
+      .option("compressor", "zstd")
+      .mode("overwrite").save(out)
+    grid(col("l_linenumber") > 4).write.format("zarr").mode("append").save(out)
+    s.read.format("zarr").load(out).select("ln", "k", "sum_qty")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "z1_zarr_group_agg" -> (z1_zarr_group_agg _),
     "z2_zarr_filter_slice" -> (z2_zarr_filter_slice _),
@@ -169,7 +190,8 @@ object ZarrQueries {
     "z4_zarr_topk" -> (z4_zarr_topk _),
     "z5_zarr_range" -> (z5_zarr_range _),
     "z6_zarr_roundtrip" -> (z6_zarr_roundtrip _),
-    "z7_zarr_kerchunk" -> (z7_zarr_kerchunk _))
+    "z7_zarr_kerchunk" -> (z7_zarr_kerchunk _),
+    "z8_zarr_append" -> (z8_zarr_append _))
 
   val oracle: Map[String, String] = Map(
     "z1_zarr_group_agg" -> z1Sql,
@@ -178,5 +200,6 @@ object ZarrQueries {
     "z4_zarr_topk" -> z4Sql,
     "z5_zarr_range" -> z5Sql,
     "z6_zarr_roundtrip" -> z6Sql,
-    "z7_zarr_kerchunk" -> z7Sql)
+    "z7_zarr_kerchunk" -> z7Sql,
+    "z8_zarr_append" -> z6Sql) // append ≡ one-shot write of the full grid
 }
