@@ -85,6 +85,48 @@ class ZarrAppendSpec extends AnyFunSuite {
       || zmeta.replaceAll("\\s", "").contains(""""shape":[4"""), zmeta.take(400))
   }
 
+  test("streaming ingest: each micro-batch appends a time slab") {
+    import spark.implicits._
+    import java.nio.file.StandardCopyOption
+    val streamDir = Files.createTempDirectory("zarr_ingest")
+    def put(name: String, ts: Seq[Long]): Unit = {
+      val tmp = Files.createTempDirectory("zarr_ingest_b")
+      grid(ts).coalesce(1).write.mode("overwrite").parquet(tmp.resolve("o").toString)
+      val part = Files.list(tmp.resolve("o"))
+        .filter(_.getFileName.toString.endsWith(".parquet")).findFirst().get()
+      Files.copy(part, streamDir.resolve(name), StandardCopyOption.REPLACE_EXISTING)
+    }
+    put("b0.parquet", Seq(0L, 1L))
+    put("b1.parquet", Seq(2L, 3L))
+    put("b2.parquet", Seq(4L, 5L))
+    // batch order follows modification time; pin distinct stamps so
+    // the three triggers arrive in slab order
+    Seq("b0", "b1", "b2").zipWithIndex.foreach { case (n, i) =>
+      Files.setLastModifiedTime(streamDir.resolve(s"$n.parquet"),
+        java.nio.file.attribute.FileTime.fromMillis(1000000000000L + i * 60000L))
+    }
+    val out = Files.createTempDirectory("zarr_ingest_out").resolve("s.zarr").toString
+    val sdf = spark.readStream
+      .schema(grid(Seq(0L)).schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(streamDir.toString)
+    val q = sdf.writeStream.outputMode("append").foreachBatch {
+      (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        // batches may arrive in any file order within a trigger set, but
+        // maxFilesPerTrigger=1 + increasing mtimes keep them sequential
+        val sorted = batch.orderBy("t", "x")
+        val exists = Files.exists(java.nio.file.Paths.get(out, ".zgroup"))
+        if (!exists)
+          sorted.write.format("zarr").option("coords", "t,x")
+            .option("chunkOuter", "2").mode("overwrite").save(out)
+        else sorted.write.format("zarr").mode("append").save(out)
+    }.start()
+    try q.processAllAvailable() finally q.stop()
+    val back = spark.read.format("zarr").load(out)
+    assert(back.orderBy("t", "x").collect().map(_.toSeq).toSeq ==
+      grid(0L to 5L).orderBy("t", "x").collect().map(_.toSeq).toSeq)
+  }
+
   test("SQL INSERT INTO appends") {
     val out = fresh(Seq(0L, 1L))
     spark.sql(s"CREATE TABLE zappend USING zarr OPTIONS (path '$out', coords 't,x')")
