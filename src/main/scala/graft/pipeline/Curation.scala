@@ -304,6 +304,42 @@ object Curation {
         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 2048 AS BIGINT) AS pack_id
     FROM toks"""
 
+  // ------------------------------------------------- c8 decontamination
+
+  /** Benchmark decontamination: flag training documents that share any
+    * word 5-gram with the held-out eval set (docs with
+    * `doc_id % 37 = 0` stand in for the benchmark suite) — the
+    * standard n-gram-overlap contamination check run before
+    * pretraining. The eval gram set is tiny by construction (a
+    * benchmark is fixed-size while the corpus grows), so it is
+    * BROADCAST and the 100 TB side is a single scan + broadcast-hash
+    * join + per-doc count: no shuffle of the corpus grams at all. */
+  def c8_decontaminate(s: SparkSession, dir: String): DataFrame = {
+    val grams = docs(s, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .filter(size(col("w")) >= 5)
+      .select(col("doc_id"),
+        explode(expr("transform(sequence(1, size(w)-4), i -> concat_ws(' ', slice(w, i, 5)))")).as("g"))
+      .distinct()
+    val evalGrams = grams.filter(col("doc_id") % 37 === 0).select("g").distinct()
+    grams.filter(col("doc_id") % 37 =!= 0)
+      .join(broadcast(evalGrams), "g")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).cast("long").as("n_shared"))
+  }
+
+  private val c8Sql = """
+    WITH grams AS (
+      SELECT DISTINCT doc_id, array_to_string(w[i:i+4], ' ') AS g
+      FROM (SELECT doc_id, w, UNNEST(range(1, LEN(w) - 3)) AS i
+            FROM (SELECT doc_id, STRING_SPLIT(text, ' ') AS w FROM documents
+                  WHERE LEN(STRING_SPLIT(text, ' ')) >= 5) a) b),
+    ev AS (SELECT DISTINCT g FROM grams WHERE doc_id % 37 = 0)
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_shared
+    FROM grams JOIN ev USING (g)
+    WHERE doc_id % 37 <> 0
+    GROUP BY doc_id"""
+
   // -------------------------------------------------------------- registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -314,6 +350,7 @@ object Curation {
     "c5_editdist_pairs" -> (c5_editdist_pairs _),
     "c6_pivot" -> (c6_pivot _),
     "c7_pack_sequences" -> (c7_pack_sequences _),
+    "c8_decontaminate" -> (c8_decontaminate _),
     "cp1_pipeline" -> (cp1_pipeline _))
 
   val oracle: Map[String, String] = Map(
@@ -324,5 +361,6 @@ object Curation {
     "c5_editdist_pairs" -> c5Sql,
     "c6_pivot" -> c6Sql,
     "c7_pack_sequences" -> c7Sql,
+    "c8_decontaminate" -> c8Sql,
     "cp1_pipeline" -> cp1Sql)
 }

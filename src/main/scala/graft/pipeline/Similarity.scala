@@ -255,15 +255,98 @@ object Similarity {
     FROM embeddings e JOIN norms n ON e.vec_id = n.vec_id
     GROUP BY e.label"""
 
+  // ------------------------------------------------------------ s5 k-means
+
+  private val kClusters = 4
+  private val qScaleBits = 20 // coordinates quantized to 2^-20
+
+  /** Two Lloyd iterations of k-means over the embedding corpus
+    * (seed centroids = the first k vectors; k=4). Coordinates are
+    * quantized once to integers (`round(x * 2^20)` — exact in double
+    * because a float scaled by a power of two is exact), after which
+    * EVERY step is int64 arithmetic: squared distances are in-order
+    * integer folds, centroid means are exact integer sums floor-divided
+    * — so the result is bit-identical on any partitioning, any engine,
+    * any summation order (cross-row float sums never happen).
+    *
+    * Scale posture: centroids are k×d values — always broadcast; the
+    * assignment pass is a single corpus scan (no shuffle of the big
+    * side). The centroid recompute explodes to (vec, dim) rows but
+    * groupBy(cid, dim) partially aggregates map-side, so the shuffle
+    * is k·d rows per input partition regardless of corpus size. At
+    * 100 TB the per-(cid,dim) int64 sum can pass 2^53 — keep it in
+    * `sum(v)` (int64, exact) and only the final mean division goes
+    * through double, which is exact while sums stay under 2^53 (here
+    * ≤ 2^31); beyond that, switch the division to DECIMAL. */
+  def s5_kmeans(s: SparkSession, dir: String): DataFrame = {
+    val q = emb(s, dir).select(col("vec_id"),
+      expr(s"transform(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE) * ${1L << qScaleBits}.0) AS BIGINT))")
+        .as("qv"))
+    val c0 = q.filter(col("vec_id") < kClusters)
+      .select(col("vec_id").as("cid"), col("qv").as("cv"))
+    def assign(cents: DataFrame): DataFrame =
+      q.crossJoin(broadcast(cents))
+        .withColumn("dist",
+          expr("aggregate(zip_with(qv, cv, (x, y) -> (x - y) * (x - y)), CAST(0 AS BIGINT), (acc, v) -> acc + v)"))
+        .groupBy("vec_id")
+        .agg(min(struct(col("dist"), col("cid"))).as("best"))
+        .select(col("vec_id"), col("best.cid").as("cid"), col("best.dist").as("dist"))
+    val a1 = assign(c0)
+    val means = q.join(a1.select("vec_id", "cid"), "vec_id")
+      .select(col("cid"), posexplode(col("qv")).as(Seq("dim", "v")))
+      .groupBy("cid", "dim")
+      .agg(floor(sum("v").cast("double") / count(lit(1))).cast("long").as("cvd"))
+    val c1 = means.groupBy("cid")
+      .agg(expr("transform(array_sort(collect_list(struct(dim, cvd))), p -> p.cvd)").as("cv"))
+    assign(c1).select(col("vec_id"), col("cid").cast("long").as("cluster"), col("dist").as("dist2"))
+  }
+
+  private val s5Sql = s"""
+    WITH q AS (
+      SELECT vec_id,
+        LIST_TRANSFORM(embedding,
+          x -> CAST(ROUND(CAST(x AS DOUBLE) * ${1L << qScaleBits}.0) AS BIGINT)) AS qv
+      FROM embeddings),
+    c0 AS (SELECT vec_id AS cid, qv AS cv FROM q WHERE vec_id < $kClusters),
+    d1 AS (
+      SELECT q.vec_id, c.cid,
+        (SELECT SUM((x - y) * (x - y))
+         FROM (SELECT UNNEST(q.qv) AS x, UNNEST(c.cv) AS y) z) AS dist
+      FROM q CROSS JOIN c0 c),
+    a1 AS (
+      SELECT vec_id, cid FROM (
+        SELECT vec_id, cid,
+          ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rk
+        FROM d1) x WHERE rk = 1),
+    m1 AS (
+      SELECT a1.cid, e.dim,
+        CAST(FLOOR(CAST(SUM(e.v) AS DOUBLE) / COUNT(*)) AS BIGINT) AS cvd
+      FROM (SELECT vec_id, UNNEST(range(1, $dim + 1)) AS dim, UNNEST(qv) AS v FROM q) e
+      JOIN a1 ON a1.vec_id = e.vec_id
+      GROUP BY a1.cid, e.dim),
+    c1 AS (SELECT cid, LIST(cvd ORDER BY dim) AS cv FROM m1 GROUP BY cid),
+    d2 AS (
+      SELECT q.vec_id, c.cid,
+        (SELECT SUM((x - y) * (x - y))
+         FROM (SELECT UNNEST(q.qv) AS x, UNNEST(c.cv) AS y) z) AS dist
+      FROM q CROSS JOIN c1 c)
+    SELECT vec_id, CAST(cid AS BIGINT) AS cluster, CAST(dist AS BIGINT) AS dist2
+    FROM (SELECT vec_id, cid, dist,
+            ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rk
+          FROM d2) x
+    WHERE rk = 1"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s1_ann_brute" -> (s1_ann_brute _),
     "s2_ann_lsh" -> (s2_ann_lsh _),
     "s3_ann_ivf" -> (s3_ann_ivf _),
-    "s4_embed_stats" -> (s4_embed_stats _))
+    "s4_embed_stats" -> (s4_embed_stats _),
+    "s5_kmeans" -> (s5_kmeans _))
 
   val oracle: Map[String, String] = Map(
     "s1_ann_brute" -> s1Sql,
     "s2_ann_lsh" -> s2Sql,
     "s3_ann_ivf" -> s3Sql,
-    "s4_embed_stats" -> s4Sql)
+    "s4_embed_stats" -> s4Sql,
+    "s5_kmeans" -> s5Sql)
 }

@@ -197,17 +197,90 @@ object TextAnalysis {
       CAST(LENGTH(TRIM(REGEXP_REPLACE(REGEXP_REPLACE(text, '\b(the|a|of|and|to|in|is|it)\b', '', 'g'), ' +', ' ', 'g'))) AS BIGINT) AS clean_len
     FROM documents"""
 
+  /** Repetition signals (Gopher-style quality filters, Rae et al.
+    * 2021 §A1.1): fraction of words covered by the most frequent
+    * unigram/bigram, and the fraction of word trigrams that occur
+    * more than once — the "is this document degenerate boilerplate"
+    * filter of a pretraining pipeline. Each n-gram family is an
+    * explode → two-level aggregate (map-side partial combine, shuffle
+    * key = (doc_id, gram) then doc_id), so the shuffle volume is
+    * O(total words) and per-doc state is one counter — linear at any
+    * corpus size. Counts are exact int64; the fractions are single
+    * int÷int double divisions (identical in both engines). */
+  def t6_text_repetition(s: SparkSession, dir: String): DataFrame = {
+    val words = docs(s, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .filter(size(col("w")) >= 3)
+    def gramCounts(gram: DataFrame): DataFrame =
+      gram.groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
+    val uni = gramCounts(words.select(col("doc_id"), explode(col("w")).as("g")))
+      .groupBy("doc_id").agg(
+        sum("c").cast("long").as("n_words"),
+        count(lit(1)).cast("long").as("distinct_words"),
+        max("c").cast("long").as("top1_count"))
+    val bi = gramCounts(words.select(col("doc_id"),
+        explode(expr("transform(sequence(1, size(w)-1), i -> concat(w[i-1], ' ', w[i]))")).as("g")))
+      .groupBy("doc_id").agg(max("c").cast("long").as("top2_count"))
+    val tri = gramCounts(words.select(col("doc_id"),
+        explode(expr("transform(sequence(1, size(w)-2), i -> concat(w[i-1], ' ', w[i], ' ', w[i+1]))")).as("g")))
+      .groupBy("doc_id").agg(
+        sum(when(col("c") > 1, col("c")).otherwise(lit(0L))).cast("long").as("dup3_words"),
+        sum("c").cast("long").as("n_tri"))
+    uni.join(bi, "doc_id").join(tri, "doc_id")
+      .select(col("doc_id"), col("n_words"), col("distinct_words"),
+        col("top1_count"), col("top2_count"), col("dup3_words"),
+        (col("top1_count") / col("n_words")).as("top1_frac"),
+        (col("top2_count") / (col("n_words") - 1)).as("top2_frac"),
+        (col("dup3_words") / col("n_tri")).as("dup3_frac"))
+  }
+
+  private val t6Sql = """
+    WITH w AS (
+      SELECT doc_id, STRING_SPLIT(text, ' ') AS w FROM documents
+      WHERE LEN(STRING_SPLIT(text, ' ')) >= 3),
+    uni AS (
+      SELECT doc_id,
+        CAST(SUM(c) AS BIGINT) AS n_words,
+        CAST(COUNT(*) AS BIGINT) AS distinct_words,
+        CAST(MAX(c) AS BIGINT) AS top1_count
+      FROM (SELECT doc_id, g, COUNT(*) AS c
+            FROM (SELECT doc_id, UNNEST(w) AS g FROM w) x GROUP BY 1, 2) u
+      GROUP BY doc_id),
+    bi AS (
+      SELECT doc_id, CAST(MAX(c) AS BIGINT) AS top2_count
+      FROM (SELECT doc_id, g, COUNT(*) AS c
+            FROM (SELECT doc_id, w[i] || ' ' || w[i+1] AS g
+                  FROM (SELECT doc_id, w, UNNEST(range(1, LEN(w))) AS i FROM w) y) x
+            GROUP BY 1, 2) u
+      GROUP BY doc_id),
+    tri AS (
+      SELECT doc_id,
+        CAST(SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT) AS dup3_words,
+        CAST(SUM(c) AS BIGINT) AS n_tri
+      FROM (SELECT doc_id, g, COUNT(*) AS c
+            FROM (SELECT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS g
+                  FROM (SELECT doc_id, w, UNNEST(range(1, LEN(w) - 1)) AS i FROM w) y) x
+            GROUP BY 1, 2) u
+      GROUP BY doc_id)
+    SELECT uni.doc_id, n_words, distinct_words, top1_count, top2_count, dup3_words,
+      top1_count / n_words AS top1_frac,
+      top2_count / (n_words - 1) AS top2_frac,
+      dup3_words / n_tri AS dup3_frac
+    FROM uni JOIN bi ON uni.doc_id = bi.doc_id JOIN tri ON uni.doc_id = tri.doc_id"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t1_text_tokens" -> (t1_text_tokens _),
     "t2_text_quality" -> (t2_text_quality _),
     "t3_text_langid" -> (t3_text_langid _),
     "t4_text_fingerprint" -> (t4_text_fingerprint _),
-    "t5_text_clean" -> (t5_text_clean _))
+    "t5_text_clean" -> (t5_text_clean _),
+    "t6_text_repetition" -> (t6_text_repetition _))
 
   val oracle: Map[String, String] = Map(
     "t1_text_tokens" -> t1Sql,
     "t2_text_quality" -> t2Sql,
     "t3_text_langid" -> t3Sql,
     "t4_text_fingerprint" -> t4Sql,
-    "t5_text_clean" -> t5Sql)
+    "t5_text_clean" -> t5Sql,
+    "t6_text_repetition" -> t6Sql)
 }

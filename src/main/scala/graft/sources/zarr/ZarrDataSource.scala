@@ -182,6 +182,17 @@ object ZarrDataSource {
     val compressor = params.getOrElse("compressor", "none")
     val chunkShape = params.get("chunkshape")
       .map(_.split(",").map(_.trim.toInt).toSeq).getOrElse(Nil)
+    // store integral columns as unsigned dtypes: "counts:4,flags:u1"
+    // (width in bytes, optional "u" prefix); reads widen back per
+    // SURVEY §1.5, and every element is range-checked on write
+    val uintColumns: Map[String, Int] = params.get("uintcolumns")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).map { entry =>
+        entry.split(":").map(_.trim) match {
+          case Array(n, w) => n -> w.stripPrefix("u").toInt
+          case _ => throw new IllegalArgumentException(
+            s"uintColumns entry '$entry' must be '<column>:<width-bytes>'")
+        }
+      }.toMap).getOrElse(Map.empty)
     if (ZarrStore.open(path).isInstanceOf[HttpStore])
       throw new UnsupportedOperationException(
         s"HTTP Zarr stores are read-only; cannot write to $path")
@@ -198,7 +209,8 @@ object ZarrDataSource {
       s".__graft_tmp_${java.util.UUID.randomUUID().toString.take(8)}"
     try ZarrWriter.write(data, tmpPath, coords, chunkOuter, version, shardInner,
       shardCompress, compressor, chunkShape,
-      deltaFilter = params.get("deltafilter").exists(_.toBoolean))
+      deltaFilter = params.get("deltafilter").exists(_.toBoolean),
+      uintColumns = uintColumns)
     catch { case e: Throwable =>
       try ZarrStore.open(tmpPath).deleteRecursively()
       catch { case cleanup: Exception => e.addSuppressed(cleanup) }

@@ -55,6 +55,44 @@ object ZarrWriter {
     case other => dtypeOf(other)
   }
 
+  /** Effective data-variable dtype: `uintColumns` stores an integral
+    * column as unsigned of `w` bytes (`|u1`/`<u2`/`<u4`/`<u8`). Spark
+    * has no unsigned types, so reads widen per SURVEY §1.5 (u1→Short,
+    * u2→Int, u4/u8→Long); writing that widened type back through
+    * `uintColumns` round-trips losslessly — every element is
+    * range-checked at serialization time. */
+  private def varDtype(name: String, t: DataType, uint: Map[String, Int]): (String, Int) =
+    uint.get(name) match {
+      case Some(w) =>
+        require(Set(1, 2, 4, 8)(w),
+          s"uintColumns width for '$name' must be 1, 2, 4 or 8 bytes, got $w")
+        t match {
+          case ByteType | ShortType | IntegerType | LongType => ()
+          case other => throw new IllegalArgumentException(
+            s"uintColumns column '$name' must be an integral type, got $other")
+        }
+        (if (w == 1) "|u1" else s"<u$w", w)
+      case None => dtypeOf(t)
+    }
+
+  /** Serialize one element as unsigned little-endian of `w` bytes.
+    * Range-checked, so a read (which widens back to the signed Spark
+    * type) returns exactly the written value. */
+  private def putUint(buf: ByteBuffer, offset: Int, w: Int, v: Any): Unit = {
+    val x = v match {
+      case n: java.lang.Number => n.longValue()
+      case other => throw new IllegalArgumentException(s"not an integer: $other")
+    }
+    val max = if (w == 8) Long.MaxValue else (1L << (8 * w)) - 1
+    require(x >= 0 && x <= max, s"value $x out of range for uint${8 * w}")
+    w match {
+      case 1 => buf.put(offset, x.toByte)
+      case 2 => buf.putShort(offset * 2, x.toShort)
+      case 4 => buf.putInt(offset * 4, x.toInt)
+      case _ => buf.putLong(offset * 8, x)
+    }
+  }
+
   private def epochMicros(v: Any): Long = v match {
     case t: java.sql.Timestamp =>
       Math.addExact(Math.multiplyExact(Math.floorDiv(t.getTime, 1000L), 1000000L),
@@ -115,29 +153,29 @@ object ZarrWriter {
     * .deltaDecode). Regular grids (time steps, sequential ids) become
     * near-constant streams, which is where the compressor ratio comes
     * from. */
-  private def deltaEncode(raw: Array[Byte], t: DataType): Array[Byte] = {
+  private def deltaEncode(raw: Array[Byte], width: Int): Array[Byte] = {
     val buf = ByteBuffer.wrap(raw).order(ByteOrder.LITTLE_ENDIAN)
-    t match {
-      case LongType | TimestampType =>
+    width match {
+      case 8 =>
         val n = raw.length / 8
         var prev = if (n > 0) buf.getLong(0) else 0L
         var i = 1
         while (i < n) { val cur = buf.getLong(i * 8); buf.putLong(i * 8, cur - prev); prev = cur; i += 1 }
-      case IntegerType =>
+      case 4 =>
         val n = raw.length / 4
         var prev = if (n > 0) buf.getInt(0) else 0
         var i = 1
         while (i < n) { val cur = buf.getInt(i * 4); buf.putInt(i * 4, cur - prev); prev = cur; i += 1 }
-      case ShortType =>
+      case 2 =>
         val n = raw.length / 2
         var prev = if (n > 0) buf.getShort(0) else 0.toShort
         var i = 1
         while (i < n) { val cur = buf.getShort(i * 2); buf.putShort(i * 2, (cur - prev).toShort); prev = cur; i += 1 }
-      case ByteType =>
+      case 1 =>
         var prev = if (raw.length > 0) raw(0) else 0.toByte
         var i = 1
         while (i < raw.length) { val cur = raw(i); raw(i) = (cur - prev).toByte; prev = cur; i += 1 }
-      case other => throw new IllegalArgumentException(s"delta filter not writable for $other")
+      case other => throw new IllegalArgumentException(s"delta filter not writable at width $other")
     }
     raw
   }
@@ -153,19 +191,24 @@ object ZarrWriter {
       .stripMargin.replace("\n", "")
   }
 
-  private def v3TypeName(t: DataType): String = t match {
-    case LongType => "int64"
-    case IntegerType => "int32"
-    case ShortType => "int16"
-    case ByteType => "int8"
-    case DoubleType => "float64"
-    case FloatType => "float32"
-    case BooleanType => "bool"
-    case other => throw new IllegalArgumentException(s"Unsupported Zarr write type: $other")
+  private def v3TypeName(dtype: String): String = dtype.drop(1) match {
+    case "i8" => "int64"
+    case "i4" => "int32"
+    case "i2" => "int16"
+    case "i1" => "int8"
+    case "u8" => "uint64"
+    case "u4" => "uint32"
+    case "u2" => "uint16"
+    case "u1" => "uint8"
+    case "f8" => "float64"
+    case "f4" => "float32"
+    case "b1" => "bool"
+    case other => throw new IllegalArgumentException(
+      s"No Zarr v3 data type for dtype $dtype")
   }
 
-  private def zarrJsonV3(shape: Seq[Long], chunks: Seq[Int], t: DataType,
-      attrsJson: Option[String], shardInner: Int = 0,
+  private def zarrJsonV3(shape: Seq[Long], chunks: Seq[Int], dtypeStr: String,
+      typesize: Int, attrsJson: Option[String], shardInner: Int = 0,
       shardCompress: String = "none", compressor: String = "none"): String = {
     val attrs = attrsJson.map(a => s""","attributes":$a""").getOrElse("")
     val bytesCodec = """{"name":"bytes","configuration":{"endian":"little"}}"""
@@ -175,7 +218,7 @@ object ZarrWriter {
       case "gzip" => s"""[$bytesCodec,{"name":"gzip","configuration":{"level":5}}]"""
       case "blosc" =>
         s"""[$bytesCodec,{"name":"blosc","configuration":{"cname":"lz4",""" +
-          s""""clevel":5,"shuffle":"shuffle","typesize":${dtypeOf(t)._2}}}]"""
+          s""""clevel":5,"shuffle":"shuffle","typesize":$typesize}}]"""
       case other => throw new IllegalArgumentException(
         s"Unsupported write compressor: $other")
     }
@@ -190,7 +233,7 @@ object ZarrWriter {
            |"index_location":"end"}}]""".stripMargin.replace("\n", "")
       }
     s"""{"zarr_format":3,"node_type":"array","shape":[${shape.mkString(",")}],
-       |"data_type":"${v3TypeName(t)}",
+       |"data_type":"${v3TypeName(dtypeStr)}",
        |"chunk_grid":{"name":"regular","configuration":{"chunk_shape":[${chunks.mkString(",")}]}},
        |"chunk_key_encoding":{"name":"default","configuration":{"separator":"/"}},
        |"fill_value":0,
@@ -249,10 +292,13 @@ object ZarrWriter {
   def write(df: DataFrame, path: String, coords: Seq[String], chunkOuter: Int = 1,
       version: Int = 2, shardInner: Int = 0, shardCompress: String = "none",
       compressor: String = "none", chunkShape: Seq[Int] = Nil,
-      deltaFilter: Boolean = false): Unit = {
+      deltaFilter: Boolean = false,
+      uintColumns: Map[String, Int] = Map.empty): Unit = {
     require(version == 2 || version == 3, s"zarrVersion must be 2 or 3, got $version")
     require(!deltaFilter || version == 2,
       "deltaFilter requires zarrVersion=2 (numcodecs filters are a v2 concept)")
+    require(uintColumns.isEmpty || !deltaFilter,
+      "uintColumns cannot combine with deltaFilter (numcodecs delta is declared on the signed dtype)")
     require(shardInner == 0 || compressor == "none",
       "shardInner and compressor are mutually exclusive (use shardCompress for sharded stores)")
     compressorJson(compressor) // validate early
@@ -262,6 +308,8 @@ object ZarrWriter {
     val schema = df.schema
     val varCols = schema.fieldNames.filterNot(coords.contains).toSeq
     require(varCols.nonEmpty, "at least one data-variable column")
+    uintColumns.keys.foreach(k => require(varCols.contains(k),
+      s"uintColumns names '$k', which is not a data-variable column"))
 
     // 1. coordinate values (small, driver-side), sorted ascending
     val coordVals: Seq[Array[Any]] = coords.map { c =>
@@ -302,7 +350,7 @@ object ZarrWriter {
       if (md == org.apache.spark.sql.types.Metadata.empty) None else Some(md.json)
     }
     def writeArrayMeta(name: String, aShape: Seq[Long], aChunks: Seq[Int],
-        dtypeStr: String): Unit = {
+        dtypeStr: String, typesize: Int): Unit = {
       val t = schema(name).dataType
       if (version == 2) {
         store.writeBytes(s"$name/.zarray",
@@ -313,8 +361,8 @@ object ZarrWriter {
         // only data variables shard (aShape == full grid shape)
         val si = if (aShape == shape) shardInner else 0
         store.writeBytes(s"$name/zarr.json",
-          zarrJsonV3(aShape, aChunks, t, attrsJson(name), si, shardCompress,
-            compressor).getBytes)
+          zarrJsonV3(aShape, aChunks, dtypeStr, typesize, attrsJson(name), si,
+            shardCompress, compressor).getBytes)
       }
     }
     coords.zip(coordVals).foreach { case (name, vals) =>
@@ -323,15 +371,18 @@ object ZarrWriter {
         s"string/datetime coordinate '$name' requires zarrVersion=2 " +
           "(Zarr v3 core has no fixed-width string or datetime64 data type)")
       val (dtypeStr, elem) = coordDtype(t, vals)
-      writeArrayMeta(name, Seq(vals.length.toLong), Seq(vals.length), dtypeStr)
+      writeArrayMeta(name, Seq(vals.length.toLong), Seq(vals.length), dtypeStr, elem)
       val buf = ByteBuffer.allocate(vals.length * elem).order(ByteOrder.LITTLE_ENDIAN)
       vals.zipWithIndex.foreach { case (v, j) => putValue(buf, j, elem, t, v) }
       val payload =
-        if (deltaFilter && deltaEligible(t)) deltaEncode(buf.array(), t) else buf.array()
+        if (deltaFilter && deltaEligible(t)) deltaEncode(buf.array(), elem) else buf.array()
       store.writeBytes(if (version == 2) s"$name/0" else s"$name/c/0",
         compressPayload(payload, compressor, elem))
     }
-    varCols.foreach(name => writeArrayMeta(name, shape, chunks, dtypeOf(schema(name).dataType)._1))
+    varCols.foreach { name =>
+      val (dtypeStr, elem) = varDtype(name, schema(name).dataType, uintColumns)
+      writeArrayMeta(name, shape, chunks, dtypeStr, elem)
+    }
 
     // Consolidated metadata: one-fetch discovery (required for
     // listing-less backends like HTTP). v2 → .zmetadata; v3 → embed
@@ -363,6 +414,12 @@ object ZarrWriter {
     val spark = df.sparkSession
     val bIdx = spark.sparkContext.broadcast(idxMaps)
     val varTypes = varCols.map(schema(_).dataType)
+    // (element width, unsigned?) per data variable — the serialized
+    // layout, which under uintColumns differs from the Spark type's
+    val varEnc: Seq[(Int, Boolean)] = varCols.map { n =>
+      val (ds, e) = varDtype(n, schema(n).dataType, uintColumns)
+      (e, ds.drop(1).startsWith("u"))
+    }
     val nOuterChunks = ((shape.head + outerChunk - 1) / outerChunk).toInt
 
     val outerName = coords.head
@@ -379,6 +436,7 @@ object ZarrWriter {
     val wCompressor = compressor
     val wChunks = chunks
     val wDelta = deltaFilter
+    val wVarEnc = varEnc
     def chunkRel(v: Int, ci: Seq[Int]): String =
       if (wVersion == 2) varCols(v) + "/" + ci.mkString(".")
       else (Seq(varCols(v), "c") ++ ci.map(_.toString)).mkString("/")
@@ -413,7 +471,7 @@ object ZarrWriter {
           // Zarr v2 edge chunks are stored at FULL chunk shape (the
           // overhang is fill padding) — readers size buffers from the
           // chunk shape, not the array shape
-          val (_, elem) = dtypeOf(varTypes(v))
+          val (elem, _) = wVarEnc(v)
           ByteBuffer.allocate(chunkCells.toInt * elem)
             .order(ByteOrder.LITTLE_ENDIAN)
         })
@@ -431,23 +489,24 @@ object ZarrWriter {
         val key = ci.toSeq
         var v = 0
         while (v < varCols.length) {
-          val (_, elem) = dtypeOf(varTypes(v))
+          val (elem, isU) = wVarEnc(v)
           val value = row.getAs[Any](varCols(v))
-          putValue(bufFor(key, v), local.toInt, elem, varTypes(v), value)
+          if (isU) putUint(bufFor(key, v), local.toInt, elem, value)
+          else putValue(bufFor(key, v), local.toInt, elem, varTypes(v), value)
           trackStat(key, v, value)
           v += 1
         }
       }
       buffers.toSeq.map { case ((ci, v), buf) =>
+        val (elem, _) = wVarEnc(v)
         val payload =
           if (wShardInner > 0)
-            shardify(buf.array(), wChunks.head / wShardInner, wShardCompress,
-              dtypeOf(varTypes(v))._2)
+            shardify(buf.array(), wChunks.head / wShardInner, wShardCompress, elem)
           else {
             val t = varTypes(v)
             val raw =
-              if (wDelta && deltaEligible(t)) deltaEncode(buf.array(), t) else buf.array()
-            compressPayload(raw, wCompressor, dtypeOf(t)._2)
+              if (wDelta && deltaEligible(t)) deltaEncode(buf.array(), elem) else buf.array()
+            compressPayload(raw, wCompressor, elem)
           }
         wStore.writeBytes(chunkRel(v, ci), payload)
         // widen by fill_value (0) ONLY for partially-filled chunks —
@@ -501,6 +560,7 @@ object ZarrWriter {
       case ('i', 4) => buf.putInt(offset * elem, v.asInstanceOf[Int])
       case ('i', 2) => buf.putShort(offset * elem, v.asInstanceOf[Short])
       case ('i', 1) => buf.put(offset * elem, v.asInstanceOf[Byte])
+      case ('u', w) => putUint(buf, offset, w, v)
       case ('f', 8) => buf.putDouble(offset * elem, v.asInstanceOf[Double])
       case ('f', 4) => buf.putFloat(offset * elem, v.asInstanceOf[Float])
       case ('b', _) => buf.put(offset * elem, if (v.asInstanceOf[Boolean]) 1.toByte else 0.toByte)
@@ -576,7 +636,7 @@ object ZarrWriter {
 
     val outer = meta0.coords.head
     val outerName = outer.meta.name
-    require("iM".contains(outer.meta.dtype.kind) || outer.meta.dtype.kind == 'f',
+    require("iuM".contains(outer.meta.dtype.kind) || outer.meta.dtype.kind == 'f',
       s"append outer coordinate must be numeric or datetime, got dtype ${outer.meta.dtype}")
     val outerChunk = meta0.dataVars.head.chunks.head
     require(meta0.dataVars.forall(_.chunks == meta0.dataVars.head.chunks),
@@ -669,7 +729,12 @@ object ZarrWriter {
               ByteBuffer.allocate(m.chunks.product * m.dtype.size)
                 .order(ByteOrder.LITTLE_ENDIAN))
             val value = row.getAs[Any](m.name)
-            putValue(buf, local.toInt, m.dtype.size, m.dtype.sparkType, value)
+            // unsigned dtypes carry a WIDENED Spark type (u4 → Long):
+            // serialize by the store dtype's width, never the Spark
+            // type's, or an 8-byte put at a 4-byte stride corrupts
+            // neighboring cells
+            if (m.dtype.kind == 'u') putUint(buf, local.toInt, m.dtype.size, value)
+            else putValue(buf, local.toInt, m.dtype.size, m.dtype.sparkType, value)
             trackStat(key, v, value)
             v += 1
           }
@@ -677,7 +742,7 @@ object ZarrWriter {
         buffers.toSeq.map { case ((ci, v), buf) =>
           val m = varMetas(v)
           val raw =
-            if (m.deltaFilter) deltaEncode(buf.array(), m.dtype.sparkType) else buf.array()
+            if (m.deltaFilter) deltaEncode(buf.array(), m.dtype.size) else buf.array()
           val payload = compressPayload(raw, codecNameOf(m.compressor, m.name), m.dtype.size)
           wStore.writeBytes(s"${m.name}/${m.chunkKey(ci)}", payload)
           val chunkCells = m.chunks.map(_.toLong).product
@@ -699,7 +764,7 @@ object ZarrWriter {
     newOuterVals.zipWithIndex.foreach { case (v, i) =>
       putRaw(cbuf, oldLen + i, cmeta.dtype, rawOf(v))
     }
-    val craw = if (cmeta.deltaFilter) deltaEncode(cbuf.array(), cmeta.dtype.sparkType)
+    val craw = if (cmeta.deltaFilter) deltaEncode(cbuf.array(), cmeta.dtype.size)
       else cbuf.array()
     store.writeBytes(s"$outerName/${cmeta.chunkKey(Seq(0L))}",
       compressPayload(craw, codecNameOf(cmeta.compressor, outerName), cmeta.dtype.size))
