@@ -1,6 +1,23 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
 object Bench {
+
+  /** Headline subset printed on the one-line JSON the driver captures
+    * from the log tail (~2000 chars — the FULL per-query map overflowed
+    * it in rounds 1-2 and the driver recorded `parsed: null`). One
+    * representative per operator family; the complete per-query map is
+    * written to BENCH_DETAIL.json alongside. */
+  private val headline = Seq(
+    "q1_agg", "q3_join_agg", "q4_multi_join", "q7_window_rownum",
+    "q11_topk", "q17_intersect_except", "q23_events_window",
+    "q26_asof_join", "q31_percentiles", "q33_funnel", "q37_recursive_cte",
+    "d1_dedup_exact", "d2_dedup_ngram", "d3_dedup_minhash", "d6_dedup_apply",
+    "s1_ann_brute", "s3_ann_ivf", "t4_text_fingerprint",
+    "c4_tfidf", "c7_pack_sequences", "cp1_pipeline", "k2_salted_join",
+    "m2_multimodal_frames", "st1_stream_window_agg", "st4_stream_join",
+    "z1_zarr_group_agg", "z5_zarr_range", "z6_zarr_roundtrip")
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -30,14 +47,20 @@ object Bench {
       }
     val p1 = timedPass(); val p2 = timedPass()
     val results = p1.zip(p2).map { case ((n, a), (_, b)) => n -> math.min(a, b) }
-    // 4-decimal rounding keeps the whole line under the log-tail window
-    // the driver captures (a full-precision line for 70+ queries was
-    // truncated mid-JSON in rounds 1-2)
     def r4(v: Double): String = String.format(java.util.Locale.ROOT, "%.4f", v)
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + r4(v) }
-      .mkString("{", ",", "}")
+    def jsonMap(rs: Seq[(String, Double)]): String =
+      rs.map { case (k, v) => s"\"" + k + "\":" + r4(v) }.mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":${r4(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // Full per-query detail to a repo file (the log-tail line is size-
+    // capped); total/sf/nq on both so either artifact stands alone.
+    val detail = s"""{"metric":"total","value":${r4(total)},"unit":"sec",""" +
+      s""""nq":${results.size},"queries":${jsonMap(results)},"sf":"$sfDir"}"""
+    try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_DETAIL.json"),
+      detail.getBytes("UTF-8"))
+    catch { case _: Exception => } // cwd not writable: the printed line still carries the headline
+    val head = results.filter { case (n, _) => headline.contains(n) }
+    println(s"""{"metric":"total","value":${r4(total)},"unit":"sec",""" +
+      s""""nq":${results.size},"queries":${jsonMap(head)},"sf":"$sfDir"}""")
     spark.stop()
   }
 }
