@@ -271,6 +271,7 @@ class ZarrTable(meta: ZarrStoreMeta) extends Table with SupportsRead
   override def schema(): StructType = meta.schema
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.MICRO_BATCH_READ,
       TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)
 
   /** `INSERT OVERWRITE` = full-grid replace through the same V1Write
@@ -473,7 +474,9 @@ class ZarrScanBuilder(meta: ZarrStoreMeta, options: CaseInsensitiveStringMap)
         // a round trip there) and OFF for local files; explicit option
         // wins either way
         prefetch = Option(options.get("prefetch")).map(_.toBoolean)
-          .getOrElse(!ZarrStore.open(meta.path).isInstanceOf[LocalStore]))
+          .getOrElse(!ZarrStore.open(meta.path).isInstanceOf[LocalStore]),
+        startingOffsetLatest =
+          Option(options.get("startingOffset")).exists(_.equalsIgnoreCase("latest")))
   }
 }
 
@@ -490,7 +493,8 @@ class ZarrScan(
     chunkCacheEntries: Int = 0,
     varPreds: Map[String, Seq[GridMath.CoordPred]] = Map.empty,
     offset: Long = 0L,
-    prefetch: Boolean = false)
+    prefetch: Boolean = false,
+    startingOffsetLatest: Boolean = false)
     extends Scan with Batch with SupportsReportStatistics
     with SupportsRuntimeV2Filtering {
 
@@ -555,6 +559,19 @@ class ZarrScan(
   override def readSchema(): StructType = requiredSchema
 
   override def toBatch: Batch = this
+
+  /** `spark.readStream.format("zarr")`: the store's outer dimension is
+    * the stream — each micro-batch covers the slabs the append sink
+    * added since the last trigger. Column pruning and coordinate
+    * predicates push through (predicates re-evaluated per batch
+    * against the grown coordinate arrays); limit/offset/agg pushdown
+    * don't arise on streaming plans. Option `startingOffset=latest`
+    * skips the pre-existing grid. */
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new ZarrMicroBatchStream(meta.path, requiredSchema, coordPreds,
+      minRowsPerPartition, fillAsNull, chunkCacheEntries, prefetch,
+      startFromLatest = startingOffsetLatest)
 
   override def description(): String = {
     val r = ranges.map(_.map { case (s, e) => s"[$s,$e)" }.mkString(",")).getOrElse("EMPTY")

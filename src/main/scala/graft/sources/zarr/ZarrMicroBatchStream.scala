@@ -1,0 +1,100 @@
+package graft.sources.zarr
+
+import org.apache.spark.sql.connector.read.{InputPartition, PartitionReaderFactory}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.types.StructType
+
+/** Stream position over a growing Zarr store: the outer-dimension
+  * extent (number of outer-index slabs present). The append sink
+  * ([[ZarrWriter.append]]) only ever extends the outer dimension —
+  * whole new chunks, metadata shape edited last — so "rows seen" is
+  * exactly "outer slabs seen", and the offset is a single monotonic
+  * long. This is the time-series ingest pairing: one job appends
+  * arriving time steps, any number of `readStream` consumers follow.
+  */
+final case class ZarrOffset(outer: Long) extends Offset {
+  override def json(): String = s"""{"outer":$outer}"""
+}
+
+/** Micro-batch stream over a Zarr store's outer dimension — the
+  * Structured Streaming face of the connector (the reference is
+  * bounded-only, physical_plan/zarr_exec.rs:101-102; streaming is the
+  * idiomatic Spark extension of its append roadmap).
+  *
+  * Each batch `[start, end)` covers the outer slabs appended since the
+  * last trigger and reuses the batch reader machinery unchanged
+  * ([[ZarrInputPartition]] slices with dim 0 clamped to the window).
+  * Store metadata is re-read at every `latestOffset`/plan call:
+  * appends edit the shape in place, and crash ordering (chunks land
+  * before metadata) guarantees any extent the metadata advertises is
+  * fully readable.
+  *
+  * Pushed coordinate predicates are re-evaluated against the FRESH
+  * coordinate arrays on every batch — a predicate on the outer
+  * (time) dimension must see values that did not exist when the
+  * stream started. Filters stay Inexact (Spark re-applies them), so
+  * the re-evaluated bounding ranges only need to be a superset per
+  * batch. */
+class ZarrMicroBatchStream(
+    path: String,
+    requiredSchema: StructType,
+    coordPreds: Map[Int, Seq[GridMath.CoordPred]],
+    minRowsPerPartition: Long,
+    fillAsNull: Boolean,
+    chunkCacheEntries: Int,
+    prefetch: Boolean,
+    startFromLatest: Boolean) extends MicroBatchStream {
+
+  private def freshMeta: ZarrStoreMeta = ZarrMeta.readStore(path)
+
+  private def outerExtent(meta: ZarrStoreMeta): Long =
+    if (meta.coords.isEmpty) 0L else meta.coords.head.length.toLong
+
+  override def initialOffset(): Offset =
+    ZarrOffset(if (startFromLatest) outerExtent(freshMeta) else 0L)
+
+  override def latestOffset(): Offset = ZarrOffset(outerExtent(freshMeta))
+
+  override def deserializeOffset(json: String): Offset = {
+    val m = """\{\s*"outer"\s*:\s*(\d+)\s*\}""".r
+    json.trim match {
+      case m(n) => ZarrOffset(n.toLong)
+      case other => throw new IllegalArgumentException(s"Bad ZarrOffset json: $other")
+    }
+  }
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val s0 = start.asInstanceOf[ZarrOffset].outer
+    val e0 = end.asInstanceOf[ZarrOffset].outer
+    if (e0 <= s0) return Array.empty
+    val meta = freshMeta
+    GridMath.coordRangesPred(meta.coords.map(_.doubles), coordPreds) match {
+      case None => Array.empty // predicate matches nothing in the current grid
+      case Some(r) =>
+        val lo = math.max(r(0)._1, s0.toInt)
+        val hi = math.min(r(0)._2, e0.toInt)
+        if (lo >= hi) return Array.empty
+        val ranges = r.updated(0, (lo, hi))
+        val outerChunk = meta.dataVars.map(_.chunks.head)
+          .reduceOption(math.min).filter(_ > 0).getOrElse(1)
+        val projection: Seq[ProjField] = requiredSchema.fields.toSeq.map { f =>
+          val ci = meta.coordNames.indexOf(f.name)
+          if (ci >= 0) CoordField(ci)
+          else VarField(meta.dataVars.find(_.name == f.name).getOrElse(
+            throw new IllegalArgumentException(s"Unknown column ${f.name}")))
+        }
+        GridMath.partitionSlices(ranges, outerChunk, None, minRowsPerPartition)
+          .map(s => ZarrInputPartition(path, s._1, s._2, ranges, meta.coords,
+            projection, fillAsNull, chunkCacheEntries, prefetch): InputPartition)
+          .toArray
+    }
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory = new ZarrReaderFactory
+
+  override def commit(end: Offset): Unit = {}
+  override def stop(): Unit = {}
+
+  override def toString: String =
+    s"ZarrMicroBatchStream(path=$path, preds=${coordPreds.size})"
+}

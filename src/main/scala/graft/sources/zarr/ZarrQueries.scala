@@ -183,6 +183,34 @@ object ZarrQueries {
     s.read.format("zarr").load(out).select("ln", "k", "sum_qty")
   }
 
+  /** Streaming read INSIDE the graded gate: write the ln ≤ 4 half of
+    * the z6 grid, follow the store with `readStream` (offset = outer
+    * extent), append ln ∈ {5,6,7} while the stream runs, drain to a
+    * memory sink. The union of micro-batches must equal the one-shot
+    * batch read — same oracle as z6/z8. */
+  def z9_zarr_stream(s: SparkSession, dir: String): DataFrame = {
+    val li = graft.operators.Tables.load(s, dir, "lineitem")
+    def grid(cond: org.apache.spark.sql.Column) = li.filter(cond).select(
+        col("l_linenumber").cast("long").as("ln"),
+        (col("l_orderkey") % 4).cast("long").as("k"),
+        col("l_quantity").cast("long").as("qty"))
+      .groupBy("ln", "k").agg(sum(col("qty")).as("sum_qty"))
+    val out = s"${System.getProperty("java.io.tmpdir")}/graft_z9_${math.abs(dir.hashCode)}.zarr"
+    grid(col("l_linenumber") <= 4).write.format("zarr")
+      .option("coords", "ln,k").option("chunkOuter", "2")
+      .option("compressor", "zstd")
+      .mode("overwrite").save(out)
+    val q = s.readStream.format("zarr").load(out)
+      .select("ln", "k", "sum_qty")
+      .writeStream.outputMode("append").format("memory").queryName("z9_out").start()
+    try {
+      q.processAllAvailable()
+      grid(col("l_linenumber") > 4).write.format("zarr").mode("append").save(out)
+      q.processAllAvailable()
+    } finally q.stop()
+    s.table("z9_out")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "z1_zarr_group_agg" -> (z1_zarr_group_agg _),
     "z2_zarr_filter_slice" -> (z2_zarr_filter_slice _),
@@ -191,7 +219,8 @@ object ZarrQueries {
     "z5_zarr_range" -> (z5_zarr_range _),
     "z6_zarr_roundtrip" -> (z6_zarr_roundtrip _),
     "z7_zarr_kerchunk" -> (z7_zarr_kerchunk _),
-    "z8_zarr_append" -> (z8_zarr_append _))
+    "z8_zarr_append" -> (z8_zarr_append _),
+    "z9_zarr_stream" -> (z9_zarr_stream _))
 
   val oracle: Map[String, String] = Map(
     "z1_zarr_group_agg" -> z1Sql,
@@ -201,5 +230,6 @@ object ZarrQueries {
     "z5_zarr_range" -> z5Sql,
     "z6_zarr_roundtrip" -> z6Sql,
     "z7_zarr_kerchunk" -> z7Sql,
-    "z8_zarr_append" -> z6Sql) // append ≡ one-shot write of the full grid
+    "z8_zarr_append" -> z6Sql, // append ≡ one-shot write of the full grid
+    "z9_zarr_stream" -> z6Sql) // micro-batch union ≡ one-shot read of the full grid
 }

@@ -1,0 +1,113 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** `spark.readStream.format("zarr")` — the outer dimension as a
+  * micro-batch stream, pairing with the append sink: one job appends
+  * arriving time slabs, consumers follow with offsets = outer extent. */
+class ZarrStreamSpec extends AnyFunSuite {
+  import TestSession._
+
+  private def grid(ts: Seq[Long]) = {
+    import spark.implicits._
+    ts.flatMap(t => (0L until 3L).map(x => (t, x, t * 10.0 + x)))
+      .toDF("t", "x", "v")
+  }
+
+  private def fresh(ts: Seq[Long]): String = {
+    val out = Files.createTempDirectory("zarr_stream").resolve("s.zarr").toString
+    grid(ts).write.format("zarr")
+      .option("coords", "t,x").option("chunkOuter", "2")
+      .mode("overwrite").save(out)
+    out
+  }
+
+  private var tableN = 0
+
+  test("stream sees the initial grid, then each appended slab; union = batch read") {
+    val out = fresh(Seq(0L, 1L, 2L, 3L))
+    val sdf = spark.readStream.format("zarr").load(out)
+    tableN += 1
+    val name = s"zstream_$tableN"
+    val q = sdf.writeStream.outputMode("append").format("memory").queryName(name).start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table(name).count() == 12) // 4 outer × 3 inner
+      grid(Seq(4L, 5L)).write.format("zarr").mode("append").save(out)
+      grid(Seq(6L, 7L)).write.format("zarr").mode("append").save(out)
+      q.processAllAvailable()
+      assert(spark.table(name).orderBy("t", "x").collect().map(_.toSeq).toSeq ==
+        grid(0L to 7L).orderBy("t", "x").collect().map(_.toSeq).toSeq)
+      // at least two micro-batches fired (initial + post-append)
+      assert(q.recentProgress.count(_.numInputRows > 0) >= 2)
+    } finally q.stop()
+  }
+
+  test("startingOffset=latest skips the pre-existing grid") {
+    val out = fresh(Seq(0L, 1L))
+    val sdf = spark.readStream.format("zarr")
+      .option("startingOffset", "latest").load(out)
+    tableN += 1
+    val name = s"zstream_$tableN"
+    val q = sdf.writeStream.outputMode("append").format("memory").queryName(name).start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table(name).count() == 0)
+      grid(Seq(2L, 3L)).write.format("zarr").mode("append").save(out)
+      q.processAllAvailable()
+      assert(spark.table(name).orderBy("t", "x").collect().map(_.toSeq).toSeq ==
+        grid(Seq(2L, 3L)).orderBy("t", "x").collect().map(_.toSeq).toSeq)
+    } finally q.stop()
+  }
+
+  test("pushed predicates re-evaluate against grown coordinates") {
+    val out = fresh(Seq(0L, 1L, 2L, 3L))
+    // t >= 5 doesn't exist when the stream starts; only appended slabs match
+    val sdf = spark.readStream.format("zarr").load(out)
+      .filter(col("t") >= 5 && col("x") === 1)
+      .select("t", "v")
+    tableN += 1
+    val name = s"zstream_$tableN"
+    val q = sdf.writeStream.outputMode("append").format("memory").queryName(name).start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table(name).count() == 0)
+      grid(Seq(4L, 5L, 6L, 7L)).write.format("zarr").mode("append").save(out)
+      q.processAllAvailable()
+      assert(spark.table(name).orderBy("t").collect().map(_.toSeq).toSeq ==
+        Seq(Seq(5L, 51.0), Seq(6L, 61.0), Seq(7L, 71.0)))
+    } finally q.stop()
+  }
+
+  test("checkpoint restart resumes from the committed outer offset") {
+    val out = fresh(Seq(0L, 1L))
+    val ckpt = Files.createTempDirectory("zarr_stream_ckpt").toString
+    // memory sink can't recover a checkpoint; foreachBatch can
+    def drain(): Seq[Seq[Any]] = {
+      ZarrStreamSpec.sink.clear()
+      val q = spark.readStream.format("zarr").load(out)
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          batch.collect().foreach(r => ZarrStreamSpec.sink.add(r.toSeq))
+        }.start()
+      try q.processAllAvailable() finally q.stop()
+      import scala.jdk.CollectionConverters._
+      ZarrStreamSpec.sink.asScala.toSeq
+    }
+    assert(drain().size == 6)
+    // append while the stream is down; the resumed stream must emit
+    // ONLY the new slabs (offset restored via deserializeOffset)
+    grid(Seq(2L, 3L)).write.format("zarr").mode("append").save(out)
+    assert(drain().sortBy(r => (r.head.asInstanceOf[Long], r(1).asInstanceOf[Long])) ==
+      grid(Seq(2L, 3L)).orderBy("t", "x").collect().map(_.toSeq).toSeq)
+  }
+}
+
+object ZarrStreamSpec {
+  val sink = new java.util.concurrent.ConcurrentLinkedQueue[Seq[Any]]()
+}
