@@ -340,6 +340,46 @@ object Curation {
     WHERE doc_id % 37 <> 0
     GROUP BY doc_id"""
 
+  // ---------------------------------------------- c9 global ordinals
+
+  /** Gap-free global row numbering in the (lang, doc_id) order — the
+    * "write sorted shards with global sample ordinals" step of a
+    * pretraining data build. A naive
+    * `ROW_NUMBER() OVER (ORDER BY …)` funnels 100 TB through ONE
+    * window task; this is the scale-correct two-pass form, fully
+    * declarative:
+    *
+    *   1. bucket rows by a key MONOTONE in the sort order
+    *      (`(lang, doc_id div 1024)`), row_number within each bucket —
+    *      bounded window partitions, full parallelism;
+    *   2. bucket row-counts (a metadata-sized aggregate) → running
+    *      offsets via a window over that tiny table → broadcast join
+    *      back, ordinal = bucket offset + local row number.
+    *
+    * The corpus-sized side shuffles once (the bucket window); the
+    * global ordering state lives only in the offsets table (one row
+    * per bucket). Same decomposition as Spark's own zipWithIndex, but
+    * in DataFrame algebra with a deterministic bucket key, so the
+    * oracle is a plain ROW_NUMBER. */
+  def c9_global_ordinals(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).select(col("doc_id"), col("lang"),
+      expr("doc_id div 1024").as("blk"))
+    val wIn = Window.partitionBy("lang", "blk").orderBy("doc_id")
+    val rn = d.withColumn("rn", row_number().over(wIn).cast("long"))
+    val wOff = Window.orderBy("lang", "blk")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offs = d.groupBy("lang", "blk").agg(count(lit(1)).as("cnt"))
+      .withColumn("off", coalesce(sum("cnt").over(wOff), lit(0L)))
+      .select("lang", "blk", "off")
+    rn.join(broadcast(offs), Seq("lang", "blk"))
+      .select(col("doc_id"), col("lang"), (col("rn") + col("off")).as("ordinal"))
+  }
+
+  private val c9Sql = """
+    SELECT doc_id, lang,
+      CAST(ROW_NUMBER() OVER (ORDER BY lang, doc_id) AS BIGINT) AS ordinal
+    FROM documents"""
+
   // -------------------------------------------------------------- registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -351,6 +391,7 @@ object Curation {
     "c6_pivot" -> (c6_pivot _),
     "c7_pack_sequences" -> (c7_pack_sequences _),
     "c8_decontaminate" -> (c8_decontaminate _),
+    "c9_global_ordinals" -> (c9_global_ordinals _),
     "cp1_pipeline" -> (cp1_pipeline _))
 
   val oracle: Map[String, String] = Map(
@@ -362,5 +403,6 @@ object Curation {
     "c6_pivot" -> c6Sql,
     "c7_pack_sequences" -> c7Sql,
     "c8_decontaminate" -> c8Sql,
+    "c9_global_ordinals" -> c9Sql,
     "cp1_pipeline" -> cp1Sql)
 }

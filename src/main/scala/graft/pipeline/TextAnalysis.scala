@@ -268,13 +268,67 @@ object TextAnalysis {
       dup3_words / n_tri AS dup3_frac
     FROM uni JOIN bi ON uni.doc_id = bi.doc_id JOIN tri ON uni.doc_id = tri.doc_id"""
 
+  /** Collocation mining: top bigrams by pointwise mutual information
+    * — the phrase-detection statistic of tokenizer/vocab training
+    * (Mikolov et al. 2013 §4 use the same count form). The score is
+    * the exact integer rational `nab·N·10^6 div (na·nb)` (monotone in
+    * PMI for fixed N), so ranking is bit-reproducible on any engine —
+    * the same no-transcendentals discipline as c4's idf. Shuffles:
+    * unigram and bigram counts each aggregate with map-side partials
+    * on their gram key; the per-token unigram table is vocabulary-
+    * sized, so both enrichment joins BROADCAST — the corpus-sized
+    * bigram table never reshuffles. At trillion-token scale compute
+    * the product in log space or pre-divide; the exact form here keeps
+    * the oracle bit-exact. */
+  def t7_text_pmi(s: SparkSession, dir: String): DataFrame = {
+    val words = docs(s, dir).select(split(col("text"), " ").as("w"))
+    // vocabulary-sized and consumed three times (both join sides +
+    // the total) — persist so the corpus explode runs once, not 3×
+    val uni = words.select(explode(col("w")).as("t"))
+      .filter(col("t") =!= "")
+      .groupBy("t").agg(count(lit(1)).as("n"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bi = words
+      .filter(size(col("w")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, size(w)-1), i -> named_struct('a', w[i-1], 'b', w[i]))")).as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"))
+      .filter(col("a") =!= "" && col("b") =!= "")
+      .groupBy("a", "b").agg(count(lit(1)).as("nab"))
+    val total = uni.agg(sum("n").cast("long").as("nw"))
+    val ua = uni.toDF("a", "na")
+    val ub = uni.toDF("b", "nb")
+    bi.join(broadcast(ua), "a").join(broadcast(ub), "b")
+      .crossJoin(broadcast(total))
+      .withColumn("pmi_score", expr("(nab * nw * 1000000) div (na * nb)"))
+      .orderBy(col("pmi_score").desc, col("a"), col("b"))
+      .limit(50)
+      .select("a", "b", "nab", "pmi_score")
+  }
+
+  private val t7Sql = """
+    WITH w AS (SELECT STRING_SPLIT(text, ' ') AS w FROM documents),
+    uni AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS n
+            FROM (SELECT UNNEST(w) AS t FROM w) x WHERE t <> '' GROUP BY t),
+    tot AS (SELECT CAST(SUM(n) AS BIGINT) AS nw FROM uni),
+    bi AS (SELECT w[i] AS a, w[i+1] AS b, CAST(COUNT(*) AS BIGINT) AS nab
+           FROM (SELECT w, UNNEST(range(1, LEN(w))) AS i FROM w WHERE LEN(w) >= 2) y
+           WHERE w[i] <> '' AND w[i+1] <> ''
+           GROUP BY 1, 2)
+    SELECT a, b, nab,
+      CAST((nab * nw * 1000000) // (ua.n * ub.n) AS BIGINT) AS pmi_score
+    FROM bi JOIN uni ua ON bi.a = ua.t JOIN uni ub ON bi.b = ub.t CROSS JOIN tot
+    ORDER BY pmi_score DESC, a, b
+    LIMIT 50"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t1_text_tokens" -> (t1_text_tokens _),
     "t2_text_quality" -> (t2_text_quality _),
     "t3_text_langid" -> (t3_text_langid _),
     "t4_text_fingerprint" -> (t4_text_fingerprint _),
     "t5_text_clean" -> (t5_text_clean _),
-    "t6_text_repetition" -> (t6_text_repetition _))
+    "t6_text_repetition" -> (t6_text_repetition _),
+    "t7_text_pmi" -> (t7_text_pmi _))
 
   val oracle: Map[String, String] = Map(
     "t1_text_tokens" -> t1Sql,
@@ -282,5 +336,6 @@ object TextAnalysis {
     "t3_text_langid" -> t3Sql,
     "t4_text_fingerprint" -> t4Sql,
     "t5_text_clean" -> t5Sql,
-    "t6_text_repetition" -> t6Sql)
+    "t6_text_repetition" -> t6Sql,
+    "t7_text_pmi" -> t7Sql)
 }

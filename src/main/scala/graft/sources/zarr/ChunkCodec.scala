@@ -171,14 +171,24 @@ object ChunkCodec {
     out
   }
 
+  // Grows past outLen when the payload holds more than the metadata
+  // expects — the legitimate state while an append has landed a
+  // rewritten coordinate chunk but not yet the shape edit (chunks
+  // commit before metadata); the element decoder reads only the
+  // metadata extent and ignores the tail.
   private def zlibDecompress(data: Array[Byte], outLen: Int): Array[Byte] = {
     val inf = new Inflater()
     inf.setInput(data)
-    val out = new Array[Byte](outLen)
+    var out = new Array[Byte](math.max(outLen, 16))
     var off = 0
-    while (off < outLen && !inf.finished()) off += inf.inflate(out, off, outLen - off)
+    var n = 1
+    while (n != 0 && !inf.finished()) {
+      if (off == out.length) out = java.util.Arrays.copyOf(out, out.length * 2)
+      n = inf.inflate(out, off, out.length - off)
+      off += n
+    }
     inf.end()
-    out
+    if (off == out.length) out else java.util.Arrays.copyOf(out, off)
   }
 
   private def gzipDecompress(data: Array[Byte]): Array[Byte] = {
@@ -195,7 +205,13 @@ object ChunkCodec {
       case "blosc" => bloscDecompress(data)
       case "zlib" => zlibDecompress(data, rawLen)
       case "gzip" => gzipDecompress(data)
-      case "zstd" => com.github.luben.zstd.Zstd.decompress(data, rawLen)
+      case "zstd" =>
+        // size the destination from the frame itself when it exceeds
+        // the metadata expectation (mid-append coordinate rewrite —
+        // see zlibDecompress note); short frames stay an error
+        val frame = com.github.luben.zstd.Zstd.getFrameContentSize(data)
+        val dst = if (frame > rawLen) frame.toInt else rawLen
+        com.github.luben.zstd.Zstd.decompress(data, dst)
       case other => throw new IllegalArgumentException(s"Unsupported Zarr compressor: $other")
     }
 

@@ -88,10 +88,21 @@ final case class LocalStore(path: String) extends ZarrStore {
     if (Files.exists(p)) Some(Files.size(p)) else None
   }
 
+  /** Atomic per-object write (temp sibling + rename): a reader racing
+    * an append/overwrite sees the old bytes or the new bytes, never a
+    * torn file — metadata JSON and rewritten coordinate chunks rely on
+    * this. */
   override def writeBytes(rel: String, data: Array[Byte]): Unit = {
     val p = root.resolve(rel)
     Files.createDirectories(p.getParent)
-    Files.write(p, data)
+    val tmp = p.resolveSibling(p.getFileName.toString +
+      s".__tmp_${java.lang.Long.toHexString(Thread.currentThread().getId)}")
+    Files.write(tmp, data)
+    try Files.move(tmp, p, java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    catch { case _: java.nio.file.AtomicMoveNotSupportedException =>
+      Files.move(tmp, p, java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
   }
 
   override def moveTo(destPath: String): Unit = {
@@ -147,9 +158,18 @@ final case class HadoopStore(path: String) extends ZarrStore {
     if (fs.exists(p)) Some(fs.getFileStatus(p).getLen) else None
   }
 
+  /** Write-then-rename so a racing reader never sees a torn object
+    * (rename is atomic on HDFS; best-effort on object stores, whose
+    * PUTs are already all-or-nothing through the connector). */
   override def writeBytes(rel: String, data: Array[Byte]): Unit = {
-    val out = fs.create(new HPath(root, rel), true) // creates parent dirs
+    val dest = new HPath(root, rel)
+    val tmp = new HPath(root,
+      rel + s".__tmp_${java.lang.Long.toHexString(Thread.currentThread().getId)}")
+    val out = fs.create(tmp, true) // creates parent dirs
     try out.write(data) finally out.close()
+    fs.delete(dest, false)
+    if (!fs.rename(tmp, dest))
+      throw new java.io.IOException(s"Failed to commit $dest")
   }
 
   override def moveTo(destPath: String): Unit = {

@@ -83,6 +83,46 @@ class ZarrStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("mid-append state reads consistently: new longer chunk + old metadata") {
+    // Append commits chunks BEFORE the metadata shape edit, so a
+    // racing reader can see a rewritten (longer) coordinate chunk
+    // under the old shape — the decoder must read the metadata extent
+    // and ignore the tail, for every compressor. (This is the exact
+    // state that made streaming reads flake before the fix.)
+    import graft.sources.zarr.{ZarrStore, ZarrMeta}
+    for (comp <- Seq("zstd", "gzip", "zlib", "none")) {
+      val out = Files.createTempDirectory("zarr_midappend").resolve("m.zarr").toString
+      grid(Seq(0L, 1L)).write.format("zarr")
+        .option("coords", "t,x").option("chunkOuter", "2")
+        .option("compressor", comp)
+        .mode("overwrite").save(out)
+      val before = spark.read.format("zarr").load(out).orderBy("t", "x")
+        .collect().map(_.toSeq).toSeq
+      // simulate append step 1: rewrite the outer coord chunk with 2
+      // extra values, metadata untouched (shape still 2)
+      val store = ZarrStore.open(out)
+      val meta = ZarrMeta.readStore(out)
+      val cm = meta.coords.head.meta
+      val buf = java.nio.ByteBuffer.allocate(4 * 8)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      Seq(0L, 1L, 2L, 3L).foreach(buf.putLong)
+      val payload = comp match {
+        case "none" => buf.array()
+        case "zstd" => com.github.luben.zstd.Zstd.compress(buf.array())
+        case _ => // gzip and zlib both store zlib/gzip frames via the writer; use matching streams
+          val bos = new java.io.ByteArrayOutputStream()
+          val os = if (comp == "gzip") new java.util.zip.GZIPOutputStream(bos)
+            else new java.util.zip.DeflaterOutputStream(bos)
+          os.write(buf.array()); os.close(); bos.toByteArray
+      }
+      store.writeBytes(s"t/${cm.chunkKey(Seq(0L))}", payload)
+      graft.sources.zarr.ChunkIO.invalidatePath(out)
+      val after = spark.read.format("zarr").load(out).orderBy("t", "x")
+        .collect().map(_.toSeq).toSeq
+      assert(after == before, s"compressor=$comp")
+    }
+  }
+
   test("checkpoint restart resumes from the committed outer offset") {
     val out = fresh(Seq(0L, 1L))
     val ckpt = Files.createTempDirectory("zarr_stream_ckpt").toString
