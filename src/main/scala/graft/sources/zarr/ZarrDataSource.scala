@@ -476,7 +476,8 @@ class ZarrScanBuilder(meta: ZarrStoreMeta, options: CaseInsensitiveStringMap)
         prefetch = Option(options.get("prefetch")).map(_.toBoolean)
           .getOrElse(!ZarrStore.open(meta.path).isInstanceOf[LocalStore]),
         startingOffsetLatest =
-          Option(options.get("startingOffset")).exists(_.equalsIgnoreCase("latest")))
+          Option(options.get("startingOffset")).exists(_.equalsIgnoreCase("latest")),
+        keyByOuter = options.getBoolean("partitionByOuter", false))
   }
 }
 
@@ -494,9 +495,11 @@ class ZarrScan(
     varPreds: Map[String, Seq[GridMath.CoordPred]] = Map.empty,
     offset: Long = 0L,
     prefetch: Boolean = false,
-    startingOffsetLatest: Boolean = false)
+    startingOffsetLatest: Boolean = false,
+    keyByOuter: Boolean = false)
     extends Scan with Batch with SupportsReportStatistics
-    with SupportsRuntimeV2Filtering {
+    with SupportsRuntimeV2Filtering
+    with SupportsReportPartitioning with SupportsReportOrdering {
 
   private val staticRanges: Option[GridMath.Ranges] =
     GridMath.coordRangesPred(meta.coords.map(_.doubles), coordPreds)
@@ -519,7 +522,9 @@ class ZarrScan(
     // pushed OFFSET, runtime narrowing would change which rows the
     // offset skips (row ids are relative to the planned ranges), so
     // dynamic pruning is disabled for that — pathological — shape.
-    if (offset > 0L) Array.empty
+    // Key-grouped mode pins the partition list at planning time
+    // (reported numPartitions must match), so it opts out too.
+    if (offset > 0L || keyGrouped) Array.empty
     else meta.coords.filter(c => c.meta.dtype.kind != 'S')
       .map(_.meta.name).filter(requiredSchema.fieldNames.contains)
       .map(Expressions.column).toArray
@@ -558,6 +563,46 @@ class ZarrScan(
 
   override def readSchema(): StructType = requiredSchema
 
+  /** Key-grouped ("storage-partitioned") mode is active when requested
+    * AND the shape allows it: one partition per outer index, each
+    * tagged with its outer coordinate value, so `groupBy(outer)` and
+    * same-grid joins need NO shuffle (Spark's storage-partitioned
+    * execution, `spark.sql.sources.v2.bucketing.enabled`). Guards:
+    * the outer coordinate must be projected (it is the key), strictly
+    * increasing (distinct key per partition), numeric, and no
+    * limit/offset (their row clipping crosses partition keys). */
+  private val keyGrouped: Boolean =
+    keyByOuter && limit.isEmpty && offset == 0L && meta.coords.nonEmpty &&
+      requiredSchema.fieldNames.contains(meta.coordNames.head) &&
+      meta.coords.head.meta.dtype.kind != 'S' && {
+        val d = meta.coords.head.doubles
+        (1 until d.length).forall(i => d(i - 1) < d(i))
+      }
+
+  override def outputPartitioning(): org.apache.spark.sql.connector.read.partitioning.Partitioning =
+    if (keyGrouped && ranges.isDefined) {
+      val (o0, o1) = ranges.get.head
+      new org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning(
+        Array(Expressions.identity(meta.coordNames.head)), o1 - o0)
+    } else new org.apache.spark.sql.connector.read.partitioning.UnknownPartitioning(
+      planInputPartitions().length)
+
+  /** The flattened grid enumerates rows in row-major order, so within
+    * every partition rows are sorted by the coordinate columns in
+    * dimension order — declared for the longest prefix of projected,
+    * non-decreasing numeric coordinates, letting Catalyst elide sorts
+    * the scan already provides. */
+  override def outputOrdering(): Array[org.apache.spark.sql.connector.expressions.SortOrder] = {
+    val names = requiredSchema.fieldNames.toSet
+    meta.coords.takeWhile { c =>
+      names.contains(c.meta.name) && c.meta.dtype.kind != 'S' && {
+        val d = c.doubles
+        (1 until d.length).forall(i => d(i - 1) <= d(i))
+      }
+    }.map(c => Expressions.sort(Expressions.column(c.meta.name),
+      org.apache.spark.sql.connector.expressions.SortDirection.ASCENDING)).toArray
+  }
+
   override def toBatch: Batch = this
 
   /** `spark.readStream.format("zarr")`: the store's outer dimension is
@@ -594,6 +639,23 @@ class ZarrScan(
         else VarField(meta.dataVars.find(_.name == f.name).getOrElse(
           throw new IllegalArgumentException(s"Unknown column ${f.name}")))
       }
+      if (keyGrouped) {
+        // one partition per outer index, tagged with its coordinate
+        // value (HasPartitionKey) — stats pruning must NOT drop
+        // partitions here (the reported key list is the partition list)
+        val innerRows = r.drop(1).foldLeft(1L) { case (a, (s, e)) => a * (e - s) }
+        val outerRaw = meta.coords.head.raw
+        (r.head._1 until r.head._2).map { o =>
+          val key = ChunkCodec.elementAt(outerRaw, o) match {
+            case s: String => org.apache.spark.unsafe.types.UTF8String.fromString(s)
+            case v => v
+          }
+          ZarrKeyedInputPartition(
+            ZarrInputPartition(meta.path, 0L, innerRows, r.updated(0, (o, o + 1)),
+              meta.coords, projection, fillAsNull, chunkCacheEntries, prefetch),
+            new GenericInternalRow(Array[Any](key))): InputPartition
+        }.toArray
+      } else
       GridMath.partitionSlices(r, outerChunk, limit, minRowsPerPartition)
         // pushed OFFSET clips the leading rows of the (deterministic,
         // row-major) row space; slices are global row-id ranges, so a
@@ -778,19 +840,31 @@ final case class ZarrInputPartition(
     chunkCacheEntries: Int = 0,
     prefetch: Boolean = false) extends InputPartition
 
+/** One outer-index slab tagged with its coordinate value — the unit of
+  * key-grouped (storage-partitioned) execution. */
+final case class ZarrKeyedInputPartition(p: ZarrInputPartition, key: InternalRow)
+    extends InputPartition with org.apache.spark.sql.connector.read.HasPartitionKey {
+  override def partitionKey(): InternalRow = key
+}
+
 class ZarrReaderFactory extends PartitionReaderFactory {
+  private def unwrap(partition: InputPartition): ZarrInputPartition = partition match {
+    case k: ZarrKeyedInputPartition => k.p
+    case p: ZarrInputPartition => p
+  }
+
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
-    new ZarrPartitionReader(partition.asInstanceOf[ZarrInputPartition])
+    new ZarrPartitionReader(unwrap(partition))
 
   /** Columnar path (OnHeapColumnVector batches) whenever there are
     * projected columns; the empty projection (bare counts) stays on
     * the row reader. */
   override def supportColumnarReads(partition: InputPartition): Boolean =
-    partition.asInstanceOf[ZarrInputPartition].projection.nonEmpty
+    unwrap(partition).projection.nonEmpty
 
   override def createColumnarReader(
       partition: InputPartition): PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] =
-    new ZarrColumnarReader(partition.asInstanceOf[ZarrInputPartition])
+    new ZarrColumnarReader(unwrap(partition))
 }
 
 /** Row-major reader over one partition slice. Per data variable keeps

@@ -19,9 +19,12 @@ object ZarrQueries {
   private def zarr(s: SparkSession): DataFrame = s.read.format("zarr").load(store)
 
   /** Flattened-grid group aggregate (the reference's marquee query
-    * shape, README.md:227-233). */
+    * shape, README.md:227-233), run storage-partitioned: each time
+    * step is one key-tagged partition, so the aggregation needs no
+    * shuffle at any grid size (ZarrKeyGroupedSpec asserts the plan). */
   def z1_zarr_group_agg(s: SparkSession, dir: String): DataFrame =
-    zarr(s).groupBy("time")
+    s.read.format("zarr").option("partitionByOuter", "true").load(store)
+      .groupBy("time")
       .agg(sum("temperature").as("sum_temp"), count(lit(1)).as("n"))
 
   private val z1Sql =
