@@ -8,7 +8,7 @@ import scala.jdk.CollectionConverters._
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
-import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference, Transform}
+import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference, Transform, SortOrder => SortOrderV2}
 import org.apache.spark.sql.connector.expressions.aggregate.{AggregateFunc, Aggregation, Count, CountStar, Max, Min}
 import org.apache.spark.sql.connector.metric.{CustomMetric, CustomSumMetric, CustomTaskMetric}
 import org.apache.spark.sql.connector.read._
@@ -318,6 +318,7 @@ class ZarrScanBuilder(meta: ZarrStoreMeta, options: CaseInsensitiveStringMap)
     with SupportsPushDownFilters
     with SupportsPushDownLimit
     with SupportsPushDownOffset
+    with SupportsPushDownTopN
     with SupportsPushDownAggregates {
 
   private var requiredSchema: StructType = meta.schema
@@ -425,6 +426,39 @@ class ZarrScanBuilder(meta: ZarrStoreMeta, options: CaseInsensitiveStringMap)
     * this scan. Spark pushes LIMIT as limit+offset first, so the
     * planned row window is [offset, pushedLimit). */
   override def pushOffset(n: Int): Boolean = { offset = n.toLong; true }
+
+  /** ORDER BY a coordinate prefix + LIMIT: the row-major row space IS
+    * sorted by the coordinate columns in dimension order, so an
+    * all-ascending prefix's top-n is the FIRST n grid rows (push as
+    * limit) and an all-descending prefix's top-n is the LAST n (push
+    * as offset) — "latest k time steps" reads k slabs, not the
+    * archive. Spark never pushes TopN past a post-scan filter and
+    * every filter here stays post-scan, so the row space is the whole
+    * grid. Partial semantics: Spark keeps the Sort+Limit above, we
+    * only shrink what the scan reads. */
+  override def pushTopN(orders: Array[SortOrderV2], n: Int): Boolean = {
+    if (coordPreds.nonEmpty || varPreds.nonEmpty || accepted.nonEmpty ||
+      limit.nonEmpty || offset != 0L || orders.isEmpty ||
+      orders.length > meta.coords.length) return false
+    def colOf(o: SortOrderV2): Option[String] = o.expression() match {
+      case r: NamedReference if r.fieldNames().length == 1 => Some(r.fieldNames().head)
+      case _ => None
+    }
+    val prefixOk = orders.zip(meta.coords).forall { case (o, c) =>
+      colOf(o).contains(c.meta.name) && c.meta.dtype.kind != 'S' && {
+        val d = c.doubles
+        (1 until d.length).forall(i => d(i - 1) <= d(i)) // index order = value order
+      }
+    }
+    if (!prefixOk) return false
+    val dirs = orders.map(_.direction()).distinct
+    if (dirs.length != 1) return false
+    if (dirs.head == org.apache.spark.sql.connector.expressions.SortDirection.ASCENDING) {
+      limit = Some(n.toLong); true
+    } else {
+      offset = math.max(0L, meta.totalRows - n); true
+    }
+  }
 
   /** Metadata-answerable aggregates, with the reference's guards
     * (count_optimization.rs:67-148): no GROUP BY, no filters, and
