@@ -461,16 +461,27 @@ class ZarrScanBuilder(meta: ZarrStoreMeta, options: CaseInsensitiveStringMap)
   }
 
   /** Metadata-answerable aggregates, with the reference's guards
-    * (count_optimization.rs:67-148): no GROUP BY, no filters, and
-    * every aggregate must be answerable (MIN/MAX on data variables is
-    * not — only coordinates carry exact bounds). */
-  override def supportCompletePushDown(aggregation: Aggregation): Boolean =
-    aggregation.groupByExpressions().isEmpty && coordPreds.isEmpty &&
+    * (count_optimization.rs:67-148): no filters, and every aggregate
+    * must be answerable (MIN/MAX on data variables is not — only
+    * coordinates carry exact bounds). GROUP BY is allowed when every
+    * group key is a coordinate — the grid is a full Cartesian product,
+    * so per-group COUNT = Π non-grouped coordinate lengths, MIN/MAX of
+    * a grouped coordinate is the group value itself, and MIN/MAX of a
+    * non-grouped coordinate is its global bound: all metadata, zero
+    * chunk IO (the grouped generalization of the reference's two
+    * optimizer rules). */
+  override def supportCompletePushDown(aggregation: Aggregation): Boolean = {
+    val groups = aggregation.groupByExpressions()
+    val groupCols = groups.flatMap(colName(_))
+    groups.length == groupCols.length &&
+      groupCols.forall(meta.coordNames.contains) &&
+      coordPreds.isEmpty &&
       accepted.isEmpty && limit.isEmpty && offset == 0L &&
       // fill→null can null out data-var cells, so metadata row counts
       // no longer answer COUNT(col) — take the real scan instead
       !options.getBoolean("fillValueAsNull", false) &&
-      aggregation.aggregateExpressions().forall(answerable)
+      aggregation.aggregateExpressions().forall(answerable(_, groupCols.toSet))
+  }
 
   override def pushAggregation(aggregation: Aggregation): Boolean = {
     if (!supportCompletePushDown(aggregation)) return false
@@ -487,16 +498,21 @@ class ZarrScanBuilder(meta: ZarrStoreMeta, options: CaseInsensitiveStringMap)
   private def numericCoord(name: String): Boolean =
     meta.coords.exists(c => c.meta.name == name && c.meta.dtype.kind != 'S')
 
-  private def answerable(f: AggregateFunc): Boolean = f match {
+  private def answerable(f: AggregateFunc, grouped: Set[String] = Set.empty): Boolean = f match {
     case _: CountStar => true
     case c: Count if !c.isDistinct => colName(c.column).exists(meta.schema.fieldNames.contains)
-    case c: Count if c.isDistinct => colName(c.column).exists(meta.coordNames.contains)
-    case m: Min => colName(m.column).exists(numericCoord)
-    case m: Max => colName(m.column).exists(numericCoord)
+    // COUNT(DISTINCT c) per group: c grouped → 1 per group is correct
+    // but Spark plans distinct aggregates differently — keep the
+    // reference behavior and answer only non-grouped coordinates
+    case c: Count if c.isDistinct =>
+      colName(c.column).exists(n => meta.coordNames.contains(n) && !grouped(n))
+    case m: Min => colName(m.column).exists(n => numericCoord(n) || grouped(n))
+    case m: Max => colName(m.column).exists(n => numericCoord(n) || grouped(n))
     case _ => false
   }
 
   override def build(): Scan = aggPushed match {
+    case Some(agg) if agg.groupByExpressions().nonEmpty => new ZarrGroupAggScan(meta, agg)
     case Some(agg) => new ZarrAggScan(meta, agg)
     case None =>
       new ZarrScan(meta, requiredSchema, coordPreds, accepted, limit,
@@ -835,6 +851,110 @@ class ZarrAggScan(meta: ZarrStoreMeta, agg: Aggregation) extends Scan with Batch
   }
 
   override def createReaderFactory(): PartitionReaderFactory = new ZarrAggReaderFactory
+}
+
+/** Metadata-only GROUPED aggregate scan: one output row per
+  * combination of the grouped coordinates' values, each answered from
+  * grid arithmetic (see ZarrScanBuilder.supportCompletePushDown) —
+  * zero chunk IO for `SELECT time, COUNT(*) … GROUP BY time`-shaped
+  * queries at any grid size. Partitioned along the first grouped
+  * dimension, so even a million-group dimension emits in parallel. */
+class ZarrGroupAggScan(meta: ZarrStoreMeta, agg: Aggregation) extends Scan with Batch {
+
+  private def colNameOf(e: org.apache.spark.sql.connector.expressions.Expression): String =
+    e.asInstanceOf[NamedReference].fieldNames().head
+
+  private val groupNames: Seq[String] = agg.groupByExpressions().map(colNameOf).toSeq
+  private val groupDims: Seq[Int] = groupNames.map(meta.coordNames.indexOf)
+  private val groupedSet = groupNames.toSet
+  private val coordByName = meta.coords.map(c => c.meta.name -> c).toMap
+
+  /** Rows per group = Π lengths of the NON-grouped coordinates. */
+  private val rowsPerGroup: Long = meta.coords.zipWithIndex
+    .collect { case (c, d) if !groupDims.contains(d) => c.length.toLong }
+    .product
+
+  /** One entry per aggregate: Left(constant) or Right(j) = the j-th
+    * grouped coordinate's value for the row's group. */
+  private val specs: Seq[Either[Any, Int]] = agg.aggregateExpressions().toSeq.map {
+    case _: CountStar => Left(rowsPerGroup)
+    case c: Count if !c.isDistinct => Left(rowsPerGroup) // null_count 0 everywhere
+    case c: Count => Left(coordByName(colNameOf(c.column)).length.toLong)
+    case m: Min =>
+      val n = colNameOf(m.column)
+      if (groupedSet(n)) Right(groupNames.indexOf(n))
+      else { val c = coordByName(n)
+        Left(ChunkCodec.elementAt(c.raw, GridMath.findCoordIndex(c.doubles, c.min))) }
+    case m: Max =>
+      val n = colNameOf(m.column)
+      if (groupedSet(n)) Right(groupNames.indexOf(n))
+      else { val c = coordByName(n)
+        Left(ChunkCodec.elementAt(c.raw, GridMath.findCoordIndex(c.doubles, c.max))) }
+    case other => throw new IllegalStateException(s"Unexpected pushed agg: $other")
+  }
+
+  override def readSchema(): StructType = StructType(
+    groupNames.map(n => StructField(n, meta.schema(n).dataType, nullable = false)) ++
+      agg.aggregateExpressions().zipWithIndex.map {
+        case (_: CountStar, i) => StructField(s"count_$i", LongType, nullable = false)
+        case (_: Count, i) => StructField(s"count_$i", LongType, nullable = false)
+        case (m: Min, i) =>
+          StructField(s"min_$i", meta.schema(colNameOf(m.column)).dataType, nullable = true)
+        case (m: Max, i) =>
+          StructField(s"max_$i", meta.schema(colNameOf(m.column)).dataType, nullable = true)
+        case (other, _) => throw new IllegalStateException(s"Unexpected pushed agg: $other")
+      })
+
+  override def description(): String =
+    s"ZarrGroupAggScan path=${meta.path} (metadata-only) groups=[${groupNames.mkString(",")}] " +
+      s"aggs=[${agg.aggregateExpressions().mkString(", ")}]"
+
+  override def toBatch: Batch = this
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val lens = groupDims.map(d => meta.coords(d).length).toArray
+    val raws = groupDims.map(d => meta.coords(d).raw)
+    val ranges: GridMath.Ranges = lens.map(l => (0, l))
+    GridMath.partitionSlices(ranges, 1, None, 65536)
+      .map(s => ZarrGroupAggPartition(s._1, s._2, lens, raws, specs): InputPartition)
+      .toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory = new ZarrGroupAggReaderFactory
+}
+
+final case class ZarrGroupAggPartition(
+    rowStart: Long, rowEnd: Long, lens: Array[Int],
+    raws: Seq[AnyRef], specs: Seq[Either[Any, Int]]) extends InputPartition
+
+class ZarrGroupAggReaderFactory extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[ZarrGroupAggPartition]
+    val ranges: GridMath.Ranges = p.lens.map(l => (0, l))
+    val idx = new Array[Int](p.lens.length)
+    new PartitionReader[InternalRow] {
+      private var row = p.rowStart
+      private var current: InternalRow = _
+      private def internal(v: Any): Any = v match {
+        case s: String => org.apache.spark.unsafe.types.UTF8String.fromString(s)
+        case other => other
+      }
+      override def next(): Boolean = {
+        if (row >= p.rowEnd) return false
+        GridMath.rowToIndices(row, ranges, idx)
+        val groupVals = p.raws.indices.map(j => internal(ChunkCodec.elementAt(p.raws(j), idx(j))))
+        val aggVals = p.specs.map {
+          case Left(const) => internal(const)
+          case Right(j) => groupVals(j)
+        }
+        current = new GenericInternalRow((groupVals ++ aggVals).toArray)
+        row += 1
+        true
+      }
+      override def get(): InternalRow = current
+      override def close(): Unit = {}
+    }
+  }
 }
 
 final case class ZarrAggPartition(values: Array[Any]) extends InputPartition

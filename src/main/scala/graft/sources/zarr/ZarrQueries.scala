@@ -214,6 +214,21 @@ object ZarrQueries {
     s.table("z9_out")
   }
 
+  /** GROUP BY coordinate answered purely from metadata (grid
+    * arithmetic — zero chunk IO; ZarrGroupAggSpec asserts the plan
+    * uses ZarrGroupAggScan): per-time counts and coordinate bounds. */
+  def z10_zarr_group_meta(s: SparkSession, dir: String): DataFrame =
+    zarr(s).groupBy("time").agg(
+      count(lit(1)).as("n"),
+      min("lat").as("min_lat"),
+      max("lon").as("max_lon"))
+
+  private val z10Sql =
+    """SELECT CAST(time AS BIGINT) AS time, CAST(n AS BIGINT) AS n,
+       CAST(min_lat AS BIGINT) AS min_lat, CAST(max_lon AS BIGINT) AS max_lon
+       FROM (VALUES (0,100,0,9),(1,100,0,9),(2,100,0,9),(3,100,0,9),
+       (4,100,0,9),(5,100,0,9),(6,100,0,9)) AS t(time, n, min_lat, max_lon)"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "z1_zarr_group_agg" -> (z1_zarr_group_agg _),
     "z2_zarr_filter_slice" -> (z2_zarr_filter_slice _),
@@ -223,7 +238,8 @@ object ZarrQueries {
     "z6_zarr_roundtrip" -> (z6_zarr_roundtrip _),
     "z7_zarr_kerchunk" -> (z7_zarr_kerchunk _),
     "z8_zarr_append" -> (z8_zarr_append _),
-    "z9_zarr_stream" -> (z9_zarr_stream _))
+    "z9_zarr_stream" -> (z9_zarr_stream _),
+    "z10_zarr_group_meta" -> (z10_zarr_group_meta _))
 
   val oracle: Map[String, String] = Map(
     "z1_zarr_group_agg" -> z1Sql,
@@ -234,5 +250,6 @@ object ZarrQueries {
     "z6_zarr_roundtrip" -> z6Sql,
     "z7_zarr_kerchunk" -> z7Sql,
     "z8_zarr_append" -> z6Sql, // append ≡ one-shot write of the full grid
-    "z9_zarr_stream" -> z6Sql) // micro-batch union ≡ one-shot read of the full grid
+    "z9_zarr_stream" -> z6Sql, // micro-batch union ≡ one-shot read of the full grid
+    "z10_zarr_group_meta" -> z10Sql)
 }

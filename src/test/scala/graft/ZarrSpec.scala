@@ -202,9 +202,17 @@ class ZarrSpec extends AnyFunSuite {
     assert(df.collect().head.getLong(0) == 100)
   }
 
-  test("GROUP BY aggregate must still scan") {
-    val df = zarr(v3).groupBy("time").agg(count(lit(1)))
-    assert(scansOf(df).exists(_.isInstanceOf[ZarrScan]))
+  test("GROUP BY on a coordinate is metadata-answered; on a data var it scans") {
+    // the reference's rules bail on any GROUP BY
+    // (count_optimization.rs:67-74); the grouped generalization is
+    // exact on the full-product grid, so coordinate groups push down…
+    val byCoord = zarr(v3).groupBy("time").agg(count(lit(1)))
+    assert(scansOf(byCoord).exists(_.isInstanceOf[ZarrGroupAggScan]))
+    // …while data-variable groups and aggregates still take the scan
+    val byVar = zarr(v3).groupBy("temperature").agg(count(lit(1)))
+    assert(scansOf(byVar).exists(_.isInstanceOf[ZarrScan]))
+    val sumAgg = zarr(v3).groupBy("time").agg(sum("temperature"))
+    assert(scansOf(sumAgg).exists(_.isInstanceOf[ZarrScan]))
   }
 
   test("differential: metadata answers equal scan answers") {
