@@ -752,6 +752,27 @@ object Relational {
 
   private val q39Sql = q39Text
 
+  /** max_by / min_by (argmax/argmin aggregates, Spark 3.3+): per
+    * nation, the customer holding the max/min account balance. The
+    * corpus has no balance ties (doubles from a dense domain), so the
+    * arg is well-defined; DuckDB's arg_max/arg_min mirror it. One
+    * hash aggregate with map-side partials — argmax state is a single
+    * (value, arg) pair per group at any scale. */
+  def q40_argmax(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer")
+      .groupBy(col("c_nationkey").cast("long").as("nation"))
+      .agg(
+        max_by(col("c_custkey"), col("c_acctbal")).as("richest"),
+        min_by(col("c_custkey"), col("c_acctbal")).as("poorest"),
+        max(dec(col("c_acctbal"), 12)).cast("double").as("max_bal"))
+
+  private val q40Sql = """
+    SELECT CAST(c_nationkey AS BIGINT) AS nation,
+      ARG_MAX(c_custkey, c_acctbal) AS richest,
+      ARG_MIN(c_custkey, c_acctbal) AS poorest,
+      CAST(MAX(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS max_bal
+    FROM customer GROUP BY 1"""
+
   // ---------------------------------------------------------------- oracles
 
   private val q1Sql = s"""
@@ -990,7 +1011,8 @@ object Relational {
     "q36_array_agg" -> (q36_array_agg _),
     "q37_recursive_cte" -> (q37_recursive_cte _),
     "q38_json_extract" -> (q38_json_extract _),
-    "q39_lateral" -> (q39_lateral _))
+    "q39_lateral" -> (q39_lateral _),
+    "q40_argmax" -> (q40_argmax _))
 
   val oracle: Map[String, String] = Map(
     "q1_agg" -> q1Sql,
@@ -1031,5 +1053,6 @@ object Relational {
     "q36_array_agg" -> q36Sql,
     "q37_recursive_cte" -> q37Sql,
     "q38_json_extract" -> q38Sql,
-    "q39_lateral" -> q39Sql)
+    "q39_lateral" -> q39Sql,
+    "q40_argmax" -> q40Sql)
 }

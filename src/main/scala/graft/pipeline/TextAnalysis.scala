@@ -321,6 +321,30 @@ object TextAnalysis {
     ORDER BY pmi_score DESC, a, b
     LIMIT 50"""
 
+  /** Corpus heavy hitters via the Misra-Gries sketch aggregator
+    * ([[graft.functions.MisraGries]]): O(k) state per task, sketches
+    * merge in the shuffle — the constant-memory alternative to c3's
+    * exact vocabulary when the token space is unbounded (URLs,
+    * hostnames, n-grams at web scale). Emits every counter that could
+    * exceed the N/k threshold (est + undercount), which is a superset
+    * of the guaranteed-frequent set; rows-only gate check (sketch
+    * counts are lower bounds, not oracle-hashable), with the MG bounds
+    * asserted against exact counts in HeavyHittersSpec. */
+  def t8_text_heavyhitters(s: SparkSession, dir: String): DataFrame = {
+    val k = 32
+    val mg = udaf(new graft.functions.MisraGries(k))
+    val tokens = docs(s, dir)
+      .select(explode(split(col("text"), " ")).as("t"))
+      .filter(col("t") =!= "")
+    tokens
+      .agg(mg(col("t")).as("sketch"), count(lit(1)).as("n"))
+      .select(explode(col("sketch")).as("hit"), col("n"))
+      .select(col("hit.token"), col("hit.est_count"), col("hit.max_count"), col("n"))
+      // max_count ≥ true, so this keeps EVERY token with true > n/k
+      .filter(col("max_count") * k > col("n"))
+      .orderBy(col("est_count").desc, col("token"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t1_text_tokens" -> (t1_text_tokens _),
     "t2_text_quality" -> (t2_text_quality _),
@@ -328,7 +352,8 @@ object TextAnalysis {
     "t4_text_fingerprint" -> (t4_text_fingerprint _),
     "t5_text_clean" -> (t5_text_clean _),
     "t6_text_repetition" -> (t6_text_repetition _),
-    "t7_text_pmi" -> (t7_text_pmi _))
+    "t7_text_pmi" -> (t7_text_pmi _),
+    "t8_text_heavyhitters" -> (t8_text_heavyhitters _))
 
   val oracle: Map[String, String] = Map(
     "t1_text_tokens" -> t1Sql,
