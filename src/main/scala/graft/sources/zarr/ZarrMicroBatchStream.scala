@@ -50,10 +50,30 @@ class ZarrMicroBatchStream(
   private def outerExtent(meta: ZarrStoreMeta): Long =
     if (meta.coords.isEmpty) 0L else meta.coords.head.length.toLong
 
-  override def initialOffset(): Offset =
-    ZarrOffset(if (startFromLatest) outerExtent(freshMeta) else 0L)
+  /** The outer coordinate's name and metadata document, captured once:
+    * append never changes the dimension order, so polling only needs
+    * this ONE document re-read — `latestOffset` fires continuously
+    * under the default trigger, and a full `readStore` (which eagerly
+    * loads every coordinate array) per poll would make the idle loop
+    * O(store metadata + coords) instead of O(1 small JSON). */
+  private lazy val (outerName: String, outerIsV3: Boolean) = {
+    val m = freshMeta
+    (m.coords.head.meta.name, m.coords.head.meta.isV3)
+  }
 
-  override def latestOffset(): Offset = ZarrOffset(outerExtent(freshMeta))
+  private def currentOuterExtent(): Long = {
+    val store = ZarrStore.open(path)
+    val doc = if (outerIsV3) s"$outerName/zarr.json" else s"$outerName/.zarray"
+    val bytes = store.readBytes(doc).getOrElse(
+      throw new IllegalStateException(s"missing metadata document $doc under $path"))
+    new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(bytes).get("shape").get(0).asLong()
+  }
+
+  override def initialOffset(): Offset =
+    ZarrOffset(if (startFromLatest) currentOuterExtent() else 0L)
+
+  override def latestOffset(): Offset = ZarrOffset(currentOuterExtent())
 
   override def deserializeOffset(json: String): Offset = {
     val m = """\{\s*"outer"\s*:\s*(\d+)\s*\}""".r
