@@ -34,6 +34,11 @@ object SqlRepl {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    // typed Aggregators register per-session (they carry encoders the
+    // extension-injection path can't): heavy_hitters(col) → array of
+    // (token, est_count, max_count) structs, ≤32 entries
+    spark.udf.register("heavy_hitters",
+      org.apache.spark.sql.functions.udaf(new graft.functions.MisraGries(32)))
     println("graft SQL shell — 'help' for commands, 'quit' to exit")
     val in = new BufferedReader(new InputStreamReader(System.in))
     var line: String = null
