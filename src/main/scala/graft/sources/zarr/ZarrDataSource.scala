@@ -46,11 +46,24 @@ class ZarrDataSource extends TableProvider
 
   override def shortName(): String = "zarr"
 
-  private def pathOf(options: CaseInsensitiveStringMap): String = {
-    val p = options.get("path")
-    require(p != null && p.nonEmpty, "Zarr source requires a path")
-    p
+  /** `load(p)` arrives as option `path`; `load(p1, p2, …)` as a JSON
+    * array under `paths` (DataFrameReader's multi-path convention). */
+  private def pathsOf(options: CaseInsensitiveStringMap): Seq[String] = {
+    val multi = options.get("paths")
+    if (multi != null && multi.nonEmpty) {
+      val arr = new com.fasterxml.jackson.databind.ObjectMapper()
+        .readTree(multi)
+      require(arr.isArray && arr.size() > 0, s"Bad zarr paths option: $multi")
+      (0 until arr.size()).map(arr.get(_).asText())
+    } else {
+      val p = options.get("path")
+      require(p != null && p.nonEmpty, "Zarr source requires a path")
+      Seq(p)
+    }
   }
+
+  private def pathOf(options: CaseInsensitiveStringMap): String =
+    pathsOf(options).head
 
   /** Does a Zarr store exist at `path`? Only the not-found family maps
     * to `false`; transient IO failures (network, permissions, HTTP 5xx)
@@ -79,10 +92,23 @@ class ZarrDataSource extends TableProvider
       schema: StructType,
       partitioning: Array[Transform],
       properties: java.util.Map[String, String]): Table = {
-    val path = properties.get("path")
-    require(path != null && path.nonEmpty, "Zarr source requires a path")
-    if (isStore(path)) new ZarrTable(ZarrMeta.readStore(path))
-    else new ZarrPendingWriteTable(path, schema, properties.asScala.toMap)
+    val paths = pathsOf(new CaseInsensitiveStringMap(properties))
+    if (paths.length > 1) {
+      // multi-store UNION read (year-per-store archives): every path
+      // must be an existing store and all schemas must agree
+      val metas = paths.map { p =>
+        require(isStore(p), s"Zarr union read: no store at $p")
+        ZarrMeta.readStore(p)
+      }
+      metas.tail.foreach(m => require(m.schema == metas.head.schema,
+        s"Zarr union read: schema of ${m.path} (${m.schema.simpleString}) differs " +
+          s"from ${metas.head.path} (${metas.head.schema.simpleString})"))
+      new ZarrUnionTable(metas)
+    } else {
+      val path = paths.head
+      if (isStore(path)) new ZarrTable(ZarrMeta.readStore(path))
+      else new ZarrPendingWriteTable(path, schema, properties.asScala.toMap)
+    }
   }
 
   /** True so `CREATE TABLE … USING zarr … AS SELECT` can hand the
@@ -310,6 +336,71 @@ class ZarrTable(meta: ZarrStoreMeta) extends Table with SupportsRead
   }
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new ZarrScanBuilder(meta, options)
+}
+
+/** UNION ALL of several same-schema stores — the "archive split into
+  * one store per year" layout. Read-only; each member store keeps its
+  * own pushdown planning (a time filter prunes each store's chunk
+  * ranges independently, so a member with no matching coordinates
+  * plans zero partitions — store-level pruning for free). */
+class ZarrUnionTable(metas: Seq[ZarrStoreMeta]) extends Table with SupportsRead {
+  override def name(): String = s"zarr-union:${metas.map(_.path).mkString(",")}"
+  override def schema(): StructType = metas.head.schema
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ZarrUnionScanBuilder(metas, options)
+}
+
+class ZarrUnionScanBuilder(metas: Seq[ZarrStoreMeta], options: CaseInsensitiveStringMap)
+    extends ScanBuilder
+    with SupportsPushDownRequiredColumns
+    with SupportsPushDownFilters
+    with SupportsPushDownLimit {
+
+  private val delegates = metas.map(new ZarrScanBuilder(_, options))
+
+  override def pruneColumns(required: StructType): Unit =
+    delegates.foreach(_.pruneColumns(required))
+
+  /** Fan the filters out; every member evaluates them against its own
+    * coordinates. All filters stay post-scan (Inexact), so the union
+    * is exact regardless of per-store pruning differences. */
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    delegates.foreach(_.pushFilters(filters))
+    filters
+  }
+  override def pushedFilters(): Array[Filter] = delegates.head.pushedFilters()
+
+  /** LIMIT n per member is a superset of LIMIT n over the union —
+    * partial semantics, Spark re-limits above. */
+  override def pushLimit(n: Int): Boolean = { delegates.foreach(_.pushLimit(n)); true }
+  override def isPartiallyPushed: Boolean = true
+
+  override def build(): Scan =
+    new ZarrUnionScan(delegates.map(_.build().asInstanceOf[ZarrScan]))
+}
+
+class ZarrUnionScan(scans: Seq[ZarrScan]) extends Scan with Batch
+    with SupportsReportStatistics {
+  override def readSchema(): StructType = scans.head.readSchema()
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"ZarrUnionScan(${scans.map(_.description()).mkString(" UNION ")})"
+  override def planInputPartitions(): Array[InputPartition] =
+    scans.flatMap(_.planInputPartitions()).toArray
+  override def createReaderFactory(): PartitionReaderFactory = new ZarrReaderFactory
+  override def estimateStatistics(): Statistics = {
+    val parts = scans.map(_.estimateStatistics())
+    new Statistics {
+      override def sizeInBytes(): OptionalLong =
+        OptionalLong.of(parts.map(_.sizeInBytes().orElse(0L)).sum)
+      override def numRows(): OptionalLong =
+        OptionalLong.of(parts.map(_.numRows().orElse(0L)).sum)
+    }
+  }
+  override def supportedCustomMetrics(): Array[CustomMetric] =
+    Array(new ZarrBytesReadMetric, new ZarrChunksDecodedMetric)
 }
 
 class ZarrScanBuilder(meta: ZarrStoreMeta, options: CaseInsensitiveStringMap)

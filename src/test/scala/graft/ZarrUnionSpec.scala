@@ -1,0 +1,59 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Multi-store UNION read: `load(p1, p2, …)` over same-schema stores —
+  * the year-per-store archive layout. Filters prune per member, so a
+  * store with no matching coordinates contributes zero partitions. */
+class ZarrUnionSpec extends AnyFunSuite {
+  import TestSession._
+
+  private def grid(ts: Seq[Long]) = {
+    import spark.implicits._
+    ts.flatMap(t => (0L until 3L).map(x => (t, x, t * 10.0 + x)))
+      .toDF("t", "x", "v")
+  }
+
+  private def store(ts: Seq[Long]): String = {
+    val out = Files.createTempDirectory("zarr_union").resolve("u.zarr").toString
+    grid(ts).write.format("zarr")
+      .option("coords", "t,x").option("chunkOuter", "2")
+      .mode("overwrite").save(out)
+    out
+  }
+
+  test("union read = UNION ALL of the member stores") {
+    val a = store(Seq(0L, 1L, 2L, 3L))
+    val b = store(Seq(10L, 11L))
+    val df = spark.read.format("zarr").load(a, b)
+    assert(df.count() == 18)
+    assert(df.orderBy("t", "x").collect().map(_.toSeq).toSeq ==
+      grid(Seq(0L, 1L, 2L, 3L, 10L, 11L)).orderBy("t", "x").collect().map(_.toSeq).toSeq)
+    // aggregate across members
+    assert(df.agg(sum("v")).collect().head.getDouble(0) ==
+      grid(Seq(0L, 1L, 2L, 3L, 10L, 11L)).agg(sum("v")).collect().head.getDouble(0))
+  }
+
+  test("a filter selecting one member plans zero partitions for the other") {
+    val a = store(Seq(0L, 1L))
+    val b = store(Seq(10L, 11L))
+    val df = spark.read.format("zarr").option("minRowsPerPartition", "1")
+      .load(a, b).filter(col("t") === 10L)
+    assert(df.rdd.getNumPartitions == 1, s"got ${df.rdd.getNumPartitions}")
+    assert(df.collect().map(_.getDouble(2)).sorted.toSeq == Seq(100.0, 101.0, 102.0))
+  }
+
+  test("schema mismatch and missing member refuse loudly") {
+    val a = store(Seq(0L, 1L))
+    val odd = Files.createTempDirectory("zarr_union").resolve("odd.zarr").toString
+    import spark.implicits._
+    Seq((0L, 0L, 1.0, 9L)).toDF("t", "x", "v", "extra")
+      .write.format("zarr").option("coords", "t,x").mode("overwrite").save(odd)
+    intercept[Exception](spark.read.format("zarr").load(a, odd).collect())
+    intercept[Exception](
+      spark.read.format("zarr").load(a, "/nonexistent/nope.zarr").collect())
+  }
+}
