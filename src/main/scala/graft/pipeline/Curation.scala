@@ -380,6 +380,36 @@ object Curation {
       CAST(ROW_NUMBER() OVER (ORDER BY lang, doc_id) AS BIGINT) AS ordinal
     FROM documents"""
 
+  // ---------------------------------------------------- c10 mixture sampling
+
+  /** Data mixing: up/down-sample each language to a target mixture by
+    * deterministic hash thresholding — the "sample web text at 30%,
+    * code at 3×" step of assembling a pretraining mixture (weights are
+    * per-mille keep rates; >1000 would mean duplication, done by the
+    * packing stage instead). The weights table is mixture-spec-sized →
+    * BROADCAST; the corpus side is one scan + filter, no shuffle at
+    * all. Same reproducibility argument as c1: assignment is a pure
+    * function of the stable id, unchanged under repartitioning or
+    * cluster resize. */
+  def c10_mixture(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val weights = Seq(("en", 1000L), ("de", 500L), ("fr", 250L),
+      ("es", 125L), ("zh", 62L)).toDF("lang", "keep_permille")
+    docs(s, dir)
+      .select(col("doc_id"), col("lang"),
+        expr(s"((doc_id * 48271 + 11) % $P) % 1000").as("h"))
+      .join(broadcast(weights), "lang")
+      .filter(col("h") < col("keep_permille"))
+      .select(col("doc_id"), col("lang"), col("h"))
+  }
+
+  private val c10Sql = s"""
+    SELECT doc_id, lang, ((doc_id * 48271 + 11) % $P) % 1000 AS h
+    FROM documents
+    WHERE ((doc_id * 48271 + 11) % $P) % 1000 <
+      CASE lang WHEN 'en' THEN 1000 WHEN 'de' THEN 500 WHEN 'fr' THEN 250
+                WHEN 'es' THEN 125 WHEN 'zh' THEN 62 ELSE 0 END"""
+
   // -------------------------------------------------------------- registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -392,6 +422,7 @@ object Curation {
     "c7_pack_sequences" -> (c7_pack_sequences _),
     "c8_decontaminate" -> (c8_decontaminate _),
     "c9_global_ordinals" -> (c9_global_ordinals _),
+    "c10_mixture" -> (c10_mixture _),
     "cp1_pipeline" -> (cp1_pipeline _))
 
   val oracle: Map[String, String] = Map(
@@ -404,5 +435,6 @@ object Curation {
     "c7_pack_sequences" -> c7Sql,
     "c8_decontaminate" -> c8Sql,
     "c9_global_ordinals" -> c9Sql,
+    "c10_mixture" -> c10Sql,
     "cp1_pipeline" -> cp1Sql)
 }

@@ -229,6 +229,51 @@ object ZarrQueries {
        FROM (VALUES (0,100,0,9),(1,100,0,9),(2,100,0,9),(3,100,0,9),
        (4,100,0,9),(5,100,0,9),(6,100,0,9)) AS t(time, n, min_lat, max_lon)"""
 
+  /** Multi-store UNION read inside the graded gate: the z6 grid split
+    * into two stores along the outer dimension (ln ≤ 4 / ln > 4),
+    * loaded as `load(a, b)` and aggregated across members. Oracle =
+    * the same aggregation over the one-store grid (z6's CTE), grouped. */
+  def z11_zarr_union(s: SparkSession, dir: String): DataFrame = {
+    val li = graft.operators.Tables.load(s, dir, "lineitem")
+    def grid(cond: org.apache.spark.sql.Column) = li.filter(cond).select(
+        col("l_linenumber").cast("long").as("ln"),
+        (col("l_orderkey") % 4).cast("long").as("k"),
+        col("l_quantity").cast("long").as("qty"))
+      .groupBy("ln", "k").agg(sum(col("qty")).as("sum_qty"))
+    val base = s"${System.getProperty("java.io.tmpdir")}/graft_z11_${math.abs(dir.hashCode)}"
+    grid(col("l_linenumber") <= 4).write.format("zarr")
+      .option("coords", "ln,k").option("chunkOuter", "2")
+      .mode("overwrite").save(s"$base.a.zarr")
+    grid(col("l_linenumber") > 4).write.format("zarr")
+      .option("coords", "ln,k").option("chunkOuter", "1")
+      .mode("overwrite").save(s"$base.b.zarr")
+    s.read.format("zarr").load(s"$base.a.zarr", s"$base.b.zarr")
+      .groupBy("k")
+      .agg(sum("sum_qty").as("total_qty"), count(lit(1)).as("n_cells"))
+  }
+
+  private val z11Sql = """
+    WITH agg AS (
+      SELECT CAST(l_linenumber AS BIGINT) AS ln,
+             CAST(l_orderkey % 4 AS BIGINT) AS k,
+             CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+      FROM lineitem GROUP BY 1, 2),
+    lo AS (SELECT DISTINCT ln FROM agg WHERE ln <= 4),
+    hi AS (SELECT DISTINCT ln FROM agg WHERE ln > 4),
+    ks AS (SELECT DISTINCT k FROM agg),
+    gridlo AS (
+      SELECT l.ln, kk.k, COALESCE(a.sum_qty, 0) AS sum_qty
+      FROM lo l CROSS JOIN ks kk
+      LEFT JOIN agg a ON a.ln = l.ln AND a.k = kk.k),
+    gridhi AS (
+      SELECT h.ln, kk.k, COALESCE(a.sum_qty, 0) AS sum_qty
+      FROM hi h CROSS JOIN ks kk
+      LEFT JOIN agg a ON a.ln = h.ln AND a.k = kk.k),
+    unioned AS (SELECT * FROM gridlo UNION ALL SELECT * FROM gridhi)
+    SELECT k, CAST(SUM(sum_qty) AS BIGINT) AS total_qty,
+      CAST(COUNT(*) AS BIGINT) AS n_cells
+    FROM unioned GROUP BY k"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "z1_zarr_group_agg" -> (z1_zarr_group_agg _),
     "z2_zarr_filter_slice" -> (z2_zarr_filter_slice _),
@@ -239,7 +284,8 @@ object ZarrQueries {
     "z7_zarr_kerchunk" -> (z7_zarr_kerchunk _),
     "z8_zarr_append" -> (z8_zarr_append _),
     "z9_zarr_stream" -> (z9_zarr_stream _),
-    "z10_zarr_group_meta" -> (z10_zarr_group_meta _))
+    "z10_zarr_group_meta" -> (z10_zarr_group_meta _),
+    "z11_zarr_union" -> (z11_zarr_union _))
 
   val oracle: Map[String, String] = Map(
     "z1_zarr_group_agg" -> z1Sql,
@@ -251,5 +297,6 @@ object ZarrQueries {
     "z7_zarr_kerchunk" -> z7Sql,
     "z8_zarr_append" -> z6Sql, // append ≡ one-shot write of the full grid
     "z9_zarr_stream" -> z6Sql, // micro-batch union ≡ one-shot read of the full grid
-    "z10_zarr_group_meta" -> z10Sql)
+    "z10_zarr_group_meta" -> z10Sql,
+    "z11_zarr_union" -> z11Sql)
 }
