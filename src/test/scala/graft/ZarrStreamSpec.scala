@@ -123,6 +123,36 @@ class ZarrStreamSpec extends AnyFunSuite {
     }
   }
 
+  test("stress: appends race a continuously-triggering follower") {
+    // The ingest thread appends 10 slabs with no coordination while
+    // the default trigger polls as fast as it can — every interleaving
+    // of metadata reads and chunk/metadata commits must decode
+    // cleanly, and the final union must be exactly the full grid.
+    val out = fresh(Seq(0L, 1L))
+    ZarrStreamSpec.sink.clear()
+    val q = spark.readStream.format("zarr").load(out)
+      .writeStream.outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.collect().foreach(r => ZarrStreamSpec.sink.add(r.toSeq))
+      }.start()
+    val ingest = new Thread(() => {
+      (1 to 10).foreach { i =>
+        grid(Seq(2L * i, 2L * i + 1)).write.format("zarr").mode("append").save(out)
+        Thread.sleep(30)
+      }
+    })
+    try {
+      ingest.start()
+      ingest.join()
+      q.processAllAvailable()
+    } finally q.stop()
+    import scala.jdk.CollectionConverters._
+    val got = ZarrStreamSpec.sink.asScala.toSeq
+      .sortBy(r => (r.head.asInstanceOf[Long], r(1).asInstanceOf[Long]))
+    assert(got == grid(0L to 21L).orderBy("t", "x").collect().map(_.toSeq).toSeq,
+      s"got ${got.size} rows")
+  }
+
   test("checkpoint restart resumes from the committed outer offset") {
     val out = fresh(Seq(0L, 1L))
     val ckpt = Files.createTempDirectory("zarr_stream_ckpt").toString
