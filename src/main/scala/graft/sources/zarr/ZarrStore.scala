@@ -96,7 +96,7 @@ final case class LocalStore(path: String) extends ZarrStore {
     val p = root.resolve(rel)
     Files.createDirectories(p.getParent)
     val tmp = p.resolveSibling(p.getFileName.toString +
-      s".__tmp_${java.lang.Long.toHexString(Thread.currentThread().getId)}")
+      s".__tmp_${java.util.UUID.randomUUID().toString.take(8)}")
     Files.write(tmp, data)
     try Files.move(tmp, p, java.nio.file.StandardCopyOption.ATOMIC_MOVE,
       java.nio.file.StandardCopyOption.REPLACE_EXISTING)
@@ -158,18 +158,28 @@ final case class HadoopStore(path: String) extends ZarrStore {
     if (fs.exists(p)) Some(fs.getFileStatus(p).getLen) else None
   }
 
-  /** Write-then-rename so a racing reader never sees a torn object
-    * (rename is atomic on HDFS; best-effort on object stores, whose
-    * PUTs are already all-or-nothing through the connector). */
+  /** Write-then-rename so a racing reader never sees a torn object.
+    * `FileContext.rename(OVERWRITE)` replaces the destination in one
+    * atomic step on HDFS (plain `FileSystem.rename` refuses an
+    * existing destination, and delete-then-rename would leave a
+    * window where the object is ABSENT); best-effort on object
+    * stores, whose PUTs are already all-or-nothing through the
+    * connector. */
   override def writeBytes(rel: String, data: Array[Byte]): Unit = {
     val dest = new HPath(root, rel)
     val tmp = new HPath(root,
-      rel + s".__tmp_${java.lang.Long.toHexString(Thread.currentThread().getId)}")
+      rel + s".__tmp_${java.util.UUID.randomUUID().toString.take(8)}")
     val out = fs.create(tmp, true) // creates parent dirs
     try out.write(data) finally out.close()
-    fs.delete(dest, false)
-    if (!fs.rename(tmp, dest))
-      throw new java.io.IOException(s"Failed to commit $dest")
+    try
+      org.apache.hadoop.fs.FileContext.getFileContext(fs.getUri, fs.getConf)
+        .rename(tmp, dest, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    catch { case _: UnsupportedOperationException =>
+      // backend without FileContext support: small non-atomic window
+      fs.delete(dest, false)
+      if (!fs.rename(tmp, dest))
+        throw new java.io.IOException(s"Failed to commit $dest")
+    }
   }
 
   override def moveTo(destPath: String): Unit = {
