@@ -277,13 +277,17 @@ object TextAnalysis {
     * unigram and bigram counts each aggregate with map-side partials
     * on their gram key; the per-token unigram table is vocabulary-
     * sized, so both enrichment joins BROADCAST — the corpus-sized
-    * bigram table never reshuffles. At trillion-token scale compute
-    * the product in log space or pre-divide; the exact form here keeps
-    * the oracle bit-exact. */
+    * bigram table never reshuffles. Overflow bound: `nab·nw·10^6`
+    * must stay under 2^63, i.e. nab·nw < 9.2·10^12 — fine to ~10M-
+    * token corpora with 1M-count bigrams; past that switch the score
+    * to DECIMAL(38,0) on both engines (or log space, giving up the
+    * bit-exact oracle). */
   def t7_text_pmi(s: SparkSession, dir: String): DataFrame = {
     val words = docs(s, dir).select(split(col("text"), " ").as("w"))
     // vocabulary-sized and consumed three times (both join sides +
-    // the total) — persist so the corpus explode runs once, not 3×
+    // the total) — persist so the corpus explode runs once, not 3×.
+    // Repeat calls don't stack cache entries: CacheManager keys by
+    // canonicalized plan, so the same (dir) hits the same entry.
     val uni = words.select(explode(col("w")).as("t"))
       .filter(col("t") =!= "")
       .groupBy("t").agg(count(lit(1)).as("n"))

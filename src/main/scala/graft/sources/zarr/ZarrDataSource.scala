@@ -535,10 +535,16 @@ class ZarrScanBuilder(meta: ZarrStoreMeta, options: CaseInsensitiveStringMap)
       case r: NamedReference if r.fieldNames().length == 1 => Some(r.fieldNames().head)
       case _ => None
     }
-    val prefixOk = orders.zip(meta.coords).forall { case (o, c) =>
+    // index order = value order. Every key except the LAST must be
+    // STRICTLY increasing: a duplicate value in a non-last key makes
+    // the row-major tuple sequence unsorted by these columns, and the
+    // clipped window could miss true top-n rows.
+    val prefixOk = orders.zip(meta.coords).zipWithIndex.forall { case ((o, c), i) =>
       colOf(o).contains(c.meta.name) && c.meta.dtype.kind != 'S' && {
         val d = c.doubles
-        (1 until d.length).forall(i => d(i - 1) <= d(i)) // index order = value order
+        val strict = i < orders.length - 1
+        (1 until d.length).forall(j =>
+          if (strict) d(j - 1) < d(j) else d(j - 1) <= d(j))
       }
     }
     if (!prefixOk) return false
@@ -565,7 +571,7 @@ class ZarrScanBuilder(meta: ZarrStoreMeta, options: CaseInsensitiveStringMap)
     val groups = aggregation.groupByExpressions()
     val groupCols = groups.flatMap(colName(_))
     groups.length == groupCols.length &&
-      groupCols.forall(meta.coordNames.contains) &&
+      groupCols.forall(n => meta.coordNames.contains(n) && uniqueCoord(n)) &&
       coordPreds.isEmpty &&
       accepted.isEmpty && limit.isEmpty && offset == 0L &&
       // fill→null can null out data-var cells, so metadata row counts
@@ -589,6 +595,17 @@ class ZarrScanBuilder(meta: ZarrStoreMeta, options: CaseInsensitiveStringMap)
   private def numericCoord(name: String): Boolean =
     meta.coords.exists(c => c.meta.name == name && c.meta.dtype.kind != 'S')
 
+  /** Coordinate values are usually unique but Zarr doesn't enforce it;
+    * group-key and COUNT(DISTINCT) answers from metadata are only
+    * exact when they are. */
+  private def uniqueCoord(name: String): Boolean =
+    meta.coords.find(_.meta.name == name).exists { c =>
+      c.raw match {
+        case a: Array[String] => a.distinct.length == a.length
+        case _ => c.doubles.distinct.length == c.doubles.length
+      }
+    }
+
   private def answerable(f: AggregateFunc, grouped: Set[String] = Set.empty): Boolean = f match {
     case _: CountStar => true
     case c: Count if !c.isDistinct => colName(c.column).exists(meta.schema.fieldNames.contains)
@@ -596,7 +613,8 @@ class ZarrScanBuilder(meta: ZarrStoreMeta, options: CaseInsensitiveStringMap)
     // but Spark plans distinct aggregates differently — keep the
     // reference behavior and answer only non-grouped coordinates
     case c: Count if c.isDistinct =>
-      colName(c.column).exists(n => meta.coordNames.contains(n) && !grouped(n))
+      colName(c.column).exists(n =>
+        meta.coordNames.contains(n) && !grouped(n) && uniqueCoord(n))
     case m: Min => colName(m.column).exists(n => numericCoord(n) || grouped(n))
     case m: Max => colName(m.column).exists(n => numericCoord(n) || grouped(n))
     case _ => false
@@ -720,27 +738,39 @@ class ZarrScan(
         (1 until d.length).forall(i => d(i - 1) < d(i))
       }
 
+  private lazy val plannedPartitionCount: Int = planInputPartitions().length
+
   override def outputPartitioning(): org.apache.spark.sql.connector.read.partitioning.Partitioning =
     if (keyGrouped && ranges.isDefined) {
       val (o0, o1) = ranges.get.head
       new org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning(
         Array(Expressions.identity(meta.coordNames.head)), o1 - o0)
     } else new org.apache.spark.sql.connector.read.partitioning.UnknownPartitioning(
-      planInputPartitions().length)
+      plannedPartitionCount)
 
   /** The flattened grid enumerates rows in row-major order, so within
     * every partition rows are sorted by the coordinate columns in
-    * dimension order — declared for the longest prefix of projected,
-    * non-decreasing numeric coordinates, letting Catalyst elide sorts
-    * the scan already provides. */
+    * dimension order — declared for the longest prefix of projected
+    * numeric coordinates whose values are STRICTLY increasing (a
+    * duplicate value makes the deeper tuple sequence re-start and the
+    * prefix is no longer sorted); the last declared key alone may be
+    * merely non-decreasing, so compute the strict prefix and extend it
+    * by one non-strict coordinate when possible. */
   override def outputOrdering(): Array[org.apache.spark.sql.connector.expressions.SortOrder] = {
     val names = requiredSchema.fieldNames.toSet
-    meta.coords.takeWhile { c =>
+    def eligible(c: CoordData, strict: Boolean): Boolean =
       names.contains(c.meta.name) && c.meta.dtype.kind != 'S' && {
         val d = c.doubles
-        (1 until d.length).forall(i => d(i - 1) <= d(i))
+        (1 until d.length).forall(i =>
+          if (strict) d(i - 1) < d(i) else d(i - 1) <= d(i))
       }
-    }.map(c => Expressions.sort(Expressions.column(c.meta.name),
+    val strictPrefix = meta.coords.takeWhile(eligible(_, strict = true))
+    val withTail =
+      if (strictPrefix.length < meta.coords.length &&
+        eligible(meta.coords(strictPrefix.length), strict = false))
+        strictPrefix :+ meta.coords(strictPrefix.length)
+      else strictPrefix
+    withTail.map(c => Expressions.sort(Expressions.column(c.meta.name),
       org.apache.spark.sql.connector.expressions.SortDirection.ASCENDING)).toArray
   }
 

@@ -45,29 +45,81 @@ class ZarrMicroBatchStream(
     prefetch: Boolean,
     startFromLatest: Boolean) extends MicroBatchStream {
 
-  private def freshMeta: ZarrStoreMeta = ZarrMeta.readStore(path)
-
-  private def outerExtent(meta: ZarrStoreMeta): Long =
-    if (meta.coords.isEmpty) 0L else meta.coords.head.length.toLong
-
-  /** The outer coordinate's name and metadata document, captured once:
-    * append never changes the dimension order, so polling only needs
-    * this ONE document re-read — `latestOffset` fires continuously
-    * under the default trigger, and a full `readStore` (which eagerly
-    * loads every coordinate array) per poll would make the idle loop
-    * O(store metadata + coords) instead of O(1 small JSON). */
-  private lazy val (outerName: String, outerIsV3: Boolean) = {
-    val m = freshMeta
-    (m.coords.head.meta.name, m.coords.head.meta.isV3)
+  /** Store metadata re-read with a mid-append consistency check: an
+    * append edits the outer coordinate's shape first and the data
+    * variables' after, so a read landing between the two sees a grown
+    * coordinate that no longer matches any variable dimension — on
+    * stores without consolidated metadata that makes
+    * `inferCoordOrder` fall back to ALPHABETICAL order and the grid
+    * would decode transposed. Detect the inconsistent window (outer
+    * name changed, or variable outer dim ≠ outer coord length) and
+    * re-read; the window is two small JSON writes wide. */
+  private def consistentReadStore(alsoRequire: ZarrStoreMeta => Boolean): ZarrStoreMeta = {
+    var attempt = 0
+    while (true) {
+      val m = ZarrMeta.readStore(path)
+      val consistent = m.coords.nonEmpty &&
+        m.dataVars.forall(_.shape.head == m.coords.head.length.toLong) &&
+        alsoRequire(m)
+      if (consistent) return m
+      attempt += 1
+      if (attempt >= 50)
+        throw new IllegalStateException(
+          s"Zarr store $path stayed metadata-inconsistent after $attempt reads " +
+            s"(outer ${m.coords.headOption.map(_.meta.name)} len " +
+            s"${m.coords.headOption.map(_.length)}, var dims " +
+            s"${m.dataVars.map(_.shape.head).distinct})")
+      Thread.sleep(20)
+    }
+    throw new IllegalStateException("unreachable")
   }
 
-  private def currentOuterExtent(): Long = {
+  private def freshMeta: ZarrStoreMeta =
+    consistentReadStore(m => m.coords.head.meta.name == outerName)
+
+  /** The outer coordinate's identity and which metadata document is
+    * this store's SOURCE OF TRUTH, captured once (append never changes
+    * dimension order). `latestOffset` fires continuously under the
+    * default trigger, so polling reads ONE document instead of a full
+    * `readStore` — and it must be the SAME document `readStore`
+    * prefers: the writer refreshes consolidated metadata LAST, so
+    * polling the per-array doc could announce an extent the planning
+    * read (which prefers consolidated) doesn't see yet; the batch
+    * would plan empty while its end offset still commits — silent,
+    * permanent slab loss. */
+  private lazy val pollSource: (String, String) = {
+    val m = consistentReadStore(_ => true)
+    val outer = m.coords.head.meta.name
     val store = ZarrStore.open(path)
-    val doc = if (outerIsV3) s"$outerName/zarr.json" else s"$outerName/.zarray"
+    if (!m.coords.head.meta.isV3 && store.readBytes(".zmetadata").isDefined)
+      (".zmetadata", outer)
+    else if (m.coords.head.meta.isV3) ("zarr.json", outer)
+    else (s"$outer/.zarray", outer)
+  }
+
+  private def outerName: String = pollSource._2
+
+  private def currentOuterExtent(): Long = {
+    val (doc, outer) = pollSource
+    val store = ZarrStore.open(path)
     val bytes = store.readBytes(doc).getOrElse(
       throw new IllegalStateException(s"missing metadata document $doc under $path"))
-    new com.fasterxml.jackson.databind.ObjectMapper()
-      .readTree(bytes).get("shape").get(0).asLong()
+    val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(bytes)
+    val shape = doc match {
+      case ".zmetadata" => node.get("metadata").get(s"$outer/.zarray").get("shape")
+      case "zarr.json" =>
+        // consolidated block when present (matches readStore), else
+        // this store is discovered by walking per-array docs
+        Option(node.get("consolidated_metadata"))
+          .flatMap(c => Option(c.get("metadata"))).map(_.get(outer).get("shape"))
+          .getOrElse {
+            val b = store.readBytes(s"$outer/zarr.json").getOrElse(
+              throw new IllegalStateException(s"missing $outer/zarr.json under $path"))
+            new com.fasterxml.jackson.databind.ObjectMapper().readTree(b).get("shape")
+          }
+      case arrDoc => node.get("shape")
+    }
+    shape.get(0).asLong()
   }
 
   override def initialOffset(): Offset =

@@ -174,11 +174,15 @@ final case class HadoopStore(path: String) extends ZarrStore {
     try
       org.apache.hadoop.fs.FileContext.getFileContext(fs.getUri, fs.getConf)
         .rename(tmp, dest, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
-    catch { case _: UnsupportedOperationException =>
-      // backend without FileContext support: small non-atomic window
-      fs.delete(dest, false)
-      if (!fs.rename(tmp, dest))
-        throw new java.io.IOException(s"Failed to commit $dest")
+    catch {
+      // schemes without an AbstractFileSystem binding signal it via
+      // UnsupportedFileSystemException (an IOException subclass)
+      case _: org.apache.hadoop.fs.UnsupportedFileSystemException |
+          _: UnsupportedOperationException =>
+        // fallback: small non-atomic window where dest is absent
+        fs.delete(dest, false)
+        if (!fs.rename(tmp, dest))
+          throw new java.io.IOException(s"Failed to commit $dest")
     }
   }
 
