@@ -46,6 +46,17 @@ class ZarrUnionSpec extends AnyFunSuite {
     assert(df.collect().map(_.getDouble(2)).sorted.toSeq == Seq(100.0, 101.0, 102.0))
   }
 
+  test("SQL DDL: CREATE TABLE ... USING zarr OPTIONS (paths '[...]')") {
+    val a = store(Seq(0L, 1L))
+    val b = store(Seq(10L, 11L))
+    spark.sql(s"""CREATE TABLE zunion USING zarr OPTIONS (paths '["$a","$b"]')""")
+    try {
+      assert(spark.sql("SELECT COUNT(*) FROM zunion").collect().head.getLong(0) == 12L)
+      assert(spark.sql("SELECT SUM(v) FROM zunion WHERE t >= 10").collect()
+        .head.getDouble(0) == (100.0 + 101 + 102 + 110 + 111 + 112))
+    } finally spark.sql("DROP TABLE zunion")
+  }
+
   test("schema mismatch and missing member refuse loudly") {
     val a = store(Seq(0L, 1L))
     val odd = Files.createTempDirectory("zarr_union").resolve("odd.zarr").toString
