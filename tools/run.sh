@@ -3,6 +3,13 @@
 # (much faster than sbt runMain). Usage: tools/run.sh graft.Verify args...
 set -e
 cd "$(dirname "$0")/.."
+# sbt compile does not copy resources; without META-INF/services the
+# zarr DataSourceRegister is invisible and every z* query fails with
+# DATA_SOURCE_NOT_FOUND. Copy them in when missing.
+if [ ! -e target/scala-2.13/classes/META-INF/services/org.apache.spark.sql.sources.DataSourceRegister ]; then
+  mkdir -p target/scala-2.13/classes
+  cp -r src/main/resources/. target/scala-2.13/classes/
+fi
 ADD_OPENS=""
 for p in java.lang java.lang.invoke java.lang.reflect java.io java.net \
          java.nio java.util java.util.concurrent java.util.concurrent.atomic; do
