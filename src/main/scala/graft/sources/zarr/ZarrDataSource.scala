@@ -12,6 +12,7 @@ import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference, 
 import org.apache.spark.sql.connector.expressions.aggregate.{AggregateFunc, Aggregation, Count, CountStar, Max, Min}
 import org.apache.spark.sql.connector.metric.{CustomMetric, CustomSumMetric, CustomTaskMetric}
 import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.execution.streaming.Sink
 import org.apache.spark.sql.connector.read.colstats.ColumnStatistics
 import org.apache.spark.sql.sources.{EqualNullSafe, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types._
@@ -42,9 +43,26 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   */
 class ZarrDataSource extends TableProvider
     with org.apache.spark.sql.sources.DataSourceRegister
-    with org.apache.spark.sql.sources.CreatableRelationProvider {
+    with org.apache.spark.sql.sources.CreatableRelationProvider
+    with org.apache.spark.sql.sources.StreamSinkProvider {
 
   override def shortName(): String = "zarr"
+
+  /** `df.writeStream.format("zarr")` — per-micro-batch outer-dimension
+    * append (see [[ZarrStreamSink]]). Reached through Spark's V1 sink
+    * fallback: neither table flavor declares STREAMING_WRITE, so the
+    * DataStreamWriter lands here. Append-mode only — a Zarr grid has
+    * no notion of updating previously-emitted aggregation results. */
+  override def createSink(
+      sqlContext: org.apache.spark.sql.SQLContext,
+      parameters: Map[String, String],
+      partitionColumns: Seq[String],
+      outputMode: org.apache.spark.sql.streaming.OutputMode): Sink = {
+    require(outputMode == org.apache.spark.sql.streaming.OutputMode.Append(),
+      s"Zarr streaming sink supports Append output mode only, got $outputMode " +
+        "(a coordinate grid appends whole outer slabs; it cannot retract or update rows)")
+    new ZarrStreamSink(parameters)
+  }
 
   /** `load(p)` arrives as option `path`; `load(p1, p2, …)` as a JSON
     * array under `paths` (DataFrameReader's multi-path convention). */

@@ -214,6 +214,47 @@ object ZarrQueries {
     s.table("z9_out")
   }
 
+  /** Streaming WRITE inside the graded gate (the sink mirror of z9):
+    * write the ln ≤ 4 half of the z6 grid batch-mode, then feed the
+    * ln ∈ {5,6,7} half through `writeStream.format("zarr")` (memory
+    * stream → per-micro-batch outer append), read the combined store
+    * back. Same oracle as z6/z8 — a streamed ingest must be
+    * indistinguishable from a one-shot write. */
+  def z12_zarr_stream_sink(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val li = graft.operators.Tables.load(s, dir, "lineitem")
+    def grid(cond: org.apache.spark.sql.Column) = li.filter(cond).select(
+        col("l_linenumber").cast("long").as("ln"),
+        (col("l_orderkey") % 4).cast("long").as("k"),
+        col("l_quantity").cast("long").as("qty"))
+      .groupBy("ln", "k").agg(sum(col("qty")).as("sum_qty"))
+    val out = s"${System.getProperty("java.io.tmpdir")}/graft_z12_${math.abs(dir.hashCode)}.zarr"
+    // fresh store per run: the stream sink must start from the batch half
+    try ZarrStore.open(out).deleteRecursively() catch { case _: Exception => }
+    grid(col("l_linenumber") <= 4).write.format("zarr")
+      .option("coords", "ln,k").option("chunkOuter", "2")
+      .option("compressor", "zstd")
+      .mode("overwrite").save(out)
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Long, Long)]
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_z12_ckpt").toString
+    val q = in.toDF().toDF("ln", "k", "sum_qty")
+      .writeStream.outputMode("append").format("zarr")
+      .option("path", out)
+      .option("checkpointLocation", ckpt)
+      .start()
+    try {
+      val tail = grid(col("l_linenumber") > 4)
+        .as[(Long, Long, Long)].collect().sortBy(r => (r._1, r._2))
+      // two micro-batches: ln∈{5,6} then ln=7 — multiple appends land
+      in.addData(tail.filter(_._1 <= 6).toSeq: _*)
+      q.processAllAvailable()
+      in.addData(tail.filter(_._1 > 6).toSeq: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    s.read.format("zarr").load(out).select("ln", "k", "sum_qty")
+  }
+
   /** GROUP BY coordinate answered purely from metadata (grid
     * arithmetic — zero chunk IO; ZarrGroupAggSpec asserts the plan
     * uses ZarrGroupAggScan): per-time counts and coordinate bounds. */
@@ -285,7 +326,8 @@ object ZarrQueries {
     "z8_zarr_append" -> (z8_zarr_append _),
     "z9_zarr_stream" -> (z9_zarr_stream _),
     "z10_zarr_group_meta" -> (z10_zarr_group_meta _),
-    "z11_zarr_union" -> (z11_zarr_union _))
+    "z11_zarr_union" -> (z11_zarr_union _),
+    "z12_zarr_stream_sink" -> (z12_zarr_stream_sink _))
 
   val oracle: Map[String, String] = Map(
     "z1_zarr_group_agg" -> z1Sql,
@@ -298,5 +340,6 @@ object ZarrQueries {
     "z8_zarr_append" -> z6Sql, // append ≡ one-shot write of the full grid
     "z9_zarr_stream" -> z6Sql, // micro-batch union ≡ one-shot read of the full grid
     "z10_zarr_group_meta" -> z10Sql,
-    "z11_zarr_union" -> z11Sql)
+    "z11_zarr_union" -> z11Sql,
+    "z12_zarr_stream_sink" -> z6Sql) // streamed ingest ≡ one-shot write
 }

@@ -1,0 +1,104 @@
+package graft.sources.zarr
+
+import org.apache.spark.sql.{DataFrame, SQLContext}
+import org.apache.spark.sql.execution.streaming.Sink
+import org.apache.spark.sql.functions.{col, lit}
+
+/** Structured Streaming SINK for Zarr stores: `df.writeStream
+  * .format("zarr")` appends each micro-batch along the OUTER dimension
+  * — the write half of the time-series ingest loop whose read half is
+  * [[ZarrMicroBatchStream]] (`readStream` follows the growing outer
+  * extent). The reference's scan is bounded-only
+  * (/root/reference/src/physical_plan/zarr_exec.rs:101) and it has no
+  * sink at all ("output formats", README.md:305) — this completes the
+  * streaming story the roadmap leaves open: a Zarr store can now sit
+  * on BOTH ends of a streaming pipeline (store → stream → store).
+  *
+  * Semantics per micro-batch:
+  *   - no store at `path` yet → full write (needs the same `coords` /
+  *     `chunkOuter` / codec options as the batch sink; temp+swap, so
+  *     a crash never leaves a half-written store)
+  *   - store exists → [[ZarrWriter.append]] of the batch's NEW outer
+  *     slabs (whole chunks, in-place shape edit, chunks-before-
+  *     metadata crash ordering)
+  *
+  * Exactly-once: replays are detected at two levels. A committed-batch
+  * marker (`.graft_stream_commit`, written after each successful
+  * batch) short-circuits whole-batch re-delivery after a restart, and
+  * — because a marker write can be lost between an append and a crash
+  * — the batch is ALSO filtered to rows whose outer value sorts
+  * strictly after the store's current extent, so a replayed batch
+  * whose slabs already landed appends nothing instead of failing the
+  * strictly-after check. Duplicates are structurally impossible: grid
+  * cells are keyed by coordinates, and an outer slab is either past
+  * the extent (new) or under it (already written).
+  *
+  * Scale note: like Spark's own V1 sinks (MemorySink precedent), the
+  * micro-batch crosses the driver once (`collect`) before the append
+  * fans chunk encoding back out to executors — a micro-batch here is
+  * one or a few outer slabs (coordinate pre-pass needs the whole
+  * batch). The unbounded-corpus paths stay fully distributed; this
+  * sink's unit of work is slab-sized by construction.
+  */
+class ZarrStreamSink(parameters: Map[String, String]) extends Sink {
+
+  private val params =
+    parameters.map { case (k, v) => k.toLowerCase(java.util.Locale.ROOT) -> v }
+  private val path = params.getOrElse("path",
+    throw new IllegalArgumentException("Zarr streaming sink requires a path"))
+
+  private val CommitKey = ".graft_stream_commit"
+
+  private def isStore: Boolean =
+    try { ZarrMeta.detectVersion(ZarrStore.open(path)); true }
+    catch {
+      case _: IllegalArgumentException => false
+      case _: java.io.FileNotFoundException => false
+      case _: java.nio.file.NoSuchFileException => false
+      case _: UnsupportedOperationException => false
+    }
+
+  private def committedBatch(): Long =
+    ZarrStore.open(path).readBytes(CommitKey) match {
+      case Some(bytes) =>
+        try new String(bytes, java.nio.charset.StandardCharsets.UTF_8).trim.toLong
+        catch { case _: NumberFormatException => -1L }
+      case None => -1L
+    }
+
+  private def markCommitted(batchId: Long): Unit =
+    ZarrStore.open(path).writeBytes(CommitKey,
+      batchId.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+
+  override def addBatch(batchId: Long, data: DataFrame): Unit = {
+    val exists = isStore
+    if (exists && batchId <= committedBatch()) return // replayed, already landed
+    // Materialize the micro-batch before re-planning: the DataFrame a
+    // V1 sink receives wraps the stream's IncrementalExecution; the
+    // append path runs several independent actions (coordinate
+    // distincts, chunk mapPartitions), each of which would re-execute
+    // it. One collect, then a local batch DF.
+    val spark = data.sparkSession
+    val rows = java.util.Arrays.asList(data.collect(): _*)
+    val local = spark.createDataFrame(rows, data.schema)
+    if (!exists) {
+      ZarrDataSource.writeWithModes(local, params, replaceExisting = false)
+    } else {
+      val meta = ZarrMeta.readStore(path)
+      val outer = meta.coords.head
+      val fresh =
+        if (outer.length == 0) local
+        else if (outer.meta.dtype.kind == 'M') {
+          // raw domain for datetime64 is epoch-micros
+          val cutoff = java.time.Instant.EPOCH
+            .plus(outer.max.toLong, java.time.temporal.ChronoUnit.MICROS)
+          local.filter(col(outer.meta.name) > lit(cutoff))
+        } else
+          local.filter(col(outer.meta.name).cast("double") > lit(outer.max))
+      if (!fresh.isEmpty) ZarrWriter.append(fresh, path)
+    }
+    markCommitted(batchId)
+  }
+
+  override def toString: String = s"ZarrStreamSink[$path]"
+}
