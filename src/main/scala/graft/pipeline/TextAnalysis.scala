@@ -349,6 +349,66 @@ object TextAnalysis {
       .orderBy(col("est_count").desc, col("token"))
   }
 
+  /** PII redaction — the scrubbing stage every training pipeline runs
+    * before tokenization: count and mask emails / phone numbers / IPs.
+    * The corpus is synthetic word-salad with no PII, so each row first
+    * gets deterministic fixture PII derived from `doc_id` (identical
+    * construction in the oracle: emails on ⅔ of rows, phones on ½,
+    * an IP on all) — the operator under test is the detector/redactor
+    * expression chain. Verified by md5 of the redacted text, like t5:
+    * content equality without shipping the corpus through the compare.
+    * Pure per-row codegen'd expressions: zero shuffles, linear scan,
+    * the regex subset (char classes, bounded repeats, \b) behaves
+    * identically in Java regex and RE2. */
+  def t9_text_pii(s: SparkSession, dir: String): DataFrame = {
+    val email = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+    val phone = "\\+1-555-[0-9]{4}"
+    val ip = "\\b10\\.[0-9]{1,3}\\.0\\.1\\b"
+    val redacted = regexp_replace(regexp_replace(regexp_replace(
+      col("raw"), lit(email), lit("<EMAIL>")), lit(phone), lit("<PHONE>")),
+      lit(ip), lit("<IP>"))
+    docs(s, dir)
+      .select(col("doc_id"), concat(
+        col("text"),
+        when(col("doc_id") % 3 =!= 0,
+          concat(lit(" contact user"), col("doc_id").cast("string"),
+            lit("@mail.example.com"))).otherwise(lit("")),
+        when(col("doc_id") % 2 === 0,
+          concat(lit(" call +1-555-"),
+            lpad((col("doc_id") % 10000).cast("string"), 4, "0"))).otherwise(lit("")),
+        lit(" host 10."), (col("doc_id") % 256).cast("string"), lit(".0.1")).as("raw"))
+      .select(col("doc_id"),
+        regexp_count(col("raw"), lit(email)).cast("long").as("n_emails"),
+        regexp_count(col("raw"), lit(phone)).cast("long").as("n_phones"),
+        regexp_count(col("raw"), lit(ip)).cast("long").as("n_ips"),
+        md5(redacted.cast("binary")).as("red_md5"),
+        length(redacted).cast("long").as("red_len"))
+  }
+
+  private val t9Sql = """
+    WITH raw AS (
+      SELECT doc_id,
+        text
+          || CASE WHEN doc_id % 3 <> 0
+               THEN ' contact user' || doc_id || '@mail.example.com' ELSE '' END
+          || CASE WHEN doc_id % 2 = 0
+               THEN ' call +1-555-' || LPAD(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END
+          || ' host 10.' || (doc_id % 256) || '.0.1' AS raw
+      FROM documents)
+    SELECT doc_id,
+      CAST(LEN(REGEXP_EXTRACT_ALL(raw, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) AS BIGINT) AS n_emails,
+      CAST(LEN(REGEXP_EXTRACT_ALL(raw, '\+1-555-[0-9]{4}')) AS BIGINT) AS n_phones,
+      CAST(LEN(REGEXP_EXTRACT_ALL(raw, '\b10\.[0-9]{1,3}\.0\.1\b')) AS BIGINT) AS n_ips,
+      md5(REGEXP_REPLACE(REGEXP_REPLACE(REGEXP_REPLACE(raw,
+        '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g'),
+        '\+1-555-[0-9]{4}', '<PHONE>', 'g'),
+        '\b10\.[0-9]{1,3}\.0\.1\b', '<IP>', 'g')) AS red_md5,
+      CAST(LENGTH(REGEXP_REPLACE(REGEXP_REPLACE(REGEXP_REPLACE(raw,
+        '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g'),
+        '\+1-555-[0-9]{4}', '<PHONE>', 'g'),
+        '\b10\.[0-9]{1,3}\.0\.1\b', '<IP>', 'g')) AS BIGINT) AS red_len
+    FROM raw"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t1_text_tokens" -> (t1_text_tokens _),
     "t2_text_quality" -> (t2_text_quality _),
@@ -357,7 +417,8 @@ object TextAnalysis {
     "t5_text_clean" -> (t5_text_clean _),
     "t6_text_repetition" -> (t6_text_repetition _),
     "t7_text_pmi" -> (t7_text_pmi _),
-    "t8_text_heavyhitters" -> (t8_text_heavyhitters _))
+    "t8_text_heavyhitters" -> (t8_text_heavyhitters _),
+    "t9_text_pii" -> (t9_text_pii _))
 
   val oracle: Map[String, String] = Map(
     "t1_text_tokens" -> t1Sql,
@@ -366,5 +427,6 @@ object TextAnalysis {
     "t4_text_fingerprint" -> t4Sql,
     "t5_text_clean" -> t5Sql,
     "t6_text_repetition" -> t6Sql,
-    "t7_text_pmi" -> t7Sql)
+    "t7_text_pmi" -> t7Sql,
+    "t9_text_pii" -> t9Sql)
 }
