@@ -410,6 +410,83 @@ object Curation {
       CASE lang WHEN 'en' THEN 1000 WHEN 'de' THEN 500 WHEN 'fr' THEN 250
                 WHEN 'es' THEN 125 WHEN 'zh' THEN 62 ELSE 0 END"""
 
+  // ---------------------------------------------------- c11 doc chunking
+
+  /** Context-window chunking: split each document into fixed-width
+    * character chunks with overlap (width 200, stride 160 → 40-char
+    * overlap) — the "cut long documents into training-context-sized
+    * windows" stage that runs right before sequence packing (c7
+    * consumes per-sequence token budgets; this produces the
+    * sequences). Fully shuffle-free: one scan, a per-row
+    * `sequence`+`explode` (whole-stage codegen'd), output rows =
+    * Σ ceil((len−overlap)/stride) — the plan is a single codegen span
+    * regardless of corpus size, so it scales embarrassingly at
+    * 100 TB. Chunk count is exact integer arithmetic (no float
+    * `ceil`): n = max((len − overlap − 1) div stride + 1, 1). */
+  def c11_chunk_docs(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .filter(length(col("text")) > 0)
+      .select(col("doc_id"), col("text"),
+        expr("greatest((CAST(length(text) AS BIGINT) - 41) div 160 + 1, CAST(1 AS BIGINT))")
+          .as("n_chunks"))
+      .select(col("doc_id"), col("n_chunks"),
+        explode(expr("sequence(0L, n_chunks - 1)")).as("chunk_idx"), col("text"))
+      .select(col("doc_id"), col("n_chunks"), col("chunk_idx"),
+        (col("chunk_idx") * 160L).as("chunk_start"),
+        expr("substring(text, CAST(chunk_idx * 160 + 1 AS INT), 200)").as("chunk_text"))
+      .withColumn("chunk_len", length(col("chunk_text")).cast("long"))
+
+  private val c11Sql = """
+    WITH d AS (
+      SELECT doc_id, text,
+        GREATEST((CAST(LENGTH(text) AS BIGINT) - 41) // 160 + 1, 1) AS n_chunks
+      FROM documents WHERE LENGTH(text) > 0),
+    e AS (SELECT doc_id, n_chunks, UNNEST(range(n_chunks)) AS chunk_idx, text FROM d)
+    SELECT doc_id, n_chunks, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+      CAST(chunk_idx * 160 AS BIGINT) AS chunk_start,
+      SUBSTRING(text, CAST(chunk_idx * 160 + 1 AS INT), 200) AS chunk_text,
+      CAST(LENGTH(SUBSTRING(text, CAST(chunk_idx * 160 + 1 AS INT), 200)) AS BIGINT) AS chunk_len
+    FROM e"""
+
+  // -------------------------------------- c12 bloom-gated decontamination
+
+  /** Cross-split leakage check with a Bloom prefilter: find training
+    * documents (doc_id % 7 ≠ 0) whose 3-word prefix fingerprint also
+    * appears in the held-out split (doc_id % 7 = 0). The exact
+    * membership join is gated by `bloom_filter_agg`/`might_contain`
+    * (Spark's native BloomFilterAggregate as a scalar subquery): the
+    * 100 TB training side is scanned once, each row pays one xxhash64
+    * probe against the broadcast bloom bitmap, and only bloom HITS
+    * reach the verification join — the join's probe side shrinks from
+    * the corpus to (true hits + fpp·corpus), which is what makes an
+    * exact-verify join affordable when the eval fingerprint set is
+    * too large to broadcast. Bloom filters have no false negatives
+    * and the verify join removes false positives, so the result is
+    * EXACT — the oracle is the plain EXISTS query. */
+  def c12_bloom_decontaminate(s: SparkSession, dir: String): DataFrame = {
+    docs(s, dir).createOrReplaceTempView("c12_docs")
+    s.sql("""
+      WITH f AS (
+        SELECT doc_id, concat_ws(' ', slice(split(text, ' '), 1, 3)) AS fp
+        FROM c12_docs WHERE length(text) > 0),
+      ev AS (SELECT DISTINCT fp FROM f WHERE doc_id % 7 = 0),
+      cand AS (
+        SELECT doc_id, fp FROM f
+        WHERE doc_id % 7 <> 0
+          AND might_contain(
+                (SELECT bloom_filter_agg(xxhash64(fp), 100000L, 800000L) FROM ev),
+                xxhash64(fp)))
+      SELECT doc_id, fp FROM cand WHERE EXISTS (SELECT 1 FROM ev WHERE ev.fp = cand.fp)""")
+  }
+
+  private val c12Sql = """
+    WITH f AS (
+      SELECT doc_id, array_to_string((string_split(text, ' '))[1:3], ' ') AS fp
+      FROM documents WHERE LENGTH(text) > 0),
+    ev AS (SELECT DISTINCT fp FROM f WHERE doc_id % 7 = 0)
+    SELECT doc_id, fp FROM f d
+    WHERE doc_id % 7 <> 0 AND EXISTS (SELECT 1 FROM ev WHERE ev.fp = d.fp)"""
+
   // -------------------------------------------------------------- registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -423,6 +500,8 @@ object Curation {
     "c8_decontaminate" -> (c8_decontaminate _),
     "c9_global_ordinals" -> (c9_global_ordinals _),
     "c10_mixture" -> (c10_mixture _),
+    "c11_chunk_docs" -> (c11_chunk_docs _),
+    "c12_bloom_decontaminate" -> (c12_bloom_decontaminate _),
     "cp1_pipeline" -> (cp1_pipeline _))
 
   val oracle: Map[String, String] = Map(
@@ -436,5 +515,7 @@ object Curation {
     "c8_decontaminate" -> c8Sql,
     "c9_global_ordinals" -> c9Sql,
     "c10_mixture" -> c10Sql,
+    "c11_chunk_docs" -> c11Sql,
+    "c12_bloom_decontaminate" -> c12Sql,
     "cp1_pipeline" -> cp1Sql)
 }

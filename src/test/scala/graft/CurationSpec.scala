@@ -111,6 +111,55 @@ class CurationSpec extends AnyFunSuite {
     }
   }
 
+  test("doc chunking: chunks tile the text with 40-char overlap, plan is shuffle-free") {
+    val df = Curation.c11_chunk_docs(spark, sf)
+    // One codegen span, zero exchanges: the op must stay embarrassingly parallel.
+    assert(!df.queryExecution.executedPlan.toString.contains("Exchange"))
+    val rows = df.collect()
+    val texts = Tables.load(spark, sf, "documents").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text")).toMap
+    assert(rows.nonEmpty)
+    val byDoc = rows.groupBy(_.getAs[Long]("doc_id"))
+    byDoc.foreach { case (id, chunks) =>
+      val text = texts(id)
+      assert(chunks.length == chunks.head.getAs[Long]("n_chunks"))
+      chunks.foreach { c =>
+        val start = c.getAs[Long]("chunk_start").toInt
+        assert(c.getAs[String]("chunk_text") ==
+          text.substring(start, math.min(start + 200, text.length)))
+      }
+      // Coverage: the last chunk reaches the end of the document.
+      val lastEnd = chunks.map(c =>
+        c.getAs[Long]("chunk_start") + c.getAs[Long]("chunk_len")).max
+      assert(lastEnd == text.length)
+      // Overlap: consecutive starts are exactly one stride apart.
+      val starts = chunks.map(_.getAs[Long]("chunk_start")).sorted
+      starts.sliding(2).filter(_.length == 2).foreach(w => assert(w(1) - w(0) == 160L))
+    }
+  }
+
+  test("bloom decontamination: exact result, bloom gate present in the plan") {
+    val df = Curation.c12_bloom_decontaminate(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    // The bloom aggregate and the probe must survive into the physical
+    // plan — the scan-side prefilter is the point of the op.
+    assert(plan.contains("bloom_filter_agg") || plan.contains("BloomFilter"))
+    assert(plan.contains("might_contain"))
+    val got = df.collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    // Brute-force reference: exact fingerprint membership, no bloom.
+    import org.apache.spark.sql.functions._
+    val f = Tables.load(spark, sf, "documents")
+      .filter(length(col("text")) > 0)
+      .select(col("doc_id"),
+        concat_ws(" ", slice(split(col("text"), " "), 1, 3)).as("fp"))
+    val ev = f.filter(col("doc_id") % 7 === 0).select("fp").distinct()
+    val want = f.filter(col("doc_id") % 7 =!= 0)
+      .join(ev, "fp").select("doc_id", "fp")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got == want)
+    assert(got.nonEmpty)
+  }
+
   test("range frame counts only events in the preceding minute") {
     val rows = Relational.q27_range_frame(spark, sf).collect()
     assert(rows.nonEmpty)
