@@ -409,7 +409,44 @@ object TextAnalysis {
         '\b10\.[0-9]{1,3}\.0\.1\b', '<IP>', 'g')) AS BIGINT) AS red_len
     FROM raw"""
 
+  /** Unicode NFC canonicalization ([[graft.functions.NfcNormalize]],
+    * a codegen'd Catalyst expression; SQL `nfc_normalize` matching
+    * DuckDB's builtin of the same name). The corpus is ASCII, so like
+    * t9 each row gets a deterministic fixture suffix: even doc_ids a
+    * DECOMPOSED `cafe` + U+0301 (NFC collapses it, length shrinks by
+    * one), odd doc_ids the precomposed `café` (already NFC — the
+    * zero-copy fastpath). Verified by md5 of the normalized text plus
+    * both lengths; `changed` pins which branch each row took. Zero
+    * shuffles, pure per-row codegen. */
+  def t10_text_normalize(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.NfcNormalize
+    docs(s, dir)
+      .select(col("doc_id"), concat(col("text"),
+        when(col("doc_id") % 2 === 0, lit(" café"))
+          .otherwise(lit(" café"))).as("raw"))
+      .withColumn("nfc", NfcNormalize(col("raw")))
+      .select(col("doc_id"),
+        length(col("raw")).cast("long").as("n_raw"),
+        length(col("nfc")).cast("long").as("n_nfc"),
+        (col("raw") =!= col("nfc")).as("changed"),
+        md5(col("nfc").cast("binary")).as("nfc_md5"))
+  }
+
+  private val t10Sql = """
+    WITH raw AS (
+      SELECT doc_id,
+        text || CASE WHEN doc_id % 2 = 0
+          THEN ' cafe' || chr(769) ELSE ' caf' || chr(233) END AS raw
+      FROM documents)
+    SELECT doc_id,
+      CAST(LENGTH(raw) AS BIGINT) AS n_raw,
+      CAST(LENGTH(nfc_normalize(raw)) AS BIGINT) AS n_nfc,
+      raw <> nfc_normalize(raw) AS changed,
+      md5(nfc_normalize(raw)) AS nfc_md5
+    FROM raw"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t10_text_normalize" -> (t10_text_normalize _),
     "t1_text_tokens" -> (t1_text_tokens _),
     "t2_text_quality" -> (t2_text_quality _),
     "t3_text_langid" -> (t3_text_langid _),
@@ -421,6 +458,7 @@ object TextAnalysis {
     "t9_text_pii" -> (t9_text_pii _))
 
   val oracle: Map[String, String] = Map(
+    "t10_text_normalize" -> t10Sql,
     "t1_text_tokens" -> t1Sql,
     "t2_text_quality" -> t2Sql,
     "t3_text_langid" -> t3Sql,
