@@ -773,6 +773,71 @@ object Relational {
       CAST(MAX(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS max_bal
     FROM customer GROUP BY 1"""
 
+  /** Map-typed columns end to end: per-user event-type counts rolled
+    * into a `map<string,long>` (`map_from_entries` over a sorted
+    * entry list), cardinality via `size`, `map_filter` lambda keeps
+    * hot types, `explode` unrolls back to rows. The map round-trip is
+    * the operator under test; the oracle is the equivalent relational
+    * form (GROUP BY + window count + HAVING). One shuffle for the
+    * count, one for the per-user rollup — both key on user_id. */
+  def q41_map_funcs(s: SparkSession, dir: String): DataFrame = {
+    val counts = t(s, dir, "events")
+      .groupBy("user_id", "event_type").agg(count(lit(1)).as("cnt"))
+    counts.groupBy("user_id")
+      .agg(map_from_entries(array_sort(collect_list(struct(col("event_type"), col("cnt")))))
+        .as("m"))
+      .select(col("user_id"), size(col("m")).cast("long").as("n_types"),
+        explode(map_filter(col("m"), (_, v) => v >= 3)))
+      .withColumnRenamed("key", "event_type")
+      .withColumnRenamed("value", "cnt")
+  }
+
+  private val q41Sql = """
+    WITH c AS (
+      SELECT user_id, event_type, COUNT(*) AS cnt FROM events GROUP BY 1, 2),
+    w AS (
+      SELECT user_id, event_type, cnt,
+        COUNT(*) OVER (PARTITION BY user_id) AS n_types FROM c)
+    SELECT user_id, CAST(n_types AS BIGINT) AS n_types, event_type,
+      CAST(cnt AS BIGINT) AS cnt
+    FROM w WHERE cnt >= 3"""
+
+  /** Datetime function surface over event timestamps: truncation,
+    * field extraction (year/quarter/week/day-of-week/day-of-year),
+    * interval arithmetic, month-end, and formatting. Pure per-row
+    * codegen'd expressions — zero shuffles. Cross-engine parity
+    * pinned where conventions differ: Spark `dayofweek` is 1=Sunday
+    * vs DuckDB `dow` 0=Sunday (+1), both `weekofyear`/`week` are ISO
+    * weeks, truncations compared as DATE. */
+  def q42_datetime(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .select(col("event_id"), col("ts"))
+      .select(col("event_id"),
+        date_format(col("ts"), "yyyy-MM").as("ym"),
+        year(col("ts")).cast("long").as("yr"),
+        quarter(col("ts")).cast("long").as("qtr"),
+        dayofweek(col("ts")).cast("long").as("dow"),
+        dayofyear(col("ts")).cast("long").as("doy"),
+        weekofyear(col("ts")).cast("long").as("iso_week"),
+        date_trunc("MONTH", col("ts")).cast("date").as("month_start"),
+        (col("ts") + expr("INTERVAL 7 DAYS")).cast("date").as("plus_week"),
+        last_day(col("ts")).as("month_end"),
+        date_format(col("ts"), "yyyy-MM-dd HH").as("hour_bucket"))
+
+  private val q42Sql = """
+    SELECT event_id,
+      strftime(ts, '%Y-%m') AS ym,
+      CAST(EXTRACT(year FROM ts) AS BIGINT) AS yr,
+      CAST(EXTRACT(quarter FROM ts) AS BIGINT) AS qtr,
+      CAST(EXTRACT(dow FROM ts) + 1 AS BIGINT) AS dow,
+      CAST(EXTRACT(doy FROM ts) AS BIGINT) AS doy,
+      CAST(EXTRACT(week FROM ts) AS BIGINT) AS iso_week,
+      CAST(date_trunc('month', ts) AS DATE) AS month_start,
+      CAST(ts + INTERVAL 7 DAY AS DATE) AS plus_week,
+      last_day(CAST(ts AS DATE)) AS month_end,
+      strftime(ts, '%Y-%m-%d %H') AS hour_bucket
+    FROM events"""
+
   // ---------------------------------------------------------------- oracles
 
   private val q1Sql = s"""
@@ -1012,7 +1077,9 @@ object Relational {
     "q37_recursive_cte" -> (q37_recursive_cte _),
     "q38_json_extract" -> (q38_json_extract _),
     "q39_lateral" -> (q39_lateral _),
-    "q40_argmax" -> (q40_argmax _))
+    "q40_argmax" -> (q40_argmax _),
+    "q41_map_funcs" -> (q41_map_funcs _),
+    "q42_datetime" -> (q42_datetime _))
 
   val oracle: Map[String, String] = Map(
     "q1_agg" -> q1Sql,
@@ -1054,5 +1121,7 @@ object Relational {
     "q37_recursive_cte" -> q37Sql,
     "q38_json_extract" -> q38Sql,
     "q39_lateral" -> q39Sql,
-    "q40_argmax" -> q40Sql)
+    "q40_argmax" -> q40Sql,
+    "q41_map_funcs" -> q41Sql,
+    "q42_datetime" -> q42Sql)
 }
