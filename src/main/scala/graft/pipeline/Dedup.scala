@@ -301,8 +301,14 @@ object Dedup {
 
   def d7_dedup_clusters(s: SparkSession, dir: String): DataFrame = {
     val pairs = d3_dedup_minhash(s, dir).select("doc_a", "doc_b")
-    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-      .unionAll(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+    // Both edge directions from ONE pass over the pair plan: a
+    // unionAll of two selects would execute d3's whole minhash-join
+    // pipeline twice (once per branch) while materializing this
+    // persist; explode emits (a,b) and (b,a) per pair in a single scan.
+    val edges = pairs.select(explode(array(
+        struct(col("doc_a").as("src"), col("doc_b").as("dst")),
+        struct(col("doc_b").as("src"), col("doc_a").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // Iterative algorithms MUST truncate lineage each round
     // (localCheckpoint): a persisted plan still nests the previous
