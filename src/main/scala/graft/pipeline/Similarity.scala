@@ -336,17 +336,109 @@ object Similarity {
           FROM d2) x
     WHERE rk = 1"""
 
+  // ------------------------------------------------------------ s6 PQ
+
+  private val pqM = 8        // subspaces
+  private val pqSubDim = dim / pqM
+  private val pqK = 16       // codebook entries per subspace
+  private val pqProbes = 3
+
+  /** Product-quantization ANN: each vector is compressed to `pqM`
+    * codebook indices (one per 8-dim subspace; codebooks are the
+    * quantized subvectors of the first `pqK` vectors — deterministic
+    * seeds, same device as s3/s5), and query-to-candidate distance is
+    * answered entirely from the codes via an ADC table (per-subspace
+    * query→centroid distances, summed by code lookup).
+    *
+    * Scale story: the codes table IS the index — 8 small ints per
+    * vector instead of a 256-byte embedding (32× compression), built
+    * once with one shuffle sized to the codes, reusable across every
+    * query. A query touches codebook-sized broadcast state plus one
+    * aggregation over candidate codes; the raw embeddings are never
+    * re-scanned at query time — that is what makes billion-vector ANN
+    * serving from Spark state possible. All arithmetic is exact int64
+    * on 2^-20-quantized coordinates, so the DuckDB oracle matches
+    * bit-for-bit. */
+  def s6_ann_pq(s: SparkSession, dir: String): DataFrame = {
+    val q = emb(s, dir).select(col("vec_id"),
+      expr(s"transform(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE) * ${1L << qScaleBits}.0) AS BIGINT))")
+        .as("qv"))
+    val subs = q.select(col("vec_id"), explode(expr(
+        s"transform(sequence(0, ${pqM - 1}), m -> struct(m AS m, slice(qv, m * $pqSubDim + 1, $pqSubDim) AS sv))"))
+        .as("e"))
+      .select(col("vec_id"), col("e.m").as("m"), col("e.sv").as("sv"))
+    val codebook = subs.filter(col("vec_id") < pqK)
+      .select(col("m"), col("vec_id").as("k"), col("sv").as("cv"))
+    val sqDist = expr(
+      "aggregate(zip_with(sv, cv, (x, y) -> (x - y) * (x - y)), CAST(0 AS BIGINT), (acc, v) -> acc + v)")
+    // Encode the corpus: nearest codebook entry per (vector, subspace).
+    val codes = subs.join(broadcast(codebook), "m")
+      .withColumn("dist", sqDist)
+      .groupBy("vec_id", "m")
+      .agg(min(struct(col("dist"), col("k"))).as("best"))
+      .select(col("vec_id"), col("m"), col("best.k").as("k"))
+    // ADC tables: per-probe, per-subspace distance to every centroid.
+    val qt = subs.filter(col("vec_id") < pqProbes)
+      .select(col("vec_id").as("query_id"), col("m"), col("sv"))
+      .join(broadcast(codebook), "m")
+      .withColumn("qdist", sqDist)
+      .select("query_id", "m", "k", "qdist")
+    val w = Window.partitionBy("query_id").orderBy(col("approx_dist"), col("vec_id"))
+    codes.join(broadcast(qt), Seq("m", "k"))
+      .filter(col("query_id") =!= col("vec_id"))
+      .groupBy("query_id", "vec_id")
+      .agg(sum("qdist").as("approx_dist"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= topK)
+  }
+
+  private val s6Sql = s"""
+    WITH q AS (
+      SELECT vec_id,
+        LIST_TRANSFORM(embedding,
+          x -> CAST(ROUND(CAST(x AS DOUBLE) * ${1L << qScaleBits}.0) AS BIGINT)) AS qv
+      FROM embeddings),
+    subs AS (
+      SELECT vec_id, m, qv[m * $pqSubDim + 1 : m * $pqSubDim + $pqSubDim] AS sv
+      FROM (SELECT vec_id, qv, UNNEST(range($pqM)) AS m FROM q) a),
+    cb AS (SELECT m, vec_id AS k, sv AS cv FROM subs WHERE vec_id < $pqK),
+    enc AS (
+      SELECT vec_id, m, k FROM (
+        SELECT s.vec_id, s.m, c.k,
+          ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.m ORDER BY
+            (SELECT SUM((x - y) * (x - y))
+             FROM (SELECT UNNEST(s.sv) AS x, UNNEST(c.cv) AS y) z), c.k) AS rk
+        FROM subs s JOIN cb c USING (m)) x
+      WHERE rk = 1),
+    qt AS (
+      SELECT s.vec_id AS query_id, s.m, c.k,
+        (SELECT CAST(SUM((x - y) * (x - y)) AS BIGINT)
+         FROM (SELECT UNNEST(s.sv) AS x, UNNEST(c.cv) AS y) z) AS qdist
+      FROM subs s JOIN cb c USING (m)
+      WHERE s.vec_id < $pqProbes),
+    cand AS (
+      SELECT qt.query_id, enc.vec_id, CAST(SUM(qt.qdist) AS BIGINT) AS approx_dist
+      FROM enc JOIN qt ON enc.m = qt.m AND enc.k = qt.k
+      WHERE qt.query_id <> enc.vec_id
+      GROUP BY 1, 2)
+    SELECT query_id, vec_id, approx_dist, CAST(rk AS BIGINT) AS rk FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+        ORDER BY approx_dist, vec_id) AS rk FROM cand) x
+    WHERE rk <= $topK"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s1_ann_brute" -> (s1_ann_brute _),
     "s2_ann_lsh" -> (s2_ann_lsh _),
     "s3_ann_ivf" -> (s3_ann_ivf _),
     "s4_embed_stats" -> (s4_embed_stats _),
-    "s5_kmeans" -> (s5_kmeans _))
+    "s5_kmeans" -> (s5_kmeans _),
+    "s6_ann_pq" -> (s6_ann_pq _))
 
   val oracle: Map[String, String] = Map(
     "s1_ann_brute" -> s1Sql,
     "s2_ann_lsh" -> s2Sql,
     "s3_ann_ivf" -> s3Sql,
     "s4_embed_stats" -> s4Sql,
-    "s5_kmeans" -> s5Sql)
+    "s5_kmeans" -> s5Sql,
+    "s6_ann_pq" -> s6Sql)
 }

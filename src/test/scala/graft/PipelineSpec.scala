@@ -76,6 +76,29 @@ class PipelineSpec extends AnyFunSuite {
     assert(mean >= 0.2) // nprobe=2 of ~6 lists; exactness is s1's job
   }
 
+  test("PQ ANN: codes-only distances still recover true neighbors") {
+    val brute = Similarity.s1_ann_brute(spark, sf).filter("rk <= 5").collect()
+      .groupBy(_.getAs[Long]("query_id"))
+      .view.mapValues(_.map(_.getAs[Long]("vec_id")).toSet).toMap
+    val pq = Similarity.s6_ann_pq(spark, sf).collect()
+    assert(pq.nonEmpty)
+    // Exactly topK ranked rows per probe, distances non-negative.
+    pq.groupBy(_.getAs[Long]("query_id")).foreach { case (_, rows) =>
+      assert(rows.map(_.getAs[Long]("rk")).sorted.toSeq == (1L to 10L))
+      rows.foreach(r => assert(r.getAs[Long]("approx_dist") >= 0L))
+    }
+    val byQ = pq.groupBy(_.getAs[Long]("query_id"))
+      .view.mapValues(_.map(_.getAs[Long]("vec_id")).toSet).toMap
+    val recalls = byQ.map { case (q, got) =>
+      brute.get(q).map(want => got.intersect(want).size.toDouble / want.size).getOrElse(0.0)
+    }
+    val mean = recalls.sum / recalls.size
+    info(f"PQ recall@5 vs brute: $mean%.2f over ${recalls.size} probes")
+    // 8-entry codebooks over 16-dim subspaces: coarse, but codes alone
+    // must still beat random (random recall@5 of 500 ≈ 0.01).
+    assert(mean >= 0.2)
+  }
+
   test("LSH ANN neighbors share the probe's bucket") {
     val rows = Similarity.s2_ann_lsh(spark, sf).collect()
     assert(rows.nonEmpty)
