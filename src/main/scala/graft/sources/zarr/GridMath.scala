@@ -143,14 +143,48 @@ object GridMath {
       ranges: Ranges,
       outerChunkSize: Int,
       limit: Option[Long],
-      minRowsPerPartition: Long = 65536): Seq[(Long, Long)] = {
+      minRowsPerPartition: Long = 65536,
+      innerChunks: Seq[Int] = Nil,
+      maxRowsPerPartition: Long = Long.MaxValue): Seq[(Long, Long)] = {
     val total0 = totalRows(ranges)
     val total = limit.map(math.min(_, total0)).getOrElse(total0)
     if (total == 0) return Nil
     if (ranges.isEmpty) return Seq((0L, total))
     val innerRows = ranges.drop(1).foldLeft(1L) { case (a, (s, e)) => a * (e - s) }
-    val (o0, o1) = ranges.head
     val slices = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    // Sub-slice granularity for splitting INSIDE an outer slab: the
+    // largest inner-chunk-grid-aligned row unit not exceeding
+    // maxRowsPerPartition. A store with few outer steps but a huge
+    // inner grid (the reference's ERA5 fixture: 3 × 2 × 721 × 1440)
+    // otherwise caps scan parallelism at the outer extent — the
+    // opposite of what a 1000-executor cluster needs. Splitting at
+    // inner chunk boundaries keeps chunk ownership exclusive: no two
+    // partitions decode the same chunk (for full-range dims; filtered
+    // dims may straddle one boundary chunk, same cost as a limit clip).
+    val subUnit: Long =
+      if (maxRowsPerPartition == Long.MaxValue || innerRows <= maxRowsPerPartition) innerRows
+      else {
+        // Walk from the deepest dim up, keeping the largest
+        // chunk-aligned unit that still fits; stop once a full
+        // deeper-dim block no longer fits (shallower units would have
+        // to span it and cannot be smaller than it).
+        var best = 1L // deepest fallback: single-row granularity
+        var k = ranges.length - 1
+        var rowsBelow = 1L
+        var stop = false
+        while (k >= 1 && !stop) {
+          val len = ranges(k)._2 - ranges(k)._1
+          val ck = math.min(if (k < innerChunks.length && innerChunks(k) > 0)
+            innerChunks(k).toLong else len, len)
+          val unit = ck * rowsBelow
+          if (unit <= maxRowsPerPartition) best = math.max(best, unit)
+          if (len * rowsBelow > maxRowsPerPartition) stop = true
+          else { rowsBelow *= len; k -= 1 }
+        }
+        best
+      }
+    val subSize = math.max(subUnit, maxRowsPerPartition / subUnit * subUnit)
+    val (o0, o1) = ranges.head
     var sliceStartRow = 0L
     var outer = o0
     while (outer < o1 && sliceStartRow < total) {
@@ -165,7 +199,21 @@ object GridMath {
         nb = nb2
       }
       val capped = math.min(endRow, total)
-      slices += ((sliceStartRow, capped))
+      if (capped - sliceStartRow > maxRowsPerPartition) {
+        // oversize slab: emit chunk-aligned sub-slices. Alignment is
+        // relative to each outer index's row base so boundaries land
+        // on inner-chunk starts row-major.
+        var a = sliceStartRow
+        while (a < capped) {
+          val outerBase = sliceStartRow +
+            (a - sliceStartRow) / innerRows * innerRows
+          val withinNext = math.min(outerBase + innerRows, capped)
+          val b = math.min(math.min(a + subSize,
+            outerBase + ((a - outerBase) / subSize + 1) * subSize), withinNext)
+          slices += ((a, b))
+          a = b
+        }
+      } else slices += ((sliceStartRow, capped))
       sliceStartRow = capped
       outer = nb
     }

@@ -647,6 +647,7 @@ class ZarrScanBuilder(meta: ZarrStoreMeta, options: CaseInsensitiveStringMap)
         options.getBoolean("fillValueAsNull", false),
         options.getInt("chunkCacheEntries", 0),
         varPreds, offset,
+        maxRowsPerPartition = options.getLong("maxRowsPerPartition", 4194304L),
         // read-ahead defaults ON for remote backends (each chunk costs
         // a round trip there) and OFF for local files; explicit option
         // wins either way
@@ -671,6 +672,7 @@ class ZarrScan(
     chunkCacheEntries: Int = 0,
     varPreds: Map[String, Seq[GridMath.CoordPred]] = Map.empty,
     offset: Long = 0L,
+    maxRowsPerPartition: Long = 4194304L,
     prefetch: Boolean = false,
     startingOffsetLatest: Boolean = false,
     keyByOuter: Boolean = false)
@@ -845,7 +847,12 @@ class ZarrScan(
             new GenericInternalRow(Array[Any](key))): InputPartition
         }.toArray
       } else
-      GridMath.partitionSlices(r, outerChunk, limit, minRowsPerPartition)
+      GridMath.partitionSlices(r, outerChunk, limit, minRowsPerPartition,
+        // per-dim minimum data-chunk extents: sub-slab splits align to
+        // the inner chunk grid so partitions own whole chunks
+        innerChunks = (0 until meta.coords.length).map(d =>
+          meta.dataVars.map(_.chunks(d)).reduceOption(math.min).filter(_ > 0).getOrElse(1)),
+        maxRowsPerPartition = maxRowsPerPartition)
         // pushed OFFSET clips the leading rows of the (deterministic,
         // row-major) row space; slices are global row-id ranges, so a
         // plain clip is exact

@@ -276,18 +276,24 @@ object ZarrQueries {
     * the same aggregation over the one-store grid (z6's CTE), grouped. */
   def z11_zarr_union(s: SparkSession, dir: String): DataFrame = {
     val li = graft.operators.Tables.load(s, dir, "lineitem")
-    def grid(cond: org.apache.spark.sql.Column) = li.filter(cond).select(
+    // One corpus scan + aggregation for BOTH member stores: the grid
+    // is grid-sized (ln × k cells), so persist it and let each write
+    // filter the tiny cached table instead of re-running the scan.
+    val grid = li.select(
         col("l_linenumber").cast("long").as("ln"),
         (col("l_orderkey") % 4).cast("long").as("k"),
         col("l_quantity").cast("long").as("qty"))
       .groupBy("ln", "k").agg(sum(col("qty")).as("sum_qty"))
+      .persist()
     val base = s"${System.getProperty("java.io.tmpdir")}/graft_z11_${math.abs(dir.hashCode)}"
-    grid(col("l_linenumber") <= 4).write.format("zarr")
-      .option("coords", "ln,k").option("chunkOuter", "2")
-      .mode("overwrite").save(s"$base.a.zarr")
-    grid(col("l_linenumber") > 4).write.format("zarr")
-      .option("coords", "ln,k").option("chunkOuter", "1")
-      .mode("overwrite").save(s"$base.b.zarr")
+    try {
+      grid.filter(col("ln") <= 4).write.format("zarr")
+        .option("coords", "ln,k").option("chunkOuter", "2")
+        .mode("overwrite").save(s"$base.a.zarr")
+      grid.filter(col("ln") > 4).write.format("zarr")
+        .option("coords", "ln,k").option("chunkOuter", "1")
+        .mode("overwrite").save(s"$base.b.zarr")
+    } finally grid.unpersist()
     s.read.format("zarr").load(s"$base.a.zarr", s"$base.b.zarr")
       .groupBy("k")
       .agg(sum("sum_qty").as("total_qty"), count(lit(1)).as("n_cells"))

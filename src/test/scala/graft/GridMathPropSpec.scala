@@ -79,6 +79,54 @@ class GridMathPropSpec extends AnyFunSuite {
     })
   }
 
+  test("partitionSlices under maxRows still tiles exactly and respects the cap") {
+    val gen = for {
+      ranges <- genRanges
+      chunk <- Gen.choose(1, 8)
+      minRows <- Gen.choose(1L, 50L)
+      maxRows <- Gen.choose(1L, 100L)
+      innerChunks <- Gen.listOfN(4, Gen.choose(1, 5))
+      limit <- Gen.option(Gen.choose(0L, 200L))
+    } yield (ranges, chunk, minRows, maxRows, innerChunks, limit)
+    check(Prop.forAll(gen) { case (ranges, chunk, minRows, maxRows0, innerChunks, limit) =>
+      val maxRows = math.max(maxRows0, minRows) // sane config: max >= min
+      val total = GridMath.totalRows(ranges)
+      val want = limit.map(math.min(_, total)).getOrElse(total)
+      val slices = GridMath.partitionSlices(
+        ranges, chunk, limit, minRows, innerChunks, maxRows)
+      val contiguous = slices.isEmpty ||
+        (slices.head._1 == 0 && slices.last._2 == want &&
+          slices.zip(slices.tail).forall { case (x, y) => x._2 == y._1 })
+      val nonEmpty = slices.forall { case (s, e) => e > s }
+      // the cap can be exceeded only by the unsplittable single-row
+      // fallback unit, which subSize rounds up to at least one unit —
+      // a slice is never more than 2x the cap once a unit fits
+      val capped = slices.forall { case (s, e) => e - s <= math.max(maxRows, 1L) * 2 }
+      Prop(if (want == 0) slices.isEmpty else contiguous && nonEmpty && capped) :|
+        s"slices=$slices want=$want maxRows=$maxRows"
+    })
+  }
+
+  test("maxRows splitting on the ERA5 shape: 3 outer slabs become a full cluster's worth") {
+    // ERA5 local fixture shape from the reference: 3(time) x 2 x 721 x 1440,
+    // chunks (1, 2, 721, 1440) => innerRows per outer index = 2,076,480.
+    val ranges: GridMath.Ranges = Array((0, 3), (0, 2), (0, 721), (0, 1440))
+    val outerOnly = GridMath.partitionSlices(ranges, 1, None, 1)
+    assert(outerOnly.length == 3) // the parallelism cap this removes
+    // cap at ~260k rows: sub-slices align to the (2, 721, 1440) chunk
+    // grid — unit = one full 721x1440 level = 1,038,240 rows... too big,
+    // so alignment falls to the 1440-row lat-line unit.
+    val split = GridMath.partitionSlices(ranges, 1, None, 1,
+      innerChunks = Seq(1, 2, 721, 1440), maxRowsPerPartition = 260000L)
+    assert(split.length > 3 * 7 && split.length <= 3 * 9,
+      s"got ${split.length} slices")
+    assert(split.head._1 == 0 && split.last._2 == GridMath.totalRows(ranges))
+    assert(split.zip(split.tail).forall { case (x, y) => x._2 == y._1 })
+    assert(split.forall { case (s, e) => e - s <= 260000L })
+    // boundaries are 1440-row aligned (whole lat lines)
+    assert(split.forall { case (s, _) => s % 1440 == 0 })
+  }
+
   test("coordRanges: equality filter yields singleton range or empty result") {
     val gen = for {
       values <- Gen.nonEmptyListOf(Gen.choose(-50, 50)).map(_.distinct.map(_.toDouble).toArray)

@@ -100,6 +100,24 @@ class ZarrScaleSpec extends AnyFunSuite {
     assert(n == T * H)
   }
 
+  test("maxRowsPerPartition splits the 3 outer slabs into a cluster's worth of work") {
+    // Outer-only partitioning caps this store at 3-way parallelism
+    // (the reference ERA5 shape has 3 time steps). Sub-slab splitting
+    // at inner-chunk-aligned rows lifts the cap without changing
+    // results or double-decoding chunks.
+    val split = spark.read.format("zarr")
+      .option("maxRowsPerPartition", 300000L).load(store)
+    val parts = split.rdd.getNumPartitions
+    assert(parts == 21, s"expected 3 outer x 7 sub-slices, got $parts")
+    assert(split.count() == 6229440L)
+    // value-level equality with the default read on a spot filter
+    val a = df.filter(col("time") === 1095745L)
+      .agg(sum(col("temperature").cast("long")), count(lit(1))).collect()(0)
+    val b = split.filter(col("time") === 1095745L)
+      .agg(sum(col("temperature").cast("long")), count(lit(1))).collect()(0)
+    assert(a == b)
+  }
+
   test("inner-chunked variant decodes each chunk once (band cache at ERA5 shape)") {
     // Same grid, but spatially chunked (1,1,103,360): 7x4=28 inner
     // chunks per (t,h) slab. The row-major walk revisits the 4
