@@ -773,6 +773,34 @@ object Relational {
       CAST(MAX(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS max_bal
     FROM customer GROUP BY 1"""
 
+  /** Positional window values: first_value / last_value / nth_value
+    * over the full partition frame (UNBOUNDED PRECEDING..UNBOUNDED
+    * FOLLOWING — last_value under the default frame is just the
+    * current row, the classic trap), ordered by the unique
+    * (ts, event_id) key so results are deterministic. One shuffle on
+    * user_id; frame evaluation is per-partition. */
+  def q43_window_firstlast(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id")
+      .orderBy(unix_micros(col("ts")), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    t(s, dir, "events")
+      .select(col("event_id"), col("user_id"),
+        first(col("event_id")).over(w).as("first_ev"),
+        last(col("event_id")).over(w).as("last_ev"),
+        nth_value(col("event_id"), 2).over(w).as("second_ev"),
+        count(lit(1)).over(w).cast("long").as("n_user_events"))
+  }
+
+  private val q43Sql = """
+    SELECT event_id, user_id,
+      FIRST_VALUE(event_id) OVER w AS first_ev,
+      LAST_VALUE(event_id) OVER w AS last_ev,
+      NTH_VALUE(event_id, 2) OVER w AS second_ev,
+      CAST(COUNT(*) OVER w AS BIGINT) AS n_user_events
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ns(ts) // 1000, event_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)"""
+
   /** Map-typed columns end to end: per-user event-type counts rolled
     * into a `map<string,long>` (`map_from_entries` over a sorted
     * entry list), cardinality via `size`, `map_filter` lambda keeps
@@ -1079,7 +1107,8 @@ object Relational {
     "q39_lateral" -> (q39_lateral _),
     "q40_argmax" -> (q40_argmax _),
     "q41_map_funcs" -> (q41_map_funcs _),
-    "q42_datetime" -> (q42_datetime _))
+    "q42_datetime" -> (q42_datetime _),
+    "q43_window_firstlast" -> (q43_window_firstlast _))
 
   val oracle: Map[String, String] = Map(
     "q1_agg" -> q1Sql,
@@ -1123,5 +1152,6 @@ object Relational {
     "q39_lateral" -> q39Sql,
     "q40_argmax" -> q40Sql,
     "q41_map_funcs" -> q41Sql,
-    "q42_datetime" -> q42Sql)
+    "q42_datetime" -> q42Sql,
+    "q43_window_firstlast" -> q43Sql)
 }

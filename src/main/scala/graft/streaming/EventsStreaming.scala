@@ -287,7 +287,70 @@ object EventsStreaming {
       CAST(SUM(CAST(CAST(value AS DECIMAL(10,2)) * 100 AS BIGINT)) AS BIGINT) AS value_cents
     FROM events GROUP BY user_id"""
 
+  /** LEFT-OUTER stream-stream interval join: every purchase emits,
+    * null-padded when no view preceded it within 10 minutes. The
+    * outer side of a stream join can only finalize once the watermark
+    * passes the row's join window (until then a matching view could
+    * still arrive), so results are clipped to the SEALED region —
+    * purchases older than the final
+    * watermark (min over both sides of max(ts) − delay) − (join interval:
+    * the left side can match views up to 10 minutes after its own
+    * timestamp, so eviction lags the watermark by that width) — on
+    * both engines;
+    * the unclipped tail is exactly the state a live stream would still
+    * be holding. Same state-size story as st4: state is bounded by
+    * the interval + watermark, keyed on user. */
+  def st7_stream_outer_join(s: SparkSession, dir: String): DataFrame = {
+    val purchases = eventsStream(s, dir)
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("user_id").as("p_user"),
+        col("ts").as("p_ts"))
+      .withWatermark("p_ts", "1 hour")
+    val views = eventsStream(s, dir)
+      .filter(col("event_type") === "view")
+      .select(col("event_id").as("v_id"), col("user_id").as("v_user"),
+        col("ts").as("v_ts"))
+      .withWatermark("v_ts", "1 hour")
+    val joined = purchases.join(views,
+        col("p_user") === col("v_user") &&
+          col("v_ts") >= col("p_ts") - expr("INTERVAL 10 MINUTES") &&
+          col("v_ts") <= col("p_ts"),
+        "leftOuter")
+      .select(col("p_id"), col("p_user").as("user_id"), col("v_id"),
+        coalesce(unix_micros(col("p_ts")) - unix_micros(col("v_ts")), lit(-1L))
+          .as("gap_us"),
+        unix_micros(col("p_ts")).as("p_us"))
+    val out = runToTable(joined, "st7_out", OutputMode.Append())
+    // The global watermark is the MIN over both sides' watermark nodes
+    // (each = that side's max event time - 1h); left-state eviction
+    // additionally lags by the join-interval width (a purchase can
+    // match views up to 10 minutes after it). Everything below that
+    // bound is sealed output; above it is exactly the state a live
+    // stream would still hold.
+    val sides = Tables.load(s, dir, "events")
+      .filter(col("event_type").isin("purchase", "view"))
+      .groupBy("event_type").agg(max(unix_micros(col("ts"))).as("mx"))
+      .collect().map(r => r.getLong(1))
+    val sealedBound = sides.min - 4200000000L
+    out.filter(col("p_us") < sealedBound).drop("p_us")
+  }
+
+  private val st7Sql = """
+    WITH e AS (
+      SELECT event_id, user_id, event_type, epoch_ns(ts) // 1000 AS ts_us
+      FROM events)
+    SELECT p.event_id AS p_id, p.user_id, v.event_id AS v_id,
+      COALESCE(p.ts_us - v.ts_us, -1) AS gap_us
+    FROM e p LEFT JOIN e v
+      ON p.user_id = v.user_id AND v.event_type = 'view'
+      AND v.ts_us >= p.ts_us - 600000000 AND v.ts_us <= p.ts_us
+    WHERE p.event_type = 'purchase'
+      AND p.ts_us < LEAST(
+        (SELECT MAX(ts_us) FROM e WHERE event_type = 'purchase'),
+        (SELECT MAX(ts_us) FROM e WHERE event_type = 'view')) - 4200000000"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "st7_stream_outer_join" -> (st7_stream_outer_join _),
     "st1_stream_window_agg" -> (st1_stream_window_agg _),
     "st2_stream_sessionize" -> (st2_stream_sessionize _),
     "st3_stream_dedup" -> (st3_stream_dedup _),
@@ -296,6 +359,7 @@ object EventsStreaming {
     "st6_stream_transform_state" -> (st6_stream_transform_state _))
 
   val oracle: Map[String, String] = Map(
+    "st7_stream_outer_join" -> st7Sql,
     "st1_stream_window_agg" -> st1Sql,
     "st2_stream_sessionize" -> st2Sql,
     "st3_stream_dedup" -> st3Sql,

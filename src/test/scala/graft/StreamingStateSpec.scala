@@ -60,6 +60,21 @@ class StreamingStateSpec extends AnyFunSuite {
     assert(rows.filter(_._1 == 3L).toSeq == Seq((3L, 1L, 300L, 300L, 1L)))
   }
 
+  test("outer stream join null-pads unmatched purchases in the sealed region") {
+    val rows = graft.streaming.EventsStreaming
+      .st7_stream_outer_join(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val unmatched = rows.filter(_.isNullAt(2))
+    val matched = rows.filter(!_.isNullAt(2))
+    // fixture guarantees both kinds exist in the sealed region
+    assert(unmatched.nonEmpty && matched.nonEmpty)
+    unmatched.foreach(r => assert(r.getAs[Long]("gap_us") == -1L))
+    matched.foreach { r =>
+      val g = r.getAs[Long]("gap_us")
+      assert(g >= 0L && g <= 600000000L) // view within the 10-minute window
+    }
+  }
+
   test("sessionization does not split a session at a micro-batch boundary") {
     import spark.implicits._
     val min = 60L * 1000000
