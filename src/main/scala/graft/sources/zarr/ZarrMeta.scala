@@ -155,7 +155,10 @@ final case class ZarrStoreMeta(
 
   private def fieldMeta(attrs: Map[String, String]): Metadata =
     attrs.foldLeft(new MetadataBuilder()) { case (b, (k, v)) =>
-      b.putString(k, v)
+      // `_ARRAY_DIMENSIONS` is the xarray dimension-naming convention
+      // (our sink writes it; inferCoordOrder consumes it) — plumbing,
+      // not user metadata; xarray likewise hides it from attrs.
+      if (k == "_ARRAY_DIMENSIONS") b else b.putString(k, v)
     }.build()
 
   /** Schema: coordinates first (non-nullable), then data variables
@@ -411,17 +414,40 @@ object ZarrMeta {
     * coords of equal length) the reference's observed order is
     * alphabetically-last first (test :957-960 yields
     * `time, lon, lat` for shape [7,10,10]) — replicated here. */
+  /** Explicit dimension names carried by an array (xarray's
+    * `_ARRAY_DIMENSIONS` attribute, which our own sink writes):
+    * parsed as a JSON string array. */
+  private def explicitDims(a: ZarrArrayMeta): Option[Seq[String]] =
+    a.attrs.get("_ARRAY_DIMENSIONS").flatMap { s =>
+      try {
+        val n = mapper.readTree(s)
+        if (n.isArray) Some((0 until n.size).map(n.get(_).asText())) else None
+      } catch { case _: Exception => None }
+    }
+
   def inferCoordOrder(coords: Seq[ZarrArrayMeta], dataVars: Seq[ZarrArrayMeta]): Seq[ZarrArrayMeta] = {
-    dataVars.headOption match {
-      case Some(v) if v.shape.length == coords.length =>
-        val remaining = scala.collection.mutable.ArrayBuffer(coords.sortBy(_.name).reverse: _*)
-        val ordered = v.shape.flatMap { dimSize =>
-          val i = remaining.indexWhere(_.shape.head == dimSize)
-          if (i >= 0) { val c = remaining.remove(i); Some(c) } else None
-        }
-        if (ordered.length == coords.length) ordered
-        else coords.sortBy(_.name)
-      case _ => coords.sortBy(_.name)
+    val byName = coords.map(c => c.name -> c).toMap
+    // Explicit dimension names win over size-matching inference:
+    // size inference is ambiguous whenever two coordinates share a
+    // length (square grids), and xarray-written stores always carry
+    // `_ARRAY_DIMENSIONS`. Falls through unless the names are a
+    // permutation of the discovered coordinates.
+    val explicit = dataVars.headOption.flatMap(explicitDims).filter(names =>
+      names.length == coords.length && names.distinct.length == names.length &&
+        names.forall(byName.contains))
+    explicit match {
+      case Some(names) => names.map(byName)
+      case None => dataVars.headOption match {
+        case Some(v) if v.shape.length == coords.length =>
+          val remaining = scala.collection.mutable.ArrayBuffer(coords.sortBy(_.name).reverse: _*)
+          val ordered = v.shape.flatMap { dimSize =>
+            val i = remaining.indexWhere(_.shape.head == dimSize)
+            if (i >= 0) { val c = remaining.remove(i); Some(c) } else None
+          }
+          if (ordered.length == coords.length) ordered
+          else coords.sortBy(_.name)
+        case _ => coords.sortBy(_.name)
+      }
     }
   }
 

@@ -345,9 +345,18 @@ object ZarrWriter {
         """{"zarr_format":3,"node_type":"group"}""".getBytes)
     // Column metadata (units, long_name, … — e.g. from a zarr read)
     // round-trips as the array's .zattrs (v2) / inline attributes (v3).
+    // Every array also records its dimension names (xarray's
+    // `_ARRAY_DIMENSIONS` convention): without them, a reader must
+    // INFER dimension order by matching sizes to coordinate lengths,
+    // which is ambiguous whenever two coordinates share a length (any
+    // square grid) — the read-back schema would transpose. Explicit
+    // names make write→read round-trips exact for every shape.
     def attrsJson(name: String): Option[String] = {
       val md = schema(name).metadata
-      if (md == org.apache.spark.sql.types.Metadata.empty) None else Some(md.json)
+      val dims = if (coords.contains(name)) Seq(name) else coords
+      val b = new org.apache.spark.sql.types.MetadataBuilder().withMetadata(md)
+      b.putStringArray("_ARRAY_DIMENSIONS", dims.toArray)
+      Some(b.build().json)
     }
     def writeArrayMeta(name: String, aShape: Seq[Long], aChunks: Seq[Int],
         dtypeStr: String, typesize: Int): Unit = {
