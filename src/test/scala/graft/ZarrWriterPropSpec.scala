@@ -56,4 +56,43 @@ class ZarrWriterPropSpec extends AnyFunSuite {
     val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(24), prop)
     assert(res.passed, res.status.toString)
   }
+
+  private val genAppend = for {
+    chunkOuter <- Gen.choose(1, 4)
+    nChunksA <- Gen.choose(1, 4) // first write: whole chunks
+    nChunksB <- Gen.choose(1, 3) // appended: whole chunks
+    nInner <- Gen.choose(1, 6)
+    version <- Gen.oneOf("2", "3")
+  } yield (chunkOuter, nChunksA, nChunksB, nInner, version)
+
+  test("random outer-append splits equal the one-shot write") {
+    val prop = Prop.forAll(genAppend) {
+      case (chunkOuter, nChunksA, nChunksB, nInner, version) =>
+        val nA = chunkOuter * nChunksA
+        val nTotal = nA + chunkOuter * nChunksB
+        def grid(lo: Int, hi: Int) = {
+          val rows = for (o <- lo until hi; i <- 0 until nInner) yield
+            Row(o.toLong, i.toLong, (o * 17 + i * 3).toLong)
+          spark.createDataFrame(
+            spark.sparkContext.parallelize(rows, 2),
+            StructType(Seq(
+              StructField("t", LongType, nullable = false),
+              StructField("x", LongType, nullable = false),
+              StructField("v", LongType, nullable = true))))
+        }
+        val out = Files.createTempDirectory("zarr_app").resolve("g.zarr").toString
+        grid(0, nA).write.format("zarr")
+          .option("coords", "t,x").option("chunkOuter", chunkOuter.toString)
+          .option("zarrVersion", version).mode("overwrite").save(out)
+        grid(nA, nTotal).write.format("zarr")
+          .option("coords", "t,x").mode("append").save(out)
+        val back = spark.read.format("zarr").load(out)
+          .orderBy("t", "x").collect().map(_.toSeq).toSeq
+        val want = grid(0, nTotal).orderBy("t", "x").collect().map(_.toSeq).toSeq
+        Prop(back == want) :|
+          s"chunk=$chunkOuter a=$nA total=$nTotal inner=$nInner v$version"
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(16), prop)
+    assert(res.passed, res.status.toString)
+  }
 }
