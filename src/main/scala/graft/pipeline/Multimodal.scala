@@ -144,13 +144,74 @@ object Multimodal {
         round(element_at(col("pooled"), 4), 6).as("pool_3"))
   }
 
+  /** Audio-shaped stage: treat the payload as 8-bit PCM samples and
+    * compute per-window signal statistics (energy = Σ sample², peak)
+    * over fixed 256-sample windows — the "resample/feature-extract
+    * audio" step of a multimodal pipeline. Same partition-wise typed
+    * map as the decoder (a real codec swaps the byte-indexing body,
+    * batch shape unchanged); integer arithmetic end to end, and since
+    * the fixture payload is ASCII text bytes, DuckDB mirrors it
+    * exactly with ascii(substring) — this op has a FULL oracle, not a
+    * rows-only check. */
+  def m4_multimodal_audio(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    mediaTable(s, dir)
+      .mapPartitions { it =>
+        it.flatMap { item =>
+          val b = item.payload
+          if (b.isEmpty) Iterator.empty
+          else {
+            val nW = (b.length + 255) / 256
+            (0 until nW).iterator.map { w =>
+              val start = w * 256
+              val end = math.min(start + 256, b.length)
+              var energy = 0L
+              var peak = 0L
+              var i = start
+              while (i < end) {
+                val v = (b(i) & 0xff).toLong
+                energy += v * v
+                if (v > peak) peak = v
+                i += 1
+              }
+              (item.doc_id, w.toLong, (end - start).toLong, energy, peak)
+            }
+          }
+        }
+      }
+      .toDF("doc_id", "window_id", "n_samples", "energy", "peak")
+  }
+
+  private val m4Sql = """
+    WITH d AS (
+      SELECT doc_id, text, LENGTH(text) AS len FROM documents WHERE LENGTH(text) > 0),
+    w AS (
+      SELECT doc_id, text, len, UNNEST(range((len + 255) // 256)) AS window_id FROM d),
+    c AS (
+      SELECT doc_id, window_id,
+        LEAST(len - window_id * 256, 256) AS n_samples,
+        UNNEST(range(LEAST(len - window_id * 256, 256))) AS j,
+        window_id * 256 AS base, text
+      FROM w),
+    sv AS (
+      SELECT doc_id, window_id, n_samples,
+        ascii(substring(text, CAST(base + j + 1 AS INT), 1)) AS av
+      FROM c)
+    SELECT doc_id, CAST(window_id AS BIGINT) AS window_id,
+      CAST(n_samples AS BIGINT) AS n_samples,
+      CAST(SUM(av * av) AS BIGINT) AS energy,
+      CAST(MAX(av) AS BIGINT) AS peak
+    FROM sv GROUP BY 1, 2, 3"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m1_multimodal_decode" -> (m1_multimodal_decode _),
     "m2_multimodal_frames" -> (m2_multimodal_frames _),
-    "m3_multimodal_resize" -> (m3_multimodal_resize _))
+    "m3_multimodal_resize" -> (m3_multimodal_resize _),
+    "m4_multimodal_audio" -> (m4_multimodal_audio _))
 
-  /** m1 is not SQL-expressible (binary feature extraction) — the
-    * driver records a rows-only check for it. */
+  /** m1/m3 are not SQL-expressible (binary feature extraction) — the
+    * driver records rows-only checks for them. */
   val oracle: Map[String, String] = Map(
-    "m2_multimodal_frames" -> m2Sql)
+    "m2_multimodal_frames" -> m2Sql,
+    "m4_multimodal_audio" -> m4Sql)
 }
