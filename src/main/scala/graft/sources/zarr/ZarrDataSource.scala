@@ -807,7 +807,8 @@ class ZarrScan(
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
     new ZarrMicroBatchStream(meta.path, requiredSchema, coordPreds,
       minRowsPerPartition, fillAsNull, chunkCacheEntries, prefetch,
-      startFromLatest = startingOffsetLatest)
+      startFromLatest = startingOffsetLatest,
+      maxRowsPerPartition = maxRowsPerPartition)
 
   override def description(): String = {
     val r = ranges.map(_.map { case (s, e) => s"[$s,$e)" }.mkString(",")).getOrElse("EMPTY")

@@ -43,7 +43,8 @@ class ZarrMicroBatchStream(
     fillAsNull: Boolean,
     chunkCacheEntries: Int,
     prefetch: Boolean,
-    startFromLatest: Boolean) extends MicroBatchStream {
+    startFromLatest: Boolean,
+    maxRowsPerPartition: Long = 4194304L) extends MicroBatchStream {
 
   /** Store metadata re-read with a mid-append consistency check: an
     * append edits the outer coordinate's shape first and the data
@@ -155,7 +156,13 @@ class ZarrMicroBatchStream(
           else VarField(meta.dataVars.find(_.name == f.name).getOrElse(
             throw new IllegalArgumentException(s"Unknown column ${f.name}")))
         }
-        GridMath.partitionSlices(ranges, outerChunk, None, minRowsPerPartition)
+        GridMath.partitionSlices(ranges, outerChunk, None, minRowsPerPartition,
+          // same inner-chunk-aligned sub-slab splitting as the batch
+          // scan: an appended slab with a huge inner grid must not
+          // serialize a whole micro-batch through one task
+          innerChunks = (0 until meta.coords.length).map(d =>
+            meta.dataVars.map(_.chunks(d)).reduceOption(math.min).filter(_ > 0).getOrElse(1)),
+          maxRowsPerPartition = maxRowsPerPartition)
           .map(s => ZarrInputPartition(path, s._1, s._2, ranges, meta.coords,
             projection, fillAsNull, chunkCacheEntries, prefetch): InputPartition)
           .toArray
