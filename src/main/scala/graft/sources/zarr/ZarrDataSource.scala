@@ -647,7 +647,7 @@ class ZarrScanBuilder(meta: ZarrStoreMeta, options: CaseInsensitiveStringMap)
         options.getBoolean("fillValueAsNull", false),
         options.getInt("chunkCacheEntries", 0),
         varPreds, offset,
-        maxRowsPerPartition = options.getLong("maxRowsPerPartition", 4194304L),
+        maxRowsPerPartition = options.getLong("maxRowsPerPartition", 262144L),
         // read-ahead defaults ON for remote backends (each chunk costs
         // a round trip there) and OFF for local files; explicit option
         // wins either way
@@ -672,7 +672,7 @@ class ZarrScan(
     chunkCacheEntries: Int = 0,
     varPreds: Map[String, Seq[GridMath.CoordPred]] = Map.empty,
     offset: Long = 0L,
-    maxRowsPerPartition: Long = 4194304L,
+    maxRowsPerPartition: Long = 262144L,
     prefetch: Boolean = false,
     startingOffsetLatest: Boolean = false,
     keyByOuter: Boolean = false)

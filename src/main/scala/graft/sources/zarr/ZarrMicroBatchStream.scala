@@ -44,7 +44,7 @@ class ZarrMicroBatchStream(
     chunkCacheEntries: Int,
     prefetch: Boolean,
     startFromLatest: Boolean,
-    maxRowsPerPartition: Long = 4194304L) extends MicroBatchStream {
+    maxRowsPerPartition: Long = 262144L) extends MicroBatchStream {
 
   /** Store metadata re-read with a mid-append consistency check: an
     * append edits the outer coordinate's shape first and the data
