@@ -210,4 +210,39 @@ class ZarrMixedDTypeSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(r.getLong(0) == 65535L + 65534 + 1 + 2 + 3 + 4 + 5 + 6)
     assert(r.getLong(1) == 4)
   }
+
+  test("xarray _ARRAY_DIMENSIONS beats size inference on an external square store") {
+    // 3x3 square grid: size inference is ambiguous (reverse-alpha
+    // tie-break would pick zeta first); the store carries xarray's
+    // explicit dimension names declaring (alpha, zeta) — explicit wins.
+    val base = Files.createTempDirectory("xr_square").toString
+    def wj(rel: String, s: String): Unit = {
+      val p = Paths.get(base, rel)
+      Files.createDirectories(p.getParent)
+      Files.write(p, s.getBytes)
+    }
+    def wl(rel: String, vals: Seq[Long]): Unit = {
+      val buf = ByteBuffer.allocate(vals.length * 8).order(ByteOrder.LITTLE_ENDIAN)
+      vals.foreach(buf.putLong)
+      Files.write(Paths.get(base, rel), buf.array())
+    }
+    wj(".zgroup", """{"zarr_format":2}""")
+    def zm(shape: Seq[Int], chunks: Seq[Int]) =
+      s"""{"zarr_format":2,"shape":[${shape.mkString(",")}],
+          "chunks":[${chunks.mkString(",")}],"dtype":"<i8","fill_value":0,
+          "order":"C","filters":null,"dimension_separator":".","compressor":null}"""
+    wj("alpha/.zarray", zm(Seq(3), Seq(3))); wl("alpha/0", Seq(0L, 1L, 2L))
+    wj("zeta/.zarray", zm(Seq(3), Seq(3))); wl("zeta/0", Seq(0L, 1L, 2L))
+    wj("val/.zarray", zm(Seq(3, 3), Seq(3, 3)))
+    wj("val/.zattrs", """{"_ARRAY_DIMENSIONS": ["alpha", "zeta"]}""")
+    // C-order alpha-major payload: val(a, z) = a*10 + z
+    wl("val/0.0", for (a <- 0L until 3L; z <- 0L until 3L) yield a * 10 + z)
+    val df = spark.read.format("zarr").load(base)
+    assert(df.columns.toSeq == Seq("alpha", "zeta", "val"))
+    // attribute is plumbing: hidden from column metadata
+    assert(!df.schema("val").metadata.contains("_ARRAY_DIMENSIONS"))
+    val got = df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val want = (for (a <- 0L until 3L; z <- 0L until 3L) yield (a, z, a * 10 + z)).toSet
+    assert(got == want)
+  }
 }
