@@ -9,7 +9,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference, Transform, SortOrder => SortOrderV2}
-import org.apache.spark.sql.connector.expressions.aggregate.{AggregateFunc, Aggregation, Count, CountStar, Max, Min}
+import org.apache.spark.sql.connector.expressions.aggregate.{AggregateFunc, Aggregation, Avg, Count, CountStar, Max, Min, Sum}
 import org.apache.spark.sql.connector.metric.{CustomMetric, CustomSumMetric, CustomTaskMetric}
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.execution.streaming.Sink
@@ -635,6 +635,17 @@ class ZarrScanBuilder(meta: ZarrStoreMeta, options: CaseInsensitiveStringMap)
         meta.coordNames.contains(n) && !grouped(n) && uniqueCoord(n))
     case m: Min => colName(m.column).exists(n => numericCoord(n) || grouped(n))
     case m: Max => colName(m.column).exists(n => numericCoord(n) || grouped(n))
+    // Chunk-level SUM/AVG pushdown (the reference's roadmap "Aggregate
+    // pushdown (push SUM/AVG/COUNT to chunk level)", README.md:298):
+    // data-variable totals from the `.zstats` sum partials, coordinate
+    // totals from the eagerly-loaded coordinate values — both zero
+    // chunk IO. Ungrouped only (per-group sums would need the chunk
+    // grid aligned with the group dimensions).
+    case s: Sum if !s.isDistinct && grouped.isEmpty && meta.totalRows > 0 =>
+      colName(s.column).exists(n => ZarrSums.totalFor(meta, n).exists(t =>
+        !ZarrSums.isIntegral(meta, n) || ZarrSums.fitsLong(t)))
+    case a: Avg if !a.isDistinct && grouped.isEmpty && meta.totalRows > 0 =>
+      colName(a.column).exists(n => ZarrSums.totalFor(meta, n).isDefined)
     case _ => false
   }
 
@@ -955,6 +966,69 @@ class ZarrChunksDecodedMetric extends CustomSumMetric {
   override def description(): String = "zarr chunks decoded"
 }
 
+/** Exact column totals answered without chunk IO: data variables from
+  * the `.zstats` per-chunk sum partials (unwritten chunks are
+  * provably all-fill under the writer's complete-coverage
+  * attestation), coordinates from their eagerly-loaded values times
+  * the rest of the grid. Powers chunk-level SUM/AVG aggregate
+  * pushdown — the reference's roadmap "Aggregate pushdown (push
+  * SUM/AVG/COUNT to chunk level)" (/root/reference/README.md:298). */
+private[zarr] object ZarrSums {
+  import java.math.BigDecimal
+
+  def isIntegral(meta: ZarrStoreMeta, name: String): Boolean =
+    meta.schema.fields.find(_.name == name).exists(_.dataType match {
+      case ByteType | ShortType | IntegerType | LongType => true
+      case _ => false
+    })
+
+  def fitsLong(t: BigDecimal): Boolean =
+    try { t.longValueExact(); true } catch { case _: ArithmeticException => false }
+
+  /** The exact SUM of a column over the whole flattened grid, or None
+    * when the sidecar cannot prove it (no attestation, non-numeric
+    * dtype, non-finite fill over unwritten cells). */
+  def totalFor(meta: ZarrStoreMeta, name: String): Option[BigDecimal] = {
+    def numeric(dt: org.apache.spark.sql.types.DataType) = dt match {
+      case ByteType | ShortType | IntegerType | LongType | FloatType | DoubleType => true
+      case _ => false // timestamps/strings/bools: SUM is not meaningful
+    }
+    meta.coords.find(_.meta.name == name) match {
+      case Some(c) if numeric(c.meta.dtype.sparkType) =>
+        // Σ over the grid = (Σ coord values) × Π other coord lengths
+        var s = BigDecimal.ZERO
+        c.raw match {
+          case a: Array[Byte] => a.foreach(v => s = s.add(BigDecimal.valueOf(v.toLong)))
+          case a: Array[Short] => a.foreach(v => s = s.add(BigDecimal.valueOf(v.toLong)))
+          case a: Array[Int] => a.foreach(v => s = s.add(BigDecimal.valueOf(v.toLong)))
+          case a: Array[Long] => a.foreach(v => s = s.add(BigDecimal.valueOf(v)))
+          case a: Array[Float] => a.foreach(v => s = s.add(new BigDecimal(v.toDouble)))
+          case a: Array[Double] => a.foreach(v => s = s.add(new BigDecimal(v)))
+          case _ => return None
+        }
+        val others = meta.coords.filter(_.meta.name != name)
+          .map(_.length.toLong).product
+        Some(s.multiply(BigDecimal.valueOf(others)))
+      case Some(_) => None
+      case None =>
+        val m = meta.dataVars.find(_.name == name).getOrElse(return None)
+        if (!m.sumsComplete || !numeric(m.dtype.sparkType)) return None
+        var total = BigDecimal.ZERO
+        var written = 0L
+        m.chunkSums.valuesIterator.foreach { case (s, c) =>
+          total = total.add(s); written += c
+        }
+        val fillCells = m.totalElements - written
+        if (fillCells < 0) None // inconsistent sidecar — refuse
+        else if (fillCells == 0) Some(total)
+        else if (java.lang.Double.isFinite(m.fillValue))
+          Some(total.add(new BigDecimal(m.fillValue)
+            .multiply(BigDecimal.valueOf(fillCells))))
+        else None
+    }
+  }
+}
+
 /** Metadata-only scan for completely-pushed aggregates: emits a single
   * row computed from statistics — zero chunk IO, the DSv2 equivalent
   * of the reference's CountStatisticsRule / MinMaxStatisticsRule. */
@@ -971,6 +1045,10 @@ class ZarrAggScan(meta: ZarrStoreMeta, agg: Aggregation) extends Scan with Batch
         StructField(s"min_$i", meta.schema(colName(m.column)).dataType, nullable = true)
       case (m: Max, i) =>
         StructField(s"max_$i", meta.schema(colName(m.column)).dataType, nullable = true)
+      case (s: Sum, i) =>
+        val t = if (ZarrSums.isIntegral(meta, colName(s.column))) LongType else DoubleType
+        StructField(s"sum_$i", t, nullable = true)
+      case (_: Avg, i) => StructField(s"avg_$i", DoubleType, nullable = true)
       case (other, _) => throw new IllegalStateException(s"Unexpected pushed agg: $other")
     })
 
@@ -992,6 +1070,14 @@ class ZarrAggScan(meta: ZarrStoreMeta, agg: Aggregation) extends Scan with Batch
       case m: Max =>
         val c = coordByName(colName(m.column))
         ChunkCodec.elementAt(c.raw, GridMath.findCoordIndex(c.doubles, c.max))
+      case s: Sum =>
+        val n = colName(s.column)
+        val total = ZarrSums.totalFor(meta, n).get
+        if (ZarrSums.isIntegral(meta, n)) total.longValueExact() else total.doubleValue()
+      case a: Avg =>
+        // double division of the exact total — identical to Spark's
+        // sum.toDouble / count and to the oracle's CAST(s AS DOUBLE)/n
+        ZarrSums.totalFor(meta, colName(a.column)).get.doubleValue() / meta.totalRows
       case other => throw new IllegalStateException(s"Unexpected pushed agg: $other")
     }
     Array(ZarrAggPartition(values))

@@ -110,7 +110,20 @@ final case class ZarrArrayMeta(
     /** Per-chunk [min,max] sidecar stats (`.zstats`, written by
       * [[ZarrWriter]]) keyed by chunk file key — powers
       * statistics-based chunk pruning for data-variable filters. */
-    chunkStats: Map[String, (Double, Double)] = Map.empty) extends Serializable {
+    chunkStats: Map[String, (Double, Double)] = Map.empty,
+    /** Per-chunk (sum, written-cell count) sidecar partials (the
+      * `.zstats` "sums" object) — powers chunk-level SUM/AVG
+      * aggregate pushdown (the reference's roadmap "Aggregate
+      * pushdown (push SUM/AVG/COUNT to chunk level)",
+      * /root/reference/README.md:298). BigDecimal keeps integer sums
+      * exact past 2^53. */
+    chunkSums: Map[String, (java.math.BigDecimal, Long)] = Map.empty,
+    /** True only when [[ZarrWriter]] attests the sums object covers
+      * EVERY chunk it wrote (`"complete": true` in `.zstats`) — a
+      * chunk with no entry is then provably all-fill. Without the
+      * attestation sums cannot answer aggregates (an external tool
+      * may have written chunks without sidecar entries). */
+    sumsComplete: Boolean = false) extends Serializable {
 
   def nDims: Int = shape.length
   def totalElements: Long = shape.product
@@ -320,16 +333,35 @@ object ZarrMeta {
     * directory walk costs one round trip per array on s3/gs).
     * Otherwise walk subdirectories for `.zarray` / array-typed
     * `zarr.json`. */
-  /** Per-chunk stats sidecar (`<name>/.zstats`): {"chunks": {key: [min,max]}}. */
-  private def statsOf(store: ZarrStore, name: String): Map[String, (Double, Double)] =
-    jsonAt(store, s"$name/.zstats")
-      .flatMap(n => Option(n.get("chunks"))).filter(_.isObject)
-      .map { c =>
+  /** Per-chunk stats sidecar (`<name>/.zstats`):
+    * {"chunks": {key: [min,max]}, "sums": {key: [sum, count]},
+    *  "complete": true}. "sums"/"complete" are written by
+    * [[ZarrWriter]] and power chunk-level SUM/AVG pushdown; "chunks"
+    * powers min/max pruning. Sums parse as BigDecimal so integer
+    * totals stay exact past 2^53. */
+  private def sidecarOf(store: ZarrStore, name: String)
+      : (Map[String, (Double, Double)], Map[String, (java.math.BigDecimal, Long)], Boolean) =
+    jsonAt(store, s"$name/.zstats").map { n =>
+      val stats = Option(n.get("chunks")).filter(_.isObject).map { c =>
         c.properties().asScala.map { e =>
           e.getKey -> (e.getValue.get(0).asDouble(), e.getValue.get(1).asDouble())
         }.toMap
-      }
-      .getOrElse(Map.empty)
+      }.getOrElse(Map.empty[String, (Double, Double)])
+      val sums = Option(n.get("sums")).filter(_.isObject).map { c =>
+        c.properties().asScala.map { e =>
+          e.getKey -> (e.getValue.get(0).decimalValue(), e.getValue.get(1).asLong())
+        }.toMap
+      }.getOrElse(Map.empty[String, (java.math.BigDecimal, Long)])
+      val complete = Option(n.get("complete")).exists(_.asBoolean(false))
+      (stats, sums, complete)
+    }.getOrElse((Map.empty, Map.empty, false))
+
+  /** Attach the `.zstats` sidecar fields to an array's metadata. */
+  private def withSidecar(m: ZarrArrayMeta, store: ZarrStore): ZarrArrayMeta = {
+    val (stats, sums, complete) = sidecarOf(store, m.name)
+    m.copy(chunkStats = stats, chunkSums = sums,
+      sumsComplete = complete && sums.nonEmpty)
+  }
 
   /** Stringify a JSON attributes object (units, long_name, …). */
   private def attrsOf(node: Option[JsonNode]): Map[String, String] =
@@ -349,9 +381,8 @@ object ZarrMeta {
           .filter(_.getKey.endsWith("/.zarray"))
           .map { e =>
             val name = e.getKey.stripSuffix("/.zarray")
-            parseArrayV2(name, e.getValue)
-              .copy(attrs = attrsOf(Option(md.get(s"$name/.zattrs"))),
-                chunkStats = statsOf(store, name))
+            withSidecar(parseArrayV2(name, e.getValue)
+              .copy(attrs = attrsOf(Option(md.get(s"$name/.zattrs")))), store)
           }
           .sortBy(_.name)
       }
@@ -369,9 +400,8 @@ object ZarrMeta {
               .filter(e => Option(e.getValue.get("node_type"))
                 .exists(_.asText() == "array"))
               .map { e =>
-                parseArrayV3(e.getKey, e.getValue)
-                  .copy(attrs = attrsOf(Option(e.getValue.get("attributes"))),
-                    chunkStats = statsOf(store, e.getKey))
+                withSidecar(parseArrayV3(e.getKey, e.getValue)
+                  .copy(attrs = attrsOf(Option(e.getValue.get("attributes")))), store)
               }
               .sortBy(_.name)
           }
@@ -380,15 +410,13 @@ object ZarrMeta {
         val version = detectVersion(store)
         store.listDirs().flatMap { name =>
           if (version == 2)
-            jsonAt(store, s"$name/.zarray").map(parseArrayV2(name, _)
-              .copy(attrs = attrsOf(jsonAt(store, s"$name/.zattrs")),
-                chunkStats = statsOf(store, name)))
+            jsonAt(store, s"$name/.zarray").map(m => withSidecar(parseArrayV2(name, m)
+              .copy(attrs = attrsOf(jsonAt(store, s"$name/.zattrs"))), store))
           else
             jsonAt(store, s"$name/zarr.json")
               .filter(n => Option(n.get("node_type")).exists(_.asText() == "array"))
-              .map(n => parseArrayV3(name, n)
-                .copy(attrs = attrsOf(Option(n.get("attributes"))),
-                  chunkStats = statsOf(store, name)))
+              .map(n => withSidecar(parseArrayV3(name, n)
+                .copy(attrs = attrsOf(Option(n.get("attributes")))), store))
         }
       }
   }

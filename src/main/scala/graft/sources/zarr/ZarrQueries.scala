@@ -321,6 +321,46 @@ object ZarrQueries {
       CAST(COUNT(*) AS BIGINT) AS n_cells
     FROM unioned GROUP BY k"""
 
+  /** Chunk-level SUM/AVG aggregate pushdown inside the graded gate
+    * (the reference's roadmap "Aggregate pushdown (push SUM/AVG/COUNT
+    * to chunk level)", README.md:298): write the z6 grid, then answer
+    * SUM/AVG/COUNT purely from the `.zstats` sum partials — the plan
+    * is a metadata-only ZarrAggScan, zero chunk IO (ZarrSumAggSpec
+    * asserts the plan shape). Oracle = the same aggregate over the
+    * reconstructed grid. */
+  def z13_zarr_sum_meta(s: SparkSession, dir: String): DataFrame = {
+    val li = graft.operators.Tables.load(s, dir, "lineitem")
+    val grid = li.select(
+        col("l_linenumber").cast("long").as("ln"),
+        (col("l_orderkey") % 4).cast("long").as("k"),
+        col("l_quantity").cast("long").as("qty"))
+      .groupBy("ln", "k").agg(sum(col("qty")).as("sum_qty"))
+    val out = s"${System.getProperty("java.io.tmpdir")}/graft_z13_${math.abs(dir.hashCode)}.zarr"
+    grid.write.format("zarr")
+      .option("coords", "ln,k").option("chunkOuter", "2")
+      .mode("overwrite").save(out)
+    s.read.format("zarr").load(out)
+      .agg(sum("sum_qty").as("total_qty"), avg("sum_qty").as("mean_qty"),
+        count(lit(1)).as("n_cells"))
+  }
+
+  private val z13Sql = """
+    WITH agg AS (
+      SELECT CAST(l_linenumber AS BIGINT) AS ln,
+             CAST(l_orderkey % 4 AS BIGINT) AS k,
+             CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+      FROM lineitem GROUP BY 1, 2),
+    lns AS (SELECT DISTINCT ln FROM agg),
+    ks AS (SELECT DISTINCT k FROM agg),
+    grid AS (
+      SELECT l.ln, kk.k, COALESCE(a.sum_qty, 0) AS sum_qty
+      FROM lns l CROSS JOIN ks kk
+      LEFT JOIN agg a ON a.ln = l.ln AND a.k = kk.k)
+    SELECT CAST(SUM(sum_qty) AS BIGINT) AS total_qty,
+      CAST(SUM(sum_qty) AS DOUBLE) / COUNT(*) AS mean_qty,
+      CAST(COUNT(*) AS BIGINT) AS n_cells
+    FROM grid"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "z1_zarr_group_agg" -> (z1_zarr_group_agg _),
     "z2_zarr_filter_slice" -> (z2_zarr_filter_slice _),
@@ -333,7 +373,8 @@ object ZarrQueries {
     "z9_zarr_stream" -> (z9_zarr_stream _),
     "z10_zarr_group_meta" -> (z10_zarr_group_meta _),
     "z11_zarr_union" -> (z11_zarr_union _),
-    "z12_zarr_stream_sink" -> (z12_zarr_stream_sink _))
+    "z12_zarr_stream_sink" -> (z12_zarr_stream_sink _),
+    "z13_zarr_sum_meta" -> (z13_zarr_sum_meta _))
 
   val oracle: Map[String, String] = Map(
     "z1_zarr_group_agg" -> z1Sql,
@@ -347,5 +388,6 @@ object ZarrQueries {
     "z9_zarr_stream" -> z6Sql, // micro-batch union ≡ one-shot read of the full grid
     "z10_zarr_group_meta" -> z10Sql,
     "z11_zarr_union" -> z11Sql,
-    "z12_zarr_stream_sink" -> z6Sql) // streamed ingest ≡ one-shot write
+    "z12_zarr_stream_sink" -> z6Sql, // streamed ingest ≡ one-shot write
+    "z13_zarr_sum_meta" -> z13Sql)
 }

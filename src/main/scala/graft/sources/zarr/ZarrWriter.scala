@@ -455,13 +455,26 @@ object ZarrWriter {
     // "statistics-based chunk pruning" / "data-variable filter
     // pushdown", README.md:289-337; zarr itself has no chunk stats, so
     // this is a sidecar extension readers may ignore).
-    val statRows: Array[((Seq[Int], Int), (Double, Double))] =
+    // sum kind per var: 1 = exact long accumulation (integrals),
+    // 2 = double accumulation (floats), 0 = no sums (timestamp /
+    // bool / string — SUM is not meaningful there)
+    val varSumKind: Array[Int] = varTypes.map {
+      case ByteType | ShortType | IntegerType | LongType => 1
+      case FloatType | DoubleType => 2
+      case _ => 0
+    }.toArray
+    val statRows: Array[((Seq[Int], Int), (Double, Double, String))] =
       rows.rdd.mapPartitions { it: Iterator[Row] =>
       val idx = bIdx.value
       val nDims = coordNames.length
       val chunkCells = wChunks.map(_.toLong).product
       val buffers = scala.collection.mutable.Map.empty[(Seq[Int], Int), ByteBuffer]
       val stats = scala.collection.mutable.Map.empty[(Seq[Int], Int), (Double, Double, Long)]
+      // per-chunk sum partials: (longSum, doubleSum, poisoned) —
+      // poisoned on long overflow or non-finite doubles; a poisoned
+      // chunk drops the WHOLE variable's sums (the sidecar must stay
+      // all-or-nothing for the complete-coverage attestation)
+      val sums = scala.collection.mutable.Map.empty[(Seq[Int], Int), (Long, Double, Boolean)]
       def trackStat(ci: Seq[Int], v: Int, value: Any): Unit = {
         val d = value match {
           case n: java.lang.Number => n.doubleValue()
@@ -474,6 +487,19 @@ object ZarrWriter {
         }
         val cur = stats.getOrElse((ci, v), (d, d, 0L))
         stats((ci, v)) = (math.min(cur._1, d), math.max(cur._2, d), cur._3 + 1)
+        varSumKind(v) match {
+          case 1 =>
+            val (sl, sd, bad) = sums.getOrElse((ci, v), (0L, 0.0, false))
+            val next =
+              try (Math.addExact(sl, value.asInstanceOf[java.lang.Number].longValue()), sd, bad)
+              catch { case _: ArithmeticException => (sl, sd, true) }
+            sums((ci, v)) = next
+          case 2 =>
+            val (sl, sd, bad) = sums.getOrElse((ci, v), (0L, 0.0, false))
+            val nd = sd + d
+            sums((ci, v)) = (sl, nd, bad || !java.lang.Double.isFinite(nd))
+          case _ =>
+        }
       }
       def bufFor(ci: Seq[Int], v: Int): ByteBuffer =
         buffers.getOrElseUpdate((ci, v), {
@@ -525,19 +551,36 @@ object ZarrWriter {
         val (mn, mx) =
           if (cnt >= chunkCells) (mn0, mx0)
           else (math.min(mn0, 0.0), math.max(mx0, 0.0))
-        ((ci, v), (mn, mx))
+        // sum partial as a JSON fragment [sum, written-count]; null
+        // when the variable carries no sums or this chunk poisoned
+        val sumJson = sums.get((ci, v)) match {
+          case Some((sl, _, false)) if varSumKind(v) == 1 => s"[$sl, $cnt]"
+          case Some((_, sd, false)) if varSumKind(v) == 2 => s"[$sd, $cnt]"
+          case _ => null
+        }
+        ((ci, v), (mn, mx, sumJson))
       }.iterator
     }.collect()
 
-    // driver writes the stats sidecars (one JSON per variable)
+    // driver writes the stats sidecars (one JSON per variable); sums
+    // (+ the complete-coverage attestation) only when EVERY written
+    // chunk produced a sum partial — chunks with no entry are then
+    // provably all-fill, so readers can answer SUM/AVG from the
+    // sidecar alone (chunk-level aggregate pushdown)
     varCols.zipWithIndex.foreach { case (name, v) =>
-      val entries = statRows.collect { case ((ci, vv), (mn, mx)) if vv == v =>
-        val key =
-          if (version == 2) ci.mkString(".")
-          else ("c" +: ci.map(_.toString)).mkString("/")
-        s""""$key": [$mn, $mx]"""
+      val mine = statRows.filter(_._1._2 == v)
+      def keyOf(ci: Seq[Int]): String =
+        if (version == 2) ci.mkString(".")
+        else ("c" +: ci.map(_.toString)).mkString("/")
+      val entries = mine.map { case ((ci, _), (mn, mx, _)) =>
+        s""""${keyOf(ci)}": [$mn, $mx]"""
       }.mkString(",")
-      store.writeBytes(s"$name/.zstats", s"""{"chunks": {$entries}}""".getBytes)
+      val sumsOk = varSumKind(v) != 0 && mine.nonEmpty && mine.forall(_._2._3 != null)
+      val sumsJson =
+        if (!sumsOk) ""
+        else mine.map { case ((ci, _), (_, _, sj)) => s""""${keyOf(ci)}": $sj""" }
+          .mkString(""", "sums": {""", ",", """}, "complete": true""")
+      store.writeBytes(s"$name/.zstats", s"""{"chunks": {$entries}$sumsJson}""".getBytes)
     }
     // a rewrite at this path must not serve chunks cached before it
     ChunkIO.invalidatePath(store.path)
@@ -699,12 +742,20 @@ object ZarrWriter {
 
     val wStore = store
     val coordNamesL = coordNames
-    val statRows: Array[((Seq[Long], Int), (Double, Double))] =
+    // same sum-kind classification as the full write path (the merged
+    // sidecar must stay exact across appends)
+    val appendSumKind: Array[Int] = varMetas.map(_.dtype.sparkType match {
+      case ByteType | ShortType | IntegerType | LongType => 1
+      case FloatType | DoubleType => 2
+      case _ => 0
+    }).toArray
+    val statRows: Array[((Seq[Long], Int), (Double, Double, String))] =
       rows.rdd.mapPartitions { (it: Iterator[Row]) =>
         val inner = bInner.value
         val nDims = coordNamesL.length
         val buffers = scala.collection.mutable.Map.empty[(Seq[Long], Int), ByteBuffer]
         val stats = scala.collection.mutable.Map.empty[(Seq[Long], Int), (Double, Double, Long)]
+        val sums = scala.collection.mutable.Map.empty[(Seq[Long], Int), (Long, Double, Boolean)]
         def trackStat(ci: Seq[Long], v: Int, value: Any): Unit = {
           val d = value match {
             case n: java.lang.Number => n.doubleValue()
@@ -715,6 +766,19 @@ object ZarrWriter {
           }
           val cur = stats.getOrElse((ci, v), (d, d, 0L))
           stats((ci, v)) = (math.min(cur._1, d), math.max(cur._2, d), cur._3 + 1)
+          appendSumKind(v) match {
+            case 1 =>
+              val (sl, sd, bad) = sums.getOrElse((ci, v), (0L, 0.0, false))
+              val next =
+                try (Math.addExact(sl, value.asInstanceOf[java.lang.Number].longValue()), sd, bad)
+                catch { case _: ArithmeticException => (sl, sd, true) }
+              sums((ci, v)) = next
+            case 2 =>
+              val (sl, sd, bad) = sums.getOrElse((ci, v), (0L, 0.0, false))
+              val nd = sd + d
+              sums((ci, v)) = (sl, nd, bad || !java.lang.Double.isFinite(nd))
+            case _ =>
+          }
         }
         it.foreach { row =>
           val ci = new Array[Long](nDims)
@@ -761,7 +825,12 @@ object ZarrWriter {
             if (cnt >= chunkCells) (mn0, mx0)
             else if (java.lang.Double.isFinite(fv)) (math.min(mn0, fv), math.max(mx0, fv))
             else (Double.NaN, Double.NaN) // partial + non-finite fill: no stats entry
-          ((ci, v), (mn, mx))
+          val sumJson = sums.get((ci, v)) match {
+            case Some((sl, _, false)) if appendSumKind(v) == 1 => s"[$sl, $cnt]"
+            case Some((_, sd, false)) if appendSumKind(v) == 2 => s"[$sd, $cnt]"
+            case _ => null
+          }
+          ((ci, v), (mn, mx, sumJson))
         }.iterator
       }.collect()
 
@@ -784,15 +853,32 @@ object ZarrWriter {
     editShape(store, metaRel(outerName), newLen, Some(newLen))
     varNames.foreach(n => editShape(store, metaRel(n), newLen, None))
 
-    // 3) merge + rewrite .zstats sidecars
+    // 3) merge + rewrite .zstats sidecars (min/max entries AND sum
+    // partials; the complete-coverage attestation survives an append
+    // only if the pre-append sidecar was complete and every fresh
+    // chunk produced a sum partial)
     varMetas.zipWithIndex.foreach { case (m, v) =>
-      val fresh = statRows.collect {
-        case ((ci, vv), (mn, mx)) if vv == v && !mn.isNaN => m.chunkKey(ci) -> (mn, mx)
+      val mine = statRows.filter(_._1._2 == v)
+      val fresh = mine.collect {
+        case ((ci, _), (mn, mx, _)) if !mn.isNaN => m.chunkKey(ci) -> (mn, mx)
       }.toMap
       val merged = m.chunkStats ++ fresh
       if (merged.nonEmpty) {
         val entries = merged.map { case (k, (mn, mx)) => s""""$k": [$mn, $mx]""" }.mkString(",")
-        store.writeBytes(s"${m.name}/.zstats", s"""{"chunks": {$entries}}""".getBytes)
+        val sumsOk = m.sumsComplete && appendSumKind(v) != 0 &&
+          mine.forall(_._2._3 != null)
+        val sumsJson =
+          if (!sumsOk) ""
+          else {
+            val freshSums = mine.map { case ((ci, _), (_, _, sj)) => m.chunkKey(ci) -> sj }.toMap
+            val old = (m.chunkSums -- freshSums.keys).map { case (k, (s, c)) =>
+              k -> s"[${s.toPlainString}, $c]"
+            }
+            (old ++ freshSums).map { case (k, sj) => s""""$k": $sj""" }
+              .mkString(""", "sums": {""", ",", """}, "complete": true""")
+          }
+        store.writeBytes(s"${m.name}/.zstats",
+          s"""{"chunks": {$entries}$sumsJson}""".getBytes)
       }
     }
 

@@ -1,0 +1,130 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Chunk-level SUM/AVG aggregate pushdown — the reference's roadmap
+  * "Aggregate pushdown (push SUM/AVG/COUNT to chunk level)"
+  * (/root/reference/README.md:298). The sink records per-chunk
+  * (sum, written-count) partials in the `.zstats` sidecar with a
+  * complete-coverage attestation; the scan then answers ungrouped
+  * SUM/AVG over data variables with zero chunk IO. Coordinate sums
+  * are grid arithmetic over the eagerly-loaded coordinate values.
+  */
+class ZarrSumAggSpec extends AnyFunSuite {
+  import TestSession._
+
+  private val fixture = "src/test/resources/zarr/synthetic_v3.zarr"
+
+  private def scanDesc(df: DataFrame): String = {
+    df.count()
+    df.queryExecution.executedPlan.collectFirst {
+      case b: BatchScanExec => b.scan.description()
+    }.getOrElse("")
+  }
+
+  /** A 4×5 int grid with known values written through the sink. */
+  private def writeIntStore(path: String, partial: Boolean = false): Unit = {
+    import spark.implicits._
+    val all = for { a <- 0 until 4; b <- 0 until 5 } yield (a.toLong, b.toLong,
+      (a * 100 + b * 7 - 30).toLong)
+    val rows = if (partial) all.filter { case (a, b, _) => (a + b) % 3 != 0 } else all
+    rows.toDF("a", "b", "v").write.format("zarr")
+      .option("coords", "a,b").option("chunkOuter", "2")
+      .mode("overwrite").save(path)
+  }
+
+  test("SUM/AVG over an int data variable answer from the sidecar, zero chunk IO") {
+    val out = Files.createTempDirectory("zarr_sum").resolve("s.zarr").toString
+    writeIntStore(out)
+    val z = spark.read.format("zarr").load(out)
+    val df = z.agg(sum("v").as("s"), avg("v").as("m"), count(lit(1)).as("n"))
+    val d = scanDesc(df)
+    assert(d.contains("ZarrAggScan") && d.contains("metadata-only"), d)
+    // differential: a data-var filter predicate blocks the pushdown
+    val real = z.filter(col("v") > Long.MinValue)
+      .agg(sum("v").as("s"), avg("v").as("m"), count(lit(1)).as("n"))
+    assert(!scanDesc(real).contains("AggScan"), scanDesc(real))
+    assert(df.collect().head.toSeq == real.collect().head.toSeq)
+  }
+
+  test("partial grid: unwritten cells count as fill (0) in the pushed total") {
+    val out = Files.createTempDirectory("zarr_sum_p").resolve("p.zarr").toString
+    writeIntStore(out, partial = true)
+    val z = spark.read.format("zarr").load(out)
+    val pushed = z.agg(sum("v"), avg("v"))
+    assert(scanDesc(pushed).contains("ZarrAggScan"), scanDesc(pushed))
+    val real = z.filter(col("v") > Long.MinValue).agg(sum("v"), avg("v"))
+    assert(pushed.collect().head.toSeq == real.collect().head.toSeq)
+  }
+
+  test("float variable: double partials combine to the same binary-exact total") {
+    import spark.implicits._
+    val out = Files.createTempDirectory("zarr_sum_f").resolve("f.zarr").toString
+    // halves are binary-exact: any summation order gives the same double
+    val rows = for { a <- 0 until 6; b <- 0 until 4 } yield
+      (a.toLong, b.toLong, (a * 2 + b).toDouble / 2.0)
+    rows.toDF("a", "b", "x").write.format("zarr")
+      .option("coords", "a,b").option("chunkOuter", "2")
+      .mode("overwrite").save(out)
+    val z = spark.read.format("zarr").load(out)
+    val pushed = z.agg(sum("x"), avg("x"))
+    assert(scanDesc(pushed).contains("ZarrAggScan"), scanDesc(pushed))
+    val real = z.filter(col("x") > Double.MinValue).agg(sum("x"), avg("x"))
+    assert(pushed.collect().head.toSeq == real.collect().head.toSeq)
+  }
+
+  test("coordinate SUM answers from metadata even without a sidecar") {
+    val z = spark.read.format("zarr").load(fixture)
+    val df = z.agg(sum("time").as("s"), avg("time").as("m"))
+    assert(scanDesc(df).contains("ZarrAggScan"), scanDesc(df))
+    val r = df.collect().head
+    assert(r.getLong(0) == 21L * 100) // Σ(0..6) × 10 lat × 10 lon
+    assert(r.getDouble(1) == 3.0)
+  }
+
+  test("guards: no attestation, filters, grouping, or datetime take the real scan") {
+    // the committed fixture has no .zstats — data-var SUM must scan
+    val z = spark.read.format("zarr").load(fixture)
+    val noSidecar = z.agg(sum("temperature"))
+    assert(!scanDesc(noSidecar).contains("AggScan"), scanDesc(noSidecar))
+
+    val out = Files.createTempDirectory("zarr_sum_g").resolve("g.zarr").toString
+    writeIntStore(out)
+    val zs = spark.read.format("zarr").load(out)
+    // a coordinate filter blocks the pushdown (guards in
+    // supportCompletePushDown)
+    assert(!scanDesc(zs.filter(col("a") === 1).agg(sum("v"))).contains("AggScan"))
+    // grouped SUM is not metadata-answerable (per-group sums would
+    // need chunk grids aligned with the group dims)
+    assert(!scanDesc(zs.groupBy("a").agg(sum("v"))).contains("AggScan"))
+    // the grouped result is still correct via the real scan
+    val g = zs.groupBy("a").agg(sum("v").as("s")).orderBy("a").collect()
+    assert(g.map(_.getLong(1)).toSeq ==
+      (0 until 4).map(a => (0 until 5).map(b => a * 100 + b * 7 - 30).sum.toLong))
+  }
+
+  test("append merges sum partials: post-append pushdown equals one-shot write") {
+    import spark.implicits._
+    val out = Files.createTempDirectory("zarr_sum_a").resolve("a.zarr").toString
+    val all = for { a <- 0 until 6; b <- 0 until 5 } yield (a.toLong, b.toLong,
+      (a * 31 - b * 13).toLong)
+    val (first, rest) = all.partition(_._1 < 4)
+    first.toDF("a", "b", "v").write.format("zarr")
+      .option("coords", "a,b").option("chunkOuter", "2")
+      .mode("overwrite").save(out)
+    rest.toDF("a", "b", "v").write.format("zarr")
+      .option("coords", "a,b").option("chunkOuter", "2")
+      .mode("append").save(out)
+    val z = spark.read.format("zarr").load(out)
+    val pushed = z.agg(sum("v"), avg("v"))
+    assert(scanDesc(pushed).contains("ZarrAggScan"), scanDesc(pushed))
+    val real = z.filter(col("v") > Long.MinValue).agg(sum("v"), avg("v"))
+    assert(pushed.collect().head.toSeq == real.collect().head.toSeq)
+    assert(pushed.collect().head.getLong(0) == all.map(_._3).sum)
+  }
+}
