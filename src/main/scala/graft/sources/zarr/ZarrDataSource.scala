@@ -646,6 +646,23 @@ class ZarrScanBuilder(meta: ZarrStoreMeta, options: CaseInsensitiveStringMap)
         !ZarrSums.isIntegral(meta, n) || ZarrSums.fitsLong(t)))
     case a: Avg if !a.isDistinct && grouped.isEmpty && meta.totalRows > 0 =>
       colName(a.column).exists(n => ZarrSums.totalFor(meta, n).isDefined)
+    // GROUPED SUM/AVG (the marquee `GROUP BY time, SUM(temperature)`
+    // shape): answerable from the sidecar when the variable's chunk
+    // extent is 1 along every grouped dim — each chunk then belongs
+    // to exactly one group (the typical time-chunked layout).
+    case s: Sum if !s.isDistinct && grouped.nonEmpty && meta.totalRows > 0 =>
+      colName(s.column).exists { n =>
+        val dims = grouped.toSeq.map(meta.coordNames.indexOf)
+        ZarrSums.groupTotals(meta, n, dims).exists { case (totals, dflt) =>
+          !ZarrSums.isIntegral(meta, n) ||
+            (totals.valuesIterator ++ Iterator(dflt)).forall(ZarrSums.fitsLong)
+        }
+      }
+    case a: Avg if !a.isDistinct && grouped.nonEmpty && meta.totalRows > 0 =>
+      colName(a.column).exists { n =>
+        val dims = grouped.toSeq.map(meta.coordNames.indexOf)
+        ZarrSums.groupTotals(meta, n, dims).isDefined
+      }
     case _ => false
   }
 
@@ -985,14 +1002,59 @@ private[zarr] object ZarrSums {
   def fitsLong(t: BigDecimal): Boolean =
     try { t.longValueExact(); true } catch { case _: ArithmeticException => false }
 
+  private def numeric(dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
+    case ByteType | ShortType | IntegerType | LongType | FloatType | DoubleType => true
+    case _ => false // timestamps/strings/bools: SUM is not meaningful
+  }
+
+  /** Chunk key → chunk index vector (inverse of ZarrArrayMeta.chunkKey). */
+  private def chunkIdxOf(m: ZarrArrayMeta, key: String): Seq[Int] = {
+    val sep = java.util.regex.Pattern.quote(m.separator)
+    if (m.isV3) key.stripPrefix("c").split(sep).filter(_.nonEmpty).map(_.toInt).toSeq
+    else key.split(sep).map(_.toInt).toSeq
+  }
+
+  /** Per-group exact SUMs of a data variable for GROUP BY over the
+    * given coordinate dims. Answerable only when the variable's chunk
+    * extent is 1 along every grouped dim — each chunk then belongs to
+    * exactly one group, so per-group totals are a sidecar fold (the
+    * grouped generalization of chunk-level aggregate pushdown).
+    * Returns (totals keyed by the grouped coord indices in groupDims
+    * order, fill-only default for groups with no written chunk). */
+  def groupTotals(meta: ZarrStoreMeta, name: String, groupDims: Seq[Int])
+      : Option[(Map[Seq[Int], BigDecimal], BigDecimal)] = {
+    val m = meta.dataVars.find(_.name == name).getOrElse(return None)
+    if (!m.sumsComplete || !numeric(m.dtype.sparkType)) return None
+    if (!groupDims.forall(d => d >= 0 && d < m.chunks.length && m.chunks(d) == 1))
+      return None
+    val cellsPerGroup = m.shape.zipWithIndex
+      .collect { case (s, d) if !groupDims.contains(d) => s }.product
+    val acc = scala.collection.mutable.Map.empty[Seq[Int], (BigDecimal, Long)]
+    m.chunkSums.foreach { case (key, (s, c)) =>
+      val ci = chunkIdxOf(m, key)
+      val g = groupDims.map(ci(_))
+      val (s0, c0) = acc.getOrElse(g, (BigDecimal.ZERO, 0L))
+      acc(g) = (s0.add(s), c0 + c)
+    }
+    val fillFinite = java.lang.Double.isFinite(m.fillValue)
+    val fillBD = if (fillFinite) new BigDecimal(m.fillValue) else BigDecimal.ZERO
+    val totals = acc.map { case (g, (s, c)) =>
+      val fillCells = cellsPerGroup - c
+      if (fillCells < 0) return None // inconsistent sidecar — refuse
+      if (fillCells == 0) g -> s
+      else if (fillFinite) g -> s.add(fillBD.multiply(BigDecimal.valueOf(fillCells)))
+      else return None
+    }.toMap
+    // groups with no written chunk at all are pure fill
+    if (!fillFinite && totals.size.toLong <
+        groupDims.map(d => m.shape(d)).product) return None
+    Some((totals, fillBD.multiply(BigDecimal.valueOf(cellsPerGroup))))
+  }
+
   /** The exact SUM of a column over the whole flattened grid, or None
     * when the sidecar cannot prove it (no attestation, non-numeric
     * dtype, non-finite fill over unwritten cells). */
   def totalFor(meta: ZarrStoreMeta, name: String): Option[BigDecimal] = {
-    def numeric(dt: org.apache.spark.sql.types.DataType) = dt match {
-      case ByteType | ShortType | IntegerType | LongType | FloatType | DoubleType => true
-      case _ => false // timestamps/strings/bools: SUM is not meaningful
-    }
     meta.coords.find(_.meta.name == name) match {
       case Some(c) if numeric(c.meta.dtype.sparkType) =>
         // Σ over the grid = (Σ coord values) × Π other coord lengths
@@ -1107,22 +1169,37 @@ class ZarrGroupAggScan(meta: ZarrStoreMeta, agg: Aggregation) extends Scan with 
     .collect { case (c, d) if !groupDims.contains(d) => c.length.toLong }
     .product
 
-  /** One entry per aggregate: Left(constant) or Right(j) = the j-th
-    * grouped coordinate's value for the row's group. */
-  private val specs: Seq[Either[Any, Int]] = agg.aggregateExpressions().toSeq.map {
-    case _: CountStar => Left(rowsPerGroup)
-    case c: Count if !c.isDistinct => Left(rowsPerGroup) // null_count 0 everywhere
-    case c: Count => Left(coordByName(colNameOf(c.column)).length.toLong)
+  /** One entry per aggregate: a constant, the j-th grouped
+    * coordinate's value, or a per-group sidecar total. */
+  private val specs: Seq[ZarrGroupAggSpec] = agg.aggregateExpressions().toSeq.map {
+    case _: CountStar => ZarrAggConst(rowsPerGroup)
+    case c: Count if !c.isDistinct => ZarrAggConst(rowsPerGroup) // null_count 0 everywhere
+    case c: Count => ZarrAggConst(coordByName(colNameOf(c.column)).length.toLong)
     case m: Min =>
       val n = colNameOf(m.column)
-      if (groupedSet(n)) Right(groupNames.indexOf(n))
+      if (groupedSet(n)) ZarrAggGroupVal(groupNames.indexOf(n))
       else { val c = coordByName(n)
-        Left(ChunkCodec.elementAt(c.raw, GridMath.findCoordIndex(c.doubles, c.min))) }
+        ZarrAggConst(ChunkCodec.elementAt(c.raw, GridMath.findCoordIndex(c.doubles, c.min))) }
     case m: Max =>
       val n = colNameOf(m.column)
-      if (groupedSet(n)) Right(groupNames.indexOf(n))
+      if (groupedSet(n)) ZarrAggGroupVal(groupNames.indexOf(n))
       else { val c = coordByName(n)
-        Left(ChunkCodec.elementAt(c.raw, GridMath.findCoordIndex(c.doubles, c.max))) }
+        ZarrAggConst(ChunkCodec.elementAt(c.raw, GridMath.findCoordIndex(c.doubles, c.max))) }
+    case s: Sum =>
+      val n = colNameOf(s.column)
+      val (totals, dflt) = ZarrSums.groupTotals(meta, n, groupDims).get
+      if (ZarrSums.isIntegral(meta, n))
+        ZarrAggGroupTotal(totals.map { case (k, v) => k -> (v.longValueExact(): Any) },
+          dflt.longValueExact())
+      else
+        ZarrAggGroupTotal(totals.map { case (k, v) => k -> (v.doubleValue(): Any) },
+          dflt.doubleValue())
+    case a: Avg =>
+      val n = colNameOf(a.column)
+      val (totals, dflt) = ZarrSums.groupTotals(meta, n, groupDims).get
+      ZarrAggGroupTotal(
+        totals.map { case (k, v) => k -> (v.doubleValue() / rowsPerGroup: Any) },
+        dflt.doubleValue() / rowsPerGroup)
     case other => throw new IllegalStateException(s"Unexpected pushed agg: $other")
   }
 
@@ -1135,6 +1212,10 @@ class ZarrGroupAggScan(meta: ZarrStoreMeta, agg: Aggregation) extends Scan with 
           StructField(s"min_$i", meta.schema(colNameOf(m.column)).dataType, nullable = true)
         case (m: Max, i) =>
           StructField(s"max_$i", meta.schema(colNameOf(m.column)).dataType, nullable = true)
+        case (s: Sum, i) =>
+          val t = if (ZarrSums.isIntegral(meta, colNameOf(s.column))) LongType else DoubleType
+          StructField(s"sum_$i", t, nullable = true)
+        case (_: Avg, i) => StructField(s"avg_$i", DoubleType, nullable = true)
         case (other, _) => throw new IllegalStateException(s"Unexpected pushed agg: $other")
       })
 
@@ -1156,9 +1237,20 @@ class ZarrGroupAggScan(meta: ZarrStoreMeta, agg: Aggregation) extends Scan with 
   override def createReaderFactory(): PartitionReaderFactory = new ZarrGroupAggReaderFactory
 }
 
+/** How a grouped-aggregate output column is produced per group row. */
+sealed trait ZarrGroupAggSpec extends Serializable
+/** A group-independent constant (counts, global coordinate bounds). */
+final case class ZarrAggConst(v: Any) extends ZarrGroupAggSpec
+/** The j-th grouped coordinate's value for the row's group. */
+final case class ZarrAggGroupVal(j: Int) extends ZarrGroupAggSpec
+/** A per-group sidecar total (SUM/AVG), keyed by the grouped coord
+  * indices; groups with no written chunk take the fill-only default. */
+final case class ZarrAggGroupTotal(totals: Map[Seq[Int], Any], default: Any)
+    extends ZarrGroupAggSpec
+
 final case class ZarrGroupAggPartition(
     rowStart: Long, rowEnd: Long, lens: Array[Int],
-    raws: Seq[AnyRef], specs: Seq[Either[Any, Int]]) extends InputPartition
+    raws: Seq[AnyRef], specs: Seq[ZarrGroupAggSpec]) extends InputPartition
 
 class ZarrGroupAggReaderFactory extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
@@ -1177,8 +1269,10 @@ class ZarrGroupAggReaderFactory extends PartitionReaderFactory {
         GridMath.rowToIndices(row, ranges, idx)
         val groupVals = p.raws.indices.map(j => internal(ChunkCodec.elementAt(p.raws(j), idx(j))))
         val aggVals = p.specs.map {
-          case Left(const) => internal(const)
-          case Right(j) => groupVals(j)
+          case ZarrAggConst(const) => internal(const)
+          case ZarrAggGroupVal(j) => groupVals(j)
+          case ZarrAggGroupTotal(totals, dflt) =>
+            internal(totals.getOrElse(idx.toSeq, dflt))
         }
         current = new GenericInternalRow((groupVals ++ aggVals).toArray)
         row += 1

@@ -99,13 +99,34 @@ class ZarrSumAggSpec extends AnyFunSuite {
     // a coordinate filter blocks the pushdown (guards in
     // supportCompletePushDown)
     assert(!scanDesc(zs.filter(col("a") === 1).agg(sum("v"))).contains("AggScan"))
-    // grouped SUM is not metadata-answerable (per-group sums would
-    // need chunk grids aligned with the group dims)
+    // grouped SUM with chunk extent 2 along the grouped dim is not
+    // metadata-answerable (a chunk spans two groups) — real scan,
+    // still correct
     assert(!scanDesc(zs.groupBy("a").agg(sum("v"))).contains("AggScan"))
-    // the grouped result is still correct via the real scan
     val g = zs.groupBy("a").agg(sum("v").as("s")).orderBy("a").collect()
     assert(g.map(_.getLong(1)).toSeq ==
       (0 until 4).map(a => (0 until 5).map(b => a * 100 + b * 7 - 30).sum.toLong))
+  }
+
+  test("grouped SUM/AVG push down when chunk extent is 1 along the grouped dim") {
+    import spark.implicits._
+    val out = Files.createTempDirectory("zarr_sum_gg").resolve("gg.zarr").toString
+    val all = for { a <- 0 until 5; b <- 0 until 4 } yield (a.toLong, b.toLong,
+      (a * 17 - b * 3).toLong)
+    // drop some cells so one group mixes written + fill cells
+    all.filter { case (a, b, _) => !(a == 2 && b >= 2) }
+      .toDF("a", "b", "v").write.format("zarr")
+      .option("coords", "a,b").option("chunkOuter", "1")
+      .mode("overwrite").save(out)
+    val z = spark.read.format("zarr").load(out)
+    val pushed = z.groupBy("a").agg(sum("v").as("s"), avg("v").as("m"),
+      count(lit(1)).as("n"))
+    assert(scanDesc(pushed).contains("ZarrGroupAggScan"), scanDesc(pushed))
+    val real = z.filter(col("v") > Long.MinValue)
+      .groupBy("a").agg(sum("v").as("s"), avg("v").as("m"), count(lit(1)).as("n"))
+    assert(!scanDesc(real).contains("AggScan"), scanDesc(real))
+    assert(pushed.orderBy("a").collect().map(_.toSeq).toSeq ==
+      real.orderBy("a").collect().map(_.toSeq).toSeq)
   }
 
   test("append merges sum partials: post-append pushdown equals one-shot write") {
