@@ -683,7 +683,8 @@ class ZarrScanBuilder(meta: ZarrStoreMeta, options: CaseInsensitiveStringMap)
           .getOrElse(!ZarrStore.open(meta.path).isInstanceOf[LocalStore]),
         startingOffsetLatest =
           Option(options.get("startingOffset")).exists(_.equalsIgnoreCase("latest")),
-        keyByOuter = options.getBoolean("partitionByOuter", false))
+        keyByOuter = options.getBoolean("partitionByOuter", false),
+        maxPartitions = options.getInt("maxPartitions", 32768))
   }
 }
 
@@ -703,7 +704,12 @@ class ZarrScan(
     maxRowsPerPartition: Long = 262144L,
     prefetch: Boolean = false,
     startingOffsetLatest: Boolean = false,
-    keyByOuter: Boolean = false)
+    keyByOuter: Boolean = false,
+    /** Hard ceiling on planned partitions: past it the per-partition
+      * row target scales up instead (trillion-row grids must not plan
+      * millions of task objects — the scheduler and the driver heap
+      * are the bottleneck before the executors are). */
+    maxPartitions: Int = 32768)
     extends Scan with Batch with SupportsReportStatistics
     with SupportsRuntimeV2Filtering
     with SupportsReportPartitioning with SupportsReportOrdering {
@@ -875,13 +881,26 @@ class ZarrScan(
               meta.coords, projection, fillAsNull, chunkCacheEntries, prefetch),
             new GenericInternalRow(Array[Any](key))): InputPartition
         }.toArray
-      } else
-      GridMath.partitionSlices(r, outerChunk, limit, minRowsPerPartition,
+      } else {
+      // partition-count ceiling: when the selected row space divided
+      // by the row cap would exceed maxPartitions, raise BOTH the
+      // merge floor and the split cap to the per-partition target —
+      // a 10^12-row grid plans ~maxPartitions chunk-aligned slices,
+      // not millions
+      val selected = limit
+        .map(math.min(_, GridMath.totalRows(r))).getOrElse(GridMath.totalRows(r))
+      val target =
+        if (maxPartitions > 0) (selected + maxPartitions - 1) / maxPartitions else 0L
+      GridMath.partitionSlices(r, outerChunk, limit,
+        math.max(minRowsPerPartition, target),
         // per-dim minimum data-chunk extents: sub-slab splits align to
         // the inner chunk grid so partitions own whole chunks
         innerChunks = (0 until meta.coords.length).map(d =>
           meta.dataVars.map(_.chunks(d)).reduceOption(math.min).filter(_ > 0).getOrElse(1)),
-        maxRowsPerPartition = maxRowsPerPartition)
+        // split cap at 2× the merge floor: a merge that lands between
+        // target and 2×target stays one partition instead of
+        // re-splitting to per-outer-step slices
+        maxRowsPerPartition = math.max(maxRowsPerPartition, 2 * target))
         // pushed OFFSET clips the leading rows of the (deterministic,
         // row-major) row space; slices are global row-id ranges, so a
         // plain clip is exact
@@ -893,6 +912,7 @@ class ZarrScan(
         .map(s => ZarrInputPartition(meta.path, s._1, s._2, r, meta.coords, projection,
           fillAsNull, chunkCacheEntries, prefetch): InputPartition)
         .toArray
+      }
   }
 
   /** Statistics-based partition pruning for pushed data-variable
