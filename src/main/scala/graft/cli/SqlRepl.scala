@@ -10,9 +10,12 @@ import org.apache.spark.sql.SparkSession
 /** Interactive SQL shell over the graft engine — the rebuild of the
   * reference's `zarr-cli` (/root/reference/src/bin/zarr_cli/main.rs):
   * line loop, DDL-vs-query dispatch with `OK (t)` acknowledgements,
-  * per-query timing + row-count stats line, persistent history, and
-  * `help` / `\d` / `show tables` / `quit` commands. Zarr stores
-  * register via standard DDL:
+  * per-query timing + row-count stats line, persistent history,
+  * multi-line statements (`;`-terminated, like psql — the
+  * reference's "multi-line query editing" roadmap row), output
+  * formats table/csv/json (`\format`, its "output formats" row), and
+  * `help` / `\d` / `.schema` / `show tables` / `quit` commands. Zarr
+  * stores register via standard DDL:
   *
   *   CREATE TABLE w USING zarr OPTIONS (path '/data/store.zarr');
   *   SELECT time, AVG(temperature) FROM w GROUP BY time;
@@ -39,28 +42,75 @@ object SqlRepl {
     // (token, est_count, max_count) structs, ≤32 entries
     spark.udf.register("heavy_hitters",
       org.apache.spark.sql.functions.udaf(new graft.functions.MisraGries(32)))
-    println("graft SQL shell — 'help' for commands, 'quit' to exit")
+    println("graft SQL shell — 'help' for commands, 'quit' to exit; end SQL with ;")
     val in = new BufferedReader(new InputStreamReader(System.in))
-    var line: String = null
-    while ({ print("graft> "); Console.flush(); line = in.readLine(); line != null }) {
-      val sql = line.trim.stripSuffix(";").trim
-      sql.toLowerCase match {
-        case "" =>
-        case "quit" | "exit" => spark.stop(); return
-        case "help" =>
-          println("""Commands:
-            |  help              this help
-            |  quit / exit       leave the shell
-            |  show tables, \d   list registered tables
-            |  <SQL>             any Spark SQL (CREATE TABLE ... USING zarr, SELECT ...)
-            |""".stripMargin)
-        case "\\d" | "show tables" =>
-          spark.sql("SHOW TABLES").show(truncate = false)
-        case _ => runSql(spark, sql)
-      }
-      appendHistory(line)
-    }
+    loop(spark, () => in.readLine(), println, echoPrompt = true)
     spark.stop()
+  }
+
+  /** The REPL session over arbitrary IO — `main` wires stdin/stdout;
+    * tests drive it with scripted lines. Statements accumulate until
+    * a line ends with `;` (multi-line editing); shell commands act on
+    * a single line when no statement is buffered. */
+  def loop(spark: SparkSession, readLine: () => String, out: String => Unit,
+      echoPrompt: Boolean = false): Unit = {
+    var format = "table"
+    val buffer = new StringBuilder
+    var line: String = null
+    def prompt(): Unit = if (echoPrompt) {
+      print(if (buffer.isEmpty) "graft> " else "   -> "); Console.flush()
+    }
+    while ({ prompt(); line = readLine(); line != null }) {
+      val trimmed = line.trim
+      val isCommand = buffer.isEmpty && (trimmed.isEmpty ||
+        trimmed.startsWith("\\") || trimmed.startsWith(".") ||
+        Set("quit", "exit", "help", "show tables")(
+          trimmed.stripSuffix(";").trim.toLowerCase))
+      if (isCommand) {
+        trimmed.stripSuffix(";").trim.toLowerCase match {
+          case "" =>
+          case "quit" | "exit" => return
+          case "help" =>
+            out("""Commands:
+              |  help                 this help
+              |  quit / exit          leave the shell
+              |  show tables, \d      list registered tables
+              |  .schema <table>      column names and types
+              |  \format [table|csv|json]   result output format
+              |  <SQL>;               any Spark SQL, ; ends a (multi-line) statement
+              |""".stripMargin)
+          case "\\d" | "show tables" =>
+            spark.sql("SHOW TABLES").collect()
+              .foreach(r => out(r.getString(1)))
+          case s if s.startsWith(".schema") =>
+            val t = trimmed.stripSuffix(";").trim.split("\\s+").drop(1).headOption
+            t match {
+              case None => out("usage: .schema <table>")
+              case Some(name) =>
+                try spark.table(name).schema.fields.foreach(f =>
+                  out(s"  ${f.name}  ${f.dataType.sql}${if (f.nullable) "" else "  NOT NULL"}"))
+                catch { case NonFatal(e) =>
+                  out(s"Error: ${Option(e.getMessage).getOrElse(e.toString).linesIterator.next()}") }
+            }
+          case s if s.startsWith("\\format") =>
+            trimmed.split("\\s+").drop(1).headOption.map(_.toLowerCase) match {
+              case Some(f @ ("table" | "csv" | "json")) =>
+                format = f; out(s"output format: $f")
+              case _ => out(s"output format: $format (usage: \\format table|csv|json)")
+            }
+          case other => out(s"unknown command: $other (try 'help')")
+        }
+        appendHistory(trimmed)
+      } else {
+        if (buffer.nonEmpty) buffer.append('\n')
+        buffer.append(line)
+        if (trimmed.endsWith(";")) {
+          val sql = buffer.toString.trim.stripSuffix(";").trim
+          buffer.clear()
+          if (sql.nonEmpty) { runSql(spark, sql, out, format); appendHistory(sql) }
+        }
+      }
+    }
   }
 
   private val keywords =
@@ -98,30 +148,55 @@ object SqlRepl {
   private def colorTerm: Boolean =
     sys.env.get("TERM").exists(_ != "dumb") && System.console() != null
 
-  private def runSql(spark: SparkSession, sql: String): Unit = {
+  /** CSV field per RFC 4180: quote when the value contains a comma,
+    * quote, or newline; double embedded quotes; null → empty. */
+  private def csvField(v: Any): String = v match {
+    case null => ""
+    case other =>
+      val s = other.toString
+      if (s.exists(c => c == ',' || c == '"' || c == '\n' || c == '\r'))
+        "\"" + s.replace("\"", "\"\"") + "\""
+      else s
+  }
+
+  private def runSql(spark: SparkSession, sql: String, out: String => Unit,
+      format: String = "table"): Unit = {
     val t0 = System.nanoTime()
-    if (colorTerm) println(highlight(sql))
+    if (colorTerm) out(highlight(sql))
     try {
       val df = spark.sql(sql)
       val isDdl = sql.trim.toLowerCase.matches("^(create|drop|alter|set|use)\\b.*")
       if (isDdl) {
         df.collect()
-        println(f"OK (${(System.nanoTime() - t0) / 1e9}%.3fs)")
+        out(f"OK (${(System.nanoTime() - t0) / 1e9}%.3fs)")
       } else {
         val rows = df.collect()
-        df.sparkSession.createDataFrame(
-          java.util.Arrays.asList(rows.take(50): _*), df.schema).show(50, truncate = false)
-        if (rows.length > 50) println(s"… ${rows.length - 50} more rows")
+        format match {
+          case "csv" =>
+            // all rows, machine-readable — for piping to a file
+            out(df.columns.map(csvField).mkString(","))
+            rows.foreach(r => out(r.toSeq.map(csvField).mkString(",")))
+          case "json" =>
+            // one JSON object per line (Spark's own row serializer)
+            df.sparkSession.createDataFrame(
+                java.util.Arrays.asList(rows: _*), df.schema)
+              .toJSON.collect().foreach(out)
+          case _ =>
+            df.sparkSession.createDataFrame(
+              java.util.Arrays.asList(rows.take(50): _*), df.schema)
+              .show(50, truncate = false)
+            if (rows.length > 50) out(s"… ${rows.length - 50} more rows")
+        }
         // stats line in the reference CLI's shape: rows · cols ·
         // estimated scan bytes · wall time (zarr_cli/main.rs:253)
         val estBytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
         val kb = estBytes.toDouble / 1024.0
-        println(f"${rows.length} rows | ${df.columns.length} cols | " +
+        out(f"${rows.length} rows | ${df.columns.length} cols | " +
           f"est $kb%.2f KB scanned | ${(System.nanoTime() - t0) / 1e9}%.3f s")
       }
     } catch {
       case NonFatal(e) =>
-        println(s"Error: ${Option(e.getMessage).getOrElse(e.toString).linesIterator.take(3).mkString(" ")}")
+        out(s"Error: ${Option(e.getMessage).getOrElse(e.toString).linesIterator.take(3).mkString(" ")}")
     }
   }
 

@@ -2,13 +2,73 @@ package graft
 
 import org.scalatest.funsuite.AnyFunSuite
 
+/** The SQL shell (rebuild of the reference's zarr-cli) driven
+  * end-to-end with scripted input: DDL acknowledgement, multi-line
+  * statements, output formats, .schema, error recovery, quit. */
 class SqlReplSpec extends AnyFunSuite {
+  import TestSession._
+
   test("highlight colors keywords, strings and numbers, preserves text") {
     val in = "SELECT time, 'x' FROM w WHERE lat >= 7.5"
     val out = graft.cli.SqlRepl.highlight(in)
-    assert(out.replaceAll("\u001b\\[\\d+m", "") == in) // lossless modulo ANSI
-    assert(out.contains("\u001b[36mSELECT\u001b[0m"))
-    assert(out.contains("\u001b[32m'x'\u001b[0m"))
-    assert(out.contains("\u001b[33m7.5\u001b[0m"))
+    assert(out.replaceAll("\\[\\d+m", "") == in) // lossless modulo ANSI
+    assert(out.contains("[36mSELECT[0m"))
+    assert(out.contains("[32m'x'[0m"))
+    assert(out.contains("[33m7.5[0m"))
+  }
+
+  private def drive(lines: String*): Seq[String] = {
+    val it = lines.iterator
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    graft.cli.SqlRepl.loop(spark,
+      () => if (it.hasNext) it.next() else null,
+      s => out ++= s.linesIterator)
+    out.toSeq
+  }
+
+  test("scripted session: DDL, multi-line query, .schema, error, quit") {
+    val store = java.nio.file.Paths.get("src/test/resources/zarr/synthetic_v3.zarr")
+      .toAbsolutePath.toString
+    val out = drive(
+      s"CREATE TABLE repl_w USING zarr OPTIONS (path '$store');",
+      "SELECT time, SUM(temperature) AS s", // multi-line: no ; yet
+      "FROM repl_w",
+      "GROUP BY time;",
+      ".schema repl_w",
+      "SELECT FROM nonsense;", // parse error must not kill the loop
+      "DROP TABLE repl_w;",
+      "quit")
+    assert(out.exists(_.startsWith("OK (")), out.mkString("\n"))
+    assert(out.exists(_.matches("7 rows \\| 2 cols \\|.*")), out.mkString("\n"))
+    assert(out.exists(l => l.contains("temperature") && l.contains("BIGINT")),
+      out.mkString("\n"))
+    assert(out.exists(_.startsWith("Error:")), out.mkString("\n"))
+  }
+
+  test("output formats: csv has a header row, json one object per line") {
+    val out = drive(
+      "\\format csv",
+      "SELECT 1 AS a, 'x,y' AS b;",
+      "\\format json",
+      "SELECT 2 AS a;",
+      "\\format bogus",
+      "quit")
+    assert(out.contains("output format: csv"), out.mkString("\n"))
+    assert(out.contains("a,b"), out.mkString("\n"))
+    assert(out.contains("1,\"x,y\""), out.mkString("\n")) // RFC 4180 quoting
+    assert(out.contains("{\"a\":2}"), out.mkString("\n"))
+    // unknown format reports the current one instead of changing it
+    assert(out.exists(_.startsWith("output format: json (usage:")), out.mkString("\n"))
+  }
+
+  test("show tables lists registered tables; unknown command is reported") {
+    val out = drive(
+      "CREATE TABLE repl_t2 USING parquet AS SELECT 1 AS x;",
+      "show tables",
+      "\\bogus",
+      "DROP TABLE repl_t2;",
+      "quit")
+    assert(out.contains("repl_t2"), out.mkString("\n"))
+    assert(out.exists(_.startsWith("unknown command:")), out.mkString("\n"))
   }
 }
