@@ -159,6 +159,24 @@ object SqlRepl {
       else s
   }
 
+  /** Live elapsed-time ticker on interactive terminals while a query
+    * runs (the reference CLI's 50ms progress ticker,
+    * zarr_cli/main.rs:282-301); a no-op under piped/test IO. */
+  private def withTicker[T](t0: Long)(body: => T): T = {
+    if (!colorTerm) return body
+    val done = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val t = new Thread(() => {
+      while (!done.get()) {
+        print(f"\r… ${(System.nanoTime() - t0) / 1e9}%.1f s ")
+        Console.flush()
+        Thread.sleep(100)
+      }
+      print("\r          \r"); Console.flush()
+    })
+    t.setDaemon(true); t.start()
+    try body finally { done.set(true); t.join(500) }
+  }
+
   private def runSql(spark: SparkSession, sql: String, out: String => Unit,
       format: String = "table"): Unit = {
     val t0 = System.nanoTime()
@@ -167,10 +185,10 @@ object SqlRepl {
       val df = spark.sql(sql)
       val isDdl = sql.trim.toLowerCase.matches("^(create|drop|alter|set|use)\\b.*")
       if (isDdl) {
-        df.collect()
+        withTicker(t0) { df.collect() }
         out(f"OK (${(System.nanoTime() - t0) / 1e9}%.3fs)")
       } else {
-        val rows = df.collect()
+        val rows = withTicker(t0) { df.collect() }
         format match {
           case "csv" =>
             // all rows, machine-readable — for piping to a file

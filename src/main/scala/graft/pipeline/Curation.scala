@@ -487,6 +487,43 @@ object Curation {
     SELECT doc_id, fp FROM f d
     WHERE doc_id % 7 <> 0 AND EXISTS (SELECT 1 FROM ev WHERE ev.fp = d.fp)"""
 
+  // -------------------------------------------- c13 deterministic shuffle
+
+  /** Deterministic training-order shuffle: every document gets a
+    * gap-free position in a pseudorandom global order — the "shuffle
+    * the corpus once, stream it in position order every epoch" step.
+    * The order key is a modular hash of the stable id (dual-dialect
+    * exact int64, same reproducibility argument as c1/c10: unchanged
+    * under repartitioning or cluster resize; at fleet scale swap in a
+    * 64-bit mix — the 31-bit form here is what both engines evaluate
+    * bit-identically). Positions use the c9 zero-skew technique —
+    * hash-range buckets, within-bucket row_number, broadcast bucket
+    * offsets — so there is NO single-reducer global sort: the only
+    * wide exchange is the bucket hash partitioning, and bucket counts
+    * are uniform by construction of the hash. */
+  def c13_shuffle(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).select(col("doc_id"),
+        expr(s"(doc_id * 69069 + 12345) % $P").as("h"))
+      // P/2^21 ≈ 1024 hash-range buckets; contiguous in (h) order so
+      // bucket offsets linearize into one global order
+      .withColumn("blk", expr(s"h div ${1 << 21}"))
+    val wIn = Window.partitionBy("blk").orderBy("h", "doc_id")
+    val rn = d.withColumn("rn", row_number().over(wIn).cast("long"))
+    val wOff = Window.orderBy("blk")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offs = d.groupBy("blk").agg(count(lit(1)).as("cnt"))
+      .withColumn("off", coalesce(sum("cnt").over(wOff), lit(0L)))
+      .select("blk", "off")
+    rn.join(broadcast(offs), Seq("blk"))
+      .select(col("doc_id"), (col("rn") + col("off")).as("pos"))
+  }
+
+  private val c13Sql = s"""
+    SELECT doc_id,
+      CAST(ROW_NUMBER() OVER (
+        ORDER BY (doc_id * 69069 + 12345) % $P, doc_id) AS BIGINT) AS pos
+    FROM documents"""
+
   // -------------------------------------------------------------- registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -502,6 +539,7 @@ object Curation {
     "c10_mixture" -> (c10_mixture _),
     "c11_chunk_docs" -> (c11_chunk_docs _),
     "c12_bloom_decontaminate" -> (c12_bloom_decontaminate _),
+    "c13_shuffle" -> (c13_shuffle _),
     "cp1_pipeline" -> (cp1_pipeline _))
 
   val oracle: Map[String, String] = Map(
@@ -517,5 +555,6 @@ object Curation {
     "c10_mixture" -> c10Sql,
     "c11_chunk_docs" -> c11Sql,
     "c12_bloom_decontaminate" -> c12Sql,
+    "c13_shuffle" -> c13Sql,
     "cp1_pipeline" -> cp1Sql)
 }
