@@ -229,8 +229,16 @@ object ChunkCodec {
 
   /** Decode raw chunk bytes into a typed JVM array (Array[Long] /
     * Array[Int] / … matching the Spark column type of the dtype). */
-  def decodeTyped(raw: Array[Byte], dtype: ZarrDType, n: Int): AnyRef = {
-    val buf = ByteBuffer.wrap(raw)
+  def decodeTyped(raw: Array[Byte], dtype: ZarrDType, n: Int): AnyRef =
+    decodeTypedBuf(ByteBuffer.wrap(raw), dtype, n)
+
+  /** Same decode over any ByteBuffer — the memory-mapped fast path
+    * hands the page-cache-backed buffer here directly, skipping the
+    * heap copy (reference roadmap "zero-copy reads with memory-mapped
+    * I/O"; one copy remains — raw cells → the typed column array —
+    * because Spark rows/vectors consume JVM arrays). */
+  def decodeTypedBuf(raw: ByteBuffer, dtype: ZarrDType, n: Int): AnyRef = {
+    val buf = raw
       .order(if (dtype.littleEndian) ByteOrder.LITTLE_ENDIAN else ByteOrder.BIG_ENDIAN)
     (dtype.kind, dtype.size) match {
       case ('i', 1) => val a = new Array[Byte](n); buf.get(a); a
@@ -425,7 +433,15 @@ object ChunkIO {
   def readChunk(store: ZarrStore, meta: ZarrArrayMeta, chunkIdx: Seq[Long]): AnyRef = {
     decodeCount.incrementAndGet()
     val nElems = meta.chunks.product
-    store.readBytes(s"${meta.name}/${meta.chunkKey(chunkIdx)}") match {
+    val key = s"${meta.name}/${meta.chunkKey(chunkIdx)}"
+    // uncompressed, unfiltered chunks decode straight from a
+    // memory-mapped (or wrapped) buffer — no intermediate heap copy
+    if (meta.sharding.isEmpty && meta.compressor.id == "none" && !meta.deltaFilter)
+      return store.mapBytes(key) match {
+        case None => fillArray(meta, nElems)
+        case Some(buf) => ChunkCodec.decodeTypedBuf(buf, meta.dtype, nElems)
+      }
+    store.readBytes(key) match {
       case None => fillArray(meta, nElems)
       case Some(bytes) => meta.sharding match {
         case Some(spec) => decodeShard(bytes, meta, spec)

@@ -28,6 +28,11 @@ sealed trait ZarrStore extends Serializable {
   /** Full contents of `rel` (relative to the store root), or None if
     * the file does not exist (absent chunk ⇒ fill_value). */
   def readBytes(rel: String): Option[Array[Byte]]
+  /** A read-only buffer over `rel` — backends that can memory-map
+    * override this to avoid the heap copy; the default is a plain
+    * read. Callers must not mutate position-independent reads only. */
+  def mapBytes(rel: String): Option[java.nio.ByteBuffer] =
+    readBytes(rel).map(java.nio.ByteBuffer.wrap)
   /** Size in bytes of `rel` if it exists (IO accounting). */
   def sizeOf(rel: String): Option[Long]
   /** Write the full contents of `rel`, creating parent directories as
@@ -81,6 +86,20 @@ final case class LocalStore(path: String) extends ZarrStore {
   override def readBytes(rel: String): Option[Array[Byte]] = {
     val p = root.resolve(rel)
     if (Files.exists(p)) Some(Files.readAllBytes(p)) else None
+  }
+
+  /** Memory-mapped read (the reference's "zero-copy reads with
+    * memory-mapped I/O" roadmap row, README.md:315): the decoder
+    * reads straight from the page cache, skipping the heap copy
+    * `readBytes` makes. Only worthwhile for UNCOMPRESSED chunks —
+    * compressed payloads are consumed once by the decompressor. */
+  override def mapBytes(rel: String): Option[java.nio.ByteBuffer] = {
+    val p = root.resolve(rel)
+    if (!Files.exists(p)) return None
+    val ch = java.nio.channels.FileChannel.open(p,
+      java.nio.file.StandardOpenOption.READ)
+    try Some(ch.map(java.nio.channels.FileChannel.MapMode.READ_ONLY, 0, ch.size()))
+    finally ch.close() // the mapping outlives the channel
   }
 
   override def sizeOf(rel: String): Option[Long] = {

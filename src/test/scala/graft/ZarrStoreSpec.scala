@@ -41,6 +41,19 @@ class ZarrStoreSpec extends AnyFunSuite {
       assert(local.sizeOf(rel) == hadoop.sizeOf(rel))
   }
 
+  test("mapBytes: LocalStore memory-maps; bytes identical to readBytes") {
+    val rel = "temperature/c/0/0/0"
+    val mapped = local.mapBytes(rel).get
+    assert(mapped.isInstanceOf[java.nio.MappedByteBuffer], mapped.getClass)
+    val plain = local.readBytes(rel).get
+    val viaMap = new Array[Byte](mapped.remaining())
+    mapped.get(viaMap)
+    assert(viaMap.sameElements(plain))
+    // default (non-mappable backends): a wrapped plain read
+    assert(hadoop.mapBytes(rel).exists(_.remaining() == plain.length))
+    assert(local.mapBytes("nope").isEmpty)
+  }
+
   test("stores serialize (cross the driver-executor boundary)") {
     val bos = new java.io.ByteArrayOutputStream()
     val oos = new java.io.ObjectOutputStream(bos)
