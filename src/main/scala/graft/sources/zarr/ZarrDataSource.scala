@@ -437,6 +437,8 @@ class ZarrScanBuilder(meta: ZarrStoreMeta, options: CaseInsensitiveStringMap)
   private var limit: Option[Long] = None
   private var offset: Long = 0L
   private var aggPushed: Option[Aggregation] = None
+  /** ORDER BY <data var> [DESC] LIMIT n accepted for stats pruning. */
+  private var topNVar: Option[(String, Boolean, Int)] = None
 
   override def pruneColumns(required: StructType): Unit = requiredSchema = required
 
@@ -552,6 +554,25 @@ class ZarrScanBuilder(meta: ZarrStoreMeta, options: CaseInsensitiveStringMap)
     def colOf(o: SortOrderV2): Option[String] = o.expression() match {
       case r: NamedReference if r.fieldNames().length == 1 => Some(r.fieldNames().head)
       case _ => None
+    }
+    // ORDER BY <data variable> LIMIT n — prune partitions whose
+    // chunks provably cannot reach the global top-n by their `.zstats`
+    // [min,max]: chunk C is droppable when the cells of chunks wholly
+    // ≥ max(C) (DESC; symmetric for ASC) already number ≥ n. The
+    // statistics extension of the reference's "Top-K optimization"
+    // roadmap row — exactness is Spark's (partial semantics, the
+    // Sort+Limit stays above; pruning only shrinks what is read).
+    if (orders.length == 1) {
+      colOf(orders.head).foreach { name =>
+        val ok = meta.dataVars.exists(v => v.name == name &&
+          v.chunkStats.nonEmpty && v.dtype.kind != 'S' && v.dtype.kind != 'M')
+        if (ok) {
+          topNVar = Some((name,
+            orders.head.direction() ==
+              org.apache.spark.sql.connector.expressions.SortDirection.DESCENDING, n))
+          return true
+        }
+      }
     }
     // index order = value order. Every key except the LAST must be
     // STRICTLY increasing: a duplicate value in a non-last key makes
@@ -684,7 +705,8 @@ class ZarrScanBuilder(meta: ZarrStoreMeta, options: CaseInsensitiveStringMap)
         startingOffsetLatest =
           Option(options.get("startingOffset")).exists(_.equalsIgnoreCase("latest")),
         keyByOuter = options.getBoolean("partitionByOuter", false),
-        maxPartitions = options.getInt("maxPartitions", 32768))
+        maxPartitions = options.getInt("maxPartitions", 32768),
+        topNVar = topNVar)
   }
 }
 
@@ -709,7 +731,9 @@ class ZarrScan(
       * row target scales up instead (trillion-row grids must not plan
       * millions of task objects — the scheduler and the driver heap
       * are the bottleneck before the executors are). */
-    maxPartitions: Int = 32768)
+    maxPartitions: Int = 32768,
+    /** ORDER BY <data var> [DESC] LIMIT n — `.zstats` TopN pruning. */
+    topNVar: Option[(String, Boolean, Int)] = None)
     extends Scan with Batch with SupportsReportStatistics
     with SupportsRuntimeV2Filtering
     with SupportsReportPartitioning with SupportsReportOrdering {
@@ -846,8 +870,10 @@ class ZarrScan(
 
   override def description(): String = {
     val r = ranges.map(_.map { case (s, e) => s"[$s,$e)" }.mkString(",")).getOrElse("EMPTY")
+    val topN = topNVar.map { case (v, desc, n) =>
+      s" topN=$v ${if (desc) "DESC" else "ASC"} $n" }.getOrElse("")
     s"ZarrScan path=${meta.path} rows=$filteredRows ranges=$r " +
-      s"limit=${limit.getOrElse(-1L)} offset=$offset " +
+      s"limit=${limit.getOrElse(-1L)} offset=$offset$topN " +
       s"pushedFilters=[${pushedFilters.mkString(", ")}]"
   }
 
@@ -909,11 +935,74 @@ class ZarrScan(
           if (s1 < e0) Some((s1, e0)) else None
         }
         .filter(s => sliceMayMatch(s._1, s._2, r))
+        .filter(s => sliceMayReachTopN(s._1, s._2, r))
         .map(s => ZarrInputPartition(meta.path, s._1, s._2, r, meta.coords, projection,
           fillAsNull, chunkCacheEntries, prefetch): InputPartition)
         .toArray
       }
   }
+
+  /** Logical (edge-clipped) cell count of a chunk. */
+  private def logicalCells(m: ZarrArrayMeta, ci: Seq[Int]): Long =
+    m.shape.zip(m.chunks).zip(ci).map { case ((s, c), i) =>
+      math.max(0L, math.min(c.toLong, s - i.toLong * c))
+    }.product
+
+  /** For ORDER BY v [DESC] LIMIT n: the pruning threshold τ = the
+    * largest x such that chunks wholly ≥ x (min ≥ x under DESC; the
+    * sign flip below makes ASC the same "largest first" problem) hold
+    * ≥ n logical cells. The global n-th best value is then ≥ τ, so a
+    * chunk whose BEST cell is strictly below τ cannot contribute —
+    * and the kept chunks alone still guarantee n cells ≥ τ, so ties
+    * at τ are safe (no mutual elimination: a tied chunk has
+    * best = τ, not < τ, and is kept). */
+  private lazy val topNThreshold: Option[(ZarrArrayMeta, Double, Boolean)] =
+    topNVar.flatMap { case (name, desc, n) =>
+      meta.dataVars.find(_.name == name).map { m =>
+        val entries = m.chunkStats.toArray.map { case (key, (mn, mx)) =>
+          val g = if (desc) mn else -mx // guarantee key (worst cell, flipped)
+          (g, logicalCells(m, ZarrSums.chunkIdxOf(m, key)))
+        }.filter(e => !e._1.isNaN).sortBy(-_._1)
+        var tau = Double.NegativeInfinity
+        var cells = 0L
+        var i = 0
+        while (i < entries.length && tau.isNegInfinity) {
+          cells += entries(i)._2
+          if (cells >= n) tau = entries(i)._1
+          i += 1
+        }
+        (m, tau, desc)
+      }
+    }
+
+  /** A slice survives unless EVERY chunk it covers is provably outside
+    * the top-n (unknown chunks always keep the slice — never prune
+    * blind; >1024 covered chunks skips the check, same cap as
+    * sliceMayMatch). */
+  private def sliceMayReachTopN(rowStart: Long, rowEnd: Long, r: GridMath.Ranges): Boolean =
+    topNThreshold match {
+      case None => true
+      case Some((_, tau, _)) if tau.isNegInfinity => true
+      case Some((m, tau, desc)) =>
+        val idx = new Array[Int](r.length)
+        GridMath.rowToIndices(rowStart, r, idx); val o0 = idx(0)
+        GridMath.rowToIndices(rowEnd - 1, r, idx); val o1 = idx(0)
+        val innerGrid = m.chunkGrid.drop(1)
+        val coveredOuter = (o0 / m.chunks.head) to (o1 / m.chunks.head)
+        val nChunks = coveredOuter.size.toLong * innerGrid.product
+        if (nChunks > 1024) return true
+        def anyReaches(prefix: List[Long], dims: Seq[Long]): Boolean = dims match {
+          case Nil =>
+            m.chunkStats.get(m.chunkKey(prefix.reverse)) match {
+              case Some((mn, mx)) =>
+                val best = if (desc) mx else -mn // candidate's best, flipped
+                !(best < tau) // NaN compares false — kept
+              case None => true // unknown chunk — keep
+            }
+          case d +: rest => (0L until d).exists(i => anyReaches(i :: prefix, rest))
+        }
+        coveredOuter.exists(co => anyReaches(List(co.toLong), innerGrid))
+    }
 
   /** Statistics-based partition pruning for pushed data-variable
     * predicates: a slice is dropped only if, for some predicated
@@ -1028,7 +1117,7 @@ private[zarr] object ZarrSums {
   }
 
   /** Chunk key → chunk index vector (inverse of ZarrArrayMeta.chunkKey). */
-  private def chunkIdxOf(m: ZarrArrayMeta, key: String): Seq[Int] = {
+  private[zarr] def chunkIdxOf(m: ZarrArrayMeta, key: String): Seq[Int] = {
     val sep = java.util.regex.Pattern.quote(m.separator)
     if (m.isV3) key.stripPrefix("c").split(sep).filter(_.nonEmpty).map(_.toInt).toSeq
     else key.split(sep).map(_.toInt).toSeq
