@@ -38,9 +38,12 @@ case class MediaFeatures(
   * init per partition, the same shape a native decoder or an Arrow
   * batch UDF needs), and a columnar feature output schema.
   *
-  * No SQL oracle: binary feature extraction is not SQL-expressible;
-  * the driver records a rows-only check and MultimodalSpec asserts the
-  * deterministic values.
+  * Every stage has a FULL DuckDB oracle: the fixture payload is the
+  * utf8 bytes of ASCII text, so the byte arithmetic the stub performs
+  * (header byte, length, 8-bin byte histogram, entropy) mirrors
+  * exactly in SQL over `ascii(substring(text, i, 1))` — the oracle
+  * recomputes the decode, and the compare hash-matches it. A real
+  * binary codec would drop the oracle back to a rows-only check.
   */
 object Multimodal {
 
@@ -96,7 +99,9 @@ object Multimodal {
         col("width").cast("long").as("width"),
         col("height").cast("long").as("height"),
         col("n_frames").cast("long").as("n_frames"),
-        col("byte_entropy_q"),
+        // rounded so JVM-libm vs DuckDB-libm log() ulp differences
+        // cannot break the hash compare
+        round(col("byte_entropy_q"), 6).as("byte_entropy_q"),
         round(element_at(col("histogram"), 1), 6).as("hist_0"),
         round(element_at(col("histogram"), 4), 6).as("hist_3"))
 
@@ -209,9 +214,72 @@ object Multimodal {
     "m3_multimodal_resize" -> (m3_multimodal_resize _),
     "m4_multimodal_audio" -> (m4_multimodal_audio _))
 
-  /** m1/m3 are not SQL-expressible (binary feature extraction) — the
-    * driver records rows-only checks for them. */
+  /** The decode-stub arithmetic recomputed in SQL: per-position byte
+    * codes from ascii(substring), 8-bin histogram via conditional
+    * counts, entropy as the explicit left-to-right 8-term sum (same
+    * double-addition order as the Scala loop). Empty documents keep
+    * the n = max(len, 1) convention. */
+  private val histBins: String =
+    (0 until 8).map(b =>
+      s"CAST(COALESCE(SUM(CASE WHEN code // 32 = $b THEN 1 END), 0) AS DOUBLE)" +
+        s" / ANY_VALUE(n) AS h$b").mkString(", ")
+
+  private val m1Sql = s"""
+    WITH src AS (
+      SELECT doc_id, source AS format, text,
+             GREATEST(LENGTH(text), 1) AS n
+      FROM documents),
+    pos AS (
+      SELECT doc_id, n, UNNEST(range(1, LENGTH(text) + 1)) AS i, text
+      FROM src),
+    codes AS (
+      SELECT doc_id, n, ascii(substring(text, CAST(i AS INT), 1)) AS code
+      FROM pos),
+    hist AS (
+      SELECT doc_id, $histBins
+      FROM codes GROUP BY doc_id),
+    feat AS (
+      SELECT s.doc_id, s.format,
+        CAST(16 + (CASE WHEN LENGTH(s.text) = 0 THEN 0
+                        ELSE ascii(substring(s.text, 1, 1)) END) % 64 AS BIGINT) AS width,
+        CAST(16 + s.n % 64 AS BIGINT) AS height,
+        CAST(CASE WHEN s.n < 256 THEN 1 ELSE 1 + (s.n - 256) // 128 END AS BIGINT) AS n_frames,
+        COALESCE(h.h0, 0) AS h0, COALESCE(h.h1, 0) AS h1,
+        COALESCE(h.h2, 0) AS h2, COALESCE(h.h3, 0) AS h3,
+        COALESCE(h.h4, 0) AS h4, COALESCE(h.h5, 0) AS h5,
+        COALESCE(h.h6, 0) AS h6, COALESCE(h.h7, 0) AS h7
+      FROM src s LEFT JOIN hist h ON s.doc_id = h.doc_id)
+    SELECT doc_id, format, width, height, n_frames,
+      ROUND(${(0 until 8).map(b =>
+        s"(CASE WHEN h$b > 0 THEN -h$b * ln(h$b) ELSE 0.0 END)").mkString(" + ")}, 6)
+        AS byte_entropy_q,
+      ROUND(h0, 6) AS hist_0, ROUND(h3, 6) AS hist_3
+    FROM feat"""
+
+  private val m3Sql = s"""
+    WITH src AS (
+      SELECT doc_id, text, GREATEST(LENGTH(text), 1) AS n
+      FROM documents),
+    pos AS (
+      SELECT doc_id, n, UNNEST(range(1, LENGTH(text) + 1)) AS i, text
+      FROM src),
+    codes AS (
+      SELECT doc_id, n, ascii(substring(text, CAST(i AS INT), 1)) AS code
+      FROM pos),
+    hist AS (
+      SELECT doc_id, $histBins
+      FROM codes GROUP BY doc_id)
+    SELECT s.doc_id,
+      CAST((16 + (CASE WHEN LENGTH(s.text) = 0 THEN 0
+                       ELSE ascii(substring(s.text, 1, 1)) END) % 64) // 2 AS BIGINT) AS thumb_w,
+      CAST((16 + s.n % 64) // 2 AS BIGINT) AS thumb_h,
+      ROUND((COALESCE(h.h0, 0) + COALESCE(h.h1, 0)) / 2, 6) AS pool_0,
+      ROUND((COALESCE(h.h6, 0) + COALESCE(h.h7, 0)) / 2, 6) AS pool_3
+    FROM src s LEFT JOIN hist h ON s.doc_id = h.doc_id"""
+
   val oracle: Map[String, String] = Map(
+    "m1_multimodal_decode" -> m1Sql,
     "m2_multimodal_frames" -> m2Sql,
+    "m3_multimodal_resize" -> m3Sql,
     "m4_multimodal_audio" -> m4Sql)
 }
