@@ -706,7 +706,8 @@ class ZarrScanBuilder(meta: ZarrStoreMeta, options: CaseInsensitiveStringMap)
           Option(options.get("startingOffset")).exists(_.equalsIgnoreCase("latest")),
         keyByOuter = options.getBoolean("partitionByOuter", false),
         maxPartitions = options.getInt("maxPartitions", 32768),
-        topNVar = topNVar)
+        topNVar = topNVar,
+        maxSlabsPerTrigger = options.getLong("maxSlabsPerTrigger", 0L))
   }
 }
 
@@ -733,7 +734,9 @@ class ZarrScan(
       * are the bottleneck before the executors are). */
     maxPartitions: Int = 32768,
     /** ORDER BY <data var> [DESC] LIMIT n — `.zstats` TopN pruning. */
-    topNVar: Option[(String, Boolean, Int)] = None)
+    topNVar: Option[(String, Boolean, Int)] = None,
+    /** Streaming admission control: outer slabs per micro-batch. */
+    maxSlabsPerTrigger: Long = 0L)
     extends Scan with Batch with SupportsReportStatistics
     with SupportsRuntimeV2Filtering
     with SupportsReportPartitioning with SupportsReportOrdering {
@@ -866,7 +869,8 @@ class ZarrScan(
     new ZarrMicroBatchStream(meta.path, requiredSchema, coordPreds,
       minRowsPerPartition, fillAsNull, chunkCacheEntries, prefetch,
       startFromLatest = startingOffsetLatest,
-      maxRowsPerPartition = maxRowsPerPartition)
+      maxRowsPerPartition = maxRowsPerPartition,
+      maxSlabsPerTrigger = maxSlabsPerTrigger)
 
   override def description(): String = {
     val r = ranges.map(_.map { case (s, e) => s"[$s,$e)" }.mkString(",")).getOrElse("EMPTY")

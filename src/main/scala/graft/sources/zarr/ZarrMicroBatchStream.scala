@@ -1,7 +1,7 @@
 package graft.sources.zarr
 
 import org.apache.spark.sql.connector.read.{InputPartition, PartitionReaderFactory}
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, ReadMaxRows, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.types.StructType
 
 /** Stream position over a growing Zarr store: the outer-dimension
@@ -44,7 +44,44 @@ class ZarrMicroBatchStream(
     chunkCacheEntries: Int,
     prefetch: Boolean,
     startFromLatest: Boolean,
-    maxRowsPerPartition: Long = 262144L) extends MicroBatchStream {
+    maxRowsPerPartition: Long = 262144L,
+    /** Admission control: at most this many outer slabs per
+      * micro-batch (option `maxSlabsPerTrigger`). A new consumer
+      * following a decade-deep archive must backfill in bounded
+      * batches, not plan one giant first batch whose failure loses
+      * all progress. 0 = unbounded. */
+    maxSlabsPerTrigger: Long = 0L)
+    extends MicroBatchStream with SupportsTriggerAvailableNow {
+
+  /** Extent frozen by Trigger.AvailableNow at query start: the stream
+    * drains [start, frozen) in (rate-limited) batches and terminates,
+    * ignoring slabs appended after the freeze — batch-incremental
+    * ingest over a live archive. */
+  @volatile private var availableNowEnd: Long = -1L
+
+  override def prepareForTriggerAvailableNow(): Unit = {
+    availableNowEnd = currentOuterExtent()
+  }
+
+  override def getDefaultReadLimit: ReadLimit =
+    if (maxSlabsPerTrigger > 0) ReadLimit.maxRows(maxSlabsPerTrigger)
+    else ReadLimit.allAvailable()
+
+  /** Admission-controlled batch end: current extent, clamped by the
+    * AvailableNow freeze and the per-trigger slab budget. (ReadMaxRows
+    * counts SLABS here — the offset unit — not grid rows.) */
+  override def latestOffset(startOffset: Offset, limit: ReadLimit): Offset = {
+    val start = startOffset.asInstanceOf[ZarrOffset].outer
+    var end = currentOuterExtent()
+    if (availableNowEnd >= 0) end = math.min(end, availableNowEnd)
+    limit match {
+      case r: ReadMaxRows => end = math.min(end, start + r.maxRows())
+      case _ =>
+    }
+    ZarrOffset(math.max(start, end))
+  }
+
+  override def reportLatestOffset(): Offset = ZarrOffset(currentOuterExtent())
 
   /** Store metadata re-read with a mid-append consistency check: an
     * append edits the outer coordinate's shape first and the data

@@ -176,6 +176,43 @@ class ZarrStreamSpec extends AnyFunSuite {
     assert(drain().sortBy(r => (r.head.asInstanceOf[Long], r(1).asInstanceOf[Long])) ==
       grid(Seq(2L, 3L)).orderBy("t", "x").collect().map(_.toSeq).toSeq)
   }
+
+  test("Trigger.AvailableNow drains the frozen extent in bounded batches, then stops") {
+    import org.apache.spark.sql.streaming.Trigger
+    val out = fresh(Seq(0L, 1L, 2L, 3L, 4L, 5L))
+    tableN += 1
+    val name = s"zstream_$tableN"
+    val q = spark.readStream.format("zarr")
+      .option("maxSlabsPerTrigger", "2").load(out)
+      .writeStream.outputMode("append").format("memory").queryName(name)
+      .trigger(Trigger.AvailableNow()).start()
+    // terminates by itself once the frozen extent is drained
+    assert(q.awaitTermination(120000), "AvailableNow query did not terminate")
+    assert(spark.table(name).orderBy("t", "x").collect().map(_.toSeq).toSeq ==
+      grid(0L to 5L).orderBy("t", "x").collect().map(_.toSeq).toSeq)
+    // 6 slabs at 2 slabs/trigger → ≥3 non-empty batches (rate limit held)
+    val nonEmpty = q.recentProgress.filter(_.numInputRows > 0)
+    assert(nonEmpty.length >= 3, s"expected ≥3 bounded batches, got ${nonEmpty.length}")
+    assert(nonEmpty.forall(_.numInputRows <= 2 * 3), // ≤ 2 slabs × 3 inner rows
+      nonEmpty.map(_.numInputRows).mkString(","))
+  }
+
+  test("maxSlabsPerTrigger bounds a live follower's batches") {
+    val out = fresh(Seq(0L, 1L, 2L, 3L))
+    tableN += 1
+    val name = s"zstream_$tableN"
+    val q = spark.readStream.format("zarr")
+      .option("maxSlabsPerTrigger", "1").load(out)
+      .writeStream.outputMode("append").format("memory").queryName(name).start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table(name).count() == 12) // catches up fully, just in steps
+      val nonEmpty = q.recentProgress.filter(_.numInputRows > 0)
+      assert(nonEmpty.forall(_.numInputRows <= 3), // 1 slab × 3 inner rows
+        nonEmpty.map(_.numInputRows).mkString(","))
+      assert(nonEmpty.length >= 4)
+    } finally q.stop()
+  }
 }
 
 object ZarrStreamSpec {
