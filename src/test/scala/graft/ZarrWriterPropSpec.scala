@@ -95,4 +95,64 @@ class ZarrWriterPropSpec extends AnyFunSuite {
     val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(16), prop)
     assert(res.passed, res.status.toString)
   }
+
+  private val genSum = for {
+    nOuter <- Gen.choose(1, 8)
+    nInner <- Gen.choose(1, 6)
+    chunkOuter <- Gen.choose(1, 9)
+    version <- Gen.oneOf("2", "3")
+    dtype <- Gen.oneOf("long", "double")
+    keepMod <- Gen.choose(1, 4) // partial grids: keep ~1/keepMod cells
+    // long values spanning sign and magnitude (exactness past double)
+    scale <- Gen.oneOf(1L, 1000003L, 4611686018427387L)
+  } yield (nOuter, nInner, chunkOuter, version, dtype, keepMod, scale)
+
+  test("random grids: sidecar SUM/AVG pushdown equals the real scan") {
+    val prop = Prop.forAll(genSum) {
+      case (nOuter, nInner, chunkOuter, version, dtype, keepMod, scale) =>
+        // large magnitudes only for the exact long path — double sums
+        // are only order-independent while values and totals stay
+        // binary-exact (small integers + halves)
+        val s = if (dtype == "double") 1L else scale
+        val rows = (for (o <- 0 until nOuter; i <- 0 until nInner)
+          yield Row(o.toLong, i.toLong, ((o * 31 + i * 7) - 40) * s))
+          .zipWithIndex.filter { case (_, k) => k % keepMod == 0 }.map(_._1)
+        if (rows.isEmpty) Prop(true)
+        else {
+          val schema = StructType(Seq(
+            StructField("t", LongType, nullable = false),
+            StructField("x", LongType, nullable = false),
+            StructField("v", LongType, nullable = true)))
+          var df = spark.createDataFrame(
+            spark.sparkContext.parallelize(rows, 2), schema)
+          // halves are binary-exact, so double sums agree in any order
+          if (dtype == "double") df = df.withColumn("v", col("v").cast("double") / 2.0)
+          val out = Files.createTempDirectory("zarr_sump").resolve("g.zarr").toString
+          df.write.format("zarr")
+            .option("coords", "t,x")
+            .option("chunkOuter", chunkOuter.toString)
+            .option("zarrVersion", version)
+            .mode("overwrite").save(out)
+          val z = spark.read.format("zarr").load(out)
+          val pushed = z.agg(sum("v"), avg("v")).collect().head
+          val real = z.filter(col("v").isNotNull) // blocks the pushdown
+            .agg(sum("v"), count(lit(1))).collect().head
+          // SUM must be bit-exact. AVG's well-defined value is
+          // exact-total → double ÷ count (what DuckDB's
+          // CAST(SUM AS DOUBLE)/n computes); Spark's incremental
+          // double accumulation drifts past 2^53 and is itself
+          // partition-order-dependent there, so it is not the oracle.
+          val sumsMatch = pushed.get(0) == real.get(0)
+          val expAvg =
+            if (dtype == "double") real.getDouble(0) / real.getLong(1)
+            else real.getLong(0).toDouble / real.getLong(1)
+          Prop(sumsMatch && pushed.getDouble(1) == expAvg) :|
+            s"shape=($nOuter,$nInner) chunk=$chunkOuter v$version $dtype " +
+              s"keepMod=$keepMod scale=$scale pushed=$pushed " +
+              s"realSum=${real.get(0)} expAvg=$expAvg"
+        }
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(20), prop)
+    assert(res.passed, res.status.toString)
+  }
 }
