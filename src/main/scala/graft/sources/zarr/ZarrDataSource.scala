@@ -374,9 +374,46 @@ class ZarrUnionScanBuilder(metas: Seq[ZarrStoreMeta], options: CaseInsensitiveSt
     extends ScanBuilder
     with SupportsPushDownRequiredColumns
     with SupportsPushDownFilters
-    with SupportsPushDownLimit {
+    with SupportsPushDownLimit
+    with SupportsPushDownAggregates {
 
   private val delegates = metas.map(new ZarrScanBuilder(_, options))
+  private var aggPushed: Option[Aggregation] = None
+
+  /** Ungrouped metadata aggregates over the union are the fold of the
+    * member answers: COUNT sums, MIN/MAX combine, SUM adds the
+    * members' exact totals, AVG = Σ totals / Σ rows ("count and sum a
+    * 30-year year-per-store archive" reads 30 sidecars, zero chunks).
+    * COUNT(DISTINCT) is NOT combinable (values overlap across
+    * members) and grouped shapes would need per-key merges — both
+    * take the real scan. */
+  override def supportCompletePushDown(aggregation: Aggregation): Boolean = {
+    def colName(e: org.apache.spark.sql.connector.expressions.Expression): Option[String] =
+      e match {
+        case r: NamedReference if r.fieldNames().length == 1 => Some(r.fieldNames().head)
+        case _ => None
+      }
+    aggregation.groupByExpressions().isEmpty &&
+      delegates.forall(_.supportCompletePushDown(aggregation)) &&
+      aggregation.aggregateExpressions().forall {
+        case c: Count if c.isDistinct => false
+        case s: Sum => // the UNION total must also fit the result type
+          colName(s.column).exists { n =>
+            !ZarrSums.isIntegral(metas.head, n) || {
+              val totals = metas.map(m => ZarrSums.totalFor(m, n))
+              totals.forall(_.isDefined) && ZarrSums.fitsLong(
+                totals.flatten.foldLeft(java.math.BigDecimal.ZERO)(_.add(_)))
+            }
+          }
+        case _ => true
+      }
+  }
+
+  override def pushAggregation(aggregation: Aggregation): Boolean = {
+    if (!supportCompletePushDown(aggregation)) return false
+    aggPushed = Some(aggregation)
+    true
+  }
 
   override def pruneColumns(required: StructType): Unit =
     delegates.foreach(_.pruneColumns(required))
@@ -395,8 +432,63 @@ class ZarrUnionScanBuilder(metas: Seq[ZarrStoreMeta], options: CaseInsensitiveSt
   override def pushLimit(n: Int): Boolean = { delegates.foreach(_.pushLimit(n)); true }
   override def isPartiallyPushed: Boolean = true
 
-  override def build(): Scan =
-    new ZarrUnionScan(delegates.map(_.build().asInstanceOf[ZarrScan]))
+  override def build(): Scan = aggPushed match {
+    case Some(agg) => new ZarrUnionAggScan(metas, agg)
+    case None => new ZarrUnionScan(delegates.map(_.build().asInstanceOf[ZarrScan]))
+  }
+}
+
+/** Metadata-only fold of per-member aggregate answers (ungrouped).
+  * Schema matches [[ZarrAggScan]]; values combine across members. */
+class ZarrUnionAggScan(metas: Seq[ZarrStoreMeta], agg: Aggregation) extends Scan with Batch {
+
+  private def colName(e: org.apache.spark.sql.connector.expressions.Expression): String =
+    e.asInstanceOf[NamedReference].fieldNames().head
+
+  override def readSchema(): StructType =
+    new ZarrAggScan(metas.head, agg).readSchema()
+
+  override def description(): String =
+    s"ZarrUnionAggScan members=${metas.size} (metadata-only) " +
+      s"aggs=[${agg.aggregateExpressions().mkString(", ")}]"
+
+  override def toBatch: Batch = this
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val totalRows = metas.map(_.totalRows).sum
+    val values: Array[Any] = agg.aggregateExpressions().map {
+      case _: CountStar => totalRows
+      case c: Count if !c.isDistinct => totalRows
+      case m: Min =>
+        val n = colName(m.column)
+        val per = metas.map { meta =>
+          val c = meta.coords.find(_.meta.name == n).get
+          (c.min, ChunkCodec.elementAt(c.raw, GridMath.findCoordIndex(c.doubles, c.min)))
+        }
+        per.minBy(_._1)._2
+      case m: Max =>
+        val n = colName(m.column)
+        val per = metas.map { meta =>
+          val c = meta.coords.find(_.meta.name == n).get
+          (c.max, ChunkCodec.elementAt(c.raw, GridMath.findCoordIndex(c.doubles, c.max)))
+        }
+        per.maxBy(_._1)._2
+      case s: Sum =>
+        val n = colName(s.column)
+        val total = metas.map(m => ZarrSums.totalFor(m, n).get)
+          .foldLeft(java.math.BigDecimal.ZERO)(_.add(_))
+        if (ZarrSums.isIntegral(metas.head, n)) total.longValueExact() else total.doubleValue()
+      case a: Avg =>
+        val n = colName(a.column)
+        val total = metas.map(m => ZarrSums.totalFor(m, n).get)
+          .foldLeft(java.math.BigDecimal.ZERO)(_.add(_))
+        total.doubleValue() / totalRows
+      case other => throw new IllegalStateException(s"Unexpected pushed agg: $other")
+    }
+    Array(ZarrAggPartition(values))
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory = new ZarrAggReaderFactory
 }
 
 class ZarrUnionScan(scans: Seq[ZarrScan]) extends Scan with Batch

@@ -57,6 +57,41 @@ class ZarrUnionSpec extends AnyFunSuite {
     } finally spark.sql("DROP TABLE zunion")
   }
 
+  test("ungrouped aggregates over the union answer from member metadata") {
+    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+    val a = store(Seq(0L, 1L, 2L, 3L))
+    val b = store(Seq(10L, 11L))
+    val df = spark.read.format("zarr").load(a, b)
+    val agg = df.agg(count(lit(1)).as("n"), min("t").as("mn"), max("t").as("mx"),
+      sum("v").as("s"), avg("v").as("m"))
+    agg.count()
+    val desc = agg.queryExecution.executedPlan.collect {
+      case x: BatchScanExec => x.scan.description()
+    }.head
+    assert(desc.contains("ZarrUnionAggScan") && desc.contains("metadata-only"), desc)
+    val r = agg.collect().head
+    val expect = grid(Seq(0L, 1L, 2L, 3L, 10L, 11L))
+      .agg(count(lit(1)), min("t"), max("t"), sum("v"), avg("v")).collect().head
+    assert(r.toSeq == expect.toSeq)
+    // COUNT(DISTINCT coord) is not combinable across members → real
+    // scan (its plan shuffles, so unwrap the AQE wrapper to find it)
+    val cd = df.agg(countDistinct("t").as("d"))
+    cd.count()
+    def scansOf(p: org.apache.spark.sql.execution.SparkPlan): Seq[String] = {
+      val inner = p match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => a.executedPlan
+        case o => o
+      }
+      (inner match {
+        case x: BatchScanExec => Seq(x.scan.description())
+        case _ => Nil
+      }) ++ inner.children.flatMap(scansOf)
+    }
+    val cdDescs = scansOf(cd.queryExecution.executedPlan)
+    assert(cdDescs.nonEmpty && cdDescs.forall(!_.contains("AggScan")), cdDescs)
+    assert(cd.collect().head.getLong(0) == 6L)
+  }
+
   test("schema mismatch and missing member refuse loudly") {
     val a = store(Seq(0L, 1L))
     val odd = Files.createTempDirectory("zarr_union").resolve("odd.zarr").toString
