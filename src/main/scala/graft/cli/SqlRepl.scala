@@ -43,9 +43,66 @@ object SqlRepl {
     spark.udf.register("heavy_hitters",
       org.apache.spark.sql.functions.udaf(new graft.functions.MisraGries(32)))
     println("graft SQL shell — 'help' for commands, 'quit' to exit; end SQL with ;")
-    val in = new BufferedReader(new InputStreamReader(System.in))
-    loop(spark, () => in.readLine(), println, echoPrompt = true)
+    if (System.console() != null) runJline(spark)
+    else {
+      val in = new BufferedReader(new InputStreamReader(System.in))
+      loop(spark, () => in.readLine(), println, echoPrompt = true)
+    }
     spark.stop()
+  }
+
+  /** Words offered by tab completion: SQL keywords, shell commands,
+    * and the live table catalog. */
+  def completionWords(spark: SparkSession): Seq[String] = {
+    val tables =
+      try spark.catalog.listTables().collect().map(_.name).toSeq
+      catch { case NonFatal(_) => Nil }
+    (keywords.map(_.toUpperCase) ++
+      Seq("help", "quit", "exit", ".schema", "\\format", "\\d", "show tables") ++
+      tables).toSeq
+  }
+
+  /** Interactive path: jline line editing, persistent history, and tab
+    * completion over keywords + commands + the live table catalog —
+    * the reference CLI's rustyline affordances ("tab completion" /
+    * "multi-line query editing" roadmap rows). Piped input (tests,
+    * scripts) takes the plain reader path instead. */
+  private def runJline(spark: SparkSession): Unit = {
+    import org.jline.reader.{Candidate, Completer, EndOfFileException, LineReader, LineReaderBuilder, ParsedLine, UserInterruptException}
+    import org.jline.terminal.TerminalBuilder
+    val completer = new Completer {
+      override def complete(reader: LineReader, line: ParsedLine,
+          candidates: java.util.List[Candidate]): Unit =
+        completionWords(spark).foreach(w => candidates.add(new Candidate(w)))
+    }
+    val terminal = TerminalBuilder.builder().system(true).build()
+    val reader = LineReaderBuilder.builder()
+      .terminal(terminal)
+      .completer(completer)
+      .variable(LineReader.HISTORY_FILE, historyPath)
+      .build()
+    var buffered = false
+    def readOne(): String =
+      try reader.readLine(if (buffered) "   -> " else "graft> ")
+      catch {
+        case _: EndOfFileException => null
+        case _: UserInterruptException => ""
+      }
+    // track continuation state for the prompt: loop() owns the real
+    // buffer; mirror its "ends with ;" rule here
+    loop(spark, () => {
+      val l = readOne()
+      if (l != null) {
+        val t = l.trim
+        if (buffered) buffered = !t.endsWith(";")
+        else {
+          val cmd = t.isEmpty || t.startsWith("\\") || t.startsWith(".") ||
+            Set("quit", "exit", "help", "show tables")(t.stripSuffix(";").trim.toLowerCase)
+          if (!cmd) buffered = !t.endsWith(";")
+        }
+      }
+      l
+    }, println)
   }
 
   /** The REPL session over arbitrary IO — `main` wires stdin/stdout;

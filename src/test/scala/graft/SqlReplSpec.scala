@@ -61,6 +61,16 @@ class SqlReplSpec extends AnyFunSuite {
     assert(out.exists(_.startsWith("output format: json (usage:")), out.mkString("\n"))
   }
 
+  test("tab-completion words cover keywords, commands, and live tables") {
+    spark.sql("CREATE TABLE IF NOT EXISTS repl_comp USING parquet AS SELECT 1 AS x")
+    try {
+      val words = graft.cli.SqlRepl.completionWords(spark)
+      assert(words.contains("SELECT") && words.contains("GROUP"))
+      assert(words.contains(".schema") && words.contains("\\format"))
+      assert(words.contains("repl_comp"), words.filter(_.startsWith("repl")))
+    } finally spark.sql("DROP TABLE repl_comp")
+  }
+
   test("show tables lists registered tables; unknown command is reported") {
     val out = drive(
       "CREATE TABLE repl_t2 USING parquet AS SELECT 1 AS x;",
