@@ -1280,10 +1280,13 @@ private[zarr] object ZarrSums {
       case None =>
         val m = meta.dataVars.find(_.name == name).getOrElse(return None)
         if (!m.sumsComplete || !numeric(m.dtype.sparkType)) return None
-        var total = BigDecimal.ZERO
-        var written = 0L
-        m.chunkSums.valuesIterator.foreach { case (s, c) =>
-          total = total.add(s); written += c
+        // prefer the precomputed total (O(1) at any chunk count);
+        // fall back to folding the per-chunk partials
+        val (total, written) = m.sumTotal.getOrElse {
+          var t = BigDecimal.ZERO
+          var w = 0L
+          m.chunkSums.valuesIterator.foreach { case (s, c) => t = t.add(s); w += c }
+          (t, w)
         }
         val fillCells = m.totalElements - written
         if (fillCells < 0) None // inconsistent sidecar — refuse

@@ -123,7 +123,13 @@ final case class ZarrArrayMeta(
       * chunk with no entry is then provably all-fill. Without the
       * attestation sums cannot answer aggregates (an external tool
       * may have written chunks without sidecar entries). */
-    sumsComplete: Boolean = false) extends Serializable {
+    sumsComplete: Boolean = false,
+    /** Precomputed (Σ written sums, Σ written cells) — the `.zstats`
+      * "total" record. Ungrouped SUM/AVG answers read THIS, O(1),
+      * instead of folding the per-chunk map (a 100 TB variable has
+      * millions of chunk entries; grouped answers and pruning still
+      * use the map). */
+    sumTotal: Option[(java.math.BigDecimal, Long)] = None) extends Serializable {
 
   def nDims: Int = shape.length
   def totalElements: Long = shape.product
@@ -340,7 +346,8 @@ object ZarrMeta {
     * powers min/max pruning. Sums parse as BigDecimal so integer
     * totals stay exact past 2^53. */
   private def sidecarOf(store: ZarrStore, name: String)
-      : (Map[String, (Double, Double)], Map[String, (java.math.BigDecimal, Long)], Boolean) =
+      : (Map[String, (Double, Double)], Map[String, (java.math.BigDecimal, Long)],
+        Boolean, Option[(java.math.BigDecimal, Long)]) =
     jsonAt(store, s"$name/.zstats").map { n =>
       val stats = Option(n.get("chunks")).filter(_.isObject).map { c =>
         c.properties().asScala.map { e =>
@@ -353,14 +360,16 @@ object ZarrMeta {
         }.toMap
       }.getOrElse(Map.empty[String, (java.math.BigDecimal, Long)])
       val complete = Option(n.get("complete")).exists(_.asBoolean(false))
-      (stats, sums, complete)
-    }.getOrElse((Map.empty, Map.empty, false))
+      val total = Option(n.get("total")).filter(_.isArray)
+        .map(t => (t.get(0).decimalValue(), t.get(1).asLong()))
+      (stats, sums, complete, total)
+    }.getOrElse((Map.empty, Map.empty, false, None))
 
   /** Attach the `.zstats` sidecar fields to an array's metadata. */
   private def withSidecar(m: ZarrArrayMeta, store: ZarrStore): ZarrArrayMeta = {
-    val (stats, sums, complete) = sidecarOf(store, m.name)
+    val (stats, sums, complete, total) = sidecarOf(store, m.name)
     m.copy(chunkStats = stats, chunkSums = sums,
-      sumsComplete = complete && sums.nonEmpty)
+      sumsComplete = complete && sums.nonEmpty, sumTotal = total)
   }
 
   /** Stringify a JSON attributes object (units, long_name, …). */

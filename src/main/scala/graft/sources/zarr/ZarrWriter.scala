@@ -93,6 +93,13 @@ object ZarrWriter {
     }
   }
 
+  /** Parse a `[sum, count]` JSON fragment produced by the stat
+    * emitters (exact: integral sums stay BigDecimal-precise). */
+  private def parseSumJson(sj: String): (java.math.BigDecimal, Long) = {
+    val body = sj.trim.stripPrefix("[").stripSuffix("]").split(",")
+    (new java.math.BigDecimal(body(0).trim), body(1).trim.toLong)
+  }
+
   private def epochMicros(v: Any): Long = v match {
     case t: java.sql.Timestamp =>
       Math.addExact(Math.multiplyExact(Math.floorDiv(t.getTime, 1000L), 1000000L),
@@ -578,8 +585,18 @@ object ZarrWriter {
       val sumsOk = varSumKind(v) != 0 && mine.nonEmpty && mine.forall(_._2._3 != null)
       val sumsJson =
         if (!sumsOk) ""
-        else mine.map { case ((ci, _), (_, _, sj)) => s""""${keyOf(ci)}": $sj""" }
-          .mkString(""", "sums": {""", ",", """}, "complete": true""")
+        else {
+          // the "total" record answers ungrouped SUM/AVG in O(1) — a
+          // fleet-scale variable has millions of chunk entries the
+          // reader must not need to fold
+          val partials = mine.map(_._2._3).map(parseSumJson)
+          val total = partials.foldLeft((java.math.BigDecimal.ZERO, 0L)) {
+            case ((s, c), (s2, c2)) => (s.add(s2), c + c2)
+          }
+          mine.map { case ((ci, _), (_, _, sj)) => s""""${keyOf(ci)}": $sj""" }
+            .mkString(""", "sums": {""", ",",
+              s"""}, "total": [${total._1.toPlainString}, ${total._2}], "complete": true""")
+        }
       store.writeBytes(s"$name/.zstats", s"""{"chunks": {$entries}$sumsJson}""".getBytes)
     }
     // a rewrite at this path must not serve chunks cached before it
@@ -874,8 +891,15 @@ object ZarrWriter {
             val old = (m.chunkSums -- freshSums.keys).map { case (k, (s, c)) =>
               k -> s"[${s.toPlainString}, $c]"
             }
+            // merged total = fold of the merged per-chunk partials
+            // (appended chunk keys are disjoint from the old ones)
+            val total = (old.values ++ freshSums.values).map(parseSumJson)
+              .foldLeft((java.math.BigDecimal.ZERO, 0L)) {
+                case ((s, c), (s2, c2)) => (s.add(s2), c + c2)
+              }
             (old ++ freshSums).map { case (k, sj) => s""""$k": $sj""" }
-              .mkString(""", "sums": {""", ",", """}, "complete": true""")
+              .mkString(""", "sums": {""", ",",
+                s"""}, "total": [${total._1.toPlainString}, ${total._2}], "complete": true""")
           }
         store.writeBytes(s"${m.name}/.zstats",
           s"""{"chunks": {$entries}$sumsJson}""".getBytes)
