@@ -393,11 +393,20 @@ class ZarrUnionScanBuilder(metas: Seq[ZarrStoreMeta], options: CaseInsensitiveSt
         case r: NamedReference if r.fieldNames().length == 1 => Some(r.fieldNames().head)
         case _ => None
       }
-    aggregation.groupByExpressions().isEmpty &&
+    val grouped = aggregation.groupByExpressions().nonEmpty
+    // grouped: members answer per-group, the union merges by key —
+    // bounded so the driver never materializes an unbounded group set
+    val groupsBounded = !grouped || metas.map { m =>
+      aggregation.groupByExpressions().flatMap(colName).map(n =>
+        m.coords.find(_.meta.name == n).map(_.length.toLong).getOrElse(Long.MaxValue))
+        .product
+    }.sum <= (1L << 20)
+    groupsBounded &&
       delegates.forall(_.supportCompletePushDown(aggregation)) &&
       aggregation.aggregateExpressions().forall {
-        case c: Count if c.isDistinct => false
-        case s: Sum => // the UNION total must also fit the result type
+        case c: Count if c.isDistinct => false // values overlap across members
+        case _: Avg if grouped => false // member avgs don't merge
+        case s: Sum if !grouped => // the UNION total must fit the result type
           colName(s.column).exists { n =>
             !ZarrSums.isIntegral(metas.head, n) || {
               val totals = metas.map(m => ZarrSums.totalFor(m, n))
@@ -411,6 +420,8 @@ class ZarrUnionScanBuilder(metas: Seq[ZarrStoreMeta], options: CaseInsensitiveSt
 
   override def pushAggregation(aggregation: Aggregation): Boolean = {
     if (!supportCompletePushDown(aggregation)) return false
+    if (aggregation.groupByExpressions().nonEmpty &&
+      ZarrUnionGroups.merge(metas, aggregation).isEmpty) return false
     aggPushed = Some(aggregation)
     true
   }
@@ -433,8 +444,124 @@ class ZarrUnionScanBuilder(metas: Seq[ZarrStoreMeta], options: CaseInsensitiveSt
   override def isPartiallyPushed: Boolean = true
 
   override def build(): Scan = aggPushed match {
+    case Some(agg) if agg.groupByExpressions().nonEmpty =>
+      new ZarrUnionGroupAggScan(metas, agg)
     case Some(agg) => new ZarrUnionAggScan(metas, agg)
     case None => new ZarrUnionScan(delegates.map(_.build().asInstanceOf[ZarrScan]))
+  }
+}
+
+/** Driver-side merge of per-member grouped metadata answers: the
+  * member scans' rows (already metadata-only) combine by group key —
+  * counts and sums add, bounds combine. Group keys may overlap across
+  * members (stores need not partition the key domain), which is
+  * exactly what the merge handles. */
+private[zarr] object ZarrUnionGroups {
+
+  private def cmp(a: Any, b: Any): Int = (a, b) match {
+    case (x: java.lang.Long, y: java.lang.Long) => x.compareTo(y)
+    case (x: java.lang.Integer, y: java.lang.Integer) => x.compareTo(y)
+    case (x: java.lang.Short, y: java.lang.Short) => x.compareTo(y)
+    case (x: java.lang.Byte, y: java.lang.Byte) => x.compareTo(y)
+    case (x: java.lang.Double, y: java.lang.Double) => x.compareTo(y)
+    case (x: java.lang.Float, y: java.lang.Float) => x.compareTo(y)
+    case (x: java.lang.Number, y: java.lang.Number) =>
+      java.lang.Double.compare(x.doubleValue(), y.doubleValue())
+    case _ => 0
+  }
+
+  private def addVals(a: Any, b: Any): Any = (a, b) match {
+    case (x: java.lang.Long, y: java.lang.Long) => Math.addExact(x, y)
+    case (x: java.lang.Double, y: java.lang.Double) => (x + y): java.lang.Double
+    case _ => throw new ArithmeticException(s"unmergeable sum types: $a, $b")
+  }
+
+  /** Merged group rows (group key columns first, then aggregates), or
+    * None when a merge is impossible (overflow, unexpected agg). */
+  def merge(metas: Seq[ZarrStoreMeta], agg: Aggregation)
+      : Option[Array[Array[Any]]] = {
+    val g = agg.groupByExpressions().length
+    val kinds: Array[Char] = agg.aggregateExpressions().map {
+      case _: CountStar => 'c'
+      case c: Count if !c.isDistinct => 'c'
+      case _: Min => 'm'
+      case _: Max => 'M'
+      case s: Sum if !s.isDistinct => 's'
+      case _ => return None
+    }
+    val acc = scala.collection.mutable.LinkedHashMap.empty[Seq[Any], Array[Any]]
+    try {
+      metas.foreach { meta =>
+        val scan = new ZarrGroupAggScan(meta, agg)
+        val factory = scan.createReaderFactory()
+        scan.planInputPartitions().foreach { p =>
+          val r = factory.createReader(p)
+          while (r.next()) {
+            val vals = r.get().asInstanceOf[GenericInternalRow].values.clone()
+            val key = vals.take(g).toSeq
+            acc.get(key) match {
+              case None => acc(key) = vals
+              case Some(prev) =>
+                var i = 0
+                while (i < kinds.length) {
+                  val j = g + i
+                  prev(j) = kinds(i) match {
+                    case 'c' => Math.addExact(prev(j).asInstanceOf[Long],
+                      vals(j).asInstanceOf[Long])
+                    case 's' => addVals(prev(j), vals(j))
+                    case 'm' => if (cmp(vals(j), prev(j)) < 0) vals(j) else prev(j)
+                    case 'M' => if (cmp(vals(j), prev(j)) > 0) vals(j) else prev(j)
+                  }
+                  i += 1
+                }
+            }
+          }
+        }
+      }
+      Some(acc.valuesIterator.toArray)
+    } catch { case _: ArithmeticException => None }
+  }
+}
+
+/** Metadata-only GROUPED aggregates over a union: per-member grouped
+  * answers merged by key on the driver (bounded by the group-count
+  * guard in the builder), emitted in row slices. */
+class ZarrUnionGroupAggScan(metas: Seq[ZarrStoreMeta], agg: Aggregation)
+    extends Scan with Batch {
+
+  private lazy val rows: Array[Array[Any]] =
+    ZarrUnionGroups.merge(metas, agg).getOrElse(
+      throw new IllegalStateException("union group merge became impossible after planning"))
+
+  override def readSchema(): StructType =
+    new ZarrGroupAggScan(metas.head, agg).readSchema()
+
+  override def description(): String =
+    s"ZarrUnionGroupAggScan members=${metas.size} (metadata-only) " +
+      s"groups=[${agg.groupByExpressions().mkString(",")}] " +
+      s"aggs=[${agg.aggregateExpressions().mkString(", ")}]"
+
+  override def toBatch: Batch = this
+
+  override def planInputPartitions(): Array[InputPartition] =
+    rows.grouped(65536).map(s => ZarrUnionGroupAggPartition(s): InputPartition).toArray
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new ZarrUnionGroupAggReaderFactory
+}
+
+final case class ZarrUnionGroupAggPartition(rows: Array[Array[Any]])
+    extends InputPartition
+
+class ZarrUnionGroupAggReaderFactory extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[ZarrUnionGroupAggPartition]
+    new PartitionReader[InternalRow] {
+      private var i = -1
+      override def next(): Boolean = { i += 1; i < p.rows.length }
+      override def get(): InternalRow = new GenericInternalRow(p.rows(i))
+      override def close(): Unit = {}
+    }
   }
 }
 

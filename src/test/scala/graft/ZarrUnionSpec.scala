@@ -92,6 +92,52 @@ class ZarrUnionSpec extends AnyFunSuite {
     assert(cd.collect().head.getLong(0) == 6L)
   }
 
+  test("grouped aggregates over the union merge member answers by key") {
+    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+    val a = store(Seq(0L, 1L, 2L, 3L))
+    val b = store(Seq(10L, 11L))
+    val df = spark.read.format("zarr").load(a, b)
+    // group by the INNER dim: every key exists in BOTH members —
+    // counts add, bounds combine across members
+    val byX = df.groupBy("x").agg(count(lit(1)).as("n"),
+      min("t").as("mn"), max("t").as("mx"))
+    byX.count()
+    val desc = byX.queryExecution.executedPlan.collect {
+      case z: BatchScanExec => z.scan.description()
+    }.head
+    assert(desc.contains("ZarrUnionGroupAggScan") && desc.contains("metadata-only"), desc)
+    val real = df.filter(col("v").isNotNull).groupBy("x")
+      .agg(count(lit(1)).as("n"), min("t").as("mn"), max("t").as("mx"))
+    assert(byX.orderBy("x").collect().map(_.toSeq).toSeq ==
+      real.orderBy("x").collect().map(_.toSeq).toSeq)
+    assert(byX.orderBy("x").collect().head.toSeq == Seq(0L, 6L, 0L, 11L))
+    // group by the OUTER dim: keys are disjoint across members
+    val byT = df.groupBy("t").agg(count(lit(1)).as("n"))
+    byT.count()
+    assert(byT.queryExecution.executedPlan.collect {
+      case z: BatchScanExec => z.scan.description()
+    }.head.contains("ZarrUnionGroupAggScan"))
+    assert(byT.collect().length == 6)
+    assert(byT.collect().forall(_.getLong(1) == 3L))
+    // grouped SUM merges when the members' chunk grids align with the
+    // group dim (chunkOuter=1): per-member sidecar group totals add
+    def store1(ts: Seq[Long]): String = {
+      val out = Files.createTempDirectory("zarr_union1").resolve("u.zarr").toString
+      grid(ts).write.format("zarr")
+        .option("coords", "t,x").option("chunkOuter", "1")
+        .mode("overwrite").save(out)
+      out
+    }
+    val dfs = spark.read.format("zarr").load(store1(Seq(0L, 1L)), store1(Seq(5L)))
+    val gs = dfs.groupBy("t").agg(sum("v").as("s"))
+    gs.count()
+    assert(gs.queryExecution.executedPlan.collect {
+      case z: BatchScanExec => z.scan.description()
+    }.head.contains("ZarrUnionGroupAggScan"))
+    assert(gs.orderBy("t").collect().map(_.toSeq).toSeq ==
+      Seq(Seq(0L, 3.0), Seq(1L, 33.0), Seq(5L, 153.0)))
+  }
+
   test("schema mismatch and missing member refuse loudly") {
     val a = store(Seq(0L, 1L))
     val odd = Files.createTempDirectory("zarr_union").resolve("odd.zarr").toString
