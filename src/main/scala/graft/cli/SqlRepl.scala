@@ -52,14 +52,22 @@ object SqlRepl {
   }
 
   /** Words offered by tab completion: SQL keywords, shell commands,
-    * and the live table catalog. */
+    * and the live table catalog. The catalog lookup is cached for a
+    * few seconds — completion fires per TAB press and must not run a
+    * catalog round trip per keystroke. */
+  private var tableCache: (Long, Seq[String]) = (0L, Nil)
+
   def completionWords(spark: SparkSession): Seq[String] = {
-    val tables =
-      try spark.catalog.listTables().collect().map(_.name).toSeq
-      catch { case NonFatal(_) => Nil }
+    val now = System.nanoTime()
+    if (now - tableCache._1 > 5e9.toLong) {
+      val tables =
+        try spark.catalog.listTables().collect().map(_.name).toSeq
+        catch { case NonFatal(_) => Nil }
+      tableCache = (now, tables)
+    }
     (keywords.map(_.toUpperCase) ++
       Seq("help", "quit", "exit", ".schema", "\\format", "\\d", "show tables") ++
-      tables).toSeq
+      tableCache._2).toSeq
   }
 
   /** Interactive path: jline line editing, persistent history, and tab
@@ -102,7 +110,9 @@ object SqlRepl {
         }
       }
       l
-    }, println)
+      // jline owns history persistence here (HISTORY_FILE) — the
+      // loop's own append would double every entry
+    }, println, recordHistory = false)
   }
 
   /** The REPL session over arbitrary IO — `main` wires stdin/stdout;
@@ -110,7 +120,8 @@ object SqlRepl {
     * a line ends with `;` (multi-line editing); shell commands act on
     * a single line when no statement is buffered. */
   def loop(spark: SparkSession, readLine: () => String, out: String => Unit,
-      echoPrompt: Boolean = false): Unit = {
+      echoPrompt: Boolean = false, recordHistory: Boolean = true): Unit = {
+    def record(s: String): Unit = if (recordHistory) appendHistory(s)
     var format = "table"
     val buffer = new StringBuilder
     var line: String = null
@@ -150,21 +161,21 @@ object SqlRepl {
                   out(s"Error: ${Option(e.getMessage).getOrElse(e.toString).linesIterator.next()}") }
             }
           case s if s.startsWith("\\format") =>
-            trimmed.split("\\s+").drop(1).headOption.map(_.toLowerCase) match {
+            trimmed.stripSuffix(";").trim.split("\\s+").drop(1).headOption.map(_.toLowerCase) match {
               case Some(f @ ("table" | "csv" | "json")) =>
                 format = f; out(s"output format: $f")
               case _ => out(s"output format: $format (usage: \\format table|csv|json)")
             }
           case other => out(s"unknown command: $other (try 'help')")
         }
-        appendHistory(trimmed)
+        record(trimmed)
       } else {
         if (buffer.nonEmpty) buffer.append('\n')
         buffer.append(line)
         if (trimmed.endsWith(";")) {
           val sql = buffer.toString.trim.stripSuffix(";").trim
           buffer.clear()
-          if (sql.nonEmpty) { runSql(spark, sql, out, format); appendHistory(sql) }
+          if (sql.nonEmpty) { runSql(spark, sql, out, format); record(sql) }
         }
       }
     }

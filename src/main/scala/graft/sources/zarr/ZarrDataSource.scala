@@ -396,11 +396,16 @@ class ZarrUnionScanBuilder(metas: Seq[ZarrStoreMeta], options: CaseInsensitiveSt
     val grouped = aggregation.groupByExpressions().nonEmpty
     // grouped: members answer per-group, the union merges by key —
     // bounded so the driver never materializes an unbounded group set
-    val groupsBounded = !grouped || metas.map { m =>
-      aggregation.groupByExpressions().flatMap(colName).map(n =>
-        m.coords.find(_.meta.name == n).map(_.length.toLong).getOrElse(Long.MaxValue))
-        .product
-    }.sum <= (1L << 20)
+    // (exact arithmetic: an overflowed product must count as
+    // unbounded, not wrap past the guard)
+    val groupsBounded = !grouped || (try {
+      metas.map { m =>
+        aggregation.groupByExpressions().flatMap(colName).map(n =>
+          m.coords.find(_.meta.name == n).map(_.length.toLong)
+            .getOrElse(throw new ArithmeticException("not a coordinate")))
+          .foldLeft(1L)(Math.multiplyExact)
+      }.foldLeft(0L)(Math.addExact) <= (1L << 20)
+    } catch { case _: ArithmeticException => false })
     groupsBounded &&
       delegates.forall(_.supportCompletePushDown(aggregation)) &&
       aggregation.aggregateExpressions().forall {
@@ -418,10 +423,14 @@ class ZarrUnionScanBuilder(metas: Seq[ZarrStoreMeta], options: CaseInsensitiveSt
       }
   }
 
+  private var mergedGroups: Option[Array[Array[Any]]] = None
+
   override def pushAggregation(aggregation: Aggregation): Boolean = {
     if (!supportCompletePushDown(aggregation)) return false
-    if (aggregation.groupByExpressions().nonEmpty &&
-      ZarrUnionGroups.merge(metas, aggregation).isEmpty) return false
+    if (aggregation.groupByExpressions().nonEmpty) {
+      mergedGroups = ZarrUnionGroups.merge(metas, aggregation)
+      if (mergedGroups.isEmpty) return false
+    }
     aggPushed = Some(aggregation)
     true
   }
@@ -445,7 +454,7 @@ class ZarrUnionScanBuilder(metas: Seq[ZarrStoreMeta], options: CaseInsensitiveSt
 
   override def build(): Scan = aggPushed match {
     case Some(agg) if agg.groupByExpressions().nonEmpty =>
-      new ZarrUnionGroupAggScan(metas, agg)
+      new ZarrUnionGroupAggScan(metas, agg, mergedGroups.get)
     case Some(agg) => new ZarrUnionAggScan(metas, agg)
     case None => new ZarrUnionScan(delegates.map(_.build().asInstanceOf[ZarrScan]))
   }
@@ -526,12 +535,8 @@ private[zarr] object ZarrUnionGroups {
 /** Metadata-only GROUPED aggregates over a union: per-member grouped
   * answers merged by key on the driver (bounded by the group-count
   * guard in the builder), emitted in row slices. */
-class ZarrUnionGroupAggScan(metas: Seq[ZarrStoreMeta], agg: Aggregation)
-    extends Scan with Batch {
-
-  private lazy val rows: Array[Array[Any]] =
-    ZarrUnionGroups.merge(metas, agg).getOrElse(
-      throw new IllegalStateException("union group merge became impossible after planning"))
+class ZarrUnionGroupAggScan(metas: Seq[ZarrStoreMeta], agg: Aggregation,
+    rows: Array[Array[Any]]) extends Scan with Batch {
 
   override def readSchema(): StructType =
     new ZarrGroupAggScan(metas.head, agg).readSchema()
@@ -1505,8 +1510,10 @@ class ZarrGroupAggScan(meta: ZarrStoreMeta, agg: Aggregation) extends Scan with 
     .product
 
   /** One entry per aggregate: a constant, the j-th grouped
-    * coordinate's value, or a per-group sidecar total. */
-  private val specs: Seq[ZarrGroupAggSpec] = agg.aggregateExpressions().toSeq.map {
+    * coordinate's value, or a per-group sidecar total. Lazy: building
+    * the sidecar group totals folds the per-chunk map, which callers
+    * that only need the schema must not pay for. */
+  private lazy val specs: Seq[ZarrGroupAggSpec] = agg.aggregateExpressions().toSeq.map {
     case _: CountStar => ZarrAggConst(rowsPerGroup)
     case c: Count if !c.isDistinct => ZarrAggConst(rowsPerGroup) // null_count 0 everywhere
     case c: Count => ZarrAggConst(coordByName(colNameOf(c.column)).length.toLong)

@@ -92,10 +92,15 @@ final case class LocalStore(path: String) extends ZarrStore {
     * memory-mapped I/O" roadmap row, README.md:315): the decoder
     * reads straight from the page cache, skipping the heap copy
     * `readBytes` makes. Only worthwhile for UNCOMPRESSED chunks —
-    * compressed payloads are consumed once by the decompressor. */
+    * compressed payloads are consumed once by the decompressor.
+    * Small files take the plain read: mappings unmap only at GC, so
+    * a scan of tens of thousands of tiny chunks could exhaust
+    * vm.max_map_count (and an mmap syscall costs more than a small
+    * read anyway) — mapping pays off only for multi-MB chunks. */
   override def mapBytes(rel: String): Option[java.nio.ByteBuffer] = {
     val p = root.resolve(rel)
     if (!Files.exists(p)) return None
+    if (Files.size(p) < (1L << 20)) return readBytes(rel).map(java.nio.ByteBuffer.wrap)
     val ch = java.nio.channels.FileChannel.open(p,
       java.nio.file.StandardOpenOption.READ)
     try Some(ch.map(java.nio.channels.FileChannel.MapMode.READ_ONLY, 0, ch.size()))

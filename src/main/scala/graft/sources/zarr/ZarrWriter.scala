@@ -864,6 +864,22 @@ object ZarrWriter {
     store.writeBytes(s"$outerName/${cmeta.chunkKey(Seq(0L))}",
       compressPayload(craw, codecNameOf(cmeta.compressor, outerName), cmeta.dtype.size))
 
+    // 1.5) REVOKE the sum attestation before the shape grows: a reader
+    // landing between the shape edit and the final sidecar rewrite
+    // would otherwise see the NEW extent with the OLD sums still
+    // marked "complete" and answer SUM with the appended slab valued
+    // as fill — silently wrong. Min/max entries are fail-safe at any
+    // time (absent chunks are never pruned), so only sums must drop;
+    // a crash here leaves pushdown disabled until the next successful
+    // write, which is safe.
+    varMetas.foreach { m =>
+      if (m.sumsComplete && m.chunkStats.nonEmpty) {
+        val entries = m.chunkStats
+          .map { case (k, (mn, mx)) => s""""$k": [$mn, $mx]""" }.mkString(",")
+        store.writeBytes(s"${m.name}/.zstats", s"""{"chunks": {$entries}}""".getBytes)
+      }
+    }
+
     // 2) metadata shape edits (coordinate first: a reader racing the
     // append must never see variables longer than their dimensions)
     val metaRel = (n: String) => if (meta0.coords.head.meta.isV3) s"$n/zarr.json" else s"$n/.zarray"

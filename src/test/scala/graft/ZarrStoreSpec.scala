@@ -41,14 +41,25 @@ class ZarrStoreSpec extends AnyFunSuite {
       assert(local.sizeOf(rel) == hadoop.sizeOf(rel))
   }
 
-  test("mapBytes: LocalStore memory-maps; bytes identical to readBytes") {
+  test("mapBytes: big files memory-map, small files read plainly, bytes identical") {
+    // small chunk: below the 1 MB threshold → plain read (mappings
+    // unmap only at GC; tiny chunks must not consume map slots)
     val rel = "temperature/c/0/0/0"
-    val mapped = local.mapBytes(rel).get
-    assert(mapped.isInstanceOf[java.nio.MappedByteBuffer], mapped.getClass)
+    val small = local.mapBytes(rel).get
+    assert(!small.isInstanceOf[java.nio.MappedByteBuffer], small.getClass)
     val plain = local.readBytes(rel).get
-    val viaMap = new Array[Byte](mapped.remaining())
-    mapped.get(viaMap)
-    assert(viaMap.sameElements(plain))
+    val viaSmall = new Array[Byte](small.remaining())
+    small.get(viaSmall)
+    assert(viaSmall.sameElements(plain))
+    // big file: mapped
+    val dir = java.nio.file.Files.createTempDirectory("zarr_map")
+    val big = new Array[Byte](1 << 21)
+    java.util.Arrays.fill(big, 42.toByte)
+    java.nio.file.Files.write(dir.resolve("bigchunk"), big)
+    val ls = graft.sources.zarr.LocalStore(dir.toString)
+    val mapped = ls.mapBytes("bigchunk").get
+    assert(mapped.isInstanceOf[java.nio.MappedByteBuffer], mapped.getClass)
+    assert(mapped.remaining() == big.length && mapped.get(0) == 42.toByte)
     // default (non-mappable backends): a wrapped plain read
     assert(hadoop.mapBytes(rel).exists(_.remaining() == plain.length))
     assert(local.mapBytes("nope").isEmpty)

@@ -129,6 +129,25 @@ class ZarrSumAggSpec extends AnyFunSuite {
       real.orderBy("a").collect().map(_.toSeq).toSeq)
   }
 
+  test("revoked attestation (the mid-append reader state) takes the exact real scan") {
+    import java.nio.file.{Files => F, Paths}
+    val out = Files.createTempDirectory("zarr_sum_r").resolve("r.zarr").toString
+    writeIntStore(out)
+    // strip the sums/total/complete records, keeping min/max entries —
+    // exactly what append's revocation step writes before the shape
+    // grows; a reader landing in that window must fall back
+    val zstats = Paths.get(out, "v", ".zstats")
+    val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(F.readAllBytes(zstats))
+    val chunksOnly = s"""{"chunks": ${node.get("chunks").toString}}"""
+    F.write(zstats, chunksOnly.getBytes)
+    graft.sources.zarr.ChunkIO.invalidatePath(out)
+    val z = spark.read.format("zarr").load(out)
+    val df = z.agg(sum("v").as("s"), avg("v").as("m"))
+    assert(!scanDesc(df).contains("AggScan"), scanDesc(df)) // no attestation → no pushdown
+    val all = for { a <- 0 until 4; b <- 0 until 5 } yield (a * 100 + b * 7 - 30).toLong
+    assert(df.collect().head.getLong(0) == all.sum) // real scan, exact
+  }
+
   test("append merges sum partials: post-append pushdown equals one-shot write") {
     import spark.implicits._
     val out = Files.createTempDirectory("zarr_sum_a").resolve("a.zarr").toString
