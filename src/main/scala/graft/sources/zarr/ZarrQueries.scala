@@ -361,6 +361,53 @@ object ZarrQueries {
       CAST(COUNT(*) AS BIGINT) AS n_cells
     FROM grid"""
 
+  /** Union-wide GROUPED metadata aggregation in the graded gate: the
+    * z6 grid split into two stores along the outer dimension with
+    * chunkOuter=1 (group-aligned chunks), then
+    * `GROUP BY ln → COUNT/SUM/MIN/MAX` over `load(a, b)` — answered
+    * by merging the members' sidecar group answers, zero chunk IO
+    * (ZarrUnionSpec asserts the plan shape). Oracle = the same
+    * aggregation over the reconstructed grid. */
+  def z14_zarr_union_meta(s: SparkSession, dir: String): DataFrame = {
+    val li = graft.operators.Tables.load(s, dir, "lineitem")
+    val grid = li.select(
+        col("l_linenumber").cast("long").as("ln"),
+        (col("l_orderkey") % 4).cast("long").as("k"),
+        col("l_quantity").cast("long").as("qty"))
+      .groupBy("ln", "k").agg(sum(col("qty")).as("sum_qty"))
+      .persist()
+    val base = s"${System.getProperty("java.io.tmpdir")}/graft_z14_${math.abs(dir.hashCode)}"
+    try {
+      grid.filter(col("ln") <= 4).write.format("zarr")
+        .option("coords", "ln,k").option("chunkOuter", "1")
+        .mode("overwrite").save(s"$base.a.zarr")
+      grid.filter(col("ln") > 4).write.format("zarr")
+        .option("coords", "ln,k").option("chunkOuter", "1")
+        .mode("overwrite").save(s"$base.b.zarr")
+    } finally grid.unpersist()
+    s.read.format("zarr").load(s"$base.a.zarr", s"$base.b.zarr")
+      .groupBy("ln")
+      .agg(count(lit(1)).as("n_cells"), sum("sum_qty").as("total_qty"),
+        min("k").as("min_k"), max("k").as("max_k"))
+  }
+
+  private val z14Sql = """
+    WITH agg AS (
+      SELECT CAST(l_linenumber AS BIGINT) AS ln,
+             CAST(l_orderkey % 4 AS BIGINT) AS k,
+             CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+      FROM lineitem GROUP BY 1, 2),
+    lns AS (SELECT DISTINCT ln FROM agg),
+    ks AS (SELECT DISTINCT k FROM agg),
+    grid AS (
+      SELECT l.ln, kk.k, COALESCE(a.sum_qty, 0) AS sum_qty
+      FROM lns l CROSS JOIN ks kk
+      LEFT JOIN agg a ON a.ln = l.ln AND a.k = kk.k)
+    SELECT ln, CAST(COUNT(*) AS BIGINT) AS n_cells,
+      CAST(SUM(sum_qty) AS BIGINT) AS total_qty,
+      CAST(MIN(k) AS BIGINT) AS min_k, CAST(MAX(k) AS BIGINT) AS max_k
+    FROM grid GROUP BY ln"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "z1_zarr_group_agg" -> (z1_zarr_group_agg _),
     "z2_zarr_filter_slice" -> (z2_zarr_filter_slice _),
@@ -374,7 +421,8 @@ object ZarrQueries {
     "z10_zarr_group_meta" -> (z10_zarr_group_meta _),
     "z11_zarr_union" -> (z11_zarr_union _),
     "z12_zarr_stream_sink" -> (z12_zarr_stream_sink _),
-    "z13_zarr_sum_meta" -> (z13_zarr_sum_meta _))
+    "z13_zarr_sum_meta" -> (z13_zarr_sum_meta _),
+    "z14_zarr_union_meta" -> (z14_zarr_union_meta _))
 
   val oracle: Map[String, String] = Map(
     "z1_zarr_group_agg" -> z1Sql,
@@ -389,5 +437,6 @@ object ZarrQueries {
     "z10_zarr_group_meta" -> z10Sql,
     "z11_zarr_union" -> z11Sql,
     "z12_zarr_stream_sink" -> z6Sql, // streamed ingest ≡ one-shot write
-    "z13_zarr_sum_meta" -> z13Sql)
+    "z13_zarr_sum_meta" -> z13Sql,
+    "z14_zarr_union_meta" -> z14Sql)
 }
