@@ -155,4 +155,46 @@ class ZarrWriterPropSpec extends AnyFunSuite {
     val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(20), prop)
     assert(res.passed, res.status.toString)
   }
+
+  private val genTopN = for {
+    nOuter <- Gen.choose(2, 8)
+    nInner <- Gen.choose(1, 5)
+    chunkOuter <- Gen.choose(1, 3)
+    k <- Gen.choose(1, 12)
+    desc <- Gen.oneOf(true, false)
+    seed <- Gen.choose(0, 1000)
+    dup <- Gen.oneOf(1, 7) // dup=7 floods the grid with ties
+  } yield (nOuter, nInner, chunkOuter, k, desc, seed, dup)
+
+  test("random grids: stats TopN pruning returns exactly the unpruned top-k values") {
+    val prop = Prop.forAll(genTopN) {
+      case (nOuter, nInner, chunkOuter, k, desc, seed, dup) =>
+        val rows = for (o <- 0 until nOuter; i <- 0 until nInner) yield
+          Row(o.toLong, i.toLong,
+            (((o * 131 + i * 37 + seed) % 97) / dup).toLong)
+        val schema = StructType(Seq(
+          StructField("t", LongType, nullable = false),
+          StructField("x", LongType, nullable = false),
+          StructField("v", LongType, nullable = true)))
+        val df = spark.createDataFrame(
+          spark.sparkContext.parallelize(rows, 2), schema)
+        val out = Files.createTempDirectory("zarr_topnp").resolve("g.zarr").toString
+        df.write.format("zarr")
+          .option("coords", "t,x")
+          .option("chunkOuter", chunkOuter.toString)
+          .mode("overwrite").save(out)
+        val z = spark.read.format("zarr")
+          .option("minRowsPerPartition", "1").load(out)
+        val order = if (desc) col("v").desc else col("v").asc
+        val pruned = z.orderBy(order).limit(k).collect().map(_.getLong(2)).toSeq
+        // the unpruned truth: sort the written values directly
+        val all = rows.map(_.getLong(2)).sortBy(v => if (desc) -v else v)
+        val expect = all.take(k)
+        Prop(pruned == expect) :|
+          s"shape=($nOuter,$nInner) chunk=$chunkOuter k=$k desc=$desc " +
+            s"seed=$seed dup=$dup pruned=$pruned expect=$expect"
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(24), prop)
+    assert(res.passed, res.status.toString)
+  }
 }
