@@ -72,6 +72,14 @@ object ChunkCodec {
     singleStream(frame, start, neblock) match {
       case Some(b) => b
       case None =>
+        // c-blosc appends the `neblock % typesize` leftover bytes
+        // after the split streams; none of the writers this reader
+        // targets produce such frames — refuse loudly rather than
+        // zero-fill the tail (silent mis-decode)
+        if (neblock % typesize != 0)
+          throw new UnsupportedOperationException(
+            s"blosc split block with leftover bytes (neblock=$neblock, " +
+              s"typesize=$typesize) is not supported")
         val out = new Array[Byte](neblock)
         val nsplits = typesize
         val split = neblock / nsplits
@@ -306,7 +314,10 @@ object ChunkCodec {
     * "fill_value→null", README.md:289-337) to surface absent cells as
     * SQL NULL instead of the sentinel. */
   def isFill(fv: Double, v: Any): Boolean = v match {
-    case l: Long => l.toDouble == fv
+    // integral cells compare in the INTEGER domain: `l.toDouble == fv`
+    // would collide distinct longs past 2^53 with the fill value and
+    // null out real data
+    case l: Long => fv == fv.toLong.toDouble && l == fv.toLong
     case i: Int => i.toDouble == fv
     case s: Short => s.toDouble == fv
     case b: Byte => b.toDouble == fv
@@ -375,8 +386,8 @@ object ChunkIO {
   }
 
   def readChunkCached(store: ZarrStore, meta: ZarrArrayMeta, chunkIdx: Seq[Long],
-      cacheEntries: Int): AnyRef =
-    if (cacheEntries <= 0) readChunk(store, meta, chunkIdx)
+      cacheEntries: Int, onBytes: Long => Unit = _ => ()): AnyRef =
+    if (cacheEntries <= 0) readChunk(store, meta, chunkIdx, onBytes)
     else {
       val key = (store.path, meta.name, chunkIdx)
       chunkCache.synchronized {
@@ -384,7 +395,7 @@ object ChunkIO {
         val hit = chunkCache.get(key)
         if (hit != null) return hit
       }
-      val a = readChunk(store, meta, chunkIdx)
+      val a = readChunk(store, meta, chunkIdx, onBytes)
       chunkCache.synchronized { chunkCache.put(key, a) }
       a
     }
@@ -430,7 +441,12 @@ object ChunkIO {
   /** Read + decode one chunk file; absent chunk files yield the
     * fill_value (Zarr semantics). Sharded arrays decode the whole
     * shard (inner chunks assembled in place). */
-  def readChunk(store: ZarrStore, meta: ZarrArrayMeta, chunkIdx: Seq[Long]): AnyRef = {
+  /** Read + decode one chunk. `onBytes` receives the PAYLOAD size
+    * actually fetched (0 for absent chunks) — the readers' bytesRead
+    * metric, reported from the read itself rather than a separate
+    * `sizeOf` round trip (which doubles object-store requests). */
+  def readChunk(store: ZarrStore, meta: ZarrArrayMeta, chunkIdx: Seq[Long],
+      onBytes: Long => Unit = _ => ()): AnyRef = {
     decodeCount.incrementAndGet()
     val nElems = meta.chunks.product
     val key = s"${meta.name}/${meta.chunkKey(chunkIdx)}"
@@ -439,17 +455,21 @@ object ChunkIO {
     if (meta.sharding.isEmpty && meta.compressor.id == "none" && !meta.deltaFilter)
       return store.mapBytes(key) match {
         case None => fillArray(meta, nElems)
-        case Some(buf) => ChunkCodec.decodeTypedBuf(buf, meta.dtype, nElems)
+        case Some(buf) =>
+          onBytes(buf.remaining().toLong)
+          ChunkCodec.decodeTypedBuf(buf, meta.dtype, nElems)
       }
     store.readBytes(key) match {
       case None => fillArray(meta, nElems)
-      case Some(bytes) => meta.sharding match {
-        case Some(spec) => decodeShard(bytes, meta, spec)
-        case None =>
-          val raw = ChunkCodec.decompress(bytes, meta.compressor, nElems * meta.dtype.size)
-          val typed = ChunkCodec.decodeTyped(raw, meta.dtype, nElems)
-          if (meta.deltaFilter) ChunkCodec.deltaDecode(typed, meta.dtype) else typed
-      }
+      case Some(bytes) =>
+        onBytes(bytes.length.toLong)
+        meta.sharding match {
+          case Some(spec) => decodeShard(bytes, meta, spec)
+          case None =>
+            val raw = ChunkCodec.decompress(bytes, meta.compressor, nElems * meta.dtype.size)
+            val typed = ChunkCodec.decodeTyped(raw, meta.dtype, nElems)
+            if (meta.deltaFilter) ChunkCodec.deltaDecode(typed, meta.dtype) else typed
+        }
     }
   }
 

@@ -44,6 +44,9 @@ class ZarrColumnarReader(p: ZarrInputPartition, batchSize: Int = 4096)
     var valid = false
     var bytesRead = 0L
     var chunksDecoded = 0L
+    /** Payload size of the in-flight prefetch (pool thread writes,
+      * consumer drains on pickup). */
+    var prefetchBytes: java.util.concurrent.atomic.AtomicLong = _
 
     // Row-band LRU: the odometer revisits inner-dimension chunks once
     // per grid row; holding one band avoids chunk-extent× re-decodes
@@ -81,9 +84,12 @@ class ZarrColumnarReader(p: ZarrInputPartition, batchSize: Int = 4096)
       if (pending != null && pending._1 == key) {
         val f = pending._2
         pending = null
-        try f.get()
+        val a = try f.get()
         catch { case e: java.util.concurrent.ExecutionException => throw e.getCause }
-      } else ChunkIO.readChunkCached(store, meta, key, p.chunkCacheEntries)
+        if (prefetchBytes != null) { bytesRead += prefetchBytes.get(); prefetchBytes = null }
+        a
+      } else ChunkIO.readChunkCached(store, meta, key, p.chunkCacheEntries,
+        bytesRead += _)
     }
 
     def locate(): Unit = {
@@ -101,18 +107,25 @@ class ZarrColumnarReader(p: ZarrInputPartition, batchSize: Int = 4096)
         val hit = band.get(key)
         if (hit != null) chunk = hit
         else {
-          bytesRead += store.sizeOf(s"${meta.name}/${meta.chunkKey(key)}").getOrElse(0L)
+          // bytesRead reported from inside the read (no extra sizeOf
+          // round trip per chunk on remote stores)
           chunk = fetch(key)
           chunksDecoded += 1
           band.put(key, chunk)
           if (p.prefetch && pending == null) {
             val nk = nextChunkKey(key)
-            if (nk != null && band.get(nk) == null)
+            if (nk != null && band.get(nk) == null) {
+              // the pool thread must not touch this task's bytesRead
+              // var; it accumulates into an atomic the consumer drains
+              val sz = new java.util.concurrent.atomic.AtomicLong()
+              prefetchBytes = sz
               pending = (nk, ChunkIO.prefetchPool.submit(
                 new java.util.concurrent.Callable[AnyRef] {
                   override def call(): AnyRef =
-                    ChunkIO.readChunkCached(store, meta, nk, p.chunkCacheEntries)
+                    ChunkIO.readChunkCached(store, meta, nk, p.chunkCacheEntries,
+                      sz.addAndGet(_))
                 }))
+            }
           }
         }
         valid = true

@@ -789,7 +789,11 @@ class ZarrScanBuilder(meta: ZarrStoreMeta, options: CaseInsensitiveStringMap)
     if (orders.length == 1) {
       colOf(orders.head).foreach { name =>
         val ok = meta.dataVars.exists(v => v.name == name &&
-          v.chunkStats.nonEmpty && v.dtype.kind != 'S' && v.dtype.kind != 'M')
+          v.chunkStats.nonEmpty && v.dtype.kind != 'S' && v.dtype.kind != 'M') &&
+          // fill→null breaks the numeric threshold: under NULLS FIRST
+          // the true top-n can be the all-fill chunks the pruning
+          // would drop — take the real scan
+          !options.getBoolean("fillValueAsNull", false)
         if (ok) {
           topNVar = Some((name,
             orders.head.direction() ==
@@ -837,6 +841,10 @@ class ZarrScanBuilder(meta: ZarrStoreMeta, options: CaseInsensitiveStringMap)
       groupCols.forall(n => meta.coordNames.contains(n) && uniqueCoord(n)) &&
       coordPreds.isEmpty &&
       accepted.isEmpty && limit.isEmpty && offset == 0L &&
+      // an empty grid (zero-length coordinate — the streaming sink's
+      // pre-first-append state) has no metadata bounds to answer
+      // MIN/MAX with; the real (empty) scan yields the correct NULLs
+      meta.totalRows > 0 &&
       // fill→null can null out data-var cells, so metadata row counts
       // no longer answer COUNT(col) — take the real scan instead
       !options.getBoolean("fillValueAsNull", false) &&
@@ -1023,6 +1031,7 @@ class ZarrScan(
         }
       }
     }
+    invalidatePlannedPartitions() // ranges changed — re-plan
   }
 
   override def readSchema(): StructType = requiredSchema
@@ -1105,7 +1114,21 @@ class ZarrScan(
       s"pushedFilters=[${pushedFilters.mkString(", ")}]"
   }
 
-  override def planInputPartitions(): Array[InputPartition] = ranges match {
+  /** Planned partitions are cached: Spark asks for the partition list
+    * more than once (outputPartitioning sizing + the actual plan),
+    * and each planning pass re-runs slice merging plus per-slice
+    * chunk-stats pruning. Runtime filtering mutates `ranges`, so
+    * [[filter]] invalidates the cache. */
+  @transient private var cachedPartitions: Array[InputPartition] = _
+
+  private[zarr] def invalidatePlannedPartitions(): Unit = cachedPartitions = null
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    if (cachedPartitions == null) cachedPartitions = computePartitions()
+    cachedPartitions
+  }
+
+  private def computePartitions(): Array[InputPartition] = ranges match {
     case None => Array.empty // provably empty: filter value absent from coordinate
     case Some(r) =>
       // split where the DATA chunks split: the smallest chunk extent
@@ -1718,8 +1741,10 @@ class ZarrPartitionReader(p: ZarrInputPartition) extends PartitionReader[Interna
     cache.get(chunkIdx) match {
       case Some(a) => a
       case None =>
-        bytesRead += store.sizeOf(s"${meta.name}/${meta.chunkKey(chunkIdx)}").getOrElse(0L)
-        val a = ChunkIO.readChunkCached(store, meta, chunkIdx, p.chunkCacheEntries)
+        // bytesRead reported by the read itself — a sizeOf here would
+        // cost one extra object-store round trip per chunk
+        val a = ChunkIO.readChunkCached(store, meta, chunkIdx, p.chunkCacheEntries,
+          bytesRead += _)
         chunksDecoded += 1
         if (cache.size >= cap) cache.remove(cache.head._1)
         cache.put(chunkIdx, a)

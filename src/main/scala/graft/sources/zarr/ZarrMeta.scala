@@ -267,20 +267,25 @@ object ZarrMeta {
   }
 
   /** Endianness of the `bytes` codec in a v3 codec list (default
-    * little). */
+    * little; `configuration`/`endian` may legitimately be absent —
+    * e.g. 1-byte dtypes). */
   private def endianOf(codecs: Seq[JsonNode]): Boolean =
     codecs.find(_.get("name").asText() == "bytes")
-      .flatMap(c => Option(c.get("configuration")).map(_.get("endian").asText()))
-      .forall(_ == "little")
+      .flatMap(c => Option(c.get("configuration")))
+      .flatMap(cfg => Option(cfg.get("endian")))
+      .forall(_.asText() == "little")
 
-  /** Compression member of a v3 codec list. */
+  /** Compression member of a v3 codec list (a codec entry may omit
+    * its `configuration` object entirely — defaults apply). */
   private def compOf(codecs: Seq[JsonNode]): ZarrCompressor =
     codecs.map(_.get("name").asText())
       .find(n => n == "blosc" || n == "zstd" || n == "gzip")
       .map { n =>
-        val cfg = codecs.find(_.get("name").asText() == n).get.get("configuration")
-        ZarrCompressor(n, Option(cfg.get("cname")).map(_.asText()).getOrElse(""),
-          if (Option(cfg.get("shuffle")).exists(s =>
+        val cfg = codecs.find(_.get("name").asText() == n)
+          .flatMap(c => Option(c.get("configuration")))
+        ZarrCompressor(n,
+          cfg.flatMap(c => Option(c.get("cname"))).map(_.asText()).getOrElse(""),
+          if (cfg.flatMap(c => Option(c.get("shuffle"))).exists(s =>
             s.asText() == "shuffle" || s.asInt(0) == 1)) 1 else 0)
       }
       .getOrElse(ZarrCompressor("none"))

@@ -22,6 +22,12 @@ import org.apache.spark.sql.functions.{col, lit}
   *     slabs (whole chunks, in-place shape edit, chunks-before-
   *     metadata crash ordering)
   *
+  * Keep `chunkOuter` at its default (1) for streaming targets: append
+  * extends the grid in whole outer chunks, so with `chunkOuter = N`
+  * every micro-batch must deliver a multiple of N slabs or the NEXT
+  * append fails its alignment check — micro-batch sizes are not
+  * generally controllable, chunk-of-1 always is.
+  *
   * Exactly-once: replays are detected at two levels. A committed-batch
   * marker (`.graft_stream_commit`, written after each successful
   * batch) short-circuits whole-batch re-delivery after a restart, and
@@ -86,15 +92,22 @@ class ZarrStreamSink(parameters: Map[String, String]) extends Sink {
     } else {
       val meta = ZarrMeta.readStore(path)
       val outer = meta.coords.head
+      // compare in the coordinate's NATIVE type against the raw last
+      // value (append enforces ascending order) — a double-cast
+      // comparison would round longs past 2^53 and silently drop
+      // genuinely new slabs as "replays"
       val fresh =
         if (outer.length == 0) local
         else if (outer.meta.dtype.kind == 'M') {
           // raw domain for datetime64 is epoch-micros
+          val lastMicros = ChunkCodec.elementAt(outer.raw, outer.length - 1)
+            .asInstanceOf[Long]
           val cutoff = java.time.Instant.EPOCH
-            .plus(outer.max.toLong, java.time.temporal.ChronoUnit.MICROS)
+            .plus(lastMicros, java.time.temporal.ChronoUnit.MICROS)
           local.filter(col(outer.meta.name) > lit(cutoff))
         } else
-          local.filter(col(outer.meta.name).cast("double") > lit(outer.max))
+          local.filter(col(outer.meta.name) >
+            lit(ChunkCodec.elementAt(outer.raw, outer.length - 1)))
       if (!fresh.isEmpty) ZarrWriter.append(fresh, path)
     }
     markCommitted(batchId)

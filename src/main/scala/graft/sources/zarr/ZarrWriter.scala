@@ -439,8 +439,7 @@ object ZarrWriter {
     val nOuterChunks = ((shape.head + outerChunk - 1) / outerChunk).toInt
 
     val outerName = coords.head
-    val chunkIdCol = udfFreeChunkId(df, outerName, idxMaps.head, outerChunk)
-    val rows = df.withColumn("__chunk", chunkIdCol)
+    val rows = withChunkId(df, outerName, idxMaps.head, outerChunk)
       .repartition(math.min(nOuterChunks, math.max(1, spark.sparkContext.defaultParallelism)),
         col("__chunk"))
 
@@ -603,13 +602,24 @@ object ZarrWriter {
     ChunkIO.invalidatePath(store.path)
   }
 
-  /** Chunk id column without a UDF: a chained CASE over the (small)
-    * outer coordinate values, entirely codegen'd. */
-  private def udfFreeChunkId(df: DataFrame, outer: String,
-      idx: Map[Any, Int], chunkOuter: Int): org.apache.spark.sql.Column = {
-    idx.toSeq.sortBy(_._2).foldLeft(lit(-1)) { case (acc, (value, i)) =>
-      when(col(outer) === lit(value), lit(i / chunkOuter)).otherwise(acc)
+  /** Attach the outer-chunk id via a BROADCAST equi-join against the
+    * (value → chunk) table. A chained CASE per outer value would
+    * build an expression tree as deep as the outer extent — a 50k-step
+    * time dimension then stack-overflows the analyzer and busts the
+    * codegen method limit; the join is O(1) expression depth at any
+    * extent. */
+  private def withChunkId(df: DataFrame, outer: String,
+      idx: Map[Any, Int], chunkOuter: Int): DataFrame = {
+    val spark = df.sparkSession
+    val rows = idx.toSeq.map { case (v, i) =>
+      org.apache.spark.sql.Row(v, (i / chunkOuter).toLong)
     }
+    val mapDf = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1),
+      StructType(Seq(
+        StructField("__ov", df.schema(outer).dataType, nullable = false),
+        StructField("__chunk", LongType, nullable = false))))
+    df.join(broadcast(mapDf), df(outer) === mapDf("__ov")).drop("__ov")
   }
 
   /** Row-domain value → the coordinate raw domain ([[ChunkCodec
@@ -753,7 +763,7 @@ object ZarrWriter {
     val bInner = spark.sparkContext.broadcast(innerIdx)
     val varMetas = meta0.dataVars
     val nNewOuterChunks = (newOuterVals.length + outerChunk - 1) / outerChunk
-    val rows = df.withColumn("__chunk", udfFreeChunkId(df, outerName, outerIdx, outerChunk))
+    val rows = withChunkId(df, outerName, outerIdx, outerChunk)
       .repartition(math.min(nNewOuterChunks,
         math.max(1, spark.sparkContext.defaultParallelism)), col("__chunk"))
 

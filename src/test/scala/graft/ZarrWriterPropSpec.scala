@@ -103,8 +103,10 @@ class ZarrWriterPropSpec extends AnyFunSuite {
     version <- Gen.oneOf("2", "3")
     dtype <- Gen.oneOf("long", "double")
     keepMod <- Gen.choose(1, 4) // partial grids: keep ~1/keepMod cells
-    // long values spanning sign and magnitude (exactness past double)
-    scale <- Gen.oneOf(1L, 1000003L, 4611686018427387L)
+    // long values spanning sign and magnitude (exactness past double);
+    // bounded so the 48-cell worst-case TOTAL stays inside Long —
+    // Spark's ANSI sum (the differential baseline) overflows otherwise
+    scale <- Gen.oneOf(1L, 1000003L, 461168601842738L)
   } yield (nOuter, nInner, chunkOuter, version, dtype, keepMod, scale)
 
   test("random grids: sidecar SUM/AVG pushdown equals the real scan") {
