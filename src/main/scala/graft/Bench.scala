@@ -46,7 +46,12 @@ object Bench {
       SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        name -> (System.nanoTime() - t0) / 1e9
+        val dt = (System.nanoTime() - t0) / 1e9
+        // cache lifecycle between queries (persisted corpus-scale
+        // intermediates must not accumulate across the 100+-query
+        // session); OUTSIDE the timed window — it's harness hygiene
+        spark.catalog.clearCache()
+        name -> dt
       }
     val p1 = timedPass(); val p2 = timedPass()
     val results = p1.zip(p2).map { case ((n, a), (_, b)) => n -> math.min(a, b) }

@@ -30,6 +30,11 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // per-query cache lifecycle: several ops persist corpus-scale
+      // intermediates (gram index, minhash signatures) that are only
+      // useful within their own DAG — across a 100+-query session
+      // they would accumulate and spill
+      spark.catalog.clearCache()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -19,8 +19,19 @@ object Skew {
     * replicated once per salt value, and the join key becomes
     * (key, salt) — so one hot key occupies `saltFactor` tasks instead
     * of one. */
+  /** Salt derived from ROW CONTENT, never from
+    * monotonically_increasing_id: the id depends on partition layout
+    * and row order, so a task re-executed after a fetch failure (or a
+    * speculative duplicate) would re-salt rows other reducers already
+    * consumed — the SPARK-23207 class of silent corruption. A content
+    * hash re-salts identically on every attempt. Identical rows
+    * share a salt, which only matters if one (key, row) pair
+    * dominates — the hot-KEY case this mitigates spreads fine. */
+  private def contentSalt(df: DataFrame, saltFactor: Int): Column =
+    pmod(xxhash64(df.columns.map(col).toIndexedSeq: _*), lit(saltFactor))
+
   def saltedJoin(big: DataFrame, small: DataFrame, key: String, saltFactor: Int): DataFrame = {
-    val salted = big.withColumn("__salt", pmod(hash(col(key), monotonically_increasing_id()), lit(saltFactor)))
+    val salted = big.withColumn("__salt", contentSalt(big, saltFactor))
     val replicated = small.withColumn("__salt", explode(array((0 until saltFactor).map(lit): _*)))
     salted.join(replicated, Seq(key, "__salt")).drop("__salt")
   }
@@ -30,7 +41,7 @@ object Skew {
     * partials. `agg` must be decomposable (sum/count/min/max). */
   def saltedSum(df: DataFrame, key: String, valueCol: Column, alias: String,
       saltFactor: Int): DataFrame =
-    df.withColumn("__salt", pmod(hash(col(key), monotonically_increasing_id()), lit(saltFactor)))
+    df.withColumn("__salt", contentSalt(df, saltFactor))
       .groupBy(col(key), col("__salt"))
       .agg(sum(valueCol).as("__partial"))
       .groupBy(col(key))

@@ -264,7 +264,10 @@ object Curation {
     val cleaned = docs(s, dir).select(col("doc_id"), col("lang"),
       trim(regexp_replace(regexp_replace(col("text"), stop, ""), " +", " "))
         .as("clean"))
-    val keep = Window.partitionBy("clean")
+    // partition by the DIGEST, not the text: the shuffle key must stay
+    // fixed-width at corpus scale (same discipline as d1 — shipping
+    // whole documents as exchange keys doubles the dominant shuffle)
+    val keep = Window.partitionBy(md5(col("clean")))
     val deduped = cleaned
       .withColumn("keeper", min(col("doc_id")).over(keep))
       .filter(col("doc_id") === col("keeper"))

@@ -66,8 +66,12 @@ object Dedup {
     * this is what makes the exact gram-join tractable at scale. */
   def d2_dedup_ngram(s: SparkSession, dir: String): DataFrame = {
     val g = TextAnalysis.gramCodes(docs(s, dir))
+    // 5% as EXACT integer division (count div 20): `count * 0.05`
+    // truncates in Spark's double cast but ROUNDS in DuckDB's
+    // decimal-to-bigint cast — the two engines would disagree whenever
+    // count % 20 >= 10
     val nDocs = docs(s, dir).select(
-      greatest(lit(2L), (count(lit(1)) * 0.05).cast("long")).as("cut"))
+      greatest(lit(2L), expr("count(1) div 20")).as("cut"))
     val rare = g.join(
         g.groupBy("code").agg(count(lit(1)).as("df")), "code")
       .crossJoin(broadcast(nDocs))
@@ -90,7 +94,7 @@ object Dedup {
 
   private val d2Sql = s"""
     WITH g AS (${TextAnalysis.gramSql}),
-    cutoff AS (SELECT GREATEST(2, CAST(COUNT(*) * 0.05 AS BIGINT)) AS cut FROM documents),
+    cutoff AS (SELECT GREATEST(2, COUNT(*) // 20) AS cut FROM documents),
     rare AS (
       SELECT g.doc_id, g.code FROM g
       JOIN (SELECT code, COUNT(*) AS df FROM g GROUP BY code) d ON g.code = d.code

@@ -41,12 +41,4 @@ object Hashing {
   /** Spreads an integer code across ~31 bits (for SimHash bits). */
   def mix(code: String): String =
     s"((($code) % $P) * CAST(1103515245 AS BIGINT)) % $P"
-
-  /** Integer code of a word padded/truncated to 8 chars (base-31
-    * polynomial, < 3.6e12). */
-  def wordCode(word: String): String =
-    (1 to 8).map { i =>
-      val p = Seq(27512614111L, 887503681L, 28629151L, 923521L, 29791L, 961L, 31L, 1L)(i - 1)
-      s"CAST(ascii(substring(rpad(substring($word, 1, 8), 8, 'x'), $i, 1)) AS BIGINT) * $p"
-    }.mkString("(", " + ", ")")
 }

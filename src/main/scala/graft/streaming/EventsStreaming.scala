@@ -83,16 +83,26 @@ object EventsStreaming {
     else raw
   }
 
-  /** A stable directory containing just a symlink to the events file
-    * (keyed by sf dir so different scale factors don't collide). */
+  /** A stable directory containing just a symlink to the events file.
+    * Keyed by a hash of the FULL source path (a sanitized name alone
+    * can collide: `/data/sf0.01` and `/data/sf0_01` sanitize the
+    * same). Tmp dirs outlive runs, so a stale link (target moved) is
+    * re-created — and the existence check must NOT follow the link,
+    * or a broken link reads as "absent" and the create throws
+    * FileAlreadyExists. */
   private def streamDir(dir: String): String = {
-    import java.nio.file.{Files, Paths}
-    val d = Paths.get(System.getProperty("java.io.tmpdir"),
-      "graft_stream_" + dir.replaceAll("[^A-Za-z0-9]", "_"))
+    import java.nio.file.{Files, LinkOption, Paths}
+    val key = dir.replaceAll("[^A-Za-z0-9]", "_") +
+      "_" + Integer.toHexString(dir.hashCode)
+    val d = Paths.get(System.getProperty("java.io.tmpdir"), s"graft_stream_$key")
     Files.createDirectories(d)
     val link = d.resolve("events.parquet")
-    if (!Files.exists(link))
-      Files.createSymbolicLink(link, Paths.get(dir, "events.parquet"))
+    val target = Paths.get(dir, "events.parquet")
+    if (Files.exists(link, LinkOption.NOFOLLOW_LINKS) &&
+        (!Files.isSymbolicLink(link) || Files.readSymbolicLink(link) != target))
+      Files.delete(link)
+    if (!Files.exists(link, LinkOption.NOFOLLOW_LINKS))
+      Files.createSymbolicLink(link, target)
     d.toString
   }
 
@@ -174,8 +184,9 @@ object EventsStreaming {
   private val st2Sql = """
     WITH gaps AS (
       SELECT user_id,
-        CASE WHEN EPOCH(ts) - EPOCH(LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))
-               > 1800 THEN 1 ELSE 0 END AS new_session
+        CASE WHEN epoch_ns(ts) // 1000
+               - epoch_ns(LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) // 1000
+               > 1800000000 THEN 1 ELSE 0 END AS new_session
       FROM events)
     SELECT user_id, CAST(1 + SUM(new_session) AS BIGINT) AS n_sessions,
       COUNT(*) AS n_events
@@ -331,6 +342,9 @@ object EventsStreaming {
       .filter(col("event_type").isin("purchase", "view"))
       .groupBy("event_type").agg(max(unix_micros(col("ts"))).as("mx"))
       .collect().map(r => r.getLong(1))
+    // no purchases/views at all → nothing is sealed (the oracle's
+    // empty result), not an empty-Array.min crash
+    if (sides.isEmpty) return out.filter(lit(false)).drop("p_us")
     val sealedBound = sides.min - 4200000000L
     out.filter(col("p_us") < sealedBound).drop("p_us")
   }
