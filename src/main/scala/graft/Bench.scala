@@ -29,6 +29,7 @@ object Bench {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.sql.sources.v2.bucketing.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
@@ -42,16 +43,21 @@ object Bench {
     System.gc()
     // Two timed passes, min per query: a single GC pause or IO stall
     // lands in one pass only, so min reflects steady-state plan cost.
-    // Cache hygiene between PASSES (not per query): persisted
-    // intermediates must not pile up across the session, but clearing
-    // inside a timed pass would change the methodology prior rounds'
-    // bench artifacts used (warm min-of-two), making numbers
-    // incomparable across rounds.
+    // Cache hygiene after warmup: persisted intermediates must not
+    // pile up from the warmup into the timed window. The second timed
+    // pass intentionally stays warm — min-of-two-with-warm-second is
+    // the methodology every prior round's bench artifact used, and
+    // changing it would make rounds incomparable. A query failure is
+    // REPORTED (stderr) — silently timing the exception would read as
+    // the suite getting faster when a query breaks.
     spark.catalog.clearCache()
     def timedPass(): Seq[(String, Double)] =
       SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        try fn(spark, sfDir).count()
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+        }
         name -> (System.nanoTime() - t0) / 1e9
       }
     val p1 = timedPass(); val p2 = timedPass()

@@ -34,11 +34,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction((
       new FunctionIdentifier("float_vec_dot"),
       new ExpressionInfo(classOf[FloatVecDot].getName, "float_vec_dot"),
-      (exprs: Seq[Expression]) => FloatVecDot(exprs(0), exprs(1))))
+      (exprs: Seq[Expression]) => exprs match {
+        case Seq(a, b) => FloatVecDot(a, b)
+        case _ => throw new IllegalArgumentException(
+          "float_vec_dot(array<float>, array<float>)")
+      }))
     e.injectFunction((
       new FunctionIdentifier("nfc_normalize"),
       new ExpressionInfo(classOf[NfcNormalize].getName, "nfc_normalize"),
-      (exprs: Seq[Expression]) => NfcNormalize(exprs(0))))
+      (exprs: Seq[Expression]) => exprs match {
+        case Seq(c) => NfcNormalize(c)
+        case _ => throw new IllegalArgumentException("nfc_normalize(string)")
+      }))
     e.injectFunction((
       new FunctionIdentifier("bloom_filter_agg"),
       new ExpressionInfo(classOf[BloomFilterAggregate].getName, "bloom_filter_agg"),
@@ -52,6 +59,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction((
       new FunctionIdentifier("might_contain"),
       new ExpressionInfo(classOf[BloomFilterMightContain].getName, "might_contain"),
-      (exprs: Seq[Expression]) => BloomFilterMightContain(exprs(0), exprs(1))))
+      (exprs: Seq[Expression]) => exprs match {
+        case Seq(f, v) => BloomFilterMightContain(f, v)
+        case _ => throw new IllegalArgumentException("might_contain(filter, value)")
+      }))
   }
 }

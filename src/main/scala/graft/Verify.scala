@@ -7,6 +7,10 @@ object Verify {
   def main(args: Array[String]): Unit = {
     // args: <sfDir> <outDir> [nameFilter] — the optional filter runs a
     // comma-separated subset (dev loop); the driver passes two args.
+    if (args.length < 2) {
+      System.err.println("usage: graft.Verify <sfDir> <outDir> [name1,name2,...]")
+      sys.exit(2)
+    }
     val Array(sfDir, outDir) = args.take(2)
     val only: Option[Set[String]] =
       if (args.length > 2) Some(args(2).split(",").toSet) else None
