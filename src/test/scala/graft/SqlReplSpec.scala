@@ -61,6 +61,23 @@ class SqlReplSpec extends AnyFunSuite {
     assert(out.exists(_.startsWith("output format: json (usage:")), out.mkString("\n"))
   }
 
+  test("multi-line DDL dispatches as DDL; abort sentinel discards the buffer") {
+    val store = java.nio.file.Paths.get("src/test/resources/zarr/synthetic_v3.zarr")
+      .toAbsolutePath.toString
+    val out = drive(
+      "CREATE TABLE repl_ml", // DDL split across three lines
+      "USING zarr",
+      s"OPTIONS (path '$store');",
+      "SELECT count(*) AS n FROM", // start a statement…
+      graft.cli.SqlRepl.AbortLine, // …then abort it (Ctrl-C path)
+      "SELECT 41 + 1 AS v;", // buffer must be clean again
+      "DROP TABLE repl_ml;",
+      "quit")
+    assert(out.count(_.startsWith("OK (")) == 2, out.mkString("\n")) // CREATE + DROP
+    assert(out.exists(_.matches("1 rows \\| 1 cols \\|.*")), out.mkString("\n"))
+    assert(!out.exists(_.startsWith("Error:")), out.mkString("\n"))
+  }
+
   test("tab-completion words cover keywords, commands, and live tables") {
     spark.sql("CREATE TABLE IF NOT EXISTS repl_comp USING parquet AS SELECT 1 AS x")
     try {
