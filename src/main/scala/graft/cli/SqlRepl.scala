@@ -123,13 +123,14 @@ object SqlRepl {
     }, println, recordHistory = false)
   }
 
+  /** Sentinel a reader returns to discard a half-typed multi-line
+    * statement (Ctrl-C in the jline path, like psql). */
+  val AbortLine = "\u0000__graft_abort__"
+
   /** The REPL session over arbitrary IO — `main` wires stdin/stdout;
     * tests drive it with scripted lines. Statements accumulate until
     * a line ends with `;` (multi-line editing); shell commands act on
     * a single line when no statement is buffered. */
-  /** Sentinel a reader returns to discard a half-typed multi-line
-    * statement (Ctrl-C in the jline path, like psql). */
-  val AbortLine = "\u0000__graft_abort__"
 
   def loop(spark: SparkSession, readLine: () => String, out: String => Unit,
       echoPrompt: Boolean = false, recordHistory: Boolean = true): Unit = {
