@@ -622,8 +622,17 @@ object Relational {
     * slice) over per-document token arrays — the lambda-function
     * surface Spark codegens without UDFs. All arithmetic is exact
     * int64; DuckDB mirrors with list_transform / list_filter /
-    * list_aggregate and 1-based slices. */
+    * list_aggregate and 1-based slices. The head3 array is serialized
+    * with a '|' delimiter so the driver's pandas-based row hash (which
+    * cannot sort on unhashable list cells) compares it as a plain
+    * string; the raw-array semantics stay covered in RelationalSpec. */
   def q35_higher_order(s: SparkSession, dir: String): DataFrame =
+    q35_arrays(s, dir)
+      .withColumn("head3", expr("array_join(head3, '|')"))
+
+  /** q35 with the head3 column as a genuine array — used by the spec
+    * to pin the lambda/slice semantics before serialization. */
+  def q35_arrays(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents")
       .select(col("doc_id"),
         expr("filter(split(text, ' '), x -> length(x) > 0)").as("toks"))
@@ -644,14 +653,21 @@ object Relational {
       CAST(LEN(list_filter(toks, x -> LENGTH(x) > 4)) AS BIGINT) AS n_long,
       CAST(list_aggregate(list_transform(toks, x -> LENGTH(x)), 'sum') AS BIGINT)
         AS total_len,
-      list_transform(toks[1:3], x -> UPPER(x)) AS head3
+      array_to_string(list_transform(toks[1:3], x -> UPPER(x)), '|') AS head3
     FROM toks"""
 
   /** Array aggregation: per-(lang, source) sorted id lists with
     * min/max/count — collect_list + sort_array gives a deterministic
     * array result (one shuffle on the group key; the per-group array
-    * is the parallelism-bounded payload, same as any list aggregate). */
+    * is the parallelism-bounded payload, same as any list aggregate).
+    * The sorted id list is serialized comma-delimited for the driver's
+    * pandas row hash; the raw-array shape is pinned in RelationalSpec. */
   def q36_array_agg(s: SparkSession, dir: String): DataFrame =
+    q36_arrays(s, dir)
+      .withColumn("ids", expr("array_join(transform(ids, x -> CAST(x AS STRING)), ',')"))
+
+  /** q36 with the ids column as a genuine sorted array. */
+  def q36_arrays(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents")
       .groupBy("lang", "source")
       .agg(
@@ -662,7 +678,7 @@ object Relational {
 
   private val q36Sql = """
     SELECT lang, source,
-      list_sort(list(doc_id)) AS ids,
+      array_to_string(list_sort(list(doc_id)), ',') AS ids,
       MIN(doc_id) AS lo, MAX(doc_id) AS hi, COUNT(*) AS n
     FROM documents GROUP BY lang, source"""
 

@@ -16,16 +16,31 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
-    val df = spark.read.parquet(s"$dir/$name.parquet")
-    // events.ts is TIMESTAMP(NANOS) parquet, which Spark only reads as
-    // long (spark.sql.legacy.parquet.nanosAsLong=true, set by every
-    // graft session builder). Integral `div` keeps full precision
-    // (ns epoch ≈ 1.7e18 would lose bits through a double).
-    if (name == "events" && df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      df.withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts div 1000")))
-    else df
+  def load(spark: SparkSession, dir: String, name: String): DataFrame =
+    if (name == "events") normalizeTs(spark.read.parquet(s"$dir/$name.parquet"))
+    else spark.read.parquet(s"$dir/$name.parquet")
+
+  /** Normalize `events.ts` to TIMESTAMP (LTZ) regardless of how the
+    * corpus generator wrote it:
+    *  - TIMESTAMP(NANOS) parquet reads as long under
+    *    spark.sql.legacy.parquet.nanosAsLong=true (set by every graft
+    *    session builder); integral `div` keeps full precision
+    *    (ns epoch ≈ 1.7e18 would lose bits through a double);
+    *  - TIMESTAMP(MICROS, isAdjustedToUTC=false) reads as
+    *    TIMESTAMP_NTZ, which time-arithmetic functions (unix_micros)
+    *    reject; the cast re-interprets the naive value in the session
+    *    zone (UTC for all graft entrypoints — identical instants to
+    *    DuckDB's naive-timestamp epoch arithmetic).
+    */
+  def normalizeTs(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    if (!df.columns.contains("ts")) df
+    else df.schema("ts").dataType match {
+      case LongType         => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
+      case _                => df
+    }
   }
 
   /** Register temp views for SQL-surface queries (CTEs, subqueries, …). */

@@ -69,18 +69,18 @@ class UserSummaryProc extends org.apache.spark.sql.streaming.StatefulProcessor[L
   */
 object EventsStreaming {
 
-  /** Batch-identical event frame (ts: TIMESTAMP(NANOS) parquet read as
-    * long, converted to micros — same as Tables.load). */
+  /** Batch-identical event frame: the RAW parquet schema feeds the
+    * file stream, then `Tables.normalizeTs` applies the same ts
+    * normalization (nanos-as-long → micros, or NTZ → LTZ) as the
+    * batch loader, so stream and batch plans see identical types. */
   private def schemaOf(s: SparkSession, dir: String) =
     s.read.parquet(s"$dir/events.parquet").schema
 
   private def eventsStream(s: SparkSession, dir: String): DataFrame = {
     // FileStreamSource requires a directory; the corpus ships events as
     // a single parquet file — expose it through a symlinked stream dir.
-    val raw = s.readStream.schema(schemaOf(s, dir)).parquet(streamDir(dir))
-    if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else raw
+    graft.operators.Tables.normalizeTs(
+      s.readStream.schema(schemaOf(s, dir)).parquet(streamDir(dir)))
   }
 
   /** A stable directory containing just a symlink to the events file.

@@ -77,6 +77,37 @@ class RelationalSpec extends AnyFunSuite {
     }
   }
 
+  test("q35 raw arrays: head3 is the upper-cased 3-token prefix") {
+    val rows = operators.Relational.q35_arrays(spark, sf).limit(50).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val head3 = r.getSeq[String](r.fieldIndex("head3"))
+      val n = r.getAs[Long]("n_toks")
+      assert(head3.length == math.min(n, 3L), s"head3 len ${head3.length} vs n_toks $n")
+      assert(head3.forall(t => t == t.toUpperCase), s"not upper-cased: $head3")
+    }
+  }
+
+  test("q35 serialized head3 round-trips the array form") {
+    val ser = operators.Relational.q35_higher_order(spark, sf)
+      .orderBy("doc_id").limit(20).collect()
+    val raw = operators.Relational.q35_arrays(spark, sf)
+      .orderBy("doc_id").limit(20).collect()
+    ser.zip(raw).foreach { case (s0, r0) =>
+      assert(s0.getAs[String]("head3") ==
+        r0.getSeq[String](r0.fieldIndex("head3")).mkString("|"))
+    }
+  }
+
+  test("q36 raw arrays: ids sorted ascending, bounds match lo/hi/n") {
+    operators.Relational.q36_arrays(spark, sf).collect().foreach { r =>
+      val ids = r.getSeq[Long](r.fieldIndex("ids"))
+      assert(ids == ids.sorted, "ids not sorted")
+      assert(ids.head == r.getAs[Long]("lo") && ids.last == r.getAs[Long]("hi"))
+      assert(ids.length.toLong == r.getAs[Long]("n"))
+    }
+  }
+
   test("q17 set ops return distinct custkeys") {
     val rows = operators.Relational.q17_intersect_except(spark, sf).collect()
     assert(rows.map(_.getLong(0)).distinct.length == rows.length)
