@@ -317,15 +317,37 @@ object Relational {
     """)
   }
 
-  /** Approximate distinct counting (HyperLogLog++). No oracle — HLL
-    * sketches differ across engines; RelationalSpec bounds the error
-    * against the exact count instead. */
+  /** Approximate distinct counting (HyperLogLog++), restated as a
+    * machine-checkable bounded assertion: the sketch runs in-query next
+    * to the exact count, but the emitted columns are all
+    * engine-deterministic — the exact count, an integer error bound
+    * (10% = 5× the sketch's 2% rsd, computed as `(exact+9) div 10` so
+    * both engines agree bit-for-bit with no float rounding), and
+    * `within_bound`. The oracle recomputes the exact side and emits
+    * literal TRUE; a sketch outside its bound hash-mismatches the gate.
+    * Raw sketch-vs-exact stays pinned in RelationalSpec via
+    * [[q25_raw]]. */
   def q25_approx_distinct(s: SparkSession, dir: String): DataFrame =
+    q25_raw(s, dir)
+      .select(col("l_returnflag"), col("exact_orders"),
+        expr("(exact_orders + 9) div 10").as("bound"),
+        (abs(col("approx_orders") - col("exact_orders")) <=
+          expr("(exact_orders + 9) div 10")).as("within_bound"))
+
+  /** The HLL++ sketch next to the exact distinct count (spec surface). */
+  def q25_raw(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "lineitem")
       .groupBy("l_returnflag")
       .agg(
         approx_count_distinct(col("l_orderkey"), rsd = 0.02).as("approx_orders"),
         countDistinct(col("l_orderkey")).as("exact_orders"))
+
+  private val q25Sql = """
+    SELECT l_returnflag,
+      COUNT(DISTINCT l_orderkey) AS exact_orders,
+      (COUNT(DISTINCT l_orderkey) + 9) // 10 AS bound,
+      TRUE AS within_bound
+    FROM lineitem GROUP BY l_returnflag"""
 
   /** As-of join, composed from a range-frame window (Spark has no ASOF
     * JOIN operator): for each purchase event, the user's most recent
@@ -594,14 +616,28 @@ object Relational {
            (SELECT COUNT(*) FROM p) AS n_purchase_after_click"""
 
   /** Approximate quantiles (GK sketch via `approx_percentile` with
-    * accuracy 10000) next to their exact counterparts in one pass.
-    * Like q25 (HLL++) this is rows-only for the driver (DuckDB's
-    * approx_quantile is a different sketch); RelationalSpec pins the
-    * error bound: rank error ≤ n/accuracy, which on the dense 1..50
-    * quantity domain means |approx − exact| ≤ 1. At scale the sketch
-    * is the point: constant memory per group and a mergeable partial
-    * per partition, vs percentile()'s full value buffer. */
+    * accuracy 10000), restated like q25 as a machine-checkable bounded
+    * assertion: the emitted columns are the exact interpolated
+    * percentiles (the q31 arithmetic both engines agree on
+    * bit-for-bit), the group count, and `within_bound` — the GK rank
+    * error is ≤ n/accuracy, which on the dense 1..50 quantity domain
+    * means |approx − exact| ≤ 1. The oracle recomputes the exact side
+    * (QUANTILE_CONT) and emits literal TRUE; a sketch outside its
+    * bound hash-mismatches. At scale the sketch is the point: constant
+    * memory per group and a mergeable partial per partition, vs
+    * percentile()'s full value buffer. Raw sketch-vs-exact stays
+    * pinned in RelationalSpec via [[q34_raw]]. */
   def q34_approx_quantile(s: SparkSession, dir: String): DataFrame =
+    q34_raw(s, dir)
+      .select(col("l_returnflag"),
+        col("ep25"), col("ep50"), col("ep75"), col("n"),
+        (abs(col("ap25") - col("ep25")) <= lit(1.0) &&
+          abs(col("ap50") - col("ep50")) <= lit(1.0) &&
+          abs(col("ap75") - col("ep75")) <= lit(1.0)).as("within_bound"))
+
+  /** The GK sketch percentiles next to their exact counterparts in one
+    * pass (spec surface). */
+  def q34_raw(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "lineitem")
       .select(col("l_returnflag"), col("l_quantity").cast("long").as("q"))
       .groupBy("l_returnflag")
@@ -617,6 +653,15 @@ object Relational {
         element_at(col("ep"), 2).as("ep50"),
         element_at(col("ep"), 3).as("ep75"),
         col("n"))
+
+  private val q34Sql = """
+    SELECT l_returnflag,
+      QUANTILE_CONT(CAST(l_quantity AS BIGINT), 0.25) AS ep25,
+      QUANTILE_CONT(CAST(l_quantity AS BIGINT), 0.5) AS ep50,
+      QUANTILE_CONT(CAST(l_quantity AS BIGINT), 0.75) AS ep75,
+      COUNT(*) AS n,
+      TRUE AS within_bound
+    FROM lineitem GROUP BY l_returnflag"""
 
   /** Higher-order array functions (transform / filter / aggregate /
     * slice) over per-document token arrays — the lambda-function
@@ -1151,6 +1196,7 @@ object Relational {
     "q22_scalar_funcs" -> q22Sql,
     "q23_events_window" -> q23Sql,
     "q24_grouping_sets" -> q24Sql,
+    "q25_approx_distinct" -> q25Sql,
     "q26_asof_join" -> q26Sql,
     "q27_range_frame" -> q27Sql,
     "q28_exists" -> q28Sql,
@@ -1161,6 +1207,7 @@ object Relational {
     "k2_salted_join" -> k2Sql,
     "q32_stats_manual" -> q32Sql,
     "q33_funnel" -> q33Sql,
+    "q34_approx_quantile" -> q34Sql,
     "q35_higher_order" -> q35Sql,
     "q36_array_agg" -> q36Sql,
     "q37_recursive_cte" -> q37Sql,

@@ -329,25 +329,47 @@ object TextAnalysis {
     * ([[graft.functions.MisraGries]]): O(k) state per task, sketches
     * merge in the shuffle — the constant-memory alternative to c3's
     * exact vocabulary when the token space is unbounded (URLs,
-    * hostnames, n-grams at web scale). Emits every counter that could
-    * exceed the N/k threshold (est + undercount), which is a superset
-    * of the guaranteed-frequent set; rows-only gate check (sketch
-    * counts are lower bounds, not oracle-hashable), with the MG bounds
-    * asserted against exact counts in HeavyHittersSpec. */
+    * hostnames, n-grams at web scale). Restated as a machine-checkable
+    * bounded assertion: the exact-frequent tokens (true count > N/k)
+    * are inner-joined against the sketch counters — MG guarantees every
+    * true-frequent token survives the merge, so a dropped token shows
+    * up as a row-count mismatch against the oracle — and `within_bound`
+    * asserts est ≤ true ≤ est+undercount per hit. The oracle recomputes
+    * the exact-frequent set and emits literal TRUE; sketch internals
+    * (merge-order invariance, k-counter cap) stay pinned in
+    * HeavyHittersSpec. The sketch side is ≤ k rows, so the join
+    * broadcasts; the exact side is the same vocabulary-shuffle shape
+    * as c3. */
   def t8_text_heavyhitters(s: SparkSession, dir: String): DataFrame = {
     val k = 32
     val mg = udaf(new graft.functions.MisraGries(k))
     val tokens = docs(s, dir)
       .select(explode(split(col("text"), " ")).as("t"))
       .filter(col("t") =!= "")
-    tokens
+    val sketch = tokens
       .agg(mg(col("t")).as("sketch"), count(lit(1)).as("n"))
       .select(explode(col("sketch")).as("hit"), col("n"))
-      .select(col("hit.token"), col("hit.est_count"), col("hit.max_count"), col("n"))
-      // max_count ≥ true, so this keeps EVERY token with true > n/k
-      .filter(col("max_count") * k > col("n"))
-      .orderBy(col("est_count").desc, col("token"))
+      .select(col("hit.token").as("token"),
+        col("hit.est_count"), col("hit.max_count"), col("n"))
+    val exact = tokens.groupBy(col("t").as("token"))
+      .agg(count(lit(1)).as("exact_count"))
+    exact.join(broadcast(sketch), "token")
+      .filter(col("exact_count") * k > col("n"))
+      .select(col("token"), col("exact_count"), col("n"),
+        (col("est_count") <= col("exact_count") &&
+          col("exact_count") <= col("max_count")).as("within_bound"))
+      .orderBy(col("exact_count").desc, col("token"))
   }
+
+  private val t8Sql = """
+    WITH tok AS (SELECT UNNEST(STRING_SPLIT(text, ' ')) AS t FROM documents),
+    u AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS exact_count
+          FROM tok WHERE t <> '' GROUP BY t),
+    tot AS (SELECT CAST(SUM(exact_count) AS BIGINT) AS n FROM u)
+    SELECT t AS token, exact_count, n, TRUE AS within_bound
+    FROM u CROSS JOIN tot
+    WHERE exact_count * 32 > n
+    ORDER BY exact_count DESC, token"""
 
   /** PII redaction — the scrubbing stage every training pipeline runs
     * before tokenization: count and mask emails / phone numbers / IPs.
@@ -466,5 +488,6 @@ object TextAnalysis {
     "t5_text_clean" -> t5Sql,
     "t6_text_repetition" -> t6Sql,
     "t7_text_pmi" -> t7Sql,
+    "t8_text_heavyhitters" -> t8Sql,
     "t9_text_pii" -> t9Sql)
 }

@@ -42,15 +42,22 @@ class HeavyHittersSpec extends AnyFunSuite {
     }
   }
 
-  test("gate query emits a superset of the guaranteed-frequent set") {
+  test("gate query emits exactly the exact-frequent set, all within MG bounds") {
     val got = graft.pipeline.TextAnalysis
       .t8_text_heavyhitters(spark, dir).collect()
     assert(got.nonEmpty)
     val exact = tokens.groupBy("t").count().collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     val n = exact.values.sum
-    val frequent = exact.filter { case (_, c) => c > n / 32 }.keySet
+    // c*k > n ⇔ c > n/k (integer div): the two frequent-set definitions agree
+    val frequent = exact.filter { case (_, c) => c * 32 > n }.keySet
     val emitted = got.map(_.getString(0)).toSet
-    assert(frequent.subsetOf(emitted), s"missing: ${frequent -- emitted}")
+    assert(emitted == frequent,
+      s"missing: ${frequent -- emitted}; extra: ${emitted -- frequent}")
+    got.foreach { r =>
+      assert(r.getAs[Boolean]("within_bound"), r.toString)
+      assert(r.getAs[Long]("n") == n)
+      assert(r.getAs[Long]("exact_count") == exact(r.getString(0)))
+    }
   }
 }

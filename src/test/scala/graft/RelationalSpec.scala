@@ -58,15 +58,21 @@ class RelationalSpec extends AnyFunSuite {
   }
 
   test("q25 approx distinct within 5% of exact") {
-    operators.Relational.q25_approx_distinct(spark, sf).collect().foreach { r =>
+    operators.Relational.q25_raw(spark, sf).collect().foreach { r =>
       val approx = r.getAs[Long]("approx_orders").toDouble
       val exact = r.getAs[Long]("exact_orders").toDouble
       assert(math.abs(approx - exact) / exact < 0.06, s"approx=$approx exact=$exact")
     }
   }
 
+  test("q25 gate restatement: every group within_bound") {
+    val rows = operators.Relational.q25_approx_distinct(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getAs[Boolean]("within_bound"), r.toString))
+  }
+
   test("q34 approx quantiles within the GK rank-error bound of exact") {
-    operators.Relational.q34_approx_quantile(spark, sf).collect().foreach { r =>
+    operators.Relational.q34_raw(spark, sf).collect().foreach { r =>
       for (p <- Seq("25", "50", "75")) {
         val ap = r.getAs[Long](s"ap$p").toDouble
         val ep = r.getAs[Double](s"ep$p")
@@ -75,6 +81,12 @@ class RelationalSpec extends AnyFunSuite {
         assert(math.abs(ap - ep) <= 1.0 + 1e-9, s"p$p approx=$ap exact=$ep")
       }
     }
+  }
+
+  test("q34 gate restatement: every group within_bound") {
+    val rows = operators.Relational.q34_approx_quantile(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getAs[Boolean]("within_bound"), r.toString))
   }
 
   test("q35 raw arrays: head3 is the upper-cased 3-token prefix") {
