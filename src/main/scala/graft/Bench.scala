@@ -20,7 +20,17 @@ object Bench {
     "z1_zarr_group_agg", "z5_zarr_range", "z6_zarr_roundtrip",
     "z13_zarr_sum_meta")
 
+  /** First three fields of /proc/loadavg (1/5/15-min run-queue), or ""
+    * off-Linux. */
+  private def loadavg(): String =
+    try {
+      val src = scala.io.Source.fromFile("/proc/loadavg")
+      try src.mkString.trim.split("\\s+").take(3).mkString(" ")
+      finally src.close()
+    } catch { case _: Exception => "" }
+
   def main(args: Array[String]): Unit = {
+    val loadAtStart = loadavg()
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
@@ -47,35 +57,52 @@ object Bench {
     // pile up from the warmup into the timed window. The second timed
     // pass intentionally stays warm — min-of-two-with-warm-second is
     // the methodology every prior round's bench artifact used, and
-    // changing it would make rounds incomparable. A query failure is
-    // REPORTED (stderr) — silently timing the exception would read as
-    // the suite getting faster when a query breaks.
+    // changing it would make rounds incomparable. A query failure
+    // records the -1 sentinel (never its fast-fail wall time — a
+    // broken query must not read as a speedup) and is excluded from
+    // the total; `nfail` on the artifact makes the breakage visible
+    // to the driver, not just stderr.
     spark.catalog.clearCache()
     def timedPass(): Seq[(String, Double)] =
       SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
         val t0 = System.nanoTime()
-        try fn(spark, sfDir).count()
-        catch { case e: Throwable =>
+        try {
+          fn(spark, sfDir).count()
+          name -> (System.nanoTime() - t0) / 1e9
+        } catch { case e: Throwable =>
           System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+          name -> -1.0
         }
-        name -> (System.nanoTime() - t0) / 1e9
       }
     val p1 = timedPass(); val p2 = timedPass()
-    val results = p1.zip(p2).map { case ((n, a), (_, b)) => n -> math.min(a, b) }
+    val results = p1.zip(p2).map { case ((n, a), (_, b)) =>
+      n -> (if (a < 0 || b < 0) -1.0 else math.min(a, b)) }
+    val failed = results.collect { case (n, v) if v < 0 => n }
     def r4(v: Double): String = String.format(java.util.Locale.ROOT, "%.4f", v)
     def jsonMap(rs: Seq[(String, Double)]): String =
       rs.map { case (k, v) => s"\"" + k + "\":" + r4(v) }.mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
+    val total = results.collect { case (_, v) if v >= 0 => v }.sum
+    // Machine-load fingerprint: identical source benched 42.7s → 87.8s
+    // across rounds 3-5 with no way to tell sandbox contention from a
+    // real regression — loadavg + core count make a polluted run
+    // self-diagnosing. (loadAtStart is captured before the warmup pass
+    // so it reflects ambient load, not our own.)
+    val cores = Runtime.getRuntime.availableProcessors()
+    def q(s: String) = "\"" + s + "\""
+    val env = s""""cores":$cores,"load_start":${q(loadAtStart)},""" +
+      s""""load_end":${q(loadavg())},"nfail":${failed.size}"""
     // Full per-query detail to a repo file (the log-tail line is size-
     // capped); total/sf/nq on both so either artifact stands alone.
     val detail = s"""{"metric":"total","value":${r4(total)},"unit":"sec",""" +
-      s""""nq":${results.size},"queries":${jsonMap(results)},"sf":"$sfDir"}"""
+      s""""nq":${results.size},$env,""" +
+      s""""failed":${failed.map(q).mkString("[", ",", "]")},""" +
+      s""""queries":${jsonMap(results)},"sf":"$sfDir"}"""
     try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_DETAIL.json"),
       detail.getBytes("UTF-8"))
     catch { case _: Exception => } // cwd not writable: the printed line still carries the headline
     val head = results.filter { case (n, _) => headline.contains(n) }
     println(s"""{"metric":"total","value":${r4(total)},"unit":"sec",""" +
-      s""""nq":${results.size},"queries":${jsonMap(head)},"sf":"$sfDir"}""")
+      s""""nq":${results.size},$env,"queries":${jsonMap(head)},"sf":"$sfDir"}""")
     spark.stop()
   }
 }
