@@ -39,12 +39,16 @@ import org.apache.spark.sql.functions.{col, lit}
   * cells are keyed by coordinates, and an outer slab is either past
   * the extent (new) or under it (already written).
   *
-  * Scale note: like Spark's own V1 sinks (MemorySink precedent), the
-  * micro-batch crosses the driver once (`collect`) before the append
-  * fans chunk encoding back out to executors — a micro-batch here is
-  * one or a few outer slabs (coordinate pre-pass needs the whole
-  * batch). The unbounded-corpus paths stay fully distributed; this
-  * sink's unit of work is slab-sized by construction.
+  * Scale note: the micro-batch never crosses the driver. The V1 sink's
+  * DataFrame wraps the stream's IncrementalExecution and would
+  * re-execute it on every action the append path runs (coordinate
+  * distincts, chunk mapPartitions), so the batch is re-wrapped as a
+  * batch DataFrame over the SAME physical execution's InternalRow RDD
+  * (the ForeachBatchSink technique, via
+  * [[org.apache.spark.sql.graftbridge.DataFrameBridge]]) and persisted
+  * MEMORY_AND_DISK — executors cache their own partitions, the
+  * incremental plan runs once, and only slab-level coordinate
+  * distincts (grid-dimension sized) ever reach the driver.
   */
 class ZarrStreamSink(parameters: Map[String, String]) extends Sink {
 
@@ -79,14 +83,25 @@ class ZarrStreamSink(parameters: Map[String, String]) extends Sink {
   override def addBatch(batchId: Long, data: DataFrame): Unit = {
     val exists = isStore
     if (exists && batchId <= committedBatch()) return // replayed, already landed
-    // Materialize the micro-batch before re-planning: the DataFrame a
-    // V1 sink receives wraps the stream's IncrementalExecution; the
-    // append path runs several independent actions (coordinate
-    // distincts, chunk mapPartitions), each of which would re-execute
-    // it. One collect, then a local batch DF.
+    // Materialize the micro-batch on the EXECUTORS, exactly once: the
+    // DataFrame a V1 sink receives wraps the stream's
+    // IncrementalExecution, and the append path runs several
+    // independent actions (coordinate distincts, chunk mapPartitions),
+    // each of which would re-execute it. Re-wrap the already-planned
+    // execution's row RDD as a batch DF and persist — no driver
+    // round-trip, no re-plan of stateful operators.
     val spark = data.sparkSession
-    val rows = java.util.Arrays.asList(data.collect(): _*)
-    val local = spark.createDataFrame(rows, data.schema)
+    val local = org.apache.spark.sql.graftbridge.DataFrameBridge
+      .fromInternalRows(spark,
+        org.apache.spark.sql.graftbridge.DataFrameBridge.internalRows(data),
+        data.schema)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try addBatchImpl(exists, local)
+    finally local.unpersist()
+    markCommitted(batchId)
+  }
+
+  private def addBatchImpl(exists: Boolean, local: DataFrame): Unit = {
     if (!exists) {
       ZarrDataSource.writeWithModes(local, params, replaceExisting = false)
     } else {
@@ -110,7 +125,6 @@ class ZarrStreamSink(parameters: Map[String, String]) extends Sink {
             lit(ChunkCodec.elementAt(outer.raw, outer.length - 1)))
       if (!fresh.isEmpty) ZarrWriter.append(fresh, path)
     }
-    markCommitted(batchId)
   }
 
   override def toString: String = s"ZarrStreamSink[$path]"

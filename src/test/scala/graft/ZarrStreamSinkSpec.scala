@@ -69,6 +69,20 @@ class ZarrStreamSinkSpec extends AnyFunSuite {
     assert(readBack(out) == slab(0L to 3L).orderBy("t", "x").collect().map(_.toSeq).toSeq)
   }
 
+  test("micro-batch re-wrap is RDD-backed — no LocalTableScan of collected rows") {
+    import org.apache.spark.sql.graftbridge.DataFrameBridge
+    val df = slab(Seq(0L, 1L))
+    val wrapped = DataFrameBridge.fromInternalRows(
+      spark, DataFrameBridge.internalRows(df), df.schema)
+    val plan = wrapped.queryExecution.executedPlan.toString
+    // the sink's append path runs over this wrapper: distributed scan of
+    // executor-resident rows, never a driver-collected local relation
+    assert(plan.contains("ExistingRDD"), plan)
+    assert(!plan.contains("LocalTableScan"), plan)
+    assert(wrapped.orderBy("t", "x").collect().map(_.toSeq).toSeq ==
+      df.orderBy("t", "x").collect().map(_.toSeq).toSeq)
+  }
+
   test("non-append output modes are rejected loudly") {
     val e = intercept[IllegalArgumentException] {
       new graft.sources.zarr.ZarrDataSource().createSink(
