@@ -423,14 +423,16 @@ class ZarrUnionScanBuilder(metas: Seq[ZarrStoreMeta], options: CaseInsensitiveSt
       }
   }
 
-  private var mergedGroups: Option[Array[Array[Any]]] = None
-
   override def pushAggregation(aggregation: Aggregation): Boolean = {
     if (!supportCompletePushDown(aggregation)) return false
-    if (aggregation.groupByExpressions().nonEmpty) {
-      mergedGroups = ZarrUnionGroups.merge(metas, aggregation)
-      if (mergedGroups.isEmpty) return false
-    }
+    // Optimizer-time work stops at ANSWERABILITY — the actual
+    // per-member fold/merge happens in planInputPartitions at
+    // execution. Catalyst probes pushdown for plans it may discard,
+    // and a wide union's group merge is real driver work (up to the
+    // 1M-group guard per member); paying it per-probe was a
+    // planning-cost scale-killer.
+    if (aggregation.groupByExpressions().nonEmpty &&
+        !ZarrUnionGroups.mergeable(metas, aggregation)) return false
     aggPushed = Some(aggregation)
     true
   }
@@ -454,7 +456,7 @@ class ZarrUnionScanBuilder(metas: Seq[ZarrStoreMeta], options: CaseInsensitiveSt
 
   override def build(): Scan = aggPushed match {
     case Some(agg) if agg.groupByExpressions().nonEmpty =>
-      new ZarrUnionGroupAggScan(metas, agg, mergedGroups.get)
+      new ZarrUnionGroupAggScan(metas, agg)
     case Some(agg) => new ZarrUnionAggScan(metas, agg)
     case None => new ZarrUnionScan(delegates.map(_.build().asInstanceOf[ZarrScan]))
   }
@@ -465,7 +467,59 @@ class ZarrUnionScanBuilder(metas: Seq[ZarrStoreMeta], options: CaseInsensitiveSt
   * counts and sums add, bounds combine. Group keys may overlap across
   * members (stores need not partition the key domain), which is
   * exactly what the merge handles. */
-private[zarr] object ZarrUnionGroups {
+private[graft] object ZarrUnionGroups {
+
+  /** Times [[merge]] has run (test hook: specs prove the optimizer
+    * path never pays the merge — only execution does). */
+  @volatile var mergeInvocations: Long = 0L
+
+  /** Metadata-only answerability check for a grouped union merge — the
+    * optimizer-time replacement for actually running [[merge]]: agg
+    * kinds must be mergeable, counts must fit Long (Σ member rows),
+    * and integral sums must PROVABLY fit Long. The sum bound is
+    * |Σ_m t_m(g)| ≤ Σ_m max_g |t_m(g)| over each member's sidecar
+    * group totals — sound no matter how member group keys align, and
+    * slightly conservative: a near-overflow union falls back to the
+    * real scan where it previously merged; results are identical
+    * either way. */
+  def mergeable(metas: Seq[ZarrStoreMeta], agg: Aggregation): Boolean = {
+    def colName(e: org.apache.spark.sql.connector.expressions.Expression)
+        : Option[String] = e match {
+      case r: NamedReference if r.fieldNames().length == 1 =>
+        Some(r.fieldNames().head)
+      case _ => None
+    }
+    val kindsOk = agg.aggregateExpressions().forall {
+      case _: CountStar => true
+      case c: Count => !c.isDistinct
+      case _: Min | _: Max => true
+      case s: Sum => !s.isDistinct
+      case _ => false
+    }
+    if (!kindsOk) return false
+    try metas.map(_.totalRows).foldLeft(0L)(Math.addExact)
+    catch { case _: ArithmeticException => return false }
+    val groupNames = agg.groupByExpressions().toSeq.flatMap(colName(_))
+    agg.aggregateExpressions().forall {
+      case s: Sum => colName(s.column).exists { n =>
+        !ZarrSums.isIntegral(metas.head, n) || {
+          var bound = java.math.BigDecimal.ZERO
+          metas.forall { meta =>
+            val dims = groupNames.map(meta.coordNames.indexOf)
+            ZarrSums.groupTotals(meta, n, dims) match {
+              case Some((totals, dflt)) =>
+                val maxAbs = (totals.valuesIterator ++ Iterator(dflt))
+                  .map(_.abs).foldLeft(java.math.BigDecimal.ZERO)(_.max(_))
+                bound = bound.add(maxAbs)
+                true
+              case None => false
+            }
+          } && ZarrSums.fitsLong(bound)
+        }
+      }
+      case _ => true
+    }
+  }
 
   private def cmp(a: Any, b: Any): Int = (a, b) match {
     case (x: java.lang.Long, y: java.lang.Long) => x.compareTo(y)
@@ -489,6 +543,7 @@ private[zarr] object ZarrUnionGroups {
     * None when a merge is impossible (overflow, unexpected agg). */
   def merge(metas: Seq[ZarrStoreMeta], agg: Aggregation)
       : Option[Array[Array[Any]]] = {
+    mergeInvocations += 1
     val g = agg.groupByExpressions().length
     val kinds: Array[Char] = agg.aggregateExpressions().map {
       case _: CountStar => 'c'
@@ -534,9 +589,17 @@ private[zarr] object ZarrUnionGroups {
 
 /** Metadata-only GROUPED aggregates over a union: per-member grouped
   * answers merged by key on the driver (bounded by the group-count
-  * guard in the builder), emitted in row slices. */
-class ZarrUnionGroupAggScan(metas: Seq[ZarrStoreMeta], agg: Aggregation,
-    rows: Array[Array[Any]]) extends Scan with Batch {
+  * guard in the builder), emitted in row slices. The merge itself runs
+  * at EXECUTION time (first planInputPartitions call) — pushdown only
+  * established answerability via [[ZarrUnionGroups.mergeable]], so
+  * optimizer probes on discarded plans cost nothing. */
+class ZarrUnionGroupAggScan(metas: Seq[ZarrStoreMeta], agg: Aggregation)
+    extends Scan with Batch {
+
+  private lazy val rows: Array[Array[Any]] =
+    ZarrUnionGroups.merge(metas, agg).getOrElse(throw new IllegalStateException(
+      "union group merge failed after mergeable() accepted it — sidecar " +
+        "changed between planning and execution?"))
 
   override def readSchema(): StructType =
     new ZarrGroupAggScan(metas.head, agg).readSchema()

@@ -138,6 +138,31 @@ class ZarrUnionSpec extends AnyFunSuite {
       Seq(Seq(0L, 3.0), Seq(1L, 33.0), Seq(5L, 153.0)))
   }
 
+  test("grouped union merge runs at execution, not at optimizer pushdown") {
+    import graft.sources.zarr.ZarrUnionGroups
+    val a = store(Seq(0L, 1L, 2L, 3L))
+    val b = store(Seq(10L, 11L))
+    val df = spark.read.format("zarr").load(a, b)
+      .groupBy("x").agg(count(lit(1)).as("n"), min("t").as("mn"))
+    val before = ZarrUnionGroups.mergeInvocations
+    // optimizedPlan runs V2ScanRelationPushDown (pushAggregation +
+    // build) without executing — no member fold/merge may happen here
+    df.queryExecution.optimizedPlan
+    assert(ZarrUnionGroups.mergeInvocations == before,
+      "pushAggregation paid the per-member group merge at optimizer time")
+    val scans = df.queryExecution.optimizedPlan.collect {
+      case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation =>
+        r.scan
+    }
+    assert(scans.exists(_.isInstanceOf[graft.sources.zarr.ZarrUnionGroupAggScan]),
+      scans.map(_.getClass.getName).mkString(","))
+    // execution pays it exactly once
+    val rows = df.orderBy("x").collect()
+    assert(ZarrUnionGroups.mergeInvocations == before + 1)
+    assert(rows.map(_.toSeq).toSeq == Seq(
+      Seq(0L, 6L, 0L), Seq(1L, 6L, 0L), Seq(2L, 6L, 0L)))
+  }
+
   test("schema mismatch and missing member refuse loudly") {
     val a = store(Seq(0L, 1L))
     val odd = Files.createTempDirectory("zarr_union").resolve("odd.zarr").toString
