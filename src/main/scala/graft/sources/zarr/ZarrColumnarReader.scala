@@ -88,8 +88,26 @@ class ZarrColumnarReader(p: ZarrInputPartition, batchSize: Int = 4096)
         catch { case e: java.util.concurrent.ExecutionException => throw e.getCause }
         if (prefetchBytes != null) { bytesRead += prefetchBytes.get(); prefetchBytes = null }
         a
-      } else ChunkIO.readChunkCached(store, meta, key, p.chunkCacheEntries,
-        bytesRead += _)
+      } else {
+        // mispredicted prefetch: its bytes were still fetched — drain
+        // them into the metric before reading the chunk actually needed
+        drainPending()
+        ChunkIO.readChunkCached(store, meta, key, p.chunkCacheEntries,
+          bytesRead += _)
+      }
+    }
+
+    /** Settle an in-flight prefetch whose result will never be picked
+      * up by [[fetch]] (misprediction, or the partition ended
+      * mid-prefetch): wait for it — the fetched chunk lands in the
+      * shared cache either way, so the work is not lost — and account
+      * its bytes, keeping zarrBytesRead equal to what was actually
+      * read from the store. */
+    def drainPending(): Unit = if (pending != null) {
+      val f = pending._2
+      pending = null
+      try f.get() catch { case _: Throwable => () }
+      if (prefetchBytes != null) { bytesRead += prefetchBytes.get(); prefetchBytes = null }
     }
 
     def locate(): Unit = {
@@ -209,7 +227,12 @@ class ZarrColumnarReader(p: ZarrInputPartition, batchSize: Int = 4096)
 
   override def get(): ColumnarBatch = batch
 
-  override def close(): Unit = if (batch != null) batch.close()
+  override def close(): Unit = {
+    // a partition can end (or be limit-cut) with a prefetch in flight;
+    // its bytes must land in the metric before the task reports it
+    varStates.foreach(_.drainPending())
+    if (batch != null) batch.close()
+  }
 
   override def currentMetricsValues(): Array[CustomTaskMetric] = Array(
     new CustomTaskMetric {
