@@ -160,6 +160,8 @@ object SqlRepl {
               |  show tables, \d      list registered tables
               |  .schema <table>      column names and types
               |  \format [table|csv|json]   result output format
+              |  \analyze <SQL>;      run and report per-scan runtime IO metrics
+              |  \abort               discard a half-typed multi-line statement
               |  <SQL>;               any Spark SQL, ; ends a (multi-line) statement
               |""".stripMargin)
           case "\\d" | "show tables" =>
@@ -181,9 +183,19 @@ object SqlRepl {
                 format = f; out(s"output format: $f")
               case _ => out(s"output format: $format (usage: \\format table|csv|json)")
             }
+          case s if s.startsWith("\\analyze") =>
+            val sql = trimmed.stripSuffix(";").trim.drop("\\analyze".length).trim
+            if (sql.isEmpty) out("usage: \\analyze <sql>;")
+            else runAnalyze(spark, sql, out)
+          case "\\abort" => // no buffered statement — nothing to discard
           case other => out(s"unknown command: $other (try 'help')")
         }
         record(trimmed)
+      } else if (trimmed == "\\abort") {
+        // psql \r: discard the half-typed statement — the plain-reader
+        // counterpart of Ctrl-C on the jline path
+        buffer.clear()
+        out("statement discarded")
       } else {
         if (buffer.nonEmpty) buffer.append('\n')
         buffer.append(line)
@@ -297,13 +309,51 @@ object SqlRepl {
               java.util.Arrays.asList(rows.take(50): _*), df.schema)
               .show(50, truncate = false)
             if (rows.length > 50) out(s"… $rowCount rows total")
+            // stats line in the reference CLI's shape: rows · cols ·
+            // estimated scan bytes · wall time (zarr_cli/main.rs:253).
+            // Table mode only — csv/json are machine-readable exports
+            // (pipes, redirects) and a trailer would corrupt them.
+            val estBytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+            val kb = estBytes.toDouble / 1024.0
+            out(f"$rowCount rows | ${df.columns.length} cols | " +
+              f"est $kb%.2f KB scanned | ${(System.nanoTime() - t0) / 1e9}%.3f s")
         }
-        // stats line in the reference CLI's shape: rows · cols ·
-        // estimated scan bytes · wall time (zarr_cli/main.rs:253)
-        val estBytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
-        val kb = estBytes.toDouble / 1024.0
-        out(f"$rowCount rows | ${df.columns.length} cols | " +
-          f"est $kb%.2f KB scanned | ${(System.nanoTime() - t0) / 1e9}%.3f s")
+      }
+    } catch {
+      case NonFatal(e) =>
+        out(s"Error: ${Option(e.getMessage).getOrElse(e.toString).linesIterator.take(3).mkString(" ")}")
+    }
+  }
+
+  /** `\analyze <sql>` — the runtime-metrics counterpart of EXPLAIN
+    * ANALYZE in the reference CLI (docs/CLI_REFERENCE.md:455-472):
+    * execute the query, then report each scan's post-run SQL metrics —
+    * the DSv2 custom metrics (zarrBytesRead / zarrChunksDecoded) plus
+    * output rows — so "did that filter prune chunk IO?" is answerable
+    * from the shell. */
+  private def runAnalyze(spark: SparkSession, sql: String,
+      out: String => Unit): Unit = {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+    val t0 = System.nanoTime()
+    try {
+      val df = spark.sql(sql)
+      val n = withTicker(t0) { df.collect().length }
+      def scansOf(p: SparkPlan): Seq[BatchScanExec] = p match {
+        case a: AdaptiveSparkPlanExec => scansOf(a.executedPlan)
+        case s: QueryStageExec => scansOf(s.plan)
+        case b: BatchScanExec => Seq(b)
+        case o => o.children.flatMap(scansOf)
+      }
+      out(f"$n rows | ${(System.nanoTime() - t0) / 1e9}%.3f s")
+      val scans = scansOf(df.queryExecution.executedPlan)
+      if (scans.isEmpty) out("no v2 scans in plan")
+      scans.foreach { b =>
+        val interesting = Seq("numOutputRows", "zarrBytesRead", "zarrChunksDecoded")
+        val shown = interesting.flatMap(k =>
+          b.metrics.get(k).map(m => s"$k=${m.value}"))
+        out(s"scan ${b.scan.getClass.getSimpleName}: ${shown.mkString("  ")}")
       }
     } catch {
       case NonFatal(e) =>

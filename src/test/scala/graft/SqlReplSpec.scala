@@ -78,6 +78,54 @@ class SqlReplSpec extends AnyFunSuite {
     assert(!out.exists(_.startsWith("Error:")), out.mkString("\n"))
   }
 
+  test("csv/json output is pipe-clean: no stats trailer after the data") {
+    val out = drive(
+      "\\format csv",
+      "SELECT 1 AS a;",
+      "\\format json",
+      "SELECT 2 AS a;",
+      "\\format table",
+      "SELECT 3 AS a;",
+      "quit")
+    // the "N rows | M cols | ..." trailer is table-mode only — a csv
+    // or json consumer downstream of a pipe must see data lines alone
+    val trailers = out.filter(_.matches("\\d+\\+? rows \\| \\d+ cols \\|.*"))
+    assert(trailers.length == 1, out.mkString("\n"))
+    assert(out.contains("a") && out.contains("1"), out.mkString("\n"))
+    assert(out.contains("{\"a\":2}"), out.mkString("\n"))
+  }
+
+  test("\\abort discards a half-typed statement in the plain reader path") {
+    val out = drive(
+      "SELECT count(*) FROM", // start a statement…
+      "\\abort", // …discard it without Ctrl-C
+      "SELECT 41 + 1 AS v;", // buffer must be clean again
+      "quit")
+    assert(out.contains("statement discarded"), out.mkString("\n"))
+    assert(out.exists(_.matches("1 rows \\| 1 cols \\|.*")), out.mkString("\n"))
+    assert(!out.exists(_.startsWith("Error:")), out.mkString("\n"))
+  }
+
+  test("\\analyze reports per-scan runtime zarr IO metrics") {
+    val store = java.nio.file.Paths.get("src/test/resources/zarr/synthetic_v3.zarr")
+      .toAbsolutePath.toString
+    val out = drive(
+      s"CREATE TABLE repl_an USING zarr OPTIONS (path '$store');",
+      "\\analyze SELECT time, SUM(temperature) AS s FROM repl_an GROUP BY time;",
+      "\\analyze",
+      "DROP TABLE repl_an;",
+      "quit")
+    assert(out.exists(_.matches("7 rows \\| .*s")), out.mkString("\n"))
+    val scanLine = out.find(_.startsWith("scan Zarr"))
+    assert(scanLine.isDefined, out.mkString("\n"))
+    assert(scanLine.get.contains("zarrBytesRead=") &&
+      scanLine.get.contains("zarrChunksDecoded="), scanLine.get)
+    // bytes were actually read (a real scan, not metadata-answered)
+    assert("zarrBytesRead=(\\d+)".r.findFirstMatchIn(scanLine.get)
+      .exists(_.group(1).toLong > 0), scanLine.get)
+    assert(out.contains("usage: \\analyze <sql>;"), out.mkString("\n"))
+  }
+
   test("tab-completion words cover keywords, commands, and live tables") {
     spark.sql("CREATE TABLE IF NOT EXISTS repl_comp USING parquet AS SELECT 1 AS x")
     try {
