@@ -90,6 +90,11 @@ object Dedup {
       .withColumn("jaccard", col("common") / (col("na") + col("nb") - col("common")))
       .filter(col("jaccard") >= 0.5)
       .select("doc_a", "doc_b", "common", "na", "nb", "jaccard")
+      // the pair set is orders of magnitude smaller than the corpus but
+      // its plan is the whole multi-shuffle pipeline above; persist so
+      // consumers (d6's anti-join, a d2-then-d6 session) hit the cache
+      // via canonical-plan matching instead of re-running the pipeline
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
   }
 
   private val d2Sql = s"""
@@ -117,6 +122,12 @@ object Dedup {
     * pipeline's terminal stage: candidate generation → verification →
     * keeper selection → anti-join. */
   def d6_dedup_apply(s: SparkSession, dir: String): DataFrame = {
+    // d2's output is persisted (see d2_dedup_ngram): the anti-join
+    // reads the cached pair table — materialized at most once per
+    // session — so this query's own work is one distinct plus the
+    // anti-join, not a re-run of the 8-shuffle pair pipeline. AQE picks
+    // broadcast for the loser side from runtime stats at this scale
+    // and falls back to a shuffled anti-join when the dup set is big.
     val losers = d2_dedup_ngram(s, dir).select(col("doc_b").as("doc_id")).distinct()
     docs(s, dir)
       .join(losers, Seq("doc_id"), "left_anti")
