@@ -13,12 +13,13 @@ object Bench {
     "q11_topk", "q17_intersect_except", "q23_events_window",
     "q26_asof_join", "q31_percentiles", "q33_funnel", "q37_recursive_cte",
     "d1_dedup_exact", "d2_dedup_ngram", "d3_dedup_minhash", "d6_dedup_apply",
+    "d5_dedup_embedding", "d7_dedup_clusters",
     "s1_ann_brute", "s3_ann_ivf", "t4_text_fingerprint",
     "c4_tfidf", "c7_pack_sequences", "c13_shuffle", "cp1_pipeline",
     "k2_salted_join",
     "m2_multimodal_frames", "st1_stream_window_agg", "st4_stream_join",
     "z1_zarr_group_agg", "z5_zarr_range", "z6_zarr_roundtrip",
-    "z13_zarr_sum_meta")
+    "z12_zarr_stream_sink", "z13_zarr_sum_meta")
 
   /** First three fields of /proc/loadavg (1/5/15-min run-queue), or ""
     * off-Linux. */

@@ -19,7 +19,7 @@ class PlanAuditSpec extends AnyFunSuite {
   /** BNLJ appears legitimately where one side is a broadcast
     * single-row aggregate (corpus size N, centroid count, …). */
   private val bnljAllowed = Set(
-    "c4_tfidf", "c8_decontaminate", "d2_dedup_ngram", "d5_dedup_embedding",
+    "c4_tfidf", "c8_decontaminate", "d2_dedup_ngram",
     "d6_dedup_apply", "m1_multimodal_decode", "q33_funnel",
     "s1_ann_brute", "s3_ann_ivf", "s5_kmeans", "t7_text_pmi",
     "t8_text_heavyhitters", "cp1_pipeline")
@@ -28,6 +28,17 @@ class PlanAuditSpec extends AnyFunSuite {
     val expanded = p match { case a: AdaptiveSparkPlanExec => a.executedPlan; case o => o }
     Seq(expanded) ++ expanded.children.flatMap(operators) ++
       expanded.subqueries.flatMap(operators)
+  }
+
+  test("d5 tiled all-pairs: one hash shuffle, no broadcast, no BNLJ") {
+    import org.apache.spark.sql.execution.exchange.{BroadcastExchangeExec, ShuffleExchangeExec}
+    val plan = pipeline.Dedup.d5_dedup_embedding(spark, dir)
+      .queryExecution.executedPlan
+    val ops = operators(plan)
+    assert(ops.count(_.isInstanceOf[ShuffleExchangeExec]) == 1,
+      "tiling must cost exactly the one group-key exchange")
+    assert(!ops.exists(_.isInstanceOf[BroadcastExchangeExec]))
+    assert(!ops.exists(_.isInstanceOf[BroadcastNestedLoopJoinExec]))
   }
 
   test("no gate query plans a cartesian product; BNLJ only on the allowlist") {
