@@ -25,6 +25,15 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("d6 reads d2's pairs from cache instead of re-running the pipeline") {
+    Dedup.d2_dedup_ngram(spark, sf).count() // materialize the persisted pairs
+    val d6 = Dedup.d6_dedup_apply(spark, sf)
+    d6.count()
+    val plan = d6.queryExecution.executedPlan.toString
+    assert(plan.contains("InMemoryTableScan") || plan.contains("TableCacheQueryStage"),
+      s"d6's plan should scan the cached pair table:\n$plan")
+  }
+
   test("dedup apply drops exactly the jaccard losers") {
     val losers = Dedup.d2_dedup_ngram(spark, sf)
       .select("doc_b").distinct().collect().map(_.getLong(0)).toSet
