@@ -339,7 +339,15 @@ object SqlRepl {
     val t0 = System.nanoTime()
     try {
       val df = spark.sql(sql)
-      val n = withTicker(t0) { df.collect().length }
+      // execute the REAL plan (collect would also work but hauls the
+      // whole result to the driver; count() would re-plan as an
+      // aggregate and — for metadata-answered zarr COUNTs — report
+      // zero IO for a query that does scan): run the row RDD and
+      // count on the executors, then read the post-run scan metrics
+      val n = withTicker(t0) {
+        df.queryExecution.toRdd.mapPartitions(
+          it => Iterator.single(it.size.toLong)).collect().sum
+      }
       def scansOf(p: SparkPlan): Seq[BatchScanExec] = p match {
         case a: AdaptiveSparkPlanExec => scansOf(a.executedPlan)
         case s: QueryStageExec => scansOf(s.plan)
