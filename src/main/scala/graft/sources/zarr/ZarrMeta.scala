@@ -501,7 +501,18 @@ object ZarrMeta {
     val arrays = discoverArrays(store)
     if (arrays.isEmpty)
       throw new IllegalArgumentException(s"No Zarr arrays found under: $pathStr")
-    val (coords1d, dataVars) = arrays.partition(_.nDims == 1)
+    // Classification: the reference's shape rule (1-D ⇒ coordinate,
+    // schema_inference.rs:47-210) — refined by explicit dimension
+    // names when an array carries them (xarray's _ARRAY_DIMENSIONS,
+    // which our own writer emits): a 1-D array whose declared
+    // dimension is a DIFFERENT array is a data variable. Without the
+    // refinement a 1-D store (the classic time-series layout: one
+    // time coordinate + 1-D measurements) misreads its measurements
+    // as extra coordinates; attribute-less stores behave exactly as
+    // the reference.
+    val (coords1d, dataVars) = arrays.partition { a =>
+      a.nDims == 1 && explicitDims(a).forall(_ == Seq(a.name))
+    }
     val vars = dataVars.sortBy(_.name)
     vars.foreach { v =>
       require(v.shape.length == coords1d.length,

@@ -96,9 +96,15 @@ class ZarrStreamSink(parameters: Map[String, String]) extends Sink {
         org.apache.spark.sql.graftbridge.DataFrameBridge.internalRows(data),
         data.schema)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try addBatchImpl(exists, local)
+    // a stateful append-mode upstream legitimately emits empty batches
+    // (no window finalized yet) — nothing to write. The marker is only
+    // written once a store exists: writing it earlier would create the
+    // store directory with nothing but the marker inside, and the
+    // eventual first real write's temp+swap move would collide with
+    // it. Replaying an unmarked empty batch is a no-op anyway.
+    try { if (!local.isEmpty) addBatchImpl(exists, local) }
     finally local.unpersist()
-    markCommitted(batchId)
+    if (isStore) markCommitted(batchId)
   }
 
   private def addBatchImpl(exists: Boolean, local: DataFrame): Unit = {

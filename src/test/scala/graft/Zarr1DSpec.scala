@@ -1,0 +1,33 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** 1-D stores — the classic time-series layout (one coordinate, 1-D
+  * measurements). Shape alone cannot distinguish a 1-D data variable
+  * from a coordinate; classification honors the `_ARRAY_DIMENSIONS`
+  * attribute our writer emits (an array whose declared dimension is a
+  * different array is a data variable). Attribute-less stores keep the
+  * reference's 1-D ⇒ coordinate rule. */
+class Zarr1DSpec extends AnyFunSuite {
+  import TestSession._
+
+  test("1-D store round-trips: write, classify, append, filter") {
+    import spark.implicits._
+    val out = java.nio.file.Files.createTempDirectory("zarr1d")
+      .resolve("s.zarr").toString
+    Seq((0L, 3.0), (1L, 5.0)).toDF("t", "total").write.format("zarr")
+      .option("coords", "t").option("chunkOuter", "1")
+      .mode("overwrite").save(out)
+    val m = graft.sources.zarr.ZarrMeta.readStore(out)
+    assert(m.coordNames == Seq("t"), m.coordNames)
+    assert(m.dataVars.map(_.name) == Seq("total"))
+    Seq((10L, 4.0)).toDF("t", "total").write.format("zarr")
+      .mode("append").save(out)
+    val df = spark.read.format("zarr").load(out)
+    assert(df.orderBy("t").collect().map(_.toSeq).toSeq ==
+      Seq(Seq(0L, 3.0), Seq(1L, 5.0), Seq(10L, 4.0)))
+    // coordinate filter still prunes on the 1-D grid
+    assert(df.filter($"t" === 10L).collect().map(_.toSeq).toSeq ==
+      Seq(Seq(10L, 4.0)))
+  }
+}

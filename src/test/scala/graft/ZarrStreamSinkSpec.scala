@@ -92,6 +92,42 @@ class ZarrStreamSinkSpec extends AnyFunSuite {
     assert(e.getMessage.contains("Append output mode only"))
   }
 
+  test("stateful upstream (watermarked windowed agg) appends correctly") {
+    // exercises the executor-side re-wrap against an IncrementalExecution
+    // that PLANS STATE STORES: the batch DF must not be re-planned
+    // outside the incremental planner (DataFrameBridge takes the
+    // already-planned toRdd), and the append's several actions must see
+    // consistent rows via the persist
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val out = tmp("zarr_sink_stateful")
+    val in = MemoryStream[(Long, Double)] // (epoch-sec, value)
+    val q = in.toDF().toDF("sec", "v")
+      .withColumn("ts", timestamp_seconds(col("sec")))
+      .withWatermark("ts", "0 seconds")
+      .groupBy(window(col("ts"), "10 seconds").as("w"))
+      .agg(sum("v").as("total"))
+      .select(unix_timestamp(col("w.start")).as("t"), col("total"))
+      .writeStream.outputMode("append").format("zarr")
+      .option("path", out)
+      .option("coords", "t").option("chunkOuter", "1")
+      .option("checkpointLocation",
+        Files.createTempDirectory("zarr_sink_stateful_ckpt").toString)
+      .start()
+    try {
+      in.addData((0L, 1.0), (5L, 2.0), (12L, 4.0))
+      q.processAllAvailable() // watermark still at 0 — nothing finalized
+      in.addData((25L, 8.0))
+      q.processAllAvailable() // watermark 12 → window [0,10) closes
+      in.addData((43L, 16.0))
+      q.processAllAvailable() // watermark 25 → windows [10,20) and [20,30) close
+      val got = spark.read.format("zarr").load(out).orderBy("t")
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(got == Seq((0L, 3.0), (10L, 4.0), (20L, 8.0)), got)
+    } finally q.stop()
+  }
+
   test("zarr → zarr streaming copy: source and sink compose") {
     val src = tmp("zarr_copy_src")
     val dst = tmp("zarr_copy_dst")
