@@ -30,4 +30,28 @@ class Zarr1DSpec extends AnyFunSuite {
     assert(df.filter($"t" === 10L).collect().map(_.toSeq).toSeq ==
       Seq(Seq(10L, 4.0)))
   }
+
+  test("1-D store streams end-to-end: source follows appends, sink appends") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("zarr1d_stream")
+    val src = base.resolve("src.zarr").toString
+    val dst = base.resolve("dst.zarr").toString
+    Seq((0L, 1.0), (1L, 2.0)).toDF("t", "v").write.format("zarr")
+      .option("coords", "t").option("chunkOuter", "1")
+      .mode("overwrite").save(src)
+    val q = spark.readStream.format("zarr").load(src)
+      .writeStream.outputMode("append").format("zarr")
+      .option("path", dst)
+      .option("coords", "t").option("chunkOuter", "1")
+      .option("checkpointLocation", base.resolve("ckpt").toString)
+      .start()
+    try {
+      q.processAllAvailable()
+      Seq((2L, 3.0)).toDF("t", "v").write.format("zarr").mode("append").save(src)
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(spark.read.format("zarr").load(dst).orderBy("t")
+      .collect().map(_.toSeq).toSeq ==
+      Seq(Seq(0L, 1.0), Seq(1L, 2.0), Seq(2L, 3.0)))
+  }
 }
