@@ -290,8 +290,12 @@ object Dedup {
   def d5_dedup_embedding(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val nb = d5Blocks
-    val e = emb(s, dir).select(col("vec_id"), col("embedding"),
-      VectorOps.norm2(col("embedding")).as("n2"))
+    // null embeddings: NULL cosine never passes a >= threshold in
+    // either engine, so dropping them up front is oracle-equivalent
+    // (and keeps the tile loop null-free)
+    val e = emb(s, dir).filter(col("embedding").isNotNull)
+      .select(col("vec_id"), col("embedding"),
+        VectorOps.norm2(col("embedding")).as("n2"))
     e.withColumn("blk", (col("vec_id") % nb).cast("int"))
       .select(col("blk"), col("vec_id"), col("n2"), col("embedding"),
         explode(sequence(lit(0), lit(nb - 1))).as("other"))
