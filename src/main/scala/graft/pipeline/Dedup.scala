@@ -333,7 +333,7 @@ object Dedup {
     * tiled inner loop — VectorOpsSpec pins the Catalyst expression to
     * this same contract, and IEEE multiply commutes, so tile order
     * cannot change a bit. */
-  private def cosineOf(x: Array[Float], y: Array[Float],
+  private[graft] def cosineOf(x: Array[Float], y: Array[Float],
       n2x: Double, n2y: Double): Double = {
     var d = 0.0
     var i = 0

@@ -24,6 +24,26 @@ class VectorOpsSpec extends AnyFunSuite {
     assert(pairs.count() > 0)
   }
 
+  test("d5's tiled inner-loop cosine == Catalyst cosine bit-for-bit") {
+    val e = Tables.load(spark, sf, "embeddings").limit(60)
+    val catalyst = e.as("a").crossJoin(e.as("b"))
+      .filter(col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id"), col("b.vec_id"),
+        col("a.embedding"), col("b.embedding"),
+        VectorOps.cosine(col("a.embedding"), col("b.embedding")).as("cos"))
+      .collect()
+    assert(catalyst.nonEmpty)
+    catalyst.foreach { r =>
+      val x = r.getSeq[Float](2).toArray
+      val y = r.getSeq[Float](3).toArray
+      def n2(v: Array[Float]) = graft.pipeline.Dedup.cosineOf(v, v, 1.0, 1.0) // dot(v,v)/1
+      val scala = graft.pipeline.Dedup.cosineOf(x, y, n2(x), n2(y))
+      val bits = java.lang.Double.doubleToLongBits _
+      assert(bits(scala) == bits(r.getDouble(4)),
+        s"vec ${r.getLong(0)}~${r.getLong(1)}: scala=$scala catalyst=${r.getDouble(4)}")
+    }
+  }
+
   test("norm2 and cosine behave") {
     val e = Tables.load(spark, sf, "embeddings").limit(5)
     val rows = e.select(
