@@ -69,6 +69,29 @@ class ZarrStreamSinkSpec extends AnyFunSuite {
     assert(readBack(out) == slab(0L to 3L).orderBy("t", "x").collect().map(_.toSeq).toSeq)
   }
 
+  test("datetime outer coordinate: replay filters by instant cutoff") {
+    import spark.implicits._
+    def slabT(secs: Seq[Long]) =
+      secs.flatMap(t => (0L until 2L).map(x =>
+        (java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(t)), x, t * 1.0 + x)))
+        .toDF("ts", "x", "v")
+    val out = tmp("zarr_sink_dt")
+    val sink = new ZarrStreamSink(Map(
+      "path" -> out, "coords" -> "ts,x", "chunkouter" -> "1"))
+    sink.addBatch(0, slabT(Seq(0L, 60L)))
+    // crash-between-append-and-marker replay on a NEW sink instance:
+    // the datetime branch compares raw epoch-micros as Instants — the
+    // already-landed slabs (0, 60) must filter out, only 120 appends
+    val sink2 = new ZarrStreamSink(Map("path" -> out))
+    sink2.addBatch(1, slabT(Seq(0L, 60L, 120L)))
+    val got = spark.read.format("zarr").load(out).orderBy("ts", "x").collect()
+    assert(got.length == 6)
+    assert(got.map(_.getDouble(2)).toSeq ==
+      Seq(0.0, 1.0, 60.0, 61.0, 120.0, 121.0))
+    assert(got.map(r => r.getAs[java.sql.Timestamp]("ts").toInstant.getEpochSecond)
+      .toSeq == Seq(0L, 0L, 60L, 60L, 120L, 120L))
+  }
+
   test("micro-batch re-wrap is RDD-backed — no LocalTableScan of collected rows") {
     import org.apache.spark.sql.graftbridge.DataFrameBridge
     val df = slab(Seq(0L, 1L))
