@@ -277,6 +277,18 @@ object SqlRepl {
       format: String = "table"): Unit = {
     val t0 = System.nanoTime()
     if (colorTerm) out(highlight(sql))
+    // reference-CLI EXPLAIN dialects Spark's parser doesn't accept
+    // (docs/CLI_REFERENCE.md:455-472): EXPLAIN ANALYZE runs the query
+    // and reports runtime scan metrics (same as \analyze); EXPLAIN
+    // VERBOSE maps to Spark's EXPLAIN EXTENDED
+    val analyzeRe = "(?is)^explain\\s+analyze\\s+(.*)$".r
+    val verboseRe = "(?is)^explain\\s+verbose\\s+(.*)$".r
+    sql.trim match {
+      case analyzeRe(q) => runAnalyze(spark, q, out); return
+      case verboseRe(q) =>
+        runSql(spark, s"EXPLAIN EXTENDED $q", out, format); return
+      case _ =>
+    }
     try {
       val df = spark.sql(sql)
       // first WORD, not a regex over the whole text — a multi-line
