@@ -322,6 +322,10 @@ object ZarrWriter {
     val coordVals: Seq[Array[Any]] = coords.map { c =>
       df.select(col(c)).distinct().orderBy(col(c)).collect().map(_.get(0))
     }
+    require(coordVals.forall(_.nonEmpty),
+      s"cannot write an empty DataFrame as a Zarr store: no values for " +
+        s"coordinate(s) ${coords.zip(coordVals).collect { case (c, v) if v.isEmpty => c }
+          .mkString(", ")} — a grid needs at least one value per dimension")
     val shape = coordVals.map(_.length.toLong)
     val totalRows = shape.product
     val n = df.count()

@@ -63,6 +63,17 @@ class ZarrWriterSpec extends AnyFunSuite {
       src.agg(sum("temperature")).collect().head.getLong(0) + 700)
   }
 
+  test("writing an empty DataFrame refuses with a clear message") {
+    import spark.implicits._
+    val out = java.nio.file.Files.createTempDirectory("zarr_empty")
+      .resolve("s.zarr").toString
+    val e = intercept[IllegalArgumentException] {
+      Seq((0L, 0L, 1.0)).toDF("t", "x", "v").filter("t > 100")
+        .write.format("zarr").option("coords", "t,x").mode("overwrite").save(out)
+    }
+    assert(e.getMessage.contains("empty DataFrame"), e.getMessage)
+  }
+
   test("df.write.format(zarr) mode semantics: errorifexists, ignore, append") {
     val out = Files.createTempDirectory("zarr_modes").resolve("m.zarr").toString
     val src = spark.read.format("zarr").load(v3).limit(700)
