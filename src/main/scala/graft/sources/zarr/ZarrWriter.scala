@@ -329,8 +329,17 @@ object ZarrWriter {
     val shape = coordVals.map(_.length.toLong)
     val totalRows = shape.product
     val n = df.count()
+    // Duplicate cells would write nondeterministically (whichever
+    // partition's value lands last) and can MASK a missing cell when
+    // n still fits the grid — silently replacing user data with fill.
+    // The check is one aggregation over the coordinate columns only;
+    // a partial grid (missing cells → fill_value) remains legal.
+    val nDistinct = df.select(coords.map(col): _*).distinct().count()
+    require(nDistinct == n,
+      s"input has ${n - nDistinct} duplicate coordinate cell(s): each " +
+        s"(${coords.mkString(", ")}) tuple may appear at most once")
     require(n <= totalRows,
-      s"input has $n rows but the coordinate grid only has $totalRows cells (duplicates?)")
+      s"input has $n rows but the coordinate grid only has $totalRows cells")
 
     // Effective data-variable chunk shape: explicit `chunkShape` (full
     // N-dim control — at scale inner dims need chunking too, so one

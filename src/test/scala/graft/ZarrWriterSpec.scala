@@ -63,6 +63,20 @@ class ZarrWriterSpec extends AnyFunSuite {
       src.agg(sum("temperature")).collect().head.getLong(0) + 700)
   }
 
+  test("duplicate coordinate cells refuse loudly (no nondeterministic last-wins)") {
+    import spark.implicits._
+    val out = java.nio.file.Files.createTempDirectory("zarr_dup")
+      .resolve("s.zarr").toString
+    // n == grid size, so a row-count check alone would pass: the dup
+    // (0,0) masks the missing (0,1) — previously silent corruption
+    val e = intercept[IllegalArgumentException] {
+      Seq((0L, 0L, 1.0), (0L, 0L, 99.0), (1L, 0L, 3.0), (1L, 1L, 4.0))
+        .toDF("t", "x", "v")
+        .write.format("zarr").option("coords", "t,x").mode("overwrite").save(out)
+    }
+    assert(e.getMessage.contains("duplicate coordinate cell"), e.getMessage)
+  }
+
   test("writing an empty DataFrame refuses with a clear message") {
     import spark.implicits._
     val out = java.nio.file.Files.createTempDirectory("zarr_empty")
