@@ -738,6 +738,14 @@ object ZarrWriter {
         s"extent $outerChunk — append would straddle a chunk; rewrite the store instead")
     meta0.dataVars.foreach(v => codecNameOf(v.compressor, v.name)) // validate early
 
+    // same duplicate-cell guard as the full write: a duplicated tuple
+    // would land nondeterministically and mask a missing cell as fill
+    val nRows = df.count()
+    val nCells = df.select(coordNames.map(col): _*).distinct().count()
+    require(nCells == nRows,
+      s"append input has ${nRows - nCells} duplicate coordinate cell(s): each " +
+        s"(${coordNames.mkString(", ")}) tuple may appear at most once")
+
     // new outer values: distinct, sorted, strictly after the existing max
     val newOuterVals: Array[Any] =
       df.select(col(outerName)).distinct().orderBy(col(outerName)).collect().map(_.get(0))

@@ -77,6 +77,21 @@ class ZarrWriterSpec extends AnyFunSuite {
     assert(e.getMessage.contains("duplicate coordinate cell"), e.getMessage)
   }
 
+  test("append with duplicate coordinate cells refuses loudly") {
+    import spark.implicits._
+    val out = java.nio.file.Files.createTempDirectory("zarr_dup_app")
+      .resolve("s.zarr").toString
+    Seq((0L, 0L, 1.0), (0L, 1L, 2.0)).toDF("t", "x", "v")
+      .write.format("zarr").option("coords", "t,x").option("chunkOuter", "1")
+      .mode("overwrite").save(out)
+    val e = intercept[IllegalArgumentException] {
+      Seq((1L, 0L, 3.0), (1L, 0L, 99.0), (2L, 0L, 5.0), (2L, 1L, 6.0))
+        .toDF("t", "x", "v")
+        .write.format("zarr").mode("append").save(out)
+    }
+    assert(e.getMessage.contains("duplicate coordinate cell"), e.getMessage)
+  }
+
   test("writing an empty DataFrame refuses with a clear message") {
     import spark.implicits._
     val out = java.nio.file.Files.createTempDirectory("zarr_empty")
