@@ -446,7 +446,21 @@ object ChunkIO {
     * metric, reported from the read itself rather than a separate
     * `sizeOf` round trip (which doubles object-store requests). */
   def readChunk(store: ZarrStore, meta: ZarrArrayMeta, chunkIdx: Seq[Long],
-      onBytes: Long => Unit = _ => ()): AnyRef = {
+      onBytes: Long => Unit = _ => ()): AnyRef =
+    try readChunkImpl(store, meta, chunkIdx, onBytes)
+    catch {
+      // decode failures on corrupt objects surface as bare buffer/
+      // codec exceptions with no message — name the chunk so a 1000-
+      // executor job's stack points at the bad object, not just "a
+      // BufferUnderflowException somewhere"
+      case e: Exception => throw new java.io.IOException(
+        s"corrupt or unreadable chunk '${meta.name}/${meta.chunkKey(chunkIdx)}' " +
+          s"in ${store.path} (${e.getClass.getSimpleName}" +
+          s"${Option(e.getMessage).filter(_.nonEmpty).map(": " + _).getOrElse("")})", e)
+    }
+
+  private def readChunkImpl(store: ZarrStore, meta: ZarrArrayMeta, chunkIdx: Seq[Long],
+      onBytes: Long => Unit): AnyRef = {
     decodeCount.incrementAndGet()
     val nElems = meta.chunks.product
     val key = s"${meta.name}/${meta.chunkKey(chunkIdx)}"

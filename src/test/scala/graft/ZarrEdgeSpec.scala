@@ -245,4 +245,24 @@ class ZarrMixedDTypeSpec extends org.scalatest.funsuite.AnyFunSuite {
     val want = (for (a <- 0L until 3L; z <- 0L until 3L) yield (a, z, a * 10 + z)).toSet
     assert(got == want)
   }
+
+  test("a corrupt chunk fails naming the chunk and store, not a bare codec error") {
+    import spark.implicits._
+    val out = java.nio.file.Files.createTempDirectory("zarr_trunc")
+      .resolve("s.zarr").toString
+    Seq((0L, 0L, 1.0), (0L, 1L, 2.0), (1L, 0L, 3.0), (1L, 1L, 4.0))
+      .toDF("t", "x", "v")
+      .write.format("zarr").option("coords", "t,x").option("chunkOuter", "1")
+      .mode("overwrite").save(out)
+    val chunk = java.nio.file.Files.list(java.nio.file.Paths.get(out, "v"))
+      .filter(p => !p.getFileName.toString.startsWith(".")).findFirst.get
+    java.nio.file.Files.write(chunk, Array[Byte](1, 2, 3))
+    val e = intercept[Exception] { spark.read.format("zarr").load(out).collect() }
+    def chain(t: Throwable): Seq[String] =
+      if (t == null) Nil
+      else Option(t.getMessage).getOrElse("") +: chain(t.getCause)
+    assert(chain(e).exists(m =>
+      m.contains("corrupt or unreadable chunk") && m.contains("v/")),
+      chain(e).mkString("\n"))
+  }
 }
