@@ -326,6 +326,18 @@ object ZarrWriter {
       s"cannot write an empty DataFrame as a Zarr store: no values for " +
         s"coordinate(s) ${coords.zip(coordVals).collect { case (c, v) if v.isEmpty => c }
           .mkString(", ")} — a grid needs at least one value per dimension")
+    // null/NaN coordinates cannot index a grid (NaN breaks ordering and
+    // the executor-side cell lookup dies with a bare "key not found")
+    coords.zip(coordVals).foreach { case (name, vals) =>
+      require(!vals.contains(null),
+        s"coordinate '$name' contains null — coordinate values must be non-null")
+      require(!vals.exists {
+        case d: java.lang.Double => d.isNaN
+        case f: java.lang.Float => f.isNaN
+        case _ => false
+      }, s"coordinate '$name' contains NaN — grid coordinates must be " +
+        "orderable finite values")
+    }
     val shape = coordVals.map(_.length.toLong)
     val totalRows = shape.product
     val n = df.count()

@@ -92,6 +92,17 @@ class ZarrWriterSpec extends AnyFunSuite {
     assert(e.getMessage.contains("duplicate coordinate cell"), e.getMessage)
   }
 
+  test("NaN coordinate values refuse at write time, not with an executor error") {
+    import spark.implicits._
+    val out = java.nio.file.Files.createTempDirectory("zarr_nan")
+      .resolve("s.zarr").toString
+    val e = intercept[IllegalArgumentException] {
+      Seq((0.5, 1.0), (Double.NaN, 2.0)).toDF("d", "v")
+        .write.format("zarr").option("coords", "d").mode("overwrite").save(out)
+    }
+    assert(e.getMessage.contains("contains NaN"), e.getMessage)
+  }
+
   test("writing an empty DataFrame refuses with a clear message") {
     import spark.implicits._
     val out = java.nio.file.Files.createTempDirectory("zarr_empty")
