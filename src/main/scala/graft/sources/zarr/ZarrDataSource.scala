@@ -254,7 +254,9 @@ object ZarrDataSource {
     try ZarrWriter.write(data, tmpPath, coords, chunkOuter, version, shardInner,
       shardCompress, compressor, chunkShape,
       deltaFilter = params.get("deltafilter").exists(_.toBoolean),
-      uintColumns = uintColumns)
+      uintColumns = uintColumns,
+      maxDimLen = params.get("maxdimlen").map(_.toInt)
+        .getOrElse(ZarrWriter.defaultMaxDimLen))
     catch { case e: Throwable =>
       try ZarrStore.open(tmpPath).deleteRecursively()
       catch { case cleanup: Exception => e.addSuppressed(cleanup) }
@@ -380,38 +382,44 @@ class ZarrUnionScanBuilder(metas: Seq[ZarrStoreMeta], options: CaseInsensitiveSt
   private val delegates = metas.map(new ZarrScanBuilder(_, options))
   private var aggPushed: Option[Aggregation] = None
 
-  /** Ungrouped metadata aggregates over the union are the fold of the
-    * member answers: COUNT sums, MIN/MAX combine, SUM adds the
-    * members' exact totals, AVG = Σ totals / Σ rows ("count and sum a
-    * 30-year year-per-store archive" reads 30 sidecars, zero chunks).
-    * COUNT(DISTINCT) is NOT combinable (values overlap across
-    * members) and grouped shapes would need per-key merges — both
-    * take the real scan. */
-  override def supportCompletePushDown(aggregation: Aggregation): Boolean = {
-    def colName(e: org.apache.spark.sql.connector.expressions.Expression): Option[String] =
-      e match {
-        case r: NamedReference if r.fieldNames().length == 1 => Some(r.fieldNames().head)
-        case _ => None
-      }
-    val grouped = aggregation.groupByExpressions().nonEmpty
-    // grouped: members answer per-group, the union merges by key —
-    // bounded so the driver never materializes an unbounded group set
-    // (exact arithmetic: an overflowed product must count as
-    // unbounded, not wrap past the guard)
-    val groupsBounded = !grouped || (try {
+  private def colName(e: org.apache.spark.sql.connector.expressions.Expression)
+      : Option[String] = e match {
+    case r: NamedReference if r.fieldNames().length == 1 => Some(r.fieldNames().head)
+    case _ => None
+  }
+
+  /** Group-count planner heuristic: each member's grouped specs fold
+    * its sidecar per-chunk map at planInputPartitions — driver
+    * planning work proportional to the group count. The guard bounds
+    * that PLANNING cost (execution memory is Spark's shuffle, not
+    * ours). Exact arithmetic: an overflowed product must count as
+    * unbounded, not wrap past the guard. */
+  private def groupsBounded(aggregation: Aggregation): Boolean =
+    try {
       metas.map { m =>
         aggregation.groupByExpressions().flatMap(colName).map(n =>
           m.coords.find(_.meta.name == n).map(_.length.toLong)
             .getOrElse(throw new ArithmeticException("not a coordinate")))
           .foldLeft(1L)(Math.multiplyExact)
       }.foldLeft(0L)(Math.addExact) <= (1L << 20)
-    } catch { case _: ArithmeticException => false })
-    groupsBounded &&
+    } catch { case _: ArithmeticException => false }
+
+  /** Only UNGROUPED metadata aggregates are COMPLETE pushdown over a
+    * union — the fold of one scalar answer per member (COUNT sums,
+    * MIN/MAX combine, SUM adds exact totals, AVG = Σ totals / Σ rows:
+    * "count and sum a 30-year year-per-store archive" reads 30
+    * sidecars, zero chunks). GROUPED aggregates deliberately report
+    * NOT complete — [[pushAggregation]] still accepts them, but as a
+    * PARTIAL pushdown: Spark plans the final merge aggregation itself,
+    * an executor-side shuffle sized to members × groups, so no driver
+    * structure ever scales with the group count. COUNT(DISTINCT) is
+    * not combinable across members (values overlap) → real scan. */
+  override def supportCompletePushDown(aggregation: Aggregation): Boolean =
+    aggregation.groupByExpressions().isEmpty &&
       delegates.forall(_.supportCompletePushDown(aggregation)) &&
       aggregation.aggregateExpressions().forall {
         case c: Count if c.isDistinct => false // values overlap across members
-        case _: Avg if grouped => false // member avgs don't merge
-        case s: Sum if !grouped => // the UNION total must fit the result type
+        case s: Sum => // the UNION total must fit the result type
           colName(s.column).exists { n =>
             !ZarrSums.isIntegral(metas.head, n) || {
               val totals = metas.map(m => ZarrSums.totalFor(m, n))
@@ -421,20 +429,22 @@ class ZarrUnionScanBuilder(metas: Seq[ZarrStoreMeta], options: CaseInsensitiveSt
           }
         case _ => true
       }
-  }
 
   override def pushAggregation(aggregation: Aggregation): Boolean = {
-    if (!supportCompletePushDown(aggregation)) return false
-    // Optimizer-time work stops at ANSWERABILITY — the actual
-    // per-member fold/merge happens in planInputPartitions at
-    // execution. Catalyst probes pushdown for plans it may discard,
-    // and a wide union's group merge is real driver work (up to the
-    // 1M-group guard per member); paying it per-probe was a
-    // planning-cost scale-killer.
-    if (aggregation.groupByExpressions().nonEmpty &&
-        !ZarrUnionGroups.mergeable(metas, aggregation)) return false
-    aggPushed = Some(aggregation)
-    true
+    val ok =
+      if (aggregation.groupByExpressions().isEmpty)
+        supportCompletePushDown(aggregation)
+      else
+        // Partial pushdown of grouped shapes: optimizer-time work stops
+        // at ANSWERABILITY (Catalyst probes pushdown for plans it may
+        // discard — per-probe sidecar folds were a planning-cost
+        // scale-killer). mergeable() also proves integral sums cannot
+        // overflow Spark's final Long SUM of the member partials.
+        groupsBounded(aggregation) &&
+          delegates.forall(_.supportCompletePushDown(aggregation)) &&
+          ZarrUnionGroups.mergeable(metas, aggregation)
+    if (ok) aggPushed = Some(aggregation)
+    ok
   }
 
   override def pruneColumns(required: StructType): Unit =
@@ -462,26 +472,21 @@ class ZarrUnionScanBuilder(metas: Seq[ZarrStoreMeta], options: CaseInsensitiveSt
   }
 }
 
-/** Driver-side merge of per-member grouped metadata answers: the
-  * member scans' rows (already metadata-only) combine by group key —
-  * counts and sums add, bounds combine. Group keys may overlap across
-  * members (stores need not partition the key domain), which is
-  * exactly what the merge handles. */
+/** Answerability checks for grouped metadata aggregates over a union.
+  * The MERGE itself is not implemented here at all: the union scan
+  * emits every member's per-group answers and Spark's final (partial
+  * pushdown) aggregation merges them by key on executors. */
 private[graft] object ZarrUnionGroups {
 
-  /** Times [[merge]] has run (test hook: specs prove the optimizer
-    * path never pays the merge — only execution does). */
-  @volatile var mergeInvocations: Long = 0L
-
-  /** Metadata-only answerability check for a grouped union merge — the
-    * optimizer-time replacement for actually running [[merge]]: agg
-    * kinds must be mergeable, counts must fit Long (Σ member rows),
-    * and integral sums must PROVABLY fit Long. The sum bound is
+  /** Metadata-only answerability check for a grouped union merge: agg
+    * kinds must be mergeable by Spark's final aggregation (SUM over
+    * counts/sums, MIN/MAX over bounds), counts must fit Long (Σ member
+    * rows), and integral sums must PROVABLY fit Long — Spark's
+    * non-ANSI Long SUM would wrap silently. The sum bound is
     * |Σ_m t_m(g)| ≤ Σ_m max_g |t_m(g)| over each member's sidecar
     * group totals — sound no matter how member group keys align, and
     * slightly conservative: a near-overflow union falls back to the
-    * real scan where it previously merged; results are identical
-    * either way. */
+    * real scan; results are identical either way. */
   def mergeable(metas: Seq[ZarrStoreMeta], agg: Aggregation): Boolean = {
     def colName(e: org.apache.spark.sql.connector.expressions.Expression)
         : Option[String] = e match {
@@ -521,116 +526,39 @@ private[graft] object ZarrUnionGroups {
     }
   }
 
-  private def cmp(a: Any, b: Any): Int = (a, b) match {
-    case (x: java.lang.Long, y: java.lang.Long) => x.compareTo(y)
-    case (x: java.lang.Integer, y: java.lang.Integer) => x.compareTo(y)
-    case (x: java.lang.Short, y: java.lang.Short) => x.compareTo(y)
-    case (x: java.lang.Byte, y: java.lang.Byte) => x.compareTo(y)
-    case (x: java.lang.Double, y: java.lang.Double) => x.compareTo(y)
-    case (x: java.lang.Float, y: java.lang.Float) => x.compareTo(y)
-    case (x: java.lang.Number, y: java.lang.Number) =>
-      java.lang.Double.compare(x.doubleValue(), y.doubleValue())
-    case _ => 0
-  }
-
-  private def addVals(a: Any, b: Any): Any = (a, b) match {
-    case (x: java.lang.Long, y: java.lang.Long) => Math.addExact(x, y)
-    case (x: java.lang.Double, y: java.lang.Double) => (x + y): java.lang.Double
-    case _ => throw new ArithmeticException(s"unmergeable sum types: $a, $b")
-  }
-
-  /** Merged group rows (group key columns first, then aggregates), or
-    * None when a merge is impossible (overflow, unexpected agg). */
-  def merge(metas: Seq[ZarrStoreMeta], agg: Aggregation)
-      : Option[Array[Array[Any]]] = {
-    mergeInvocations += 1
-    val g = agg.groupByExpressions().length
-    val kinds: Array[Char] = agg.aggregateExpressions().map {
-      case _: CountStar => 'c'
-      case c: Count if !c.isDistinct => 'c'
-      case _: Min => 'm'
-      case _: Max => 'M'
-      case s: Sum if !s.isDistinct => 's'
-      case _ => return None
-    }
-    val acc = scala.collection.mutable.LinkedHashMap.empty[Seq[Any], Array[Any]]
-    try {
-      metas.foreach { meta =>
-        val scan = new ZarrGroupAggScan(meta, agg)
-        val factory = scan.createReaderFactory()
-        scan.planInputPartitions().foreach { p =>
-          val r = factory.createReader(p)
-          while (r.next()) {
-            val vals = r.get().asInstanceOf[GenericInternalRow].values.clone()
-            val key = vals.take(g).toSeq
-            acc.get(key) match {
-              case None => acc(key) = vals
-              case Some(prev) =>
-                var i = 0
-                while (i < kinds.length) {
-                  val j = g + i
-                  prev(j) = kinds(i) match {
-                    case 'c' => Math.addExact(prev(j).asInstanceOf[Long],
-                      vals(j).asInstanceOf[Long])
-                    case 's' => addVals(prev(j), vals(j))
-                    case 'm' => if (cmp(vals(j), prev(j)) < 0) vals(j) else prev(j)
-                    case 'M' => if (cmp(vals(j), prev(j)) > 0) vals(j) else prev(j)
-                  }
-                  i += 1
-                }
-            }
-          }
-        }
-      }
-      Some(acc.valuesIterator.toArray)
-    } catch { case _: ArithmeticException => None }
-  }
 }
 
-/** Metadata-only GROUPED aggregates over a union: per-member grouped
-  * answers merged by key on the driver (bounded by the group-count
-  * guard in the builder), emitted in row slices. The merge itself runs
-  * at EXECUTION time (first planInputPartitions call) — pushdown only
-  * established answerability via [[ZarrUnionGroups.mergeable]], so
+/** Metadata-only GROUPED aggregates over a union, pushed PARTIALLY:
+  * the scan concatenates every member's per-group metadata partitions
+  * (group keys may repeat across members — stores need not partition
+  * the key domain) and Spark's final aggregation merges them by key on
+  * EXECUTORS — SUM re-adds counts/sums, MIN/MAX re-combine bounds. No
+  * driver structure scales with the group count, the merge shuffle is
+  * sized to members × groups, and chunk IO stays zero. Pushdown-time
+  * work stops at answerability ([[ZarrUnionGroups.mergeable]]); member
+  * specs (sidecar folds) are built lazily at planInputPartitions, so
   * optimizer probes on discarded plans cost nothing. */
 class ZarrUnionGroupAggScan(metas: Seq[ZarrStoreMeta], agg: Aggregation)
     extends Scan with Batch {
 
-  private lazy val rows: Array[Array[Any]] =
-    ZarrUnionGroups.merge(metas, agg).getOrElse(throw new IllegalStateException(
-      "union group merge failed after mergeable() accepted it — sidecar " +
-        "changed between planning and execution?"))
+  private lazy val members = metas.map(new ZarrGroupAggScan(_, agg))
 
   override def readSchema(): StructType =
     new ZarrGroupAggScan(metas.head, agg).readSchema()
 
   override def description(): String =
-    s"ZarrUnionGroupAggScan members=${metas.size} (metadata-only) " +
+    s"ZarrUnionGroupAggScan members=${metas.size} (metadata-only, " +
+      s"partial: Spark merges member answers by group key) " +
       s"groups=[${agg.groupByExpressions().mkString(",")}] " +
       s"aggs=[${agg.aggregateExpressions().mkString(", ")}]"
 
   override def toBatch: Batch = this
 
   override def planInputPartitions(): Array[InputPartition] =
-    rows.grouped(65536).map(s => ZarrUnionGroupAggPartition(s): InputPartition).toArray
+    members.flatMap(_.planInputPartitions()).toArray
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new ZarrUnionGroupAggReaderFactory
-}
-
-final case class ZarrUnionGroupAggPartition(rows: Array[Array[Any]])
-    extends InputPartition
-
-class ZarrUnionGroupAggReaderFactory extends PartitionReaderFactory {
-  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
-    val p = partition.asInstanceOf[ZarrUnionGroupAggPartition]
-    new PartitionReader[InternalRow] {
-      private var i = -1
-      override def next(): Boolean = { i += 1; i < p.rows.length }
-      override def get(): InternalRow = new GenericInternalRow(p.rows(i))
-      override def close(): Unit = {}
-    }
-  }
+    new ZarrGroupAggReaderFactory
 }
 
 /** Metadata-only fold of per-member aggregate answers (ungrouped).

@@ -280,13 +280,26 @@ object ZarrQueries {
     * store build. A fresh JVM always rebuilds — no cross-version
     * staleness; a failed build unmarks itself. */
   private val builtUnionStores =
-    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+    new java.util.concurrent.ConcurrentHashMap[String,
+      java.util.concurrent.CompletableFuture[Unit]]()
 
-  private def buildOnce(base: String)(build: => Unit): Unit =
-    if (builtUnionStores.add(base)) {
-      try build
-      catch { case e: Throwable => builtUnionStores.remove(base); throw e }
-    }
+  /** First caller builds; concurrent late arrivals BLOCK on the
+    * winner's completion handle instead of racing past a check-then-act
+    * membership test into a store that is still mid-build. A failed
+    * build unregisters itself (so the next caller retries) and
+    * propagates the failure to every waiter. */
+  private def buildOnce(base: String)(build: => Unit): Unit = {
+    val mine = new java.util.concurrent.CompletableFuture[Unit]()
+    val winner = builtUnionStores.putIfAbsent(base, mine)
+    if (winner == null) {
+      try { build; mine.complete(()) }
+      catch { case e: Throwable =>
+        builtUnionStores.remove(base, mine)
+        mine.completeExceptionally(e)
+        throw e
+      }
+    } else winner.join()
+  }
 
   def z11_zarr_union(s: SparkSession, dir: String): DataFrame = {
     val base = s"${System.getProperty("java.io.tmpdir")}/graft_z11_${math.abs(dir.hashCode)}"

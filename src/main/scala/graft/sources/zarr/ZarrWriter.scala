@@ -2,7 +2,7 @@ package graft.sources.zarr
 
 import java.nio.{ByteBuffer, ByteOrder}
 
-import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -29,6 +29,13 @@ import org.apache.spark.sql.types._
   * handle from the serialized descriptor.
   */
 object ZarrWriter {
+
+  /** Default cap on a single dimension's coordinate count (16 Mi —
+    * ~128 MB of driver heap for a long coordinate). Coordinate arrays
+    * are Zarr metadata and live whole on the driver, so a dimension
+    * above this is refused loudly before any collect (override with
+    * `maxDimLen` / the `maxDimLen` write option). */
+  val defaultMaxDimLen: Int = 1 << 24
 
   private def dtypeOf(t: DataType): (String, Int) = t match {
     case LongType => ("<i8", 8)
@@ -300,7 +307,8 @@ object ZarrWriter {
       version: Int = 2, shardInner: Int = 0, shardCompress: String = "none",
       compressor: String = "none", chunkShape: Seq[Int] = Nil,
       deltaFilter: Boolean = false,
-      uintColumns: Map[String, Int] = Map.empty): Unit = {
+      uintColumns: Map[String, Int] = Map.empty,
+      maxDimLen: Int = ZarrWriter.defaultMaxDimLen): Unit = {
     require(version == 2 || version == 3, s"zarrVersion must be 2 or 3, got $version")
     require(!deltaFilter || version == 2,
       "deltaFilter requires zarrVersion=2 (numcodecs filters are a v2 concept)")
@@ -318,38 +326,66 @@ object ZarrWriter {
     uintColumns.keys.foreach(k => require(varCols.contains(k),
       s"uintColumns names '$k', which is not a data-variable column"))
 
-    // 1. coordinate values (small, driver-side), sorted ascending
-    val coordVals: Seq[Array[Any]] = coords.map { c =>
-      df.select(col(c)).distinct().orderBy(col(c)).collect().map(_.get(0))
-    }
-    require(coordVals.forall(_.nonEmpty),
-      s"cannot write an empty DataFrame as a Zarr store: no values for " +
-        s"coordinate(s) ${coords.zip(coordVals).collect { case (c, v) if v.isEmpty => c }
-          .mkString(", ")} — a grid needs at least one value per dimension")
-    // null/NaN coordinates cannot index a grid (NaN breaks ordering and
-    // the executor-side cell lookup dies with a bare "key not found")
-    coords.zip(coordVals).foreach { case (name, vals) =>
-      require(!vals.contains(null),
-        s"coordinate '$name' contains null — coordinate values must be non-null")
-      require(!vals.exists {
-        case d: java.lang.Double => d.isNaN
-        case f: java.lang.Float => f.isNaN
-        case _ => false
-      }, s"coordinate '$name' contains NaN — grid coordinates must be " +
-        "orderable finite values")
-    }
-    val shape = coordVals.map(_.length.toLong)
-    val totalRows = shape.product
-    val n = df.count()
+    // 1. ONE scalar-aggregate validation pass — row count, distinct
+    // cells (duplicate guard), per-coordinate distinct/null/NaN counts
+    // — entirely executor-side, no driver materialization. Fusing the
+    // former 2 + #coords actions into one matters when the input is an
+    // expensive uncached plan (each extra action re-executes it), and
+    // running the counts FIRST lets the max-dimension guard refuse a
+    // pathological dimension BEFORE any driver-sized collect can OOM.
+    //
     // Duplicate cells would write nondeterministically (whichever
     // partition's value lands last) and can MASK a missing cell when
     // n still fits the grid — silently replacing user data with fill.
-    // The check is one aggregation over the coordinate columns only;
-    // a partial grid (missing cells → fill_value) remains legal.
-    val nDistinct = df.select(coords.map(col): _*).distinct().count()
+    // A partial grid (missing cells → fill_value) remains legal.
+    // Null/NaN coordinates cannot index a grid (NaN breaks ordering and
+    // the executor-side cell lookup dies with a bare "key not found").
+    val validationAggs: Seq[Column] =
+      Seq(count(lit(1)), count_distinct(struct(coords.map(col): _*))) ++
+      coords.flatMap { c =>
+        val nans = schema(c).dataType match {
+          case FloatType | DoubleType => sum(when(isnan(col(c)), 1L).otherwise(0L))
+          case _ => lit(0L)
+        }
+        Seq(count_distinct(col(c)),
+          sum(when(col(c).isNull, 1L).otherwise(0L)), nans)
+      }
+    val v = df.agg(validationAggs.head, validationAggs.tail: _*).head()
+    val n = v.getLong(0)
+    require(n > 0,
+      "cannot write an empty DataFrame as a Zarr store: a grid needs at " +
+        "least one value per dimension")
+    val nDistinct = v.getLong(1)
     require(nDistinct == n,
       s"input has ${n - nDistinct} duplicate coordinate cell(s): each " +
         s"(${coords.mkString(", ")}) tuple may appear at most once")
+    coords.zipWithIndex.foreach { case (name, i) =>
+      require(v.getLong(3 + 3 * i) == 0L,
+        s"coordinate '$name' contains null — coordinate values must be non-null")
+      require(v.getLong(4 + 3 * i) == 0L,
+        s"coordinate '$name' contains NaN — grid coordinates must be " +
+          "orderable finite values")
+      val dimLen = v.getLong(2 + 3 * i)
+      // Zarr metadata materializes every coordinate value on the driver
+      // (the reference loads all coordinates eagerly at schema inference
+      // the same way, /root/reference/src/reader/schema_inference.rs:214-302);
+      // grid dimensions are small by construction, so an oversized one is
+      // almost always a mis-specified coords list. Refuse loudly here,
+      // before the collect, instead of OOMing the driver.
+      require(dimLen <= maxDimLen,
+        s"coordinate '$name' has $dimLen distinct values, above the " +
+          s"maxDimLen bound ($maxDimLen): coordinate arrays are " +
+          "driver-materialized Zarr metadata; raise the maxDimLen option " +
+          "only if the driver has memory for the full coordinate array")
+    }
+    // 2. coordinate values (bounded by the guard above), every
+    // dimension's sorted distinct values collected in ONE action
+    val collectAggs = coords.map(c => sort_array(collect_set(col(c))))
+    val cRow = df.agg(collectAggs.head, collectAggs.tail: _*).head()
+    val coordVals: Seq[Array[Any]] = coords.indices
+      .map(i => cRow.getSeq[Any](i).toArray)
+    val shape = coordVals.map(_.length.toLong)
+    val totalRows = shape.product
     require(n <= totalRows,
       s"input has $n rows but the coordinate grid only has $totalRows cells")
 
@@ -750,18 +786,35 @@ object ZarrWriter {
         s"extent $outerChunk — append would straddle a chunk; rewrite the store instead")
     meta0.dataVars.foreach(v => codecNameOf(v.compressor, v.name)) // validate early
 
-    // same duplicate-cell guard as the full write: a duplicated tuple
-    // would land nondeterministically and mask a missing cell as fill
-    val nRows = df.count()
-    val nCells = df.select(coordNames.map(col): _*).distinct().count()
+    // same duplicate-cell guard as the full write, fused with the new
+    // outer-coordinate collection into ONE action (the former three —
+    // count, distinct-cells count, outer distinct collect — each
+    // re-executed an uncached input plan). The outer dimension grows
+    // without bound across appends, but each BATCH's new outer values
+    // are batch-sized; the full-write maxDimLen guard still bounds the
+    // per-batch driver collect.
+    val appendAggs: Seq[Column] =
+      Seq(count(lit(1)),
+        count_distinct(struct(coordNames.map(col): _*)),
+        sum(when(col(outerName).isNull, 1L).otherwise(0L))) ++
+      coordNames.map(c => sort_array(collect_set(col(c))))
+    val aRow = df.agg(appendAggs.head, appendAggs.tail: _*).head()
+    val nRows = aRow.getLong(0)
+    require(nRows > 0, "append input has no rows")
+    val nCells = aRow.getLong(1)
     require(nCells == nRows,
       s"append input has ${nRows - nCells} duplicate coordinate cell(s): each " +
         s"(${coordNames.mkString(", ")}) tuple may appear at most once")
+    // collect_set silently drops nulls, so refuse them explicitly — a
+    // null outer value can never index the grid
+    require(aRow.getLong(2) == 0L,
+      s"append outer coordinate '$outerName' contains null")
 
     // new outer values: distinct, sorted, strictly after the existing max
-    val newOuterVals: Array[Any] =
-      df.select(col(outerName)).distinct().orderBy(col(outerName)).collect().map(_.get(0))
-    require(newOuterVals.nonEmpty, "append input has no rows")
+    val newOuterVals: Array[Any] = aRow.getSeq[Any](3).toArray
+    require(newOuterVals.length <= ZarrWriter.defaultMaxDimLen,
+      s"append batch adds ${newOuterVals.length} outer values, above the " +
+        s"per-batch driver bound (${ZarrWriter.defaultMaxDimLen})")
     val existingMax = outer.doubles.max
     val newMins = newOuterVals.map {
       case t: java.sql.Timestamp => epochMicros(t).toDouble
@@ -774,11 +827,12 @@ object ZarrWriter {
       s"append outer values must sort strictly after the existing maximum " +
         s"($existingMax); got ${newMins.head}")
 
-    // inner coordinates must match the store exactly
-    meta0.coords.tail.foreach { c =>
-      val dfVals = df.select(col(c.meta.name)).distinct().orderBy(col(c.meta.name))
-        .collect().map(r => rawOf(r.get(0))).toSeq
-      val stored = (0 until c.length).map(i => ChunkCodec.elementAt(c.raw, i))
+    // inner coordinates must match the store exactly (values come from
+    // the same fused aggregation — collect_set drops nulls, but a null
+    // makes the sets differ from the null-free store, which fails here)
+    meta0.coords.tail.zipWithIndex.foreach { case (c, i) =>
+      val dfVals = aRow.getSeq[Any](4 + i).map(rawOf).toSeq
+      val stored = (0 until c.length).map(j => ChunkCodec.elementAt(c.raw, j))
       require(dfVals == stored,
         s"append inner coordinate ${c.meta.name} does not match the store " +
           s"(got ${dfVals.take(5)}…, store has ${stored.take(5)}…)")

@@ -17,6 +17,22 @@ class ZarrUnionSpec extends AnyFunSuite {
       .toDF("t", "x", "v")
   }
 
+  /** Scan descriptions anywhere in the plan, unwrapping the AQE
+    * wrapper (plans with a shuffle — e.g. the partial-pushdown group
+    * merge — hide their scans inside AdaptiveSparkPlanExec). */
+  private def scansOf(p: org.apache.spark.sql.execution.SparkPlan): Seq[String] = {
+    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+    val inner = p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case o => o
+    }
+    (inner match {
+      case x: BatchScanExec => Seq(x.scan.description())
+      case _ => Nil
+    }) ++ inner.children.flatMap(scansOf)
+  }
+
   private def store(ts: Seq[Long]): String = {
     val out = Files.createTempDirectory("zarr_union").resolve("u.zarr").toString
     grid(ts).write.format("zarr")
@@ -77,16 +93,6 @@ class ZarrUnionSpec extends AnyFunSuite {
     // scan (its plan shuffles, so unwrap the AQE wrapper to find it)
     val cd = df.agg(countDistinct("t").as("d"))
     cd.count()
-    def scansOf(p: org.apache.spark.sql.execution.SparkPlan): Seq[String] = {
-      val inner = p match {
-        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => a.executedPlan
-        case o => o
-      }
-      (inner match {
-        case x: BatchScanExec => Seq(x.scan.description())
-        case _ => Nil
-      }) ++ inner.children.flatMap(scansOf)
-    }
     val cdDescs = scansOf(cd.queryExecution.executedPlan)
     assert(cdDescs.nonEmpty && cdDescs.forall(!_.contains("AggScan")), cdDescs)
     assert(cd.collect().head.getLong(0) == 6L)
@@ -102,9 +108,7 @@ class ZarrUnionSpec extends AnyFunSuite {
     val byX = df.groupBy("x").agg(count(lit(1)).as("n"),
       min("t").as("mn"), max("t").as("mx"))
     byX.count()
-    val desc = byX.queryExecution.executedPlan.collect {
-      case z: BatchScanExec => z.scan.description()
-    }.head
+    val desc = scansOf(byX.queryExecution.executedPlan).head
     assert(desc.contains("ZarrUnionGroupAggScan") && desc.contains("metadata-only"), desc)
     val real = df.filter(col("v").isNotNull).groupBy("x")
       .agg(count(lit(1)).as("n"), min("t").as("mn"), max("t").as("mx"))
@@ -114,9 +118,8 @@ class ZarrUnionSpec extends AnyFunSuite {
     // group by the OUTER dim: keys are disjoint across members
     val byT = df.groupBy("t").agg(count(lit(1)).as("n"))
     byT.count()
-    assert(byT.queryExecution.executedPlan.collect {
-      case z: BatchScanExec => z.scan.description()
-    }.head.contains("ZarrUnionGroupAggScan"))
+    assert(scansOf(byT.queryExecution.executedPlan).head
+      .contains("ZarrUnionGroupAggScan"))
     assert(byT.collect().length == 6)
     assert(byT.collect().forall(_.getLong(1) == 3L))
     // grouped SUM merges when the members' chunk grids align with the
@@ -131,34 +134,36 @@ class ZarrUnionSpec extends AnyFunSuite {
     val dfs = spark.read.format("zarr").load(store1(Seq(0L, 1L)), store1(Seq(5L)))
     val gs = dfs.groupBy("t").agg(sum("v").as("s"))
     gs.count()
-    assert(gs.queryExecution.executedPlan.collect {
-      case z: BatchScanExec => z.scan.description()
-    }.head.contains("ZarrUnionGroupAggScan"))
+    assert(scansOf(gs.queryExecution.executedPlan).head
+      .contains("ZarrUnionGroupAggScan"))
     assert(gs.orderBy("t").collect().map(_.toSeq).toSeq ==
       Seq(Seq(0L, 3.0), Seq(1L, 33.0), Seq(5L, 153.0)))
   }
 
-  test("grouped union merge runs at execution, not at optimizer pushdown") {
-    import graft.sources.zarr.ZarrUnionGroups
+  test("grouped union merge is executor-side: partial pushdown + Spark final agg") {
     val a = store(Seq(0L, 1L, 2L, 3L))
     val b = store(Seq(10L, 11L))
     val df = spark.read.format("zarr").load(a, b)
       .groupBy("x").agg(count(lit(1)).as("n"), min("t").as("mn"))
-    val before = ZarrUnionGroups.mergeInvocations
-    // optimizedPlan runs V2ScanRelationPushDown (pushAggregation +
-    // build) without executing — no member fold/merge may happen here
-    df.queryExecution.optimizedPlan
-    assert(ZarrUnionGroups.mergeInvocations == before,
-      "pushAggregation paid the per-member group merge at optimizer time")
-    val scans = df.queryExecution.optimizedPlan.collect {
+    val optimized = df.queryExecution.optimizedPlan
+    val scans = optimized.collect {
       case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation =>
         r.scan
     }
     assert(scans.exists(_.isInstanceOf[graft.sources.zarr.ZarrUnionGroupAggScan]),
       scans.map(_.getClass.getName).mkString(","))
-    // execution pays it exactly once
+    // PARTIAL pushdown: Spark's own final aggregate stays in the plan
+    // ABOVE the scan — the member answers merge by group key in an
+    // executor-side shuffle, never in a driver-side fold
+    assert(optimized.collect {
+      case ag: org.apache.spark.sql.catalyst.plans.logical.Aggregate => ag
+    }.nonEmpty, "partial pushdown must leave Spark's final merge aggregate in the plan")
+    // the scan itself emits one answer row per member × group (keys
+    // repeat across members); both members contribute partitions
+    val unionScan = scans.collectFirst {
+      case s: graft.sources.zarr.ZarrUnionGroupAggScan => s }.get
+    assert(unionScan.toBatch.planInputPartitions().length >= 2)
     val rows = df.orderBy("x").collect()
-    assert(ZarrUnionGroups.mergeInvocations == before + 1)
     assert(rows.map(_.toSeq).toSeq == Seq(
       Seq(0L, 6L, 0L), Seq(1L, 6L, 0L), Seq(2L, 6L, 0L)))
   }
