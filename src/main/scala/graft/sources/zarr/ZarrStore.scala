@@ -47,6 +47,18 @@ sealed trait ZarrStore extends Serializable {
     * overwrite). No-op if absent. Also drops any decoded chunks cached
     * for this path in this JVM. */
   def deleteRecursively(): Unit
+  /** Create `rel` with `data` ONLY if it does not already exist: true
+    * if this caller created it, false if it was already present. The
+    * append lock's primitive — atomic where the backend can promise it
+    * (local CREATE_NEW, HDFS create-no-overwrite); the default is a
+    * best-effort check-then-create for object stores without an atomic
+    * conditional put, which narrows but cannot close the race. */
+  def createExclusive(rel: String, data: Array[Byte]): Boolean = {
+    if (readBytes(rel).isDefined) false
+    else { writeBytes(rel, data); true }
+  }
+  /** Delete the single object `rel` if present (lock release). */
+  def deleteObject(rel: String): Unit
 }
 
 object ZarrStore {
@@ -153,6 +165,19 @@ final case class LocalStore(path: String) extends ZarrStore {
     }
     ChunkIO.invalidatePath(path)
   }
+
+  /** CREATE_NEW is a single atomic syscall: exactly one of two racing
+    * creators wins, the loser gets FileAlreadyExistsException. */
+  override def createExclusive(rel: String, data: Array[Byte]): Boolean = {
+    val p = root.resolve(rel)
+    Files.createDirectories(p.getParent)
+    try { Files.write(p, data, java.nio.file.StandardOpenOption.CREATE_NEW); true }
+    catch { case _: java.nio.file.FileAlreadyExistsException => false }
+  }
+
+  override def deleteObject(rel: String): Unit = {
+    Files.deleteIfExists(root.resolve(rel)); ()
+  }
 }
 
 final case class HadoopStore(path: String) extends ZarrStore {
@@ -222,6 +247,24 @@ final case class HadoopStore(path: String) extends ZarrStore {
     if (fs.exists(root)) fs.delete(root, true)
     ChunkIO.invalidatePath(path)
   }
+
+  /** `create(overwrite = false)` is atomic on HDFS (namenode arbitrates
+    * one winner); on object-store connectors it degrades to the
+    * check-then-create the default documents. */
+  override def createExclusive(rel: String, data: Array[Byte]): Boolean = {
+    val p = new HPath(root, rel)
+    try {
+      val out = fs.create(p, false)
+      try out.write(data) finally out.close()
+      true
+    } catch { case e: java.io.IOException =>
+      if (fs.exists(p)) false else throw e
+    }
+  }
+
+  override def deleteObject(rel: String): Unit = {
+    fs.delete(new HPath(root, rel), false); ()
+  }
 }
 
 /** Read-only Zarr store over plain HTTP(S) — the reference's roadmap
@@ -275,6 +318,9 @@ final case class HttpStore(path: String) extends ZarrStore {
     throw new UnsupportedOperationException("HTTP Zarr stores are read-only")
 
   override def deleteRecursively(): Unit =
+    throw new UnsupportedOperationException("HTTP Zarr stores are read-only")
+
+  override def deleteObject(rel: String): Unit =
     throw new UnsupportedOperationException("HTTP Zarr stores are read-only")
 }
 
@@ -423,5 +469,8 @@ final case class KerchunkStore(path: String) extends ZarrStore {
     throw new UnsupportedOperationException("kerchunk reference stores are read-only")
 
   override def deleteRecursively(): Unit =
+    throw new UnsupportedOperationException("kerchunk reference stores are read-only")
+
+  override def deleteObject(rel: String): Unit =
     throw new UnsupportedOperationException("kerchunk reference stores are read-only")
 }

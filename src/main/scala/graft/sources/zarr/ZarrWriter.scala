@@ -759,6 +759,34 @@ object ZarrWriter {
     * the old or the new shape, like any metadata swap.) */
   def append(df: DataFrame, path: String): Unit = {
     val store = ZarrStore.open(path)
+    // Single-writer lock: two concurrent appenders would interleave the
+    // in-place shape edit (both read extent N, both write N+k — one
+    // batch's rows silently vanish from the metadata). Exactly one
+    // caller wins the atomic lock-file create; the loser fails loudly
+    // and can retry after the winner releases. A crashed appender
+    // leaves the lock behind — the holder token in the message tells
+    // the operator what held it and since when; delete the file to
+    // recover (the store itself is readable at its old shape, per the
+    // chunks-before-metadata crash ordering below).
+    val lockToken =
+      s"${java.lang.management.ManagementFactory.getRuntimeMXBean.getName} " +
+        s"at ${java.time.Instant.now()}"
+    if (!store.createExclusive(appendLockRel, lockToken.getBytes("UTF-8"))) {
+      val holder = store.readBytes(appendLockRel)
+        .map(new String(_, "UTF-8")).getOrElse("(already released)")
+      throw new IllegalStateException(
+        s"another append holds the writer lock on $path [$holder] — " +
+          s"appends are single-writer; retry after it finishes, or delete " +
+          s"$path/$appendLockRel if its holder crashed")
+    }
+    try appendLocked(df, path, store)
+    finally store.deleteObject(appendLockRel)
+  }
+
+  /** Store-relative lock object taken for the duration of an append. */
+  val appendLockRel = ".graft_append.lock"
+
+  private def appendLocked(df: DataFrame, path: String, store: ZarrStore): Unit = {
     val meta0 = ZarrMeta.readStore(path)
     require(meta0.dataVars.forall(_.sharding.isEmpty),
       "append to sharded stores is not supported")

@@ -66,6 +66,57 @@ class ZarrAppendSpec extends AnyFunSuite {
     }
   }
 
+  test("appends are single-writer: a held lock refuses loudly, release recovers") {
+    import graft.sources.zarr.{ZarrStore, ZarrWriter}
+    val out = fresh(Seq(0L, 1L))
+    val store = ZarrStore.open(out)
+    assert(store.createExclusive(ZarrWriter.appendLockRel, "holder test".getBytes))
+    // second creator loses the atomic create
+    assert(!store.createExclusive(ZarrWriter.appendLockRel, "other".getBytes))
+    val e = intercept[IllegalStateException](
+      ZarrWriter.append(grid(Seq(2L, 3L)), out))
+    assert(e.getMessage.contains("writer lock") &&
+      e.getMessage.contains("holder test"), e.getMessage)
+    // the refused append left the store untouched at its old shape
+    assert(spark.read.format("zarr").load(out).count() == 6)
+    store.deleteObject(ZarrWriter.appendLockRel)
+    grid(Seq(2L, 3L)).write.format("zarr").mode("append").save(out)
+    assert(spark.read.format("zarr").load(out).count() == 12)
+    // the successful append released its own lock
+    assert(store.readBytes(ZarrWriter.appendLockRel).isEmpty)
+  }
+
+  test("racing appends: winners' rows land, losers fail loudly, never corruption") {
+    import graft.sources.zarr.ZarrWriter
+    val out = fresh(Seq(0L, 1L))
+    val batches = Seq(Seq(2L, 3L), Seq(4L, 5L), Seq(6L, 7L))
+    val start = new java.util.concurrent.CountDownLatch(1)
+    val outcomes = new java.util.concurrent.ConcurrentHashMap[Int, Option[String]]()
+    val threads = batches.zipWithIndex.map { case (ts, i) =>
+      val df = grid(ts)
+      new Thread(() => {
+        start.await()
+        try { ZarrWriter.append(df, out); outcomes.put(i, None) }
+        catch { case e: Exception => outcomes.put(i, Some(e.getMessage)) }
+      })
+    }
+    threads.foreach(_.start()); start.countDown(); threads.foreach(_.join(120000))
+    assert(outcomes.size == batches.length)
+    // every failure was LOUD (lock contention or outer-order refusal —
+    // a batch that raced past a later batch's commit), and the store
+    // read-back is exactly base + the successful batches: no torn
+    // metadata, no half-written grid, no silently dropped winner
+    val winners = batches.indices.filter(i => outcomes.get(i).isEmpty)
+    val expectTs = Seq(0L, 1L) ++ winners.flatMap(batches(_)).sorted
+    val back = spark.read.format("zarr").load(out)
+    assert(back.orderBy("t", "x").collect().map(_.toSeq).toSeq ==
+      grid(expectTs).orderBy("t", "x").collect().map(_.toSeq).toSeq,
+      s"outcomes: ${batches.indices.map(outcomes.get).mkString("; ")}")
+    // and the lock is released whatever happened
+    assert(graft.sources.zarr.ZarrStore.open(out)
+      .readBytes(ZarrWriter.appendLockRel).isEmpty)
+  }
+
   test("append works on v3 stores and delta-filtered v2 stores") {
     for (opts <- Seq(Map("zarrVersion" -> "3"),
         Map("deltaFilter" -> "true", "compressor" -> "zstd"))) {
