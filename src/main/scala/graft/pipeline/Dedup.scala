@@ -287,19 +287,42 @@ object Dedup {
     * replicated `d5Blocks`×), per-task memory bounded by two blocks
     * (pick blocks ∝ √(n/targetBlockRows) on a cluster), no broadcast,
     * no driver involvement. For duplicate-shaped thresholds (≥0.8)
-    * where LSH pruning IS sound, [[Similarity.s2_ann_lsh]] is the
-    * candidate generator. Arithmetic matches [[VectorOps]]'s
+    * where LSH pruning IS sound, [[embeddingPairs]] dispatches to
+    * [[lshPairs]] — banded candidates from s2's hyperplanes, exact
+    * verify, equality-join shape. Arithmetic matches [[VectorOps]]'s
     * sequential-double-fold contract bit-for-bit ([[cosineOf]]), so
     * the exact DuckDB oracle still hash-matches. */
-  def d5_dedup_embedding(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    val nb = d5Blocks
+  def d5_dedup_embedding(s: SparkSession, dir: String): DataFrame =
+    embeddingPairs(emb(s, dir), 0.4)
+
+  /** Near-dup threshold boundary: at θ ≥ 0.8 the qualifying pairs are
+    * duplicate-shaped (tiny angles), where banded hyperplane-LSH
+    * candidate generation is sound and turns the O(n²) tile sweep into
+    * equality joins on narrow int band keys — the 100-TB shape. Below
+    * it, LSH pruning loses recall and the exact tiled join stands. */
+  private[graft] val d5LshThreshold = 0.8
+
+  /** Embedding-cosine near-dup pairs at `threshold`, dispatching the
+    * candidate strategy on threshold shape (see [[d5LshThreshold]]):
+    * [[lshPairs]] for duplicate-shaped thresholds, [[tiledPairs]] —
+    * the exact quadratic sweep — below. Input needs (vec_id,
+    * embedding); output is (vec_a, vec_b, cosine), vec_a < vec_b. */
+  def embeddingPairs(e: DataFrame, threshold: Double): DataFrame = {
     // null embeddings: NULL cosine never passes a >= threshold in
     // either engine, so dropping them up front is oracle-equivalent
     // (and keeps the tile loop null-free)
-    val e = emb(s, dir).filter(col("embedding").isNotNull)
+    val withNorm = e.filter(col("embedding").isNotNull)
       .select(col("vec_id"), col("embedding"),
         VectorOps.norm2(col("embedding")).as("n2"))
+    if (threshold >= d5LshThreshold) lshPairs(withNorm, threshold)
+    else tiledPairs(withNorm, threshold)
+  }
+
+  /** Exact block-tiled all-pairs cosine join (see the d5 scaladoc). */
+  private[graft] def tiledPairs(e: DataFrame, threshold: Double): DataFrame = {
+    val s = e.sparkSession
+    import s.implicits._
+    val nb = d5Blocks
     // pmod, not %: Scala/SQL % is sign-preserving, so a negative vec_id
     // would land in a block index outside 0..nb-1 that no exploded
     // `other` ever visits — its pairs would silently vanish
@@ -324,11 +347,59 @@ object Dedup {
           // lo == hi tile: strict ordering keeps each unordered pair once
           if lo != hi || x._4 < y._4
           cos = cosineOf(x._6, y._6, x._5, y._5)
-          if cos >= 0.4
+          if cos >= threshold
         } yield
           if (x._4 < y._4) (x._4, y._4, cos) else (y._4, x._4, cos)
       }
       .toDF("vec_a", "vec_b", "cosine")
+  }
+
+  /** LSH bands for [[lshPairs]]: 24 bands × 3 hyperplanes. A pair at
+    * cosine θ collides in one 3-plane band with p = (1 − arccos(θ)/π)³
+    * (≈ 0.56 at θ = 0.85); 24 OR'd bands take the nominal miss
+    * probability to (1−p)²⁴ ≈ 3e-9 per pair. The planes are
+    * DETERMINISTIC (s2's) and correlated band misses run hotter than
+    * the random-plane theory (12×4 measurably dropped
+    * threshold-adjacent pairs), hence the generous band count — and
+    * because the planes are fixed, recall on a fixed corpus is a
+    * checkable fact, not a distribution: D5LshSpec asserts LSH ≡ tiled
+    * output exactly. */
+  private val d5LshBands = 24
+  private val d5LshRowsPerBand = 3
+
+  /** Duplicate-threshold mode: banded hyperplane-LSH candidates
+    * (equality self-join on (band, bucket) int keys — the same shape
+    * as d3's MinHash banding and [[Similarity.s2_ann_lsh]]'s buckets,
+    * whose deterministic planes this reuses) + exact-cosine verify
+    * with the same [[cosineOf]]/[[VectorOps]] arithmetic contract as
+    * the tiled path, so qualifying pairs carry bit-identical cosines.
+    * At 100 TB this is bucketed equality-join work sized to the
+    * band-collision volume, never an O(n²) sweep. */
+  private[graft] def lshPairs(e: DataFrame, threshold: Double): DataFrame = {
+    def bandBucket(b: Int): Column =
+      (0 until d5LshRowsPerBand).map { r =>
+        val p = b * d5LshRowsPerBand + r
+        when(Similarity.hyperplaneDot(p) >= 0, lit(1L << r)).otherwise(lit(0L))
+      }.reduce(_ + _)
+    val banded = e.select(col("vec_id"),
+      explode(array((0 until d5LshBands).map(b =>
+        struct(lit(b).as("band"), bandBucket(b).as("bkt"))): _*)).as("bb"))
+      .select(col("vec_id"), col("bb.band").as("band"), col("bb.bkt").as("bkt"))
+    val cand = banded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bkt") === col("b.bkt") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
+      .distinct()
+    cand
+      .join(e.select(col("vec_id").as("vec_a"),
+        col("embedding").as("ea"), col("n2").as("na")), "vec_a")
+      .join(e.select(col("vec_id").as("vec_b"),
+        col("embedding").as("eb"), col("n2").as("nb")), "vec_b")
+      .select(col("vec_a"), col("vec_b"),
+        VectorOps.cosineFrom(
+          VectorOps.dot(col("ea"), col("eb")), col("na"), col("nb")).as("cosine"))
+      .filter(col("cosine") >= threshold)
   }
 
   /** Block-grid width for [[d5_dedup_embedding]]: 16 → 136 tile tasks,

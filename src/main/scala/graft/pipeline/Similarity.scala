@@ -91,6 +91,11 @@ object Similarity {
         FROM (SELECT UNNEST($rel.embedding) AS x, UNNEST([$lits]) AS y) z)"""
   }
 
+  /** s2's hyperplane machinery, shared with [[Dedup]]'s
+    * duplicate-threshold LSH candidate mode (d5 at θ ≥ 0.8 generates
+    * candidates from these same deterministic planes). */
+  private[pipeline] def hyperplaneDot(p: Int): Column = planeDotSpark(p)
+
   /** LSH bucket id: sign bit per hyperplane. */
   private def bucketSpark: Column =
     (0 until nPlanes).map(p =>
