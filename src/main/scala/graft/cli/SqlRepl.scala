@@ -370,10 +370,29 @@ object SqlRepl {
       val scans = scansOf(df.queryExecution.executedPlan)
       if (scans.isEmpty) out("no v2 scans in plan")
       scans.foreach { b =>
-        val interesting = Seq("numOutputRows", "zarrBytesRead", "zarrChunksDecoded")
-        val shown = interesting.flatMap(k =>
-          b.metrics.get(k).map(m => s"$k=${m.value}"))
-        out(s"scan ${b.scan.getClass.getSimpleName}: ${shown.mkString("  ")}")
+        val top = Seq("numOutputRows", "zarrBytesRead", "zarrChunksDecoded")
+          .flatMap(k => b.metrics.get(k).map(m => s"$k=${m.value}"))
+        // metadata-answered scans (COUNT/MIN/MAX/SUM/grouped variants,
+        // single-store or union) declare no IO metrics because they DO
+        // no chunk IO — say so, instead of a bare rows count
+        val note =
+          if (!b.metrics.contains("zarrBytesRead") &&
+              b.scan.description().contains("metadata-only"))
+            "  (metadata-only: zero chunk IO)"
+          else ""
+        out(s"scan ${b.scan.getClass.getSimpleName}: ${top.mkString("  ")}$note")
+        // union scans: per-member IO breakdown (metric names carry the
+        // member ordinal; resolve each ordinal to its store path)
+        b.scan match {
+          case u: graft.sources.zarr.ZarrUnionScan =>
+            u.scans.indices.foreach { i =>
+              val mm = Seq(s"zarrBytesRead.m$i", s"zarrChunksDecoded.m$i")
+                .flatMap(k => b.metrics.get(k).map(m => s"$k=${m.value}"))
+              if (mm.nonEmpty)
+                out(s"  member $i [${u.scans(i).storePath}]: ${mm.mkString("  ")}")
+            }
+          case _ =>
+        }
       }
     } catch {
       case NonFatal(e) =>

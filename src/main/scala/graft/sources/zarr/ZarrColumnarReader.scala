@@ -234,15 +234,20 @@ class ZarrColumnarReader(p: ZarrInputPartition, batchSize: Int = 4096)
     if (batch != null) batch.close()
   }
 
-  override def currentMetricsValues(): Array[CustomTaskMetric] = Array(
-    new CustomTaskMetric {
-      override def name(): String = "zarrBytesRead"
-      override def value(): Long = varStates.map(_.bytesRead).sum
-    },
-    new CustomTaskMetric {
-      override def name(): String = "zarrChunksDecoded"
-      override def value(): Long = varStates.map(_.chunksDecoded).sum
-    })
+  override def currentMetricsValues(): Array[CustomTaskMetric] = {
+    def m(n: String, v: Long): CustomTaskMetric = new CustomTaskMetric {
+      override def name(): String = n
+      override def value(): Long = v
+    }
+    val bytes = varStates.map(_.bytesRead).sum
+    val chunks = varStates.map(_.chunksDecoded).sum
+    val base = Array(m("zarrBytesRead", bytes), m("zarrChunksDecoded", chunks))
+    // union-member partitions double-report under the member-ordinal
+    // metric so the union scan can attribute IO per store
+    if (p.memberIdx < 0) base
+    else base ++ Array(m(s"zarrBytesRead.m${p.memberIdx}", bytes),
+      m(s"zarrChunksDecoded.m${p.memberIdx}", chunks))
+  }
 
   private def putValue(v: OnHeapColumnVector, r: Int, t: DataType, arr: AnyRef, i: Int): Unit =
     t match {

@@ -614,14 +614,23 @@ class ZarrUnionAggScan(metas: Seq[ZarrStoreMeta], agg: Aggregation) extends Scan
   override def createReaderFactory(): PartitionReaderFactory = new ZarrAggReaderFactory
 }
 
-class ZarrUnionScan(scans: Seq[ZarrScan]) extends Scan with Batch
+class ZarrUnionScan(val scans: Seq[ZarrScan]) extends Scan with Batch
     with SupportsReportStatistics {
   override def readSchema(): StructType = scans.head.readSchema()
   override def toBatch: Batch = this
   override def description(): String =
     s"ZarrUnionScan(${scans.map(_.description()).mkString(" UNION ")})"
+  /** Member partitions tagged with their member ordinal, so task IO
+    * also lands in the per-member metric counters. */
   override def planInputPartitions(): Array[InputPartition] =
-    scans.flatMap(_.planInputPartitions()).toArray
+    scans.zipWithIndex.flatMap { case (s, i) =>
+      s.planInputPartitions().map {
+        case p: ZarrInputPartition => p.copy(memberIdx = i): InputPartition
+        case k: ZarrKeyedInputPartition =>
+          k.copy(p = k.p.copy(memberIdx = i)): InputPartition
+        case other => other
+      }
+    }.toArray
   override def createReaderFactory(): PartitionReaderFactory = new ZarrReaderFactory
   override def estimateStatistics(): Statistics = {
     val parts = scans.map(_.estimateStatistics())
@@ -633,7 +642,10 @@ class ZarrUnionScan(scans: Seq[ZarrScan]) extends Scan with Batch
     }
   }
   override def supportedCustomMetrics(): Array[CustomMetric] =
-    Array(new ZarrBytesReadMetric, new ZarrChunksDecodedMetric)
+    Array[CustomMetric](new ZarrBytesReadMetric, new ZarrChunksDecodedMetric) ++
+      scans.indices.flatMap(i => Seq(
+        new ZarrMemberMetric("zarrBytesRead", i),
+        new ZarrMemberMetric("zarrChunksDecoded", i)))
 }
 
 class ZarrScanBuilder(meta: ZarrStoreMeta, options: CaseInsensitiveStringMap)
@@ -963,6 +975,9 @@ class ZarrScan(
     extends Scan with Batch with SupportsReportStatistics
     with SupportsRuntimeV2Filtering
     with SupportsReportPartitioning with SupportsReportOrdering {
+
+  /** Store path, for per-member attribution in union diagnostics. */
+  private[graft] def storePath: String = meta.path
 
   private val staticRanges: Option[GridMath.Ranges] =
     GridMath.coordRangesPred(meta.coords.map(_.doubles), coordPreds)
@@ -1333,6 +1348,14 @@ class ZarrChunksDecodedMetric extends CustomSumMetric {
   override def name(): String = "zarrChunksDecoded"
   override def description(): String = "zarr chunks decoded"
 }
+/** Per-member IO metric of a union scan (`<base>.m<i>`): sums only
+  * the tasks of member `i`'s partitions, so runtime IO is
+  * attributable per store ("which member of the 30-year archive did
+  * the pruning miss?"). */
+class ZarrMemberMetric(base: String, i: Int) extends CustomSumMetric {
+  override def name(): String = s"$base.m$i"
+  override def description(): String = s"$base for union member $i"
+}
 
 /** Exact column totals answered without chunk IO: data variables from
   * the `.zstats` per-chunk sum partials (unwritten chunks are
@@ -1675,7 +1698,12 @@ final case class ZarrInputPartition(
     projection: Seq[ProjField],
     fillAsNull: Boolean = false,
     chunkCacheEntries: Int = 0,
-    prefetch: Boolean = false) extends InputPartition
+    prefetch: Boolean = false,
+    /** Union-member ordinal when this partition belongs to a
+      * multi-store union scan (−1 otherwise): readers then ALSO report
+      * their IO under `zarrBytesRead.m<i>`/`zarrChunksDecoded.m<i>`,
+      * so the REPL's \analyze can attribute bytes per member store. */
+    memberIdx: Int = -1) extends InputPartition
 
 /** One outer-index slab tagged with its coordinate value — the unit of
   * key-grouped (storage-partitioned) execution. */
@@ -1780,13 +1808,15 @@ class ZarrPartitionReader(p: ZarrInputPartition) extends PartitionReader[Interna
   override def get(): InternalRow = current
   override def close(): Unit = {}
 
-  override def currentMetricsValues(): Array[CustomTaskMetric] = Array(
-    new CustomTaskMetric {
-      override def name(): String = "zarrBytesRead"
-      override def value(): Long = bytesRead
-    },
-    new CustomTaskMetric {
-      override def name(): String = "zarrChunksDecoded"
-      override def value(): Long = chunksDecoded
-    })
+  override def currentMetricsValues(): Array[CustomTaskMetric] = {
+    def m(n: String, v: Long): CustomTaskMetric = new CustomTaskMetric {
+      override def name(): String = n
+      override def value(): Long = v
+    }
+    val base = Array(m("zarrBytesRead", bytesRead),
+      m("zarrChunksDecoded", chunksDecoded))
+    if (p.memberIdx < 0) base
+    else base ++ Array(m(s"zarrBytesRead.m${p.memberIdx}", bytesRead),
+      m(s"zarrChunksDecoded.m${p.memberIdx}", chunksDecoded))
+  }
 }

@@ -126,6 +126,42 @@ class SqlReplSpec extends AnyFunSuite {
     assert(out.contains("usage: \\analyze <sql>;"), out.mkString("\n"))
   }
 
+  test("\\analyze over a union table: per-member bytes and metadata-only scans render") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("repl_union")
+    def mk(name: String, ts: Seq[Long]): String = {
+      val out = dir.resolve(name).toString
+      ts.flatMap(t => (0L until 3L).map(x => (t, x, t * 10.0 + x)))
+        .toDF("t", "x", "v").write.format("zarr")
+        .option("coords", "t,x").option("chunkOuter", "1")
+        .mode("overwrite").save(out)
+      out
+    }
+    val a = mk("a.zarr", Seq(0L, 1L))
+    val b = mk("b.zarr", Seq(10L, 11L))
+    val out = drive(
+      s"""CREATE TABLE repl_u USING zarr OPTIONS (paths '["$a","$b"]');""",
+      "\\analyze SELECT t, x, v FROM repl_u WHERE v >= 0.0;", // real scan, both members
+      "\\analyze SELECT COUNT(*) AS n FROM repl_u;", // metadata-answered
+      "DROP TABLE repl_u;",
+      "quit")
+    // the union headline reports the whole-scan totals…
+    assert(out.exists(l => l.startsWith("scan ZarrUnionScan") &&
+      l.contains("zarrBytesRead=")), out.mkString("\n"))
+    // …and each member breaks out its own bytes, labeled by store path
+    val m0 = out.find(_.trim.startsWith("member 0"))
+    val m1 = out.find(_.trim.startsWith("member 1"))
+    assert(m0.isDefined && m1.isDefined, out.mkString("\n"))
+    assert(m0.get.contains(a) && m1.get.contains(b), s"${m0.get}\n${m1.get}")
+    Seq((m0.get, 0), (m1.get, 1)).foreach { case (line, i) =>
+      assert(s"zarrBytesRead\\.m$i=(\\d+)".r.findFirstMatchIn(line)
+        .exists(_.group(1).toLong > 0), line)
+    }
+    // COUNT(*) over the union answers from metadata and says so
+    assert(out.exists(l => l.startsWith("scan ZarrUnionAggScan") &&
+      l.contains("metadata-only: zero chunk IO")), out.mkString("\n"))
+  }
+
   test("EXPLAIN ANALYZE / EXPLAIN VERBOSE SQL dialects work like the reference CLI") {
     val store = java.nio.file.Paths.get("src/test/resources/zarr/synthetic_v3.zarr")
       .toAbsolutePath.toString
