@@ -88,7 +88,11 @@ object Bench {
         }
       }
     }
-    val passes = Seq(timedPass(), timedPass(), timedPass())
+    // SPARK_GRAFT_PASSES trims the pass count for long runs (the sf1
+    // scale run is ~10x sf0.1 wall time; 2 passes keep it under an
+    // hour while still absorbing one-off GC/IO stalls via min()).
+    val nPasses = sys.env.getOrElse("SPARK_GRAFT_PASSES", "3").toInt.max(1)
+    val passes = Seq.fill(nPasses)(timedPass())
     val results = passes.transpose.map { samples =>
       val name = samples.head._1
       val ts = samples.map(_._2)
@@ -108,7 +112,7 @@ object Bench {
     def q(s: String) = "\"" + s + "\""
     val env = s""""cores":$cores,"load_start":${q(loadAtStart)},""" +
       s""""load_end":${q(loadavg())},"nfail":${failed.size},""" +
-      s""""passes":3,"gate_wait_s":$gateWait,"high_load":$highLoad"""
+      s""""passes":$nPasses,"gate_wait_s":$gateWait,"high_load":$highLoad"""
     // Full per-query detail to a repo file (the log-tail line is size-
     // capped); total/sf/nq on both so either artifact stands alone.
     val detail = s"""{"metric":"total","value":${r4(total)},"unit":"sec",""" +

@@ -1,0 +1,126 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deterministic sf1 (10x sf0.1) test-data generator for the scale
+  * proof (SCALE.md): the driver ships sf0.001/0.01/0.1 only, and the
+  * round-7 mandate is to demonstrate per-query scaling exponents on a
+  * 10x corpus. Writes `<dst>/{table}.parquet` mirroring the driver's
+  * schema exactly.
+  *
+  * Design notes (what "10x the same data" must mean per table):
+  *
+  *  - TPC-H tables + events: 10 key-shifted replicas. Every primary
+  *    AND foreign key shifts by `replica * count`, so referential
+  *    integrity and join fan-outs are preserved replica-by-replica —
+  *    joins, aggregations and windows do exactly 10x the work.
+  *    region/nation stay fixed (dimension tables are SF-invariant in
+  *    TPC-H).
+  *
+  *  - documents: id-shifted replication, text unchanged. NOTE the
+  *    consequence, accounted for in SCALE.md: the dedup family's
+  *    candidate volume is sum(df^2) over grams below the 5% relative
+  *    df cut, and replicating a fixed-31-word-vocabulary corpus
+  *    scales every gram's df with N, so that volume grows ~100x on
+  *    10x rows (measured: 2.08e6 -> 2.08e8). This is a property of
+  *    the driver's corpus itself — its own generator at 10x has the
+  *    same profile, and a Heaps-style synthetic corpus we prototyped
+  *    (unique tokens, Markov-constrained mutations) measured WORSE
+  *    (7.2e8) because the tiny vocabulary concentrates every
+  *    token-adjacency family just under the cut. So the scale run
+  *    reports time ratio AGAINST the data-expected work ratio per
+  *    query, instead of pretending 10x rows means 10x work.
+  *
+  *  - embeddings: 10 replicas under per-replica signed permutations
+  *    of the 64 components (replica 0 = identity). An isometry keeps
+  *    every intra-replica distance/cosine EXACTLY as sf0.1 (ANN
+  *    recall structure, k-means geometry, near-dup pairs), while
+  *    cross-replica cosines behave like unrelated vectors.
+  *
+  * Everything is seeded arithmetic — two runs produce byte-identical
+  * logical content.
+  */
+object ScaleUp {
+
+  private val R = 10 // replicas
+
+  def main(args: Array[String]): Unit = {
+    val src = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
+    val dst = if (args.length > 1) args(1) else "localdata/sf1"
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")}]")
+      .appName("graft-scaleup")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    copyAsIs(spark, src, dst, "region")
+    copyAsIs(spark, src, dst, "nation")
+    replicate(spark, src, dst, "customer", Map("c_custkey" -> 15000L))
+    replicate(spark, src, dst, "supplier", Map("s_suppkey" -> 1000L))
+    replicate(spark, src, dst, "part", Map("p_partkey" -> 20000L))
+    replicate(spark, src, dst, "orders",
+      Map("o_orderkey" -> 150000L, "o_custkey" -> 15000L))
+    replicate(spark, src, dst, "lineitem",
+      Map("l_orderkey" -> 150000L, "l_partkey" -> 20000L, "l_suppkey" -> 1000L))
+    replicate(spark, src, dst, "events",
+      Map("event_id" -> 100000L, "user_id" -> 1500L))
+    embeddings(spark, src, dst)
+    replicate(spark, src, dst, "documents", Map("doc_id" -> 5000L))
+    println(s"[scaleup] wrote sf1 tables to $dst")
+    spark.stop()
+  }
+
+  private def copyAsIs(s: SparkSession, src: String, dst: String, t: String): Unit =
+    s.read.parquet(s"$src/$t.parquet").coalesce(1)
+      .write.mode("overwrite").parquet(s"$dst/$t.parquet")
+
+  /** Union of R key-shifted copies in ONE scan: explode a replica
+    * index, shift the listed key columns by `replica * span`. */
+  private def replicate(s: SparkSession, src: String, dst: String,
+                        t: String, spans: Map[String, Long]): Unit = {
+    val df = s.read.parquet(s"$src/$t.parquet")
+    val shifted = df
+      .withColumn("__r", explode(sequence(lit(0), lit(R - 1))))
+      .select(df.columns.map { c =>
+        spans.get(c) match {
+          case Some(span) => (col(c) + col("__r").cast("long") * span).cast(df.schema(c).dataType).as(c)
+          case None => col(c)
+        }
+      }: _*)
+    shifted.write.mode("overwrite").parquet(s"$dst/$t.parquet")
+  }
+
+  /** Per-replica signed permutation (seeded, replica 0 = identity)
+    * applied component-wise; vec_id shifts by replica * 2000. */
+  private def embeddings(s: SparkSession, src: String, dst: String): Unit = {
+    val df = s.read.parquet(s"$src/embeddings.parquet")
+    val dim = 64
+    // driver-side 64-element permutations; tiny and deterministic
+    val perms: Seq[(Array[Int], Array[Int])] = (0 until R).map { r =>
+      if (r == 0) (Array.tabulate(dim)(identity), Array.fill(dim)(1))
+      else {
+        val rnd = new java.util.Random(0x5ca1eL * 31 + r)
+        val p = Array.tabulate(dim)(identity)
+        var i = dim - 1
+        while (i > 0) { val j = rnd.nextInt(i + 1); val t = p(i); p(i) = p(j); p(j) = t; i -= 1 }
+        (p, Array.fill(dim)(if (rnd.nextBoolean()) 1 else -1))
+      }
+    }
+    val out = (0 until R).map { r =>
+      val (p, sg) = perms(r)
+      val comps = (0 until dim).map(i =>
+        element_at(col("embedding"), p(i) + 1) * lit(sg(i).toFloat))
+      df.select(
+        (col("vec_id") + lit(r * 2000L)).as("vec_id"),
+        array(comps: _*).cast("array<float>").as("embedding"),
+        col("label"))
+    }.reduce(_.unionAll(_))
+    out.write.mode("overwrite").parquet(s"$dst/embeddings.parquet")
+  }
+
+}
