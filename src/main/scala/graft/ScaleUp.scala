@@ -75,9 +75,29 @@ object ScaleUp {
     spark.stop()
   }
 
+  /** The driver ships each table as ONE parquet FILE (not a Spark
+    * output directory); consumers depend on that — the streaming
+    * source symlinks `<dir>/events.parquet` as a file, and a
+    * directory there silently streams zero rows. Write to a temp dir,
+    * then promote the single part file. */
+  private def publish(df: org.apache.spark.sql.DataFrame, dst: String, t: String): Unit = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val tmp = s"$dst/.tmp_$t"
+    df.coalesce(1).write.mode("overwrite").parquet(tmp)
+    val part = Files.list(Paths.get(tmp)).filter(_.getFileName.toString.endsWith(".parquet"))
+      .findFirst().orElseThrow(() => new IllegalStateException(s"no part file in $tmp"))
+    val target = Paths.get(dst, s"$t.parquet")
+    if (Files.isDirectory(target)) { // leftover directory layout from a prior run
+      Files.walk(target).sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => Files.delete(p))
+    }
+    Files.move(part, target, StandardCopyOption.REPLACE_EXISTING)
+    Files.walk(Paths.get(tmp)).sorted(java.util.Comparator.reverseOrder())
+      .forEach(p => Files.delete(p))
+  }
+
   private def copyAsIs(s: SparkSession, src: String, dst: String, t: String): Unit =
-    s.read.parquet(s"$src/$t.parquet").coalesce(1)
-      .write.mode("overwrite").parquet(s"$dst/$t.parquet")
+    publish(s.read.parquet(s"$src/$t.parquet"), dst, t)
 
   /** Union of R key-shifted copies in ONE scan: explode a replica
     * index, shift the listed key columns by `replica * span`. */
@@ -92,7 +112,7 @@ object ScaleUp {
           case None => col(c)
         }
       }: _*)
-    shifted.write.mode("overwrite").parquet(s"$dst/$t.parquet")
+    publish(shifted, dst, t)
   }
 
   /** Per-replica signed permutation (seeded, replica 0 = identity)
@@ -120,7 +140,7 @@ object ScaleUp {
         array(comps: _*).cast("array<float>").as("embedding"),
         col("label"))
     }.reduce(_.unionAll(_))
-    out.write.mode("overwrite").parquet(s"$dst/embeddings.parquet")
+    publish(out, dst, "embeddings")
   }
 
 }

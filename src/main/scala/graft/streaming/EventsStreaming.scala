@@ -97,7 +97,11 @@ object EventsStreaming {
     val d = Paths.get(System.getProperty("java.io.tmpdir"), s"graft_stream_$key")
     Files.createDirectories(d)
     val link = d.resolve("events.parquet")
-    val target = Paths.get(dir, "events.parquet")
+    // absolute target: a relative sf dir would otherwise resolve
+    // against the tmp link directory — a dangling symlink the file
+    // stream source reads as an empty directory (zero rows, silently)
+    val target = Paths.get(dir, "events.parquet").toAbsolutePath
+
     if (Files.exists(link, LinkOption.NOFOLLOW_LINKS) &&
         (!Files.isSymbolicLink(link) || Files.readSymbolicLink(link) != target))
       Files.delete(link)

@@ -106,4 +106,16 @@ class StreamingStateSpec extends AnyFunSuite {
     // would also have split the boundary-spanning session
     assert(rows.last == ((1L, 2L, 4L)), rows.toSeq.toString)
   }
+
+  test("events stream resolves a RELATIVE sf dir (symlink target must be absolute)") {
+    // Regression: the stream-dir symlink used the sf path verbatim; a
+    // relative path resolved against the tmp link dir -> dangling link
+    // -> the file source silently streamed ZERO rows (found by the sf1
+    // scale run, whose data dir is repo-relative).
+    val cwd = java.nio.file.Paths.get("").toAbsolutePath
+    val rel = cwd.relativize(java.nio.file.Paths.get(sf)).toString
+    assert(!java.nio.file.Paths.get(rel).isAbsolute)
+    val n = SparkEntry.queries("st1_stream_window_agg")(spark, rel).count()
+    assert(n > 0, s"st1 over relative dir '$rel' returned no rows")
+  }
 }
