@@ -358,6 +358,63 @@ object SqlFuzz {
     }
   }
 
+  /** Multi-level grouping: ROLLUP / CUBE / GROUPING SETS over low-card
+    * keys. Super-aggregate rows surface NULL keys plus GROUPING()
+    * markers — a classic cross-engine divergence surface (null
+    * placement, grouping-id semantics) the fixed gate only covers with
+    * hand-written queries. GROUPING(k) is emitted per key so a NULL
+    * key VALUE and a rolled-up key are distinguishable in the hash.
+    *
+    * The grand-total `()` grouping set is deliberately NEVER emitted
+    * (so ROLLUP/CUBE are spelled as explicit GROUPING SETS minus the
+    * empty set): on EMPTY filtered input ANSI semantics give the ()
+    * set one row (count=0) — DuckDB and Postgres do — while Spark
+    * returns zero rows. Found by this fuzzer's first extended run
+    * (seeds 107/152/175/242, all `rows spark=0 duck=1` under
+    * row-eliminating predicates); a real engine divergence, outside
+    * the common subset this grammar targets. */
+  private def rollQ(r: Random): String = {
+    val (from, scope) = fromClause(r)
+    val keyPool = scope.flatMap(t => lowCard(t).map(c => s"${t.name}.${c.name}"))
+    if (keyPool.isEmpty) return aggQ(r) // no groupable key in scope
+    val keys = r.shuffle(keyPool).take(2.min(keyPool.size)).distinct
+    val keyItems = keys.zipWithIndex.map { case (k, i) => s"$k AS k$i" }
+    val marks = keys.zipWithIndex.map { case (k, i) => s"GROUPING($k) AS g$i" }
+    val spec = r.nextInt(3) match {
+      case 0 => // rollup minus the grand total
+        val sets = (keys.size to 1 by -1).map(n => s"(${keys.take(n).mkString(", ")})")
+        s"GROUPING SETS (${sets.mkString(", ")})"
+      case 1 => // cube minus the grand total
+        val sets = (s"(${keys.mkString(", ")})" +: keys.map(k => s"($k)")).distinct
+        s"GROUPING SETS (${sets.mkString(", ")})"
+      case _ =>
+        val sets = Seq(s"(${keys.mkString(", ")})", s"(${keys.head})").distinct
+        s"GROUPING SETS (${sets.mkString(", ")})"
+    }
+    val aggs = aggExprs(r, scope, 0)
+    s"""SELECT ${(keyItems ++ marks ++ aggs).mkString(", ")}
+       |FROM $from
+       |WHERE ${pred(r, scope)}
+       |GROUP BY $spec""".stripMargin
+  }
+
+  /** SELECT DISTINCT with a total order + LIMIT: distinct-then-limit
+    * exercises dedup before the sort boundary (Spark: HashAggregate
+    * feeding TakeOrderedAndProject), where partial-limit pushdown bugs
+    * would surface as missing rows. */
+  private def distQ(r: Random): String = {
+    val (from, scope) = fromClause(r)
+    val n = 2 + r.nextInt(2)
+    val items = (0 until n).map(i => s"${item(r, scope)} AS c$i")
+    val order = (0 until n).map(i =>
+      s"c$i ${pick(r, Seq("ASC", "DESC"))} ${pick(r, Seq("NULLS FIRST", "NULLS LAST"))}")
+    s"""SELECT DISTINCT ${items.mkString(", ")}
+       |FROM $from
+       |WHERE ${pred(r, scope)}
+       |ORDER BY ${order.mkString(", ")}
+       |LIMIT ${1 + r.nextInt(200)}""".stripMargin
+  }
+
   private def cteQ(r: Random): String = {
     val (from, scope) = fromClause(r)
     val t = pick(r, scope)
@@ -376,12 +433,14 @@ object SqlFuzz {
   def gen(seed: Long): String = {
     val r = new Random(seed)
     r.nextInt(100) match {
-      case x if x < 25 => scanQ(r)
-      case x if x < 50 => aggQ(r)
-      case x if x < 65 => setQ(r)
-      case x if x < 80 => winQ(r)
-      case x if x < 90 => subQ(r)
-      case _ => cteQ(r)
+      case x if x < 20 => scanQ(r)
+      case x if x < 40 => aggQ(r)
+      case x if x < 52 => setQ(r)
+      case x if x < 64 => winQ(r)
+      case x if x < 74 => subQ(r)
+      case x if x < 82 => cteQ(r)
+      case x if x < 92 => rollQ(r)
+      case _ => distQ(r)
     }
   }
 
