@@ -24,11 +24,20 @@ class ZarrWriterPropSpec extends AnyFunSuite {
     version <- Gen.oneOf("2", "3")
     compressor <- Gen.oneOf("none", "zstd", "gzip", "blosc")
     dtype <- Gen.oneOf("long", "double")
-  } yield (nOuter, nInner, chunkOuter, version, compressor, dtype)
+    // v3 may shard: inner extent any divisor of the outer chunk (0 =
+    // unsharded); sharded stores compress per inner chunk instead
+    shardInner <- if (version == "3")
+      Gen.oneOf(0 +: (1 to chunkOuter).filter(chunkOuter % _ == 0))
+    else Gen.const(0)
+    shardCompress <- Gen.oneOf("none", "zstd", "gzip", "blosc")
+  } yield (nOuter, nInner, chunkOuter, version, compressor, dtype,
+    shardInner, shardCompress)
 
-  test("random grids round-trip through the sink at every version/compressor") {
+  test("random grids round-trip through the sink at every version/compressor/sharding") {
     val prop = Prop.forAll(genCase) {
-      case (nOuter, nInner, chunkOuter, version, compressor, dtype) =>
+      case (nOuter, nInner, chunkOuter, version, compressor0, dtype,
+            shardInner, shardCompress) =>
+        val compressor = if (shardInner > 0) "none" else compressor0
         val rows = for (o <- 0 until nOuter; i <- 0 until nInner) yield
           Row(o.toLong, i.toLong, (o * 31 + i * 7).toLong)
         val schema = StructType(Seq(
@@ -39,21 +48,25 @@ class ZarrWriterPropSpec extends AnyFunSuite {
           spark.sparkContext.parallelize(rows, 2), schema)
         if (dtype == "double") df = df.withColumn("v", col("v").cast("double") / 4.0)
         val out = Files.createTempDirectory("zarr_prop").resolve("g.zarr").toString
-        df.write.format("zarr")
+        var w = df.write.format("zarr")
           .option("coords", "t,x")
           .option("chunkOuter", chunkOuter.toString)
           .option("zarrVersion", version)
           .option("compressor", compressor)
-          .mode("overwrite").save(out)
+        if (shardInner > 0)
+          w = w.option("shardInner", shardInner.toString)
+            .option("shardCompress", shardCompress)
+        w.mode("overwrite").save(out)
         val back = spark.read.format("zarr").load(out)
         val a = df.orderBy("t", "x").collect().map(_.toSeq).toSeq
         val b = back.orderBy("t", "x").collect().map(_.toSeq).toSeq
         Prop(a == b) :|
-          s"shape=($nOuter,$nInner) chunk=$chunkOuter v$version $compressor $dtype"
+          s"shape=($nOuter,$nInner) chunk=$chunkOuter v$version $compressor " +
+          s"$dtype shard=$shardInner/$shardCompress"
     }
-    // Each case runs two Spark jobs; 24 random cases keeps the suite fast
-    // while sweeping the edge-chunk space.
-    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(24), prop)
+    // Each case runs two Spark jobs; 30 random cases keeps the suite fast
+    // while sweeping the edge-chunk + shard-divisor space.
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(30), prop)
     assert(res.passed, res.status.toString)
   }
 
