@@ -43,6 +43,46 @@ class ZarrAppendSpec extends AnyFunSuite {
     assert(pruned.count() == 6)
   }
 
+  test("readers racing an appender always see a consistent prefix state") {
+    // The crash/concurrency contract: chunks are written BEFORE the
+    // metadata shape edit, so a reader that plans from metadata at any
+    // instant sees some prefix of the append history — a complete,
+    // self-consistent grid. Torn states (new shape + missing chunk, or
+    // rows from a half-written batch) must be impossible. Each batch
+    // has a distinct sum signature, so (count, sum) identifies the
+    // prefix exactly.
+    val out = fresh(Seq(0L, 1L))
+    val batches = (1 to 6).map(k => (k * 2L) to (k * 2L + 1L))
+    def sumTo(tMax: Long): Double =
+      (0L to tMax).flatMap(t => (0L until 3L).map(x => t * 10.0 + x)).sum
+    val validStates: Map[Long, Double] =
+      (1 to 7).map(k => (k * 2L * 3L, sumTo(k * 2L - 1L))).toMap
+    @volatile var tornState: Option[(Long, Double)] = None
+    @volatile var writerErr: Option[Throwable] = None
+    val writer = new Thread(() => {
+      try batches.foreach { ts =>
+        grid(ts).write.format("zarr").mode("append").save(out)
+      } catch { case e: Throwable => writerErr = Some(e) }
+    })
+    writer.start()
+    var observations = 0
+    while (writer.isAlive && tornState.isEmpty) {
+      // fresh relation each time: planning re-reads metadata
+      val agg = spark.read.format("zarr").load(out)
+        .agg(count(lit(1)), sum(col("v"))).collect().head
+      val (n, s) = (agg.getLong(0), agg.getDouble(1))
+      observations += 1
+      if (!validStates.get(n).contains(s)) tornState = Some((n, s))
+    }
+    writer.join()
+    assert(writerErr.isEmpty, s"appender failed: $writerErr")
+    assert(tornState.isEmpty, s"torn read observed: $tornState after $observations reads")
+    assert(observations > 0)
+    // terminal state is the full history
+    val fin = spark.read.format("zarr").load(out).agg(count(lit(1)), sum(col("v"))).collect().head
+    assert(fin.getLong(0) == 42L && fin.getDouble(1) == sumTo(13L))
+  }
+
   test("append validations refuse loudly") {
     val out = fresh(Seq(0L, 1L, 2L, 3L))
     // overlapping / non-increasing outer values
