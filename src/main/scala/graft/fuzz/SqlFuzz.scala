@@ -220,7 +220,9 @@ object SqlFuzz {
         (t.name, Seq(t))
       case 1 =>
         val (a, b, on) = pick(r, edges)
-        val jt = pick(r, Seq("JOIN", "LEFT JOIN"))
+        // all four outer-join shapes: null-extended rows exercise null
+        // grouping/ordering semantics downstream
+        val jt = pick(r, Seq("JOIN", "LEFT JOIN", "RIGHT JOIN", "FULL JOIN"))
         (s"${a.name} $jt ${b.name} ON $on", Seq(a, b))
       case _ =>
         // chain two adjacent edges (shared middle table)
