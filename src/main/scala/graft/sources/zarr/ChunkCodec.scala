@@ -579,6 +579,20 @@ object ChunkIO {
     val n = meta.shape.head.toInt
     val chunkLen = meta.chunks.head
     val nChunks = meta.chunkGrid.head.toInt
+    // Coordinates must be fully materialized: an absent DATA chunk is
+    // legal Zarr (reads as fill) but an absent COORDINATE chunk means
+    // the declared shape exceeds the stored coordinate data — a torn
+    // metadata edit or bad consolidation. Fabricating fill-valued
+    // coordinates would silently invent grid rows (and duplicate
+    // coordinate cells), so refuse loudly instead.
+    (0 until nChunks).foreach { c =>
+      val key = s"${meta.name}/${meta.chunkKey(Seq(c.toLong))}"
+      if (store.sizeOf(key).isEmpty)
+        throw new IllegalArgumentException(
+          s"Coordinate array '${meta.name}' in ${store.path} declares $n values " +
+            s"but chunk '$key' is absent — metadata is inconsistent with the stored " +
+            s"coordinate data; refusing to fabricate fill coordinates")
+    }
     if (nChunks == 1) {
       truncate(ChunkIO.readChunk(store, meta, Seq(0L)), n)
     } else {

@@ -219,7 +219,17 @@ object ZarrMeta {
   }
 
   private def jsonAt(store: ZarrStore, rel: String): Option[JsonNode] =
-    store.readBytes(rel).map(mapper.readTree)
+    store.readBytes(rel).map { bytes =>
+      try mapper.readTree(bytes)
+      catch {
+        // same posture as chunk decode failures: name the object and
+        // the store, not a bare Jackson parse error — at fleet scale
+        // "which of the 30k stores has the rotted JSON" is the
+        // question the message must answer
+        case e: Exception => throw new IllegalArgumentException(
+          s"Corrupt or unreadable Zarr metadata JSON at $rel in store ${store.path}: ${e.getMessage}", e)
+      }
+    }
 
   private def parseFill(n: JsonNode): Double =
     if (n == null || n.isNull) Double.NaN

@@ -1,0 +1,144 @@
+package graft
+
+import java.nio.file.{Files, Path, Paths}
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Randomized corruption-handling property: whatever is wrong with a
+  * store, a read must either FAIL LOUDLY with enough context to find
+  * the bad object, or follow the format's legal absence semantics
+  * (a missing chunk IS legal — it reads as fill_value). It must never
+  * return silently wrong data. At fleet scale a single rotted object
+  * in a bucket is a certainty; "loud or legal" is the property that
+  * keeps it from poisoning an aggregate unnoticed.
+  *
+  * Modes: truncate a data chunk, scribble garbage over a data chunk,
+  * delete a data chunk (legal -> fill), truncate a coordinate array
+  * (metadata/shape mismatch), corrupt the array JSON, delete the
+  * array JSON, declare a shape longer than the coordinate data.
+  */
+class ZarrCorruptionPropSpec extends AnyFunSuite {
+  import TestSession._
+
+  private def build(nOuter: Int, nInner: Int, chunkOuter: Int,
+                    compressor: String): (String, Seq[Seq[Any]]) = {
+    import spark.implicits._
+    val df = (0 until nOuter).flatMap(t => (0 until nInner).map(x =>
+      (t.toLong, x.toLong, (t * 13 + x).toDouble))).toDF("t", "x", "v")
+    val out = Files.createTempDirectory("zarr_corrupt").resolve("s.zarr").toString
+    df.write.format("zarr").option("coords", "t,x")
+      .option("chunkOuter", chunkOuter.toString)
+      .option("compressor", compressor)
+      .mode("overwrite").save(out)
+    (out, df.orderBy("t", "x").collect().map(_.toSeq).toSeq)
+  }
+
+  private def dataChunks(store: String): Seq[Path] = {
+    val s = Files.list(Paths.get(store, "v")).iterator()
+    val b = scala.collection.mutable.Buffer[Path]()
+    while (s.hasNext) { val p = s.next(); if (!p.getFileName.toString.startsWith(".")) b += p }
+    b.toSeq.sortBy(_.toString)
+  }
+
+  private def chain(t: Throwable): Seq[String] =
+    if (t == null) Nil else Option(t.getMessage).getOrElse("") +: chain(t.getCause)
+
+  private val genCase = for {
+    nOuter <- Gen.choose(2, 6)
+    nInner <- Gen.choose(1, 4)
+    chunkOuter <- Gen.choose(1, 3)
+    compressor <- Gen.oneOf("none", "zstd", "blosc")
+    mode <- Gen.choose(0, 6)
+    victim <- Gen.choose(0, 100) // picks the chunk, modulo the count
+  } yield (nOuter, nInner, chunkOuter, compressor, mode, victim)
+
+  test("every corruption either fails loudly with context or reads as legal fill") {
+    // forAllNoShrink: shrinking would walk outside the generator's
+    // constraints (mode -1, zero-sized grids)
+    val prop = Prop.forAllNoShrink(genCase) {
+      case (nOuter, nInner, chunkOuter, compressor, mode, victim) =>
+        val (store, truth) = build(nOuter, nInner, chunkOuter, compressor)
+        // The sink writes consolidated .zmetadata, which is
+        // authoritative for schema — per-array JSON corruption would
+        // never be consulted. Drop it so the walked per-array path
+        // (the one external stores without consolidation use) is what
+        // the metadata modes exercise.
+        if (mode >= 3) Files.delete(Paths.get(store, ".zmetadata"))
+        val chunks = dataChunks(store)
+        val target = chunks(victim % chunks.size)
+        var fillLegal = false // mode leaves a LEGAL store (absent chunk)
+        mode match {
+          case 0 => Files.write(target, Array[Byte](1, 2, 3)) // truncated chunk
+          case 1 => // garbage of plausible length
+            Files.write(target, Array.fill[Byte](Files.size(target).toInt)(0x5a))
+          case 2 => Files.delete(target); fillLegal = true
+          case 3 => // truncate the outer coordinate array data
+            val t = Paths.get(store, "t", "0")
+            Files.write(t, java.util.Arrays.copyOf(Files.readAllBytes(t), 8))
+          case 4 => // corrupt the variable's array JSON
+            Files.write(Paths.get(store, "v", ".zarray"), "{not json".getBytes)
+          case 5 => // delete the variable's array JSON
+            Files.delete(Paths.get(store, "v", ".zarray"))
+          case _ => // shape claims more rows than the coordinate data has
+            val p = Paths.get(store, "t", ".zarray")
+            val j = new String(Files.readAllBytes(p), "UTF-8")
+            Files.write(p, j.replaceFirst(""""shape":\[\d+\]""",
+              s""""shape":[${nOuter + 64}]""").getBytes)
+        }
+        val attempt = scala.util.Try {
+          val d = spark.read.format("zarr").load(store)
+          (d.columns.toSeq, d.orderBy("t", "x").collect().map(_.toSeq).toSeq)
+        }
+        attempt match {
+          case scala.util.Success((cols, rows)) if mode == 5 =>
+            // deleting v/.zarray leaves a VALID store without that
+            // array: schema inference must drop v and keep the
+            // coordinate grid intact — legal store evolution, not a
+            // silent wrong answer
+            val gridOk = !cols.contains("v") && rows.size == truth.size &&
+              rows.zip(truth).forall { case (r, tr) => r(0) == tr(0) && r(1) == tr(1) }
+            Prop(gridOk) :| s"v survived deletion or grid changed: cols=$cols rows=${rows.size}"
+          case scala.util.Success((_, rows)) if fillLegal =>
+            // deleted chunk: exactly that chunk's cells read as the
+            // store's declared fill (0.0 here; null under fill->null
+            // stores); the grid and every other cell stay intact. A
+            // cell whose true value EQUALS the fill is indistinguishable,
+            // so the changed count may undershoot by those collisions.
+            // the victim may be the partial edge chunk
+            val k = target.getFileName.toString.split("\\.")(0).toInt
+            val chunkCells = math.min(chunkOuter, nOuter - k * chunkOuter) * nInner
+            val fillOk = rows.size == truth.size &&
+              rows.zip(truth).forall { case (r, tr) =>
+                r(0) == tr(0) && r(1) == tr(1) &&
+                  (r(2) == tr(2) || r(2) == 0.0 || r(2) == null)
+              }
+            val changed = rows.zip(truth).count { case (r, tr) => r(2) != tr(2) }
+            Prop(fillOk && changed <= chunkCells &&
+              changed >= chunkCells - 1 && changed < truth.size) :|
+              s"fill read wrong: changed=$changed of ${truth.size} (chunk=$chunkCells)"
+          case scala.util.Success((_, rows)) if mode == 1 =>
+            // garbage that decodes by construction (uncompressed store:
+            // 0x5a bytes ARE a valid slab) must still keep the GRID
+            // intact — only the corrupted chunk's values differ
+            val gridOk = rows.size == truth.size &&
+              rows.zip(truth).forall { case (r, tr) => r(0) == tr(0) && r(1) == tr(1) }
+            Prop(compressor == "none" && gridOk) :|
+              s"garbage chunk decoded on compressor=$compressor (size=${rows.size})"
+          case scala.util.Success((_, rows)) =>
+            Prop(false) :| s"corruption mode $mode read ${rows.size} rows silently"
+          case scala.util.Failure(e) =>
+            val msgs = chain(e)
+            // loud AND locatable: some frame names the store path, the
+            // array, or the chunk object
+            val located = msgs.exists(m =>
+              m != null && (m.contains(store) || m.contains("v/") ||
+                m.contains(".zarray") || m.contains("zarr") || m.contains("chunk")))
+            Prop(located) :| s"undescriptive failure: ${msgs.take(3).mkString(" | ")}"
+        }
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(40), prop)
+    assert(res.passed, res.status.toString)
+  }
+}
