@@ -23,24 +23,37 @@ class ZarrCorruptionPropSpec extends AnyFunSuite {
   import TestSession._
 
   private def build(nOuter: Int, nInner: Int, chunkOuter: Int,
-                    compressor: String): (String, Seq[Seq[Any]]) = {
+                    compressor: String, shardInner: Int): (String, Seq[Seq[Any]]) = {
     import spark.implicits._
     val df = (0 until nOuter).flatMap(t => (0 until nInner).map(x =>
       (t.toLong, x.toLong, (t * 13 + x).toDouble))).toDF("t", "x", "v")
     val out = Files.createTempDirectory("zarr_corrupt").resolve("s.zarr").toString
-    df.write.format("zarr").option("coords", "t,x")
+    var w = df.write.format("zarr").option("coords", "t,x")
       .option("chunkOuter", chunkOuter.toString)
-      .option("compressor", compressor)
-      .mode("overwrite").save(out)
+    w = if (shardInner > 0)
+      w.option("zarrVersion", "3").option("shardInner", shardInner.toString)
+        .option("shardCompress", compressor)
+    else w.option("compressor", compressor)
+    w.mode("overwrite").save(out)
     (out, df.orderBy("t", "x").collect().map(_.toSeq).toSeq)
   }
 
   private def dataChunks(store: String): Seq[Path] = {
-    val s = Files.list(Paths.get(store, "v")).iterator()
+    // v2 chunks sit directly under v/ ("0.0"); v3 sharded chunks nest
+    // under v/c/<outer>/<inner>. Walk, keep regular non-meta files.
     val b = scala.collection.mutable.Buffer[Path]()
-    while (s.hasNext) { val p = s.next(); if (!p.getFileName.toString.startsWith(".")) b += p }
+    Files.walk(Paths.get(store, "v")).forEach { p =>
+      val name = p.getFileName.toString
+      if (Files.isRegularFile(p) && !name.startsWith(".") && name != "zarr.json") b += p
+    }
     b.toSeq.sortBy(_.toString)
   }
+
+  /** Outer chunk index of a chunk file, from its path relative to the
+    * array dir: "3.0" (v2) or "c/3/0" (v3). */
+  private def outerIdx(store: String, target: Path): Int =
+    Paths.get(store, "v").relativize(target).toString
+      .split("[./\\\\]").filter(s2 => s2.nonEmpty && s2 != "c").head.toInt
 
   private def chain(t: Throwable): Seq[String] =
     if (t == null) Nil else Option(t.getMessage).getOrElse("") +: chain(t.getCause)
@@ -52,14 +65,19 @@ class ZarrCorruptionPropSpec extends AnyFunSuite {
     compressor <- Gen.oneOf("none", "zstd", "blosc")
     mode <- Gen.choose(0, 6)
     victim <- Gen.choose(0, 100) // picks the chunk, modulo the count
-  } yield (nOuter, nInner, chunkOuter, compressor, mode, victim)
+    shardInner <- Gen.oneOf(0, 0, 1) // 1/3 of cases: v3 sharded store
+  } yield (nOuter, nInner, chunkOuter, compressor, mode, victim, shardInner)
 
   test("every corruption either fails loudly with context or reads as legal fill") {
     // forAllNoShrink: shrinking would walk outside the generator's
     // constraints (mode -1, zero-sized grids)
     val prop = Prop.forAllNoShrink(genCase) {
-      case (nOuter, nInner, chunkOuter, compressor, mode, victim) =>
-        val (store, truth) = build(nOuter, nInner, chunkOuter, compressor)
+      case (nOuter, nInner, chunkOuter, compressor, mode0, victim, shardInner) =>
+        // sharded stores only get the chunk-object modes: their
+        // metadata is v3 zarr.json, which modes 3-6 target as v2
+        val mode = if (shardInner > 0) mode0 % 3 else mode0
+        val (store, truth) = build(nOuter, nInner, chunkOuter, compressor, shardInner)
+        // (v2 only beyond this point for metadata modes)
         // The sink writes consolidated .zmetadata, which is
         // authoritative for schema — per-array JSON corruption would
         // never be consulted. Drop it so the walked per-array path
@@ -107,7 +125,7 @@ class ZarrCorruptionPropSpec extends AnyFunSuite {
             // cell whose true value EQUALS the fill is indistinguishable,
             // so the changed count may undershoot by those collisions.
             // the victim may be the partial edge chunk
-            val k = target.getFileName.toString.split("\\.")(0).toInt
+            val k = outerIdx(store, target)
             val chunkCells = math.min(chunkOuter, nOuter - k * chunkOuter) * nInner
             val fillOk = rows.size == truth.size &&
               rows.zip(truth).forall { case (r, tr) =>
