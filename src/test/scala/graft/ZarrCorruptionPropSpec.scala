@@ -73,17 +73,27 @@ class ZarrCorruptionPropSpec extends AnyFunSuite {
     // constraints (mode -1, zero-sized grids)
     val prop = Prop.forAllNoShrink(genCase) {
       case (nOuter, nInner, chunkOuter, compressor, mode0, victim, shardInner) =>
-        // sharded stores only get the chunk-object modes: their
-        // metadata is v3 zarr.json, which modes 3-6 target as v2
-        val mode = if (shardInner > 0) mode0 % 3 else mode0
+        val mode = mode0
+        val v3 = shardInner > 0
         val (store, truth) = build(nOuter, nInner, chunkOuter, compressor, shardInner)
-        // (v2 only beyond this point for metadata modes)
-        // The sink writes consolidated .zmetadata, which is
-        // authoritative for schema — per-array JSON corruption would
-        // never be consulted. Drop it so the walked per-array path
-        // (the one external stores without consolidation use) is what
-        // the metadata modes exercise.
-        if (mode >= 3) Files.delete(Paths.get(store, ".zmetadata"))
+        // The sink writes consolidated metadata (v2 .zmetadata; v3
+        // embeds it in the root zarr.json), which is authoritative for
+        // schema — per-array JSON corruption would never be consulted.
+        // Strip it so the walked per-array path (the one external
+        // stores without consolidation use) is what the metadata modes
+        // exercise.
+        if (mode >= 3 && !v3) Files.delete(Paths.get(store, ".zmetadata"))
+        if (mode >= 3 && v3) {
+          val root = Paths.get(store, "zarr.json")
+          val m = new com.fasterxml.jackson.databind.ObjectMapper()
+          val node = m.readTree(Files.readAllBytes(root))
+            .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+          node.remove("consolidated_metadata")
+          Files.write(root, m.writeValueAsBytes(node))
+        }
+        def arrayJson(arr: String) =
+          Paths.get(store, arr, if (v3) "zarr.json" else ".zarray")
+        def coordChunk0 = Paths.get(store, "t", if (v3) "c/0" else "0")
         val chunks = dataChunks(store)
         val target = chunks(victim % chunks.size)
         var fillLegal = false // mode leaves a LEGAL store (absent chunk)
@@ -93,14 +103,14 @@ class ZarrCorruptionPropSpec extends AnyFunSuite {
             Files.write(target, Array.fill[Byte](Files.size(target).toInt)(0x5a))
           case 2 => Files.delete(target); fillLegal = true
           case 3 => // truncate the outer coordinate array data
-            val t = Paths.get(store, "t", "0")
+            val t = coordChunk0
             Files.write(t, java.util.Arrays.copyOf(Files.readAllBytes(t), 8))
           case 4 => // corrupt the variable's array JSON
-            Files.write(Paths.get(store, "v", ".zarray"), "{not json".getBytes)
+            Files.write(arrayJson("v"), "{not json".getBytes)
           case 5 => // delete the variable's array JSON
-            Files.delete(Paths.get(store, "v", ".zarray"))
+            Files.delete(arrayJson("v"))
           case _ => // shape claims more rows than the coordinate data has
-            val p = Paths.get(store, "t", ".zarray")
+            val p = arrayJson("t")
             val j = new String(Files.readAllBytes(p), "UTF-8")
             Files.write(p, j.replaceFirst(""""shape":\[\d+\]""",
               s""""shape":[${nOuter + 64}]""").getBytes)
