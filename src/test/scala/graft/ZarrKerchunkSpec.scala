@@ -129,6 +129,54 @@ class ZarrKerchunkSpec extends AnyFunSuite {
     } finally spark.sql("DROP TABLE kerchunk_t")
   }
 
+  test("rotted manifests fail loudly naming the reference, never silently") {
+    // At fleet scale a kerchunk manifest outlives the archives it
+    // points into; a dangling or mis-ranged reference must surface as
+    // a located error (or legal absence), not wrong data.
+    val dir = Files.createTempDirectory("kerchunk_rot")
+    def refs(mRef: String): String = {
+      def zarray(shape: String, chunks: String, dtype: String) =
+        s"""{\\"zarr_format\\":2,\\"shape\\":[$shape],\\"chunks\\":[$chunks],
+           |\\"dtype\\":\\"$dtype\\",\\"fill_value\\":-1,\\"order\\":\\"C\\",
+           |\\"filters\\":null,\\"compressor\\":null}""".stripMargin.replace("\n", "")
+      // m is 2-D so it classifies as a DATA variable (a chunkless 1-D
+      // array would be a coordinate, where absence now refuses loudly)
+      s"""{"version": 1, "refs": {
+         |  ".zgroup": "{\\"zarr_format\\":2}",
+         |  "t/.zarray": "${zarray("2", "2", "<i8")}",
+         |  "t/0": "base64:${java.util.Base64.getEncoder.encodeToString(le(longs = Seq(0L, 1L)))}",
+         |  "y/.zarray": "${zarray("2", "2", "<i8")}",
+         |  "y/0": "base64:${java.util.Base64.getEncoder.encodeToString(le(longs = Seq(5L, 6L)))}",
+         |  "m/.zarray": "${zarray("2,2", "2,2", "<f8")}",
+         |  $mRef
+         | }}""".stripMargin
+    }
+    def load(name: String, mRef: String) = {
+      val p = dir.resolve(name)
+      Files.write(p, refs(mRef).getBytes)
+      spark.read.format("zarr").load(p.toString)
+    }
+    // (a) reference to a file that does not exist -> located error
+    val missing = intercept[Exception] {
+      load("missing.json", """"m/0.0": ["no_such_archive.bin", 0, 32]""").collect()
+    }
+    def chain(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).getOrElse("") +: chain(t.getCause)
+    assert(chain(missing).exists(m => m.contains("no_such_archive.bin") ||
+      (m.contains("m/0.0") && m.contains("chunk"))), chain(missing).mkString("\\n"))
+    // (b) range past the end of a real archive -> located error
+    Files.write(dir.resolve("short.bin"), Array.fill[Byte](8)(1))
+    val oob = intercept[Exception] {
+      load("oob.json", """"m/0.0": ["short.bin", 4, 32]""").collect()
+    }
+    assert(chain(oob).exists(m => m.contains("short.bin") ||
+      (m.contains("m/0.0") && m.contains("chunk"))), chain(oob).mkString("\\n"))
+    // (c) ABSENT ref for a declared DATA chunk is legal Zarr: fill_value
+    val fill = load("absent.json", """"m_unused/x": "y"""")
+    val vals = fill.orderBy("t", "y").collect().map(_.getDouble(2))
+    assert(vals.toSeq == Seq(-1.0, -1.0, -1.0, -1.0), vals.toSeq)
+  }
+
   test("version-0 documents (bare refs map) and gen refusal") {
     val dir = Files.createTempDirectory("kerchunk_v0")
     Files.write(dir.resolve("x.bin"), le(longs = Seq(1L, 2L, 3L)))
