@@ -235,13 +235,13 @@ object Relational {
     s.sql("""
       WITH cust_orders AS (
         SELECT o_custkey, COUNT(*) AS n_orders,
-               CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS spent
+               CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS STRING) AS DOUBLE) AS spent
         FROM orders GROUP BY o_custkey
       ), segments AS (
         SELECT c_custkey, c_mktsegment FROM customer
       )
       SELECT c_mktsegment, COUNT(*) AS n_customers,
-             CAST(CAST(SUM(CAST(spent AS DECIMAL(16,2))) AS DOUBLE) / SUM(n_orders) AS DOUBLE)
+             CAST(CAST(CAST(SUM(CAST(spent AS DECIMAL(16,2))) AS STRING) AS DOUBLE) / SUM(n_orders) AS DOUBLE)
                AS avg_order_value
       FROM cust_orders JOIN segments ON o_custkey = c_custkey
       GROUP BY c_mktsegment
@@ -257,7 +257,7 @@ object Relational {
       SELECT o_orderstatus, COUNT(*) AS n_above
       FROM orders
       WHERE o_totalprice > (
-        SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) / COUNT(*) FROM orders)
+        SELECT CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS STRING) AS DOUBLE) / COUNT(*) FROM orders)
       GROUP BY o_orderstatus
     """)
   }
@@ -311,7 +311,7 @@ object Relational {
     Tables.views(s, dir, "orders")
     s.sql("""
       SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
-        CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS total
+        CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS STRING) AS DOUBLE) AS total
       FROM orders
       GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
     """)
@@ -401,7 +401,7 @@ object Relational {
       FROM events)
     SELECT event_id, user_id, ts_us,
       COUNT(*) OVER w AS n_prev_min,
-      COALESCE(CAST(SUM(CAST(value AS DECIMAL(10,2))) OVER w AS DOUBLE), 0.0)
+      COALESCE(CAST(CAST(SUM(CAST(value AS DECIMAL(10,2))) OVER w AS STRING) AS DOUBLE), 0.0)
         AS sum_prev_min
     FROM e
     WINDOW w AS (PARTITION BY user_id ORDER BY ts_us
@@ -456,7 +456,7 @@ object Relational {
         CAST(CAST(l_tax AS DECIMAL(4,2)) AS DOUBLE) AS amount
       FROM lineitem)
     SELECT charge_kind, COUNT(*) AS n,
-      CAST(SUM(CAST(amount AS DECIMAL(18,2))) AS DOUBLE) AS total
+      CAST(CAST(SUM(CAST(amount AS DECIMAL(18,2))) AS STRING) AS DOUBLE) AS total
     FROM melted GROUP BY charge_kind"""
 
   /** Ranking-function breadth: ntile, percent_rank, cume_dist over a
@@ -519,7 +519,7 @@ object Relational {
 
   private val k1Sql = """
     SELECT l_returnflag,
-      CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+      CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS STRING) AS DOUBLE) AS sum_qty
     FROM lineitem GROUP BY l_returnflag"""
 
   /** Hot-key join through [[Skew.saltedJoin]] (salted big side,
@@ -534,7 +534,7 @@ object Relational {
 
   private val k2Sql = """
     SELECT c_mktsegment, COUNT(*) AS n_orders,
-      CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS revenue
+      CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS STRING) AS DOUBLE) AS revenue
     FROM orders JOIN customer ON o_custkey = c_custkey
     GROUP BY c_mktsegment"""
 
@@ -568,10 +568,10 @@ object Relational {
   private val q32Sql = """
     WITH sums AS (
       SELECT l_returnflag, COUNT(*) AS n,
-        CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_q,
-        CAST(SUM(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qq,
-        CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2))) AS DOUBLE) AS sum_p,
-        CAST(SUM(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(14,2))) AS DOUBLE) AS sum_qp
+        CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS STRING) AS DOUBLE) AS sum_q,
+        CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(12,2))) AS STRING) AS DOUBLE) AS sum_qq,
+        CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2))) AS STRING) AS DOUBLE) AS sum_p,
+        CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(14,2))) AS STRING) AS DOUBLE) AS sum_qp
       FROM lineitem GROUP BY l_returnflag)
     SELECT l_returnflag, n,
       (n * sum_qq - sum_q * sum_q) / (n * (n - 1)) AS var_q,
@@ -745,7 +745,7 @@ object Relational {
     per AS (
       SELECT CAST(YEAR(o_orderdate) * 12 + MONTH(o_orderdate) AS BIGINT) AS m,
         COUNT(*) AS n_orders,
-        CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS revenue
+        CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS STRING) AS DOUBLE) AS revenue
       FROM orders GROUP BY 1
     )
     SELECT months.m AS month_id,
@@ -814,23 +814,30 @@ object Relational {
   private val q39Sql = q39Text
 
   /** max_by / min_by (argmax/argmin aggregates, Spark 3.3+): per
-    * nation, the customer holding the max/min account balance. The
-    * corpus has no balance ties (doubles from a dense domain), so the
-    * arg is well-defined; DuckDB's arg_max/arg_min mirror it. One
+    * nation, the customer holding the max/min account balance. Both
+    * engines' argmax is documented tie-NONDETERMINISTIC, and replica
+    * corpora (ScaleUp) tie balances k ways by construction — so the
+    * ordering value is a composed bigint sort key, cents·10⁸ +
+    * custkey, which breaks balance ties by custkey identically on
+    * every engine and scale (lexicographic as long as 0 ≤ custkey <
+    * 10⁸; richest tie → larger custkey, poorest tie → smaller). One
     * hash aggregate with map-side partials — argmax state is a single
     * (value, arg) pair per group at any scale. */
-  def q40_argmax(s: SparkSession, dir: String): DataFrame =
+  def q40_argmax(s: SparkSession, dir: String): DataFrame = {
+    val key = (dec(col("c_acctbal"), 12) * lit(100)).cast("long") * lit(100000000L) +
+      col("c_custkey")
     t(s, dir, "customer")
       .groupBy(col("c_nationkey").cast("long").as("nation"))
       .agg(
-        max_by(col("c_custkey"), col("c_acctbal")).as("richest"),
-        min_by(col("c_custkey"), col("c_acctbal")).as("poorest"),
+        max_by(col("c_custkey"), key).as("richest"),
+        min_by(col("c_custkey"), key).as("poorest"),
         max(dec(col("c_acctbal"), 12)).cast("double").as("max_bal"))
+  }
 
   private val q40Sql = """
     SELECT CAST(c_nationkey AS BIGINT) AS nation,
-      ARG_MAX(c_custkey, c_acctbal) AS richest,
-      ARG_MIN(c_custkey, c_acctbal) AS poorest,
+      ARG_MAX(c_custkey, CAST(CAST(c_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT) * 100000000 + c_custkey) AS richest,
+      ARG_MIN(c_custkey, CAST(CAST(c_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT) * 100000000 + c_custkey) AS poorest,
       CAST(MAX(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS max_bal
     FROM customer GROUP BY 1"""
 
@@ -931,13 +938,13 @@ object Relational {
 
   private val q1Sql = s"""
     SELECT l_returnflag, l_linestatus,
-      CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
-      CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2))) AS DOUBLE) AS sum_base_price,
-      CAST(SUM($sqlRev) AS DOUBLE) AS sum_disc_price,
-      CAST(SUM($sqlRev * (CAST(1 AS DECIMAL(4,2)) + CAST(l_tax AS DECIMAL(4,2)))) AS DOUBLE) AS sum_charge,
-      CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / COUNT(l_quantity) AS DOUBLE) AS avg_qty,
-      CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2))) AS DOUBLE) / COUNT(l_extendedprice) AS DOUBLE) AS avg_price,
-      CAST(CAST(SUM(CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) / COUNT(l_discount) AS DOUBLE) AS avg_disc,
+      CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS STRING) AS DOUBLE) AS sum_qty,
+      CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2))) AS STRING) AS DOUBLE) AS sum_base_price,
+      CAST(CAST(SUM($sqlRev) AS STRING) AS DOUBLE) AS sum_disc_price,
+      CAST(CAST(SUM($sqlRev * (CAST(1 AS DECIMAL(4,2)) + CAST(l_tax AS DECIMAL(4,2)))) AS STRING) AS DOUBLE) AS sum_charge,
+      CAST(CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS STRING) AS DOUBLE) / COUNT(l_quantity) AS DOUBLE) AS avg_qty,
+      CAST(CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2))) AS STRING) AS DOUBLE) / COUNT(l_extendedprice) AS DOUBLE) AS avg_price,
+      CAST(CAST(CAST(SUM(CAST(l_discount AS DECIMAL(4,2))) AS STRING) AS DOUBLE) / COUNT(l_discount) AS DOUBLE) AS avg_disc,
       COUNT(*) AS count_order
     FROM lineitem GROUP BY l_returnflag, l_linestatus"""
 
@@ -951,7 +958,7 @@ object Relational {
 
   private val q3Sql = s"""
     SELECT o_orderkey, o_orderdate, o_orderpriority,
-      CAST(SUM($sqlRev) AS DOUBLE) AS revenue
+      CAST(CAST(SUM($sqlRev) AS STRING) AS DOUBLE) AS revenue
     FROM lineitem
     JOIN orders ON l_orderkey = o_orderkey
     JOIN customer ON o_custkey = c_custkey
@@ -963,7 +970,7 @@ object Relational {
 
   private val q4Sql = """
     SELECT r_name, n_name,
-      CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS total_revenue,
+      CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS STRING) AS DOUBLE) AS total_revenue,
       COUNT(*) AS n_orders
     FROM orders
     JOIN customer ON o_custkey = c_custkey
@@ -978,11 +985,11 @@ object Relational {
 
   private val q6Sql = """
     SELECT 'with_orders' AS grp, COUNT(*) AS n,
-      CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS acctbal
+      CAST(CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS STRING) AS DOUBLE) AS acctbal
     FROM customer c WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
     UNION ALL
     SELECT 'no_orders' AS grp, COUNT(*) AS n,
-      CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS acctbal
+      CAST(CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS STRING) AS DOUBLE) AS acctbal
     FROM customer c WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)"""
 
   private val q7Sql = """
@@ -1015,7 +1022,7 @@ object Relational {
 
   private val q10Sql = """
     SELECT l_suppkey, l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
-      CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) OVER w AS DOUBLE)
+      CAST(CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) OVER w AS STRING) AS DOUBLE)
            / COUNT(*) OVER w AS DOUBLE) AS moving_avg_qty
     FROM lineitem
     WINDOW w AS (PARTITION BY l_suppkey
@@ -1023,7 +1030,7 @@ object Relational {
       ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)"""
 
   private val q11Sql = s"""
-    SELECT l_orderkey, CAST(SUM($sqlRev) AS DOUBLE) AS revenue
+    SELECT l_orderkey, CAST(CAST(SUM($sqlRev) AS STRING) AS DOUBLE) AS revenue
     FROM lineitem GROUP BY l_orderkey
     ORDER BY revenue DESC, l_orderkey LIMIT 10"""
 
@@ -1036,12 +1043,12 @@ object Relational {
 
   private val q14Sql = """
     SELECT o_custkey, COUNT(*) AS n_orders,
-      CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS total_spent
+      CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS STRING) AS DOUBLE) AS total_spent
     FROM orders GROUP BY o_custkey HAVING COUNT(*) >= 12"""
 
   private val q15Sql = """
     SELECT l_returnflag, COUNT(*) AS n,
-      CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2))) AS DOUBLE) AS sum_price
+      CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2))) AS STRING) AS DOUBLE) AS sum_price
     FROM lineitem
     WHERE l_quantity BETWEEN 10 AND 20
       AND l_returnflag IN ('A', 'R') AND l_shipdate IS NOT NULL
@@ -1064,13 +1071,13 @@ object Relational {
   private val q18Sql = """
     WITH cust_orders AS (
       SELECT o_custkey, COUNT(*) AS n_orders,
-             CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS spent
+             CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS STRING) AS DOUBLE) AS spent
       FROM orders GROUP BY o_custkey
     ), segments AS (
       SELECT c_custkey, c_mktsegment FROM customer
     )
     SELECT c_mktsegment, COUNT(*) AS n_customers,
-           CAST(CAST(SUM(CAST(spent AS DECIMAL(16,2))) AS DOUBLE) / SUM(n_orders) AS DOUBLE)
+           CAST(CAST(CAST(SUM(CAST(spent AS DECIMAL(16,2))) AS STRING) AS DOUBLE) / SUM(n_orders) AS DOUBLE)
              AS avg_order_value
     FROM cust_orders JOIN segments ON o_custkey = c_custkey
     GROUP BY c_mktsegment"""
@@ -1079,17 +1086,17 @@ object Relational {
     SELECT o_orderstatus, COUNT(*) AS n_above
     FROM orders
     WHERE o_totalprice > (
-      SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) / COUNT(*) FROM orders)
+      SELECT CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS STRING) AS DOUBLE) / COUNT(*) FROM orders)
     GROUP BY o_orderstatus"""
 
   private val q20Sql = """
     SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
-      CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+      CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS STRING) AS DOUBLE) AS sum_qty
     FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)"""
 
   private val q21Sql = """
     SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
-      CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS total
+      CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS STRING) AS DOUBLE) AS total
     FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)"""
 
   private val q22Sql = """
@@ -1111,14 +1118,14 @@ object Relational {
 
   private val q24Sql = """
     SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
-      CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS total
+      CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS STRING) AS DOUBLE) AS total
     FROM orders
     GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())"""
 
   private val q23Sql = """
     SELECT CAST(FLOOR(EPOCH(ts) / 3600) AS BIGINT) AS hour_bucket, event_type,
       COUNT(*) AS n_events,
-      CAST(SUM(CAST(value AS DECIMAL(10,2))) AS DOUBLE) AS sum_value,
+      CAST(CAST(SUM(CAST(value AS DECIMAL(10,2))) AS STRING) AS DOUBLE) AS sum_value,
       COUNT(DISTINCT user_id) AS n_users
     FROM events GROUP BY 1, 2"""
 

@@ -60,10 +60,22 @@ object Dedup {
 
   // ------------------------------------------------------------ d2 n-gram
 
-  /** Exact Jaccard over rare grams (df ≤ max(2, 5% of corpus)):
-    * near-dup pairs share most of their rare grams; unrelated docs
-    * share only common vocabulary grams, which the df cut removes —
-    * this is what makes the exact gram-join tractable at scale. */
+  /** Absolute document-frequency ceiling for d2's rare-gram cut. A
+    * FRACTIONAL cut alone (df ≤ N/20) permits (0.05·N)² candidate
+    * pairs per gram — quadratic in corpus size (measured: 100× pair
+    * growth on 10× docs, SCALE.md round 7). A constant ceiling K caps
+    * per-gram fan-out at C(K,2) pairs, so total candidate volume is
+    * O(K²·#grams) = O(N) — the discipline real corpus pipelines use.
+    * K = 25 equals N/20 at gate scale (N = 500), so gate results are
+    * bit-identical to the uncapped form. */
+  private[graft] val d2MaxDf = 25L
+
+  /** Exact Jaccard over rare grams (df ≤ min(maxDf, max(2, 5% of
+    * corpus))): near-dup pairs share most of their rare grams;
+    * unrelated docs share only common vocabulary grams, which the df
+    * cut removes. The absolute [[d2MaxDf]] ceiling (not the fractional
+    * cut) is what makes the exact gram-join tractable at scale — see
+    * its scaladoc. */
   def d2_dedup_ngram(s: SparkSession, dir: String): DataFrame = {
     val g = TextAnalysis.gramCodes(docs(s, dir))
     // 5% as EXACT integer division (count div 20): `count * 0.05`
@@ -71,7 +83,7 @@ object Dedup {
     // decimal-to-bigint cast — the two engines would disagree whenever
     // count % 20 >= 10
     val nDocs = docs(s, dir).select(
-      greatest(lit(2L), expr("count(1) div 20")).as("cut"))
+      least(lit(d2MaxDf), greatest(lit(2L), expr("count(1) div 20"))).as("cut"))
     val rare = g.join(
         g.groupBy("code").agg(count(lit(1)).as("df")), "code")
       .crossJoin(broadcast(nDocs))
@@ -103,7 +115,7 @@ object Dedup {
 
   private val d2Sql = s"""
     WITH g AS (${TextAnalysis.gramSql}),
-    cutoff AS (SELECT GREATEST(2, COUNT(*) // 20) AS cut FROM documents),
+    cutoff AS (SELECT LEAST($d2MaxDf, GREATEST(2, COUNT(*) // 20)) AS cut FROM documents),
     rare AS (
       SELECT g.doc_id, g.code FROM g
       JOIN (SELECT code, COUNT(*) AS df FROM g GROUP BY code) d ON g.code = d.code
@@ -522,21 +534,46 @@ object Dedup {
     labels.join(sizes, "cluster_id").select("doc_id", "cluster_id", "cluster_size")
   }
 
-  private val d7Sql = s"""
-    WITH RECURSIVE $d3Ctes,
-    pairs AS ($d3Final),
-    edges AS (
+  /** Unrolled hop + pointer-jump rounds for [[d7Sql]]. Each round the
+    * min label advances ≥1 hop and the pointer jump then halves the
+    * remaining pointer distance, so reach grows ~2^round: 20 rounds
+    * cover any component of diameter ≲ 2^20 with label-table (linear)
+    * state per round. The previous recursive-transitive-closure oracle
+    * accumulated all-pairs reachability — quadratic in cluster size —
+    * and exhausted >80 GB of DuckDB temp at 10× gate scale (SCALE.md
+    * round 7); this formulation mirrors the engine's own propagation
+    * and is scale-portable. Non-convergence inside 20 rounds would
+    * surface as a loud gate hash-mismatch, never a silent wrong
+    * answer. The round CTEs are `AS MATERIALIZED`: DuckDB 1.0 inlines
+    * plain CTEs per reference, and each round references its
+    * predecessor twice — un-materialized, the chain expands 2^rounds
+    * plan copies (observed as fd exhaustion re-opening the parquet
+    * leaf); materialized, the plan is linear like the engine's. */
+  private val d7OracleRounds = 20
+
+  private val d7Sql = {
+    val rounds = (1 to d7OracleRounds).map { i =>
+      s"""h$i AS MATERIALIZED (
+      SELECT l.n, LEAST(l.lbl, MIN(x.lbl)) AS lbl
+      FROM l${i - 1} l JOIN edges e ON e.s = l.n JOIN l${i - 1} x ON x.n = e.d
+      GROUP BY l.n, l.lbl),
+    l$i AS MATERIALIZED (
+      SELECT h.n, p.lbl FROM h$i h JOIN h$i p ON p.n = h.lbl)"""
+    }.mkString(",\n    ")
+    s"""
+    WITH $d3Ctes,
+    pairs AS MATERIALIZED ($d3Final),
+    edges AS MATERIALIZED (
       SELECT doc_a AS s, doc_b AS d FROM pairs
       UNION SELECT doc_b, doc_a FROM pairs),
-    reach(n, r) AS (
-      SELECT DISTINCT s, s FROM edges
-      UNION
-      SELECT e.d, reach.r FROM reach JOIN edges e ON e.s = reach.n),
-    lab AS (SELECT n AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY n)
+    l0 AS MATERIALIZED (SELECT DISTINCT s AS n, s AS lbl FROM edges),
+    $rounds,
+    lab AS MATERIALIZED (SELECT n AS doc_id, lbl AS cluster_id FROM l$d7OracleRounds)
     SELECT l.doc_id, l.cluster_id, c.cluster_size
     FROM lab l JOIN (
       SELECT cluster_id, COUNT(*) AS cluster_size FROM lab GROUP BY cluster_id) c
     USING (cluster_id)"""
+  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d1_dedup_exact" -> (d1_dedup_exact _),

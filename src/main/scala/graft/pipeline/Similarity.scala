@@ -226,23 +226,27 @@ object Similarity {
     * components (first 4 dims), mean squared norm — the "is my
     * labeled embedding corpus balanced/degenerate" health check of a
     * training pipeline. Cross-row float sums go through an exact
-    * decimal accumulator (associative ⇒ identical on any partitioning
-    * or cluster size); per-row norms use the codegen'd
-    * [[graft.functions.FloatVecDot]] fold. One map-side-partial
-    * aggregation, shuffle key = label. */
+    * FLOOR-quantized BIGINT accumulator (`floor(x·1e10)`): the IEEE
+    * double product and floor are bit-identical on every engine, so
+    * the integer sum is exact, associative (⇒ identical on any
+    * partitioning or cluster size), and — unlike a double→DECIMAL
+    * rounding cast — free of round-HALF_UP (Spark) vs half-to-even
+    * (DuckDB) divergence on dyadic `.5` ties at the target scale
+    * (bit out at 1e-10 on element -0.22314453125, SCALE.md round 7).
+    * Per-row norms use the codegen'd [[graft.functions.FloatVecDot]]
+    * fold. One map-side-partial aggregation, shuffle key = label. */
   def s4_embed_stats(s: SparkSession, dir: String): DataFrame = {
+    val q = 1e10
     def cdim(i: Int): Column =
-      sum(element_at(col("embedding"), i + 1).cast("double")
-        .cast(org.apache.spark.sql.types.DecimalType(20, 10)))
-        .cast("double").as(s"c$i")
+      (sum(floor(element_at(col("embedding"), i + 1).cast("double") * lit(q)))
+        .cast("double") / lit(q)).as(s"c$i")
     emb(s, dir)
       .select(col("label").cast("long").as("label"), col("embedding"),
         VectorOps.norm2(col("embedding")).as("n2"))
       .groupBy("label")
       .agg(count(lit(1)).as("n"),
         cdim(0), cdim(1), cdim(2), cdim(3),
-        sum(col("n2").cast(org.apache.spark.sql.types.DecimalType(20, 10)))
-          .cast("double").as("sum_n2"))
+        (sum(floor(col("n2") * lit(q))).cast("double") / lit(q)).as("sum_n2"))
   }
 
   private val s4Sql = """
@@ -252,11 +256,11 @@ object Similarity {
          FROM (SELECT UNNEST(e.embedding) AS x, UNNEST(e.embedding) AS y) z) AS n2
       FROM embeddings e)
     SELECT CAST(e.label AS BIGINT) AS label, COUNT(*) AS n,
-      CAST(SUM(CAST(CAST(e.embedding[1] AS DOUBLE) AS DECIMAL(20,10))) AS DOUBLE) AS c0,
-      CAST(SUM(CAST(CAST(e.embedding[2] AS DOUBLE) AS DECIMAL(20,10))) AS DOUBLE) AS c1,
-      CAST(SUM(CAST(CAST(e.embedding[3] AS DOUBLE) AS DECIMAL(20,10))) AS DOUBLE) AS c2,
-      CAST(SUM(CAST(CAST(e.embedding[4] AS DOUBLE) AS DECIMAL(20,10))) AS DOUBLE) AS c3,
-      CAST(SUM(CAST(n.n2 AS DECIMAL(20,10))) AS DOUBLE) AS sum_n2
+      CAST(CAST(SUM(CAST(FLOOR(CAST(e.embedding[1] AS DOUBLE) * 1e10) AS BIGINT)) AS STRING) AS DOUBLE) / 1e10 AS c0,
+      CAST(CAST(SUM(CAST(FLOOR(CAST(e.embedding[2] AS DOUBLE) * 1e10) AS BIGINT)) AS STRING) AS DOUBLE) / 1e10 AS c1,
+      CAST(CAST(SUM(CAST(FLOOR(CAST(e.embedding[3] AS DOUBLE) * 1e10) AS BIGINT)) AS STRING) AS DOUBLE) / 1e10 AS c2,
+      CAST(CAST(SUM(CAST(FLOOR(CAST(e.embedding[4] AS DOUBLE) * 1e10) AS BIGINT)) AS STRING) AS DOUBLE) / 1e10 AS c3,
+      CAST(CAST(SUM(CAST(FLOOR(n.n2 * 1e10) AS BIGINT)) AS STRING) AS DOUBLE) / 1e10 AS sum_n2
     FROM embeddings e JOIN norms n ON e.vec_id = n.vec_id
     GROUP BY e.label"""
 

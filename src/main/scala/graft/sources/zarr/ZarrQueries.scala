@@ -386,7 +386,7 @@ object ZarrQueries {
       FROM lns l CROSS JOIN ks kk
       LEFT JOIN agg a ON a.ln = l.ln AND a.k = kk.k)
     SELECT CAST(SUM(sum_qty) AS BIGINT) AS total_qty,
-      CAST(SUM(sum_qty) AS DOUBLE) / COUNT(*) AS mean_qty,
+      CAST(CAST(SUM(sum_qty) AS STRING) AS DOUBLE) / COUNT(*) AS mean_qty,
       CAST(COUNT(*) AS BIGINT) AS n_cells
     FROM grid"""
 

@@ -146,7 +146,7 @@ object EventsStreaming {
   private val st1Sql = """
     SELECT CAST(FLOOR(EPOCH(ts) / 3600) AS BIGINT) AS hour_bucket, event_type,
       COUNT(*) AS n_events,
-      CAST(SUM(CAST(value AS DECIMAL(10,2))) AS DOUBLE) AS sum_value
+      CAST(CAST(SUM(CAST(value AS DECIMAL(10,2))) AS STRING) AS DOUBLE) AS sum_value
     FROM events GROUP BY 1, 2"""
 
   /** Stateful sessionization via flatMapGroupsWithState: per user,
@@ -270,7 +270,7 @@ object EventsStreaming {
 
   private val st5Sql = """
     SELECT c_mktsegment, COUNT(*) AS n_events,
-      CAST(SUM(CAST(value AS DECIMAL(10,2))) AS DOUBLE) AS sum_value
+      CAST(CAST(SUM(CAST(value AS DECIMAL(10,2))) AS STRING) AS DOUBLE) AS sum_value
     FROM events JOIN customer ON user_id = c_custkey
     GROUP BY c_mktsegment"""
 
