@@ -29,7 +29,12 @@ object Verify {
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+      // repartition(1), NOT coalesce(1): coalesce collapses the whole
+      // upstream plan into the single output task (an explosive
+      // blocked join like c5 then runs serially — measured 90s+ at
+      // 10x gate scale); repartition keeps the upstream parallel and
+      // only funnels the final rows through one writer.
+      try fn(spark, sfDir).repartition(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
