@@ -49,7 +49,15 @@ object FuzzRun {
         .replace("\n", "\\n") + "\""
     }.mkString("{", ",\n", "}")
     Files.write(Paths.get(s"$outDir/oracle_sql.json"), json.getBytes("UTF-8"))
-    println(s"[fuzz] ${nSeeds - failed}/$nSeeds queries ran; sql + results in $outDir")
+    // grammar-version stamp: recorded corpora/hash claims are only
+    // valid within one grammar version — seeds remap across versions
+    // (ADVICE r7). Comparing tooling/readers should refuse mixed-
+    // version comparisons instead of silently comparing remapped seeds.
+    Files.write(Paths.get(s"$outDir/fuzz_meta.json"),
+      s"""{"grammar_version": ${SqlFuzz.grammarVersion}, "seed0": $seed0, "n_seeds": $nSeeds}"""
+        .getBytes("UTF-8"))
+    println(s"[fuzz] ${nSeeds - failed}/$nSeeds queries ran " +
+      s"(grammar v${SqlFuzz.grammarVersion}); sql + results in $outDir")
     spark.stop()
     if (failed > 0) sys.exit(1)
   }

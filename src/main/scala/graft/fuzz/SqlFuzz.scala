@@ -28,6 +28,17 @@ import scala.util.Random
   */
 object SqlFuzz {
 
+  /** Grammar version — stamped into FuzzRun's `fuzz_meta.json` and its
+    * summary line. Bump on ANY change to [[gen]]'s shape distribution
+    * or the generators: seeds remap to different queries across
+    * versions, so recorded per-seed corpora/hashes are only comparable
+    * within one version (ADVICE r7 — stale recorded corpora must fail
+    * loudly, not silently compare re-mapped queries).
+    *
+    * v2: LATERAL shape, NOT EXISTS + correlated IN subqueries,
+    * aggregate-expression HAVING, NULL-dense derived-corpus shape. */
+  val grammarVersion = 2
+
   private case class Col(name: String, kind: Kind)
   private sealed trait Kind
   private case object IntK extends Kind
@@ -291,8 +302,20 @@ object SqlFuzz {
                else r.shuffle(keyPool).take(1 + r.nextInt(2))
     val keyItems = keys.zipWithIndex.map { case (k, i) => s"$k AS k$i" }
     val aggs = aggExprs(r, scope, 0)
-    val having = if (keys.nonEmpty && r.nextInt(3) == 0)
-      s"\nHAVING count(*) >= ${1 + r.nextInt(3)}" else ""
+    // HAVING on count(*) or on a re-stated aggregate expression (both
+    // engines require repeating the expr — HAVING sees no aliases)
+    val having = if (keys.nonEmpty && r.nextInt(3) == 0) {
+      val t = pick(r, scope)
+      val hExpr = t.cols.find(_.kind == IntK) match {
+        case Some(c) if r.nextBoolean() =>
+          s"${pick(r, Seq("min", "max"))}(${t.name}.${c.name}) " +
+            s"${pick(r, Seq("<", "<=", ">", ">="))} " +
+            intLit(r, t.intRanges.get(c.name).map(_._1).getOrElse(0L),
+              t.intRanges.get(c.name).map(_._2).getOrElse(1000L))
+        case _ => s"count(*) >= ${1 + r.nextInt(3)}"
+      }
+      s"\nHAVING $hExpr"
+    } else ""
     val groupBy = if (keys.isEmpty) "" else s"\nGROUP BY ${keys.mkString(", ")}"
     s"""SELECT ${(keyItems ++ aggs).mkString(", ")}
        |FROM $from
@@ -333,7 +356,23 @@ object SqlFuzz {
 
   private def subQ(r: Random): String = {
     val (a, b, on) = pick(r, edges)
-    r.nextInt(3) match {
+    r.nextInt(5) match {
+      case 3 => // NOT EXISTS correlated on the FK edge
+        s"""SELECT ${a.name}.${a.unique.head} AS c0
+           |FROM ${a.name}
+           |WHERE NOT EXISTS (SELECT 1 FROM ${b.name} WHERE $on AND ${pred(r, Seq(b))})
+           |  AND ${pred(r, Seq(a))}
+           |ORDER BY c0 ASC NULLS FIRST
+           |LIMIT ${50 + r.nextInt(150)}""".stripMargin
+      case 4 => // correlated IN: membership against an edge-correlated list
+        val ac = pick(r, a.cols.filter(_.kind == IntK))
+        val bc = pick(r, b.cols.filter(_.kind == IntK))
+        s"""SELECT ${a.name}.${a.unique.mkString(s" AS c0, ${a.name}.")} AS c${a.unique.size - 1}
+           |FROM ${a.name}
+           |WHERE ${a.name}.${ac.name} IN
+           |  (SELECT ${b.name}.${bc.name} FROM ${b.name} WHERE $on AND ${pred(r, Seq(b))})
+           |ORDER BY ${(0 until a.unique.size).map(i => s"c$i ASC NULLS FIRST").mkString(", ")}
+           |LIMIT ${50 + r.nextInt(150)}""".stripMargin
       case 0 => // scalar subquery bound
         val key = a.unique.head
         s"""SELECT ${a.name}.$key AS c0
@@ -431,18 +470,95 @@ object SqlFuzz {
        |SELECT k AS c0, cnt AS c1, (cnt * 2) AS c2 FROM base WHERE cnt >= ${1 + r.nextInt(4)}""".stripMargin
   }
 
+  /** LATERAL correlated derived table: a per-outer-row aggregate over
+    * the FK edge, computed inside the lateral subquery (always exactly
+    * one row — count over empty is 0, min/max over empty is NULL, so
+    * the null-extended value also exercises null ordering). c0 is the
+    * CORRELATION column (not just any key): rows sharing c0 share the
+    * same lateral result, so ties at the LIMIT boundary are full-row
+    * duplicates — interchangeable under the sorted compare.
+    *
+    * LEFT JOIN LATERAL ... ON true, NOT comma-LATERAL: DuckDB 1.0's
+    * decorrelation of a comma-LATERAL aggregate DROPS empty groups
+    * (the classic COUNT bug — ANSI and Spark produce one NULL row per
+    * empty group; minimal repro in the round-8 notes). The LEFT JOIN
+    * form null-extends on both engines, so the texts agree. */
+  private def latQ(r: Random): String = {
+    val (a, b, on) = pick(r, edges)
+    val fk = on.split(" = ")(0)
+    val bi = pick(r, b.cols.filter(_.kind == IntK))
+    val agg = pick(r, Seq("count(*)",
+      s"min(${b.name}.${bi.name})", s"max(${b.name}.${bi.name})"))
+    s"""SELECT $fk AS c0, l.m AS c1
+       |FROM ${a.name} LEFT JOIN LATERAL (
+       |  SELECT $agg AS m FROM ${b.name}
+       |  WHERE $on AND ${pred(r, Seq(b))}
+       |) l ON true
+       |WHERE ${pred(r, Seq(a))}
+       |ORDER BY c0 ASC NULLS FIRST, c1 ASC NULLS FIRST
+       |LIMIT ${50 + r.nextInt(150)}""".stripMargin
+  }
+
+  /** NULL-dense derived corpus: deterministically NULL out a key-slice
+    * of one column (CASE on key modulus — identical rows on both
+    * engines), then exercise the classic null-semantics surfaces the
+    * almost-null-free base corpus can't reach: NULL groups, count(col)
+    * vs count(*), COALESCE, IS [NOT] NULL, three-valued NOT IN, and
+    * explicit null placement in ORDER BY. */
+  private def nullQ(r: Random): String = {
+    val t = pick(r, Seq(orders, customer, events, documents, part, supplier))
+    val key = t.unique.head
+    val c = pick(r, t.cols.filterNot(_.name == key))
+    val mod = 2 + r.nextInt(4)
+    val nc = s"CASE WHEN ${t.name}.$key % $mod = 0 THEN NULL ELSE ${t.name}.${c.name} END"
+    val base = s"""base AS (
+       |  SELECT ${t.name}.$key AS k, $nc AS v
+       |  FROM ${t.name}
+       |  WHERE ${pred(r, Seq(t))}
+       |)""".stripMargin
+    r.nextInt(4) match {
+      case 0 => // NULL group: GROUP BY the nullable value
+        s"""WITH $base
+           |SELECT v AS c0, count(*) AS c1, count(v) AS c2 FROM base GROUP BY v""".stripMargin
+      case 1 => // null placement in ORDER BY + COALESCE render
+        val coal = c.kind match {
+          case IntK => s"COALESCE(v, ${-1 - r.nextInt(100)})"
+          case DblK => s"COALESCE(v, ${-1 - r.nextInt(100)}.5)"
+          case StrK => s"COALESCE(v, '~missing~')"
+          case TsK => "COALESCE(v, TIMESTAMP '1970-01-01 00:00:00')"
+        }
+        s"""WITH $base
+           |SELECT k AS c0, v AS c1, $coal AS c2 FROM base
+           |ORDER BY c1 ${pick(r, Seq("ASC", "DESC"))} ${pick(r, Seq("NULLS FIRST", "NULLS LAST"))}, c0 ASC NULLS FIRST
+           |LIMIT ${1 + r.nextInt(200)}""".stripMargin
+      case 2 => // three-valued NOT IN: one NULL in the list kills every row
+        val ic = pick(r, t.cols.filter(x => x.kind == IntK && x.name != key))
+        val ncInt = s"CASE WHEN ${t.name}.$key % $mod = 0 THEN NULL ELSE ${t.name}.${ic.name} END"
+        s"""SELECT count(*) AS c0, count(${t.name}.$key) AS c1
+           |FROM ${t.name}
+           |WHERE ${t.name}.$key NOT IN
+           |  (SELECT $ncInt FROM ${t.name} WHERE ${pred(r, Seq(t))})""".stripMargin
+      case _ => // IS [NOT] NULL predicate + null-skipping aggregates
+        s"""WITH $base
+           |SELECT count(*) AS c0, count(v) AS c1, min(v) AS c2, max(v) AS c3
+           |FROM base WHERE v IS ${if (r.nextBoolean()) "" else "NOT "}NULL OR k % ${2 + r.nextInt(5)} = 1""".stripMargin
+    }
+  }
+
   /** Deterministic query text for a seed. */
   def gen(seed: Long): String = {
     val r = new Random(seed)
     r.nextInt(100) match {
-      case x if x < 20 => scanQ(r)
-      case x if x < 40 => aggQ(r)
-      case x if x < 52 => setQ(r)
-      case x if x < 64 => winQ(r)
-      case x if x < 74 => subQ(r)
-      case x if x < 82 => cteQ(r)
-      case x if x < 92 => rollQ(r)
-      case _ => distQ(r)
+      case x if x < 18 => scanQ(r)
+      case x if x < 34 => aggQ(r)
+      case x if x < 45 => setQ(r)
+      case x if x < 56 => winQ(r)
+      case x if x < 66 => subQ(r)
+      case x if x < 74 => cteQ(r)
+      case x if x < 83 => rollQ(r)
+      case x if x < 90 => distQ(r)
+      case x if x < 95 => latQ(r)
+      case _ => nullQ(r)
     }
   }
 

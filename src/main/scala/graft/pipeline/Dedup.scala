@@ -431,19 +431,20 @@ object Dedup {
     d / math.sqrt(n2x * n2y)
   }
 
+  // list_dot_product, not correlated UNNEST subqueries: bit-identical
+  // sequential double folds, but DuckDB plans the correlated form with
+  // >40-min constants at 10x gate scale (SCALE.md round 7) — this
+  // keeps the committed oracle scale-portable with zero substitution.
   private val d5Sql = """
     WITH e AS (
       SELECT vec_id, embedding,
-        (SELECT SUM(CAST(x AS DOUBLE) * CAST(x AS DOUBLE))
-         FROM (SELECT UNNEST(embedding) AS x) z) AS n2
+        list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])) AS n2
       FROM embeddings)
     SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-      (SELECT SUM(CAST(x AS DOUBLE) * CAST(y AS DOUBLE))
-       FROM (SELECT UNNEST(a.embedding) AS x, UNNEST(b.embedding) AS y) z)
+      list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
         / SQRT(a.n2 * b.n2) AS cosine
     FROM e a JOIN e b ON a.vec_id < b.vec_id
-    WHERE (SELECT SUM(CAST(x AS DOUBLE) * CAST(y AS DOUBLE))
-       FROM (SELECT UNNEST(a.embedding) AS x, UNNEST(b.embedding) AS y) z)
+    WHERE list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
         / SQRT(a.n2 * b.n2) >= 0.4"""
 
   // ------------------------------------------------------------ wiring

@@ -446,8 +446,8 @@ object ChunkIO {
     * metric, reported from the read itself rather than a separate
     * `sizeOf` round trip (which doubles object-store requests). */
   def readChunk(store: ZarrStore, meta: ZarrArrayMeta, chunkIdx: Seq[Long],
-      onBytes: Long => Unit = _ => ()): AnyRef =
-    try readChunkImpl(store, meta, chunkIdx, onBytes)
+      onBytes: Long => Unit = _ => (), requirePresent: Boolean = false): AnyRef =
+    try readChunkImpl(store, meta, chunkIdx, onBytes, requirePresent)
     catch {
       // decode failures on corrupt objects surface as bare buffer/
       // codec exceptions with no message — name the chunk so a 1000-
@@ -460,21 +460,31 @@ object ChunkIO {
     }
 
   private def readChunkImpl(store: ZarrStore, meta: ZarrArrayMeta, chunkIdx: Seq[Long],
-      onBytes: Long => Unit): AnyRef = {
+      onBytes: Long => Unit, requirePresent: Boolean = false): AnyRef = {
     decodeCount.incrementAndGet()
     val nElems = meta.chunks.product
     val key = s"${meta.name}/${meta.chunkKey(chunkIdx)}"
+    // requirePresent (coordinate reads): an absent chunk is metadata
+    // inconsistent with the stored data — locate it loudly instead of
+    // fabricating fill values (the error is raised HERE, on the same
+    // GET the read pays anyway, not via a separate existence probe)
+    def absent(): AnyRef =
+      if (!requirePresent) fillArray(meta, nElems)
+      else throw new IllegalArgumentException(
+        s"array '${meta.name}' in ${store.path} declares more data than the " +
+          s"store holds: required chunk '$key' is absent — refusing to " +
+          s"fabricate fill values")
     // uncompressed, unfiltered chunks decode straight from a
     // memory-mapped (or wrapped) buffer — no intermediate heap copy
     if (meta.sharding.isEmpty && meta.compressor.id == "none" && !meta.deltaFilter)
       return store.mapBytes(key) match {
-        case None => fillArray(meta, nElems)
+        case None => absent()
         case Some(buf) =>
           onBytes(buf.remaining().toLong)
           ChunkCodec.decodeTypedBuf(buf, meta.dtype, nElems)
       }
     store.readBytes(key) match {
-      case None => fillArray(meta, nElems)
+      case None => absent()
       case Some(bytes) =>
         onBytes(bytes.length.toLong)
         meta.sharding match {
@@ -573,30 +583,27 @@ object ChunkIO {
   }
 
   /** Read an entire 1-D array (multi-chunk safe) — used for
-    * coordinates. */
+    * coordinates.
+    *
+    * Coordinates must be fully materialized: an absent DATA chunk is
+    * legal Zarr (reads as fill) but an absent COORDINATE chunk means
+    * the declared shape exceeds the stored coordinate data — a torn
+    * metadata edit or bad consolidation. Fabricating fill-valued
+    * coordinates would silently invent grid rows (and duplicate
+    * coordinate cells), so refuse loudly instead. The absence check
+    * rides the read itself (`requirePresent`) — a separate existence
+    * probe per chunk would double round-trips on remote backends
+    * (HTTP HEAD, HDFS RPC) and break against HEAD-rejecting servers. */
   def readWholeArray(store: ZarrStore, meta: ZarrArrayMeta): AnyRef = {
     require(meta.nDims == 1, s"readWholeArray expects 1-D, got ${meta.nDims}-D ${meta.name}")
     val n = meta.shape.head.toInt
     val chunkLen = meta.chunks.head
     val nChunks = meta.chunkGrid.head.toInt
-    // Coordinates must be fully materialized: an absent DATA chunk is
-    // legal Zarr (reads as fill) but an absent COORDINATE chunk means
-    // the declared shape exceeds the stored coordinate data — a torn
-    // metadata edit or bad consolidation. Fabricating fill-valued
-    // coordinates would silently invent grid rows (and duplicate
-    // coordinate cells), so refuse loudly instead.
-    (0 until nChunks).foreach { c =>
-      val key = s"${meta.name}/${meta.chunkKey(Seq(c.toLong))}"
-      if (store.sizeOf(key).isEmpty)
-        throw new IllegalArgumentException(
-          s"Coordinate array '${meta.name}' in ${store.path} declares $n values " +
-            s"but chunk '$key' is absent — metadata is inconsistent with the stored " +
-            s"coordinate data; refusing to fabricate fill coordinates")
-    }
     if (nChunks == 1) {
-      truncate(ChunkIO.readChunk(store, meta, Seq(0L)), n)
+      truncate(ChunkIO.readChunk(store, meta, Seq(0L), requirePresent = true), n)
     } else {
-      val parts = (0 until nChunks).map(c => readChunk(store, meta, Seq(c.toLong)))
+      val parts = (0 until nChunks).map(c =>
+        readChunk(store, meta, Seq(c.toLong), requirePresent = true))
       concat(parts, n, chunkLen)
     }
   }

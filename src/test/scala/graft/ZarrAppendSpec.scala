@@ -66,14 +66,20 @@ class ZarrAppendSpec extends AnyFunSuite {
     })
     writer.start()
     var observations = 0
-    while (writer.isAlive && tornState.isEmpty) {
+    // do/while: at least one read happens even if the writer finishes
+    // all six batches before this thread first checks isAlive (seen on
+    // loaded CI — the observations > 0 assertion below would otherwise
+    // fail spuriously; the final read just observes the terminal state,
+    // which is itself a validState)
+    while ({
       // fresh relation each time: planning re-reads metadata
       val agg = spark.read.format("zarr").load(out)
         .agg(count(lit(1)), sum(col("v"))).collect().head
       val (n, s) = (agg.getLong(0), agg.getDouble(1))
       observations += 1
       if (!validStates.get(n).contains(s)) tornState = Some((n, s))
-    }
+      writer.isAlive && tornState.isEmpty
+    }) ()
     writer.join()
     assert(writerErr.isEmpty, s"appender failed: $writerErr")
     assert(tornState.isEmpty, s"torn read observed: $tornState after $observations reads")

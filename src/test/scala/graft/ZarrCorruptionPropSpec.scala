@@ -158,11 +158,12 @@ class ZarrCorruptionPropSpec extends AnyFunSuite {
             Prop(false) :| s"corruption mode $mode read ${rows.size} rows silently"
           case scala.util.Failure(e) =>
             val msgs = chain(e)
-            // loud AND locatable: some frame names the store path, the
-            // array, or the chunk object
+            // loud AND locatable: some frame names the CONCRETE victim
+            // — this store's path or an object key under the victim
+            // array ("v/..") — not just generic wording ("zarr",
+            // "chunk") that any exception from this codebase carries
             val located = msgs.exists(m =>
-              m != null && (m.contains(store) || m.contains("v/") ||
-                m.contains(".zarray") || m.contains("zarr") || m.contains("chunk")))
+              m != null && (m.contains(store) || m.contains("v/")))
             Prop(located) :| s"undescriptive failure: ${msgs.take(3).mkString(" | ")}"
         }
     }

@@ -205,4 +205,91 @@ class ZarrKerchunkSpec extends AnyFunSuite {
       Seq(t) ++ Option(t.getCause).toSeq.flatMap(chain)
     assert(chain(e).exists(c => Option(c.getMessage).exists(_.contains("gen"))), e.toString)
   }
+
+  test("parquet refs read byte-identically to the same refs in JSON") {
+    // the scale form of the refs set (fsspec LazyReferenceMapper
+    // layout): same virtual store, refs in per-variable parquet record
+    // files instead of one in-memory JSON document
+    val parqDir = Files.createTempDirectory("kerchunk_parq").resolve("refs.parq")
+    graft.sources.zarr.KerchunkParquetRefs.fromJson(refsPath, parqDir.toString)
+    val viaParq = spark.read.format("zarr").load(parqDir.toString)
+      .orderBy("time", "y").collect().map(_.toSeq).toSeq
+    val viaJson = spark.read.format("zarr").load(refsPath)
+      .orderBy("time", "y").collect().map(_.toSeq).toSeq
+    assert(viaParq == viaJson && viaJson.nonEmpty)
+  }
+
+  test("parquet refs: pushdown composes through the reference layer") {
+    val parqDir = Files.createTempDirectory("kerchunk_parq2").resolve("refs.parq")
+    graft.sources.zarr.KerchunkParquetRefs.fromJson(refsPath, parqDir.toString)
+    val df = spark.read.format("zarr")
+      .option("minRowsPerPartition", "1").load(parqDir.toString)
+    assert(df.rdd.getNumPartitions == 2) // outer chunks of m
+    val f = df.filter(col("time") === 500L)
+    assert(f.collect().map(_.getDouble(2)).sorted.toSeq == Seq(40.0, 41.0))
+  }
+
+  test("parquet refs: small record_size spans multiple record files") {
+    // record_size 1 forces one record file per chunk — the lookup math
+    // (linear index -> record file, row-in-record) is exercised across
+    // files instead of hitting row 0 of refs.0.parq every time
+    val parqDir = Files.createTempDirectory("kerchunk_parq3").resolve("refs.parq")
+    graft.sources.zarr.KerchunkParquetRefs.fromJson(refsPath, parqDir.toString,
+      recordSize = 1)
+    assert(Files.exists(parqDir.resolve("m/refs.0.parq")) &&
+      Files.exists(parqDir.resolve("m/refs.1.parq")))
+    val viaParq = spark.read.format("zarr").load(parqDir.toString)
+      .orderBy("time", "y").collect().map(_.toSeq).toSeq
+    val viaJson = spark.read.format("zarr").load(refsPath)
+      .orderBy("time", "y").collect().map(_.toSeq).toSeq
+    assert(viaParq == viaJson)
+  }
+
+  test("parquet refs: blosc store round-trips through the codec chain") {
+    // convert the blosc-store JSON refs built above into parquet refs
+    // and compare against the direct store read
+    val src = Paths.get("src/test/resources/zarr/synthetic_v2_blosc.zarr")
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val root = mapper.createObjectNode()
+    root.put("version", 1)
+    val refs = root.putObject("refs")
+    val walk = java.nio.file.Files.walk(src)
+    try {
+      import scala.jdk.CollectionConverters._
+      walk.filter(Files.isRegularFile(_)).iterator().asScala.foreach { p =>
+        val key = src.relativize(p).toString.replace(java.io.File.separatorChar, '/')
+        if (p.getFileName.toString.startsWith("."))
+          refs.put(key, new String(Files.readAllBytes(p),
+            java.nio.charset.StandardCharsets.UTF_8))
+        else {
+          val arr = refs.putArray(key)
+          arr.add(p.toAbsolutePath.toString); arr.add(0L); arr.add(Files.size(p))
+        }
+      }
+    } finally walk.close()
+    val tmp = Files.createTempDirectory("kerchunk_parq4")
+    val json = tmp.resolve("refs.json")
+    Files.write(json, mapper.writeValueAsBytes(root))
+    val parqDir = tmp.resolve("refs.parq")
+    graft.sources.zarr.KerchunkParquetRefs.fromJson(json.toString, parqDir.toString)
+    val viaParq = spark.read.format("zarr").load(parqDir.toString)
+      .orderBy("time", "lon", "lat").collect().map(_.toSeq).toSeq
+    val direct = spark.read.format("zarr").load(src.toString)
+      .orderBy("time", "lon", "lat").collect().map(_.toSeq).toSeq
+    assert(viaParq == direct && direct.nonEmpty)
+  }
+
+  test("parquet refs writes are refused") {
+    val parqDir = Files.createTempDirectory("kerchunk_parq5").resolve("refs.parq")
+    graft.sources.zarr.KerchunkParquetRefs.fromJson(refsPath, parqDir.toString)
+    val e = intercept[Exception] {
+      spark.range(2).selectExpr("id as time", "id as y", "CAST(id AS DOUBLE) as m")
+        .write.format("zarr").option("coords", "time,y").mode("overwrite")
+        .save(parqDir.toString)
+    }
+    def chain(t: Throwable): Seq[Throwable] =
+      Seq(t) ++ Option(t.getCause).toSeq.flatMap(chain)
+    assert(chain(e).exists(c => Option(c.getMessage).exists(m =>
+      m.contains("read-only") || m.contains("Unsupported"))), e.toString)
+  }
 }
