@@ -763,28 +763,88 @@ object ZarrWriter {
     // in-place shape edit (both read extent N, both write N+k — one
     // batch's rows silently vanish from the metadata). Exactly one
     // caller wins the atomic lock-file create; the loser fails loudly
-    // and can retry after the winner releases. A crashed appender
-    // leaves the lock behind — the holder token in the message tells
-    // the operator what held it and since when; delete the file to
-    // recover (the store itself is readable at its old shape, per the
-    // chunks-before-metadata crash ordering below).
-    val lockToken =
-      s"${java.lang.management.ManagementFactory.getRuntimeMXBean.getName} " +
-        s"at ${java.time.Instant.now()}"
-    if (!store.createExclusive(appendLockRel, lockToken.getBytes("UTF-8"))) {
+    // and can retry after the winner releases.
+    //
+    // LEASE semantics: the holder re-writes the lock object every
+    // [[leaseHeartbeatMillis]] (atomic per-object write), so a lock
+    // whose heartbeat is older than [[leaseTtlMillis]] marks a CRASHED
+    // holder — a new appender breaks it and proceeds (self-healing; no
+    // operator hand-delete on fleets). The break double-reads the lock
+    // and only deletes if the observed stale content is unchanged, so
+    // a racing breaker that already re-acquired is never clobbered
+    // (the window between re-read and delete remains — same
+    // best-effort caveat as createExclusive on object stores without
+    // conditional ops; local/HDFS narrow it to single-request size).
+    // A lock with an UNPARSEABLE heartbeat is never broken — loud
+    // manual recovery beats deleting a lock we don't understand.
+    def lockBytes(): Array[Byte] =
+      (s"${java.lang.management.ManagementFactory.getRuntimeMXBean.getName}\n" +
+        s"started ${java.time.Instant.now()}\n" +
+        s"heartbeat ${System.currentTimeMillis()}").getBytes("UTF-8")
+    def heartbeatOf(bytes: Array[Byte]): Option[Long] =
+      new String(bytes, "UTF-8").linesIterator
+        .find(_.startsWith("heartbeat "))
+        .flatMap(_.stripPrefix("heartbeat ").toLongOption)
+    var acquired = store.createExclusive(appendLockRel, lockBytes())
+    if (!acquired) {
+      val observed = store.readBytes(appendLockRel)
+      val stale = observed.exists(b => heartbeatOf(b)
+        .exists(hb => System.currentTimeMillis() - hb > leaseTtlMillis))
+      if (stale) {
+        val again = store.readBytes(appendLockRel)
+        if (again.map(_.toSeq) == observed.map(_.toSeq)) {
+          store.deleteObject(appendLockRel)
+          acquired = store.createExclusive(appendLockRel, lockBytes())
+        }
+      }
+    }
+    if (!acquired) {
       val holder = store.readBytes(appendLockRel)
-        .map(new String(_, "UTF-8")).getOrElse("(already released)")
+        .map(new String(_, "UTF-8").replace('\n', ' ')).getOrElse("(already released)")
       throw new IllegalStateException(
         s"another append holds the writer lock on $path [$holder] — " +
-          s"appends are single-writer; retry after it finishes, or delete " +
-          s"$path/$appendLockRel if its holder crashed")
+          s"appends are single-writer; retry after it finishes (a crashed " +
+          s"holder's lock self-expires ${leaseTtlMillis / 1000}s after its " +
+          s"last heartbeat)")
     }
+    // holder heartbeat: keeps the lease alive for appends longer than
+    // the TTL; daemon so a crashed/killed JVM stops heartbeating and
+    // the lease expires
+    @volatile var done = false
+    val beat = new Thread(() => {
+      try {
+        while (!done) {
+          Thread.sleep(leaseHeartbeatMillis)
+          if (!done) {
+            try store.writeBytes(appendLockRel, lockBytes())
+            catch { case _: Exception => () } // store gone/read-only: next acquire surfaces it
+          }
+        }
+      } catch { case _: InterruptedException => () } // release path
+    }, "graft-append-lease")
+    beat.setDaemon(true)
+    beat.start()
     try appendLocked(df, path, store)
-    finally store.deleteObject(appendLockRel)
+    finally {
+      done = true
+      beat.interrupt()
+      store.deleteObject(appendLockRel)
+    }
   }
 
   /** Store-relative lock object taken for the duration of an append. */
   val appendLockRel = ".graft_append.lock"
+
+  /** Lease TTL: a lock whose last heartbeat is older than this is a
+    * crashed holder and may be broken. Var (not val) so tests can
+    * shrink the clock; production default trades prompt self-healing
+    * against GC-pause false positives (a 60s pause losing the lease is
+    * the same calculus as ZK/etcd session timeouts). */
+  @volatile private[graft] var leaseTtlMillis: Long = 60000L
+
+  /** Holder heartbeat interval — far under the TTL so several beats
+    * can be missed before the lease is breakable. */
+  @volatile private[graft] var leaseHeartbeatMillis: Long = 5000L
 
   private def appendLocked(df: DataFrame, path: String, store: ZarrStore): Unit = {
     val meta0 = ZarrMeta.readStore(path)

@@ -132,6 +132,71 @@ class ZarrAppendSpec extends AnyFunSuite {
     assert(store.readBytes(ZarrWriter.appendLockRel).isEmpty)
   }
 
+  test("append lease: a crashed holder's stale lock self-heals after TTL") {
+    import graft.sources.zarr.{ZarrStore, ZarrWriter}
+    val out = fresh(Seq(0L, 1L))
+    val store = ZarrStore.open(out)
+    // a "crashed" holder: parseable lease format, heartbeat far past TTL
+    val stale = (s"dead-pid@nowhere\nstarted 2020-01-01T00:00:00Z\n" +
+      s"heartbeat ${System.currentTimeMillis() - 3600 * 1000L}").getBytes("UTF-8")
+    assert(store.createExclusive(ZarrWriter.appendLockRel, stale))
+    // lease break: the append must succeed WITHOUT manual lock removal
+    grid(Seq(2L, 3L)).write.format("zarr").mode("append").save(out)
+    assert(spark.read.format("zarr").load(out).count() == 12)
+    assert(store.readBytes(ZarrWriter.appendLockRel).isEmpty)
+    // a FRESH heartbeat within TTL still refuses
+    val fresh0 = (s"live-pid@elsewhere\nstarted ${java.time.Instant.now()}\n" +
+      s"heartbeat ${System.currentTimeMillis()}").getBytes("UTF-8")
+    assert(store.createExclusive(ZarrWriter.appendLockRel, fresh0))
+    val e = intercept[IllegalStateException](
+      ZarrWriter.append(grid(Seq(4L, 5L)), out))
+    assert(e.getMessage.contains("writer lock") &&
+      e.getMessage.contains("live-pid@elsewhere"), e.getMessage)
+    store.deleteObject(ZarrWriter.appendLockRel)
+  }
+
+  test("append lease: the holder heartbeats, so long appends outlive the TTL") {
+    import graft.sources.zarr.{ZarrStore, ZarrWriter}
+    val out = fresh(Seq(0L, 1L))
+    val store = ZarrStore.open(out)
+    val (ttl0, hb0) = (ZarrWriter.leaseTtlMillis, ZarrWriter.leaseHeartbeatMillis)
+    // TTL shorter than the append: only a live heartbeat keeps the
+    // lease unbreakable for the racing acquirer below
+    ZarrWriter.leaseTtlMillis = 400L
+    ZarrWriter.leaseHeartbeatMillis = 50L
+    try {
+      @volatile var raceResult: Option[Boolean] = None
+      val appender = new Thread(() => {
+        grid(Seq(2L, 3L)).write.format("zarr").mode("append").save(out)
+      })
+      appender.start()
+      // wait until the lock exists, then past the TTL, then race
+      val t0 = System.currentTimeMillis()
+      while (store.readBytes(ZarrWriter.appendLockRel).isEmpty &&
+        appender.isAlive && System.currentTimeMillis() - t0 < 10000) Thread.sleep(5)
+      if (store.readBytes(ZarrWriter.appendLockRel).isDefined) {
+        Thread.sleep(ZarrWriter.leaseTtlMillis + 100)
+        // with heartbeats flowing, the lock must NOT read as stale
+        store.readBytes(ZarrWriter.appendLockRel).foreach { b =>
+          val hb = new String(b, "UTF-8").linesIterator
+            .find(_.startsWith("heartbeat "))
+            .flatMap(_.stripPrefix("heartbeat ").toLongOption)
+          raceResult = hb.map(h =>
+            System.currentTimeMillis() - h <= ZarrWriter.leaseTtlMillis)
+        }
+      }
+      appender.join(30000)
+      assert(!appender.isAlive)
+      // if we sampled mid-append, the heartbeat was live
+      raceResult.foreach(live => assert(live, "heartbeat went stale mid-append"))
+      assert(spark.read.format("zarr").load(out).count() == 12)
+      assert(store.readBytes(ZarrWriter.appendLockRel).isEmpty)
+    } finally {
+      ZarrWriter.leaseTtlMillis = ttl0
+      ZarrWriter.leaseHeartbeatMillis = hb0
+    }
+  }
+
   test("racing appends: winners' rows land, losers fail loudly, never corruption") {
     import graft.sources.zarr.ZarrWriter
     val out = fresh(Seq(0L, 1L))
