@@ -34,6 +34,14 @@ object Bench {
     val loadAtStart = loadavg()
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // SPARK_GRAFT_ONLY: comma-separated query-name prefixes — targeted
+    // scale probes (e.g. "d,c5,s" benches just the dedup/editdist/
+    // similarity families at sf10 without paying the full suite).
+    val only: Option[Seq[String]] =
+      sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSeq.map(_.trim))
+    def selected = SparkEntry.queries.toSeq.sortBy(_._1).filter { case (n, _) =>
+      only.forall(_.exists(n.startsWith))
+    }
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -48,7 +56,7 @@ object Bench {
     // Warmup pass: JVM/codegen/catalog warm, parquet footers cached —
     // the timed pass then measures steady-state plan execution rather
     // than first-query JIT (which dominated totals at small SF).
-    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (_, fn) =>
+    selected.foreach { case (_, fn) =>
       try fn(spark, sfDir).count() catch { case _: Throwable => }
     }
     System.gc()
@@ -77,7 +85,7 @@ object Bench {
     // breakage visible to the driver, not just stderr.
     def timedPass(): Seq[(String, Double)] = {
       spark.catalog.clearCache()
-      SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      selected.map { case (name, fn) =>
         val t0 = System.nanoTime()
         try {
           fn(spark, sfDir).count()
@@ -115,10 +123,16 @@ object Bench {
       s""""passes":$nPasses,"gate_wait_s":$gateWait,"high_load":$highLoad"""
     // Full per-query detail to a repo file (the log-tail line is size-
     // capped); total/sf/nq on both so either artifact stands alone.
+    // `pass_times` carries every pass's wall time per query: cross-pass
+    // spread separates GC/IO one-offs (one bad pass) from drift (all
+    // passes moved) without re-running the bench.
+    val passTimes = passes.transpose.map { samples =>
+      s"${q(samples.head._1)}:[${samples.map(s => r4(s._2)).mkString(",")}]"
+    }.mkString("{", ",", "}")
     val detail = s"""{"metric":"total","value":${r4(total)},"unit":"sec",""" +
       s""""nq":${results.size},$env,""" +
       s""""failed":${failed.map(q).mkString("[", ",", "]")},""" +
-      s""""queries":${jsonMap(results)},"sf":"$sfDir"}"""
+      s""""queries":${jsonMap(results)},"pass_times":$passTimes,"sf":"$sfDir"}"""
     try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_DETAIL.json"),
       detail.getBytes("UTF-8"))
     catch { case _: Exception => } // cwd not writable: the printed line still carries the headline

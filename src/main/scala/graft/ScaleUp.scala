@@ -48,6 +48,10 @@ object ScaleUp {
   def main(args: Array[String]): Unit = {
     val src = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
     val dst = if (args.length > 1) args(1) else "localdata/sf1"
+    // 3rd arg: the SOURCE's multiple of sf0.1 (key spans are sf0.1 row
+    // counts). `ScaleUp localdata/sf1 localdata/sf10 10` composes a
+    // second 10x on top of sf1 without key collisions.
+    val srcFactor = if (args.length > 2) args(2).toLong else 1L
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")}]")
       .appName("graft-scaleup")
@@ -60,17 +64,17 @@ object ScaleUp {
 
     copyAsIs(spark, src, dst, "region")
     copyAsIs(spark, src, dst, "nation")
-    replicate(spark, src, dst, "customer", Map("c_custkey" -> 15000L))
-    replicate(spark, src, dst, "supplier", Map("s_suppkey" -> 1000L))
-    replicate(spark, src, dst, "part", Map("p_partkey" -> 20000L))
+    replicate(spark, src, dst, "customer", Map("c_custkey" -> 15000L * srcFactor))
+    replicate(spark, src, dst, "supplier", Map("s_suppkey" -> 1000L * srcFactor))
+    replicate(spark, src, dst, "part", Map("p_partkey" -> 20000L * srcFactor))
     replicate(spark, src, dst, "orders",
-      Map("o_orderkey" -> 150000L, "o_custkey" -> 15000L))
+      Map("o_orderkey" -> 150000L * srcFactor, "o_custkey" -> 15000L * srcFactor))
     replicate(spark, src, dst, "lineitem",
-      Map("l_orderkey" -> 150000L, "l_partkey" -> 20000L, "l_suppkey" -> 1000L))
+      Map("l_orderkey" -> 150000L * srcFactor, "l_partkey" -> 20000L * srcFactor, "l_suppkey" -> 1000L * srcFactor))
     replicate(spark, src, dst, "events",
-      Map("event_id" -> 100000L, "user_id" -> 1500L))
-    embeddings(spark, src, dst)
-    replicate(spark, src, dst, "documents", Map("doc_id" -> 5000L))
+      Map("event_id" -> 100000L * srcFactor, "user_id" -> 1500L * srcFactor))
+    embeddings(spark, src, dst, srcFactor)
+    replicate(spark, src, dst, "documents", Map("doc_id" -> 5000L * srcFactor))
     println(s"[scaleup] wrote sf1 tables to $dst")
     spark.stop()
   }
@@ -117,7 +121,7 @@ object ScaleUp {
 
   /** Per-replica signed permutation (seeded, replica 0 = identity)
     * applied component-wise; vec_id shifts by replica * 2000. */
-  private def embeddings(s: SparkSession, src: String, dst: String): Unit = {
+  private def embeddings(s: SparkSession, src: String, dst: String, srcFactor: Long): Unit = {
     val df = s.read.parquet(s"$src/embeddings.parquet")
     val dim = 64
     // driver-side 64-element permutations; tiny and deterministic
@@ -136,7 +140,7 @@ object ScaleUp {
       val comps = (0 until dim).map(i =>
         element_at(col("embedding"), p(i) + 1) * lit(sg(i).toFloat))
       df.select(
-        (col("vec_id") + lit(r * 2000L)).as("vec_id"),
+        (col("vec_id") + lit(r * 2000L * srcFactor)).as("vec_id"),
         array(comps: _*).cast("array<float>").as("embedding"),
         col("label"))
     }.reduce(_.unionAll(_))
