@@ -127,7 +127,17 @@ object ZarrQueries {
     * refs — both resolution paths exercised), read it as a virtual
     * store, aggregate per lat. Oracle = VALUES computed independently
     * from the raw chunk bytes (sf-independent, like z1-z5). */
-  def z7_zarr_kerchunk(s: SparkSession, dir: String): DataFrame = {
+  def z7_zarr_kerchunk(s: SparkSession, dir: String): DataFrame =
+    s.read.format("zarr").load(refsJsonOverV2())
+      .groupBy("lat")
+      .agg(sum("temperature").as("sum_temp"), sum("humidity").as("sum_hum"),
+        count(lit(1)).as("n"))
+
+  /** Builds a kerchunk refs JSON over the committed v2 store (metadata
+    * inline, chunks as a mix of whole-file `[url]` and ranged
+    * `[url, offset, length]` refs) and returns its path. Shared by the
+    * JSON (z7) and parquet-refs (z15) gate queries. */
+  private def refsJsonOverV2(): String = {
     import java.nio.file.{Files, Paths}
     val srcV2 = "/root/repo/src/test/resources/zarr/synthetic_v2.zarr"
     val src = Paths.get(srcV2)
@@ -152,7 +162,28 @@ object ZarrQueries {
     }
     val out = Paths.get(System.getProperty("java.io.tmpdir"), "graft_z7_refs.json")
     Files.write(out, mapper.writeValueAsBytes(root))
-    s.read.format("zarr").load(out.toString)
+    out.toString
+  }
+
+  /** Kerchunk PARQUET references (fsspec LazyReferenceMapper layout)
+    * INSIDE the graded gate: the same refs set as z7, converted to
+    * per-variable parquet record files (record_size 2 so the linear
+    * index -> record-file math crosses file boundaries), read through
+    * [[KerchunkParquetStore]]. Same oracle as z7 — the refs format
+    * must be invisible to the query. */
+  def z15_zarr_kerchunk_parquet(s: SparkSession, dir: String): DataFrame = {
+    import java.nio.file.{Files, Paths}
+    val json = refsJsonOverV2()
+    val parqDir = Paths.get(System.getProperty("java.io.tmpdir"),
+      "graft_z15_refs.parq")
+    if (Files.exists(parqDir)) {
+      val walk = Files.walk(parqDir)
+      try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .iterator().asScala.foreach(Files.delete)
+      finally walk.close()
+    }
+    KerchunkParquetRefs.fromJson(json, parqDir.toString, recordSize = 2)
+    s.read.format("zarr").load(parqDir.toString)
       .groupBy("lat")
       .agg(sum("temperature").as("sum_temp"), sum("humidity").as("sum_hum"),
         count(lit(1)).as("n"))
@@ -453,7 +484,8 @@ object ZarrQueries {
     "z11_zarr_union" -> (z11_zarr_union _),
     "z12_zarr_stream_sink" -> (z12_zarr_stream_sink _),
     "z13_zarr_sum_meta" -> (z13_zarr_sum_meta _),
-    "z14_zarr_union_meta" -> (z14_zarr_union_meta _))
+    "z14_zarr_union_meta" -> (z14_zarr_union_meta _),
+    "z15_zarr_kerchunk_parquet" -> (z15_zarr_kerchunk_parquet _))
 
   val oracle: Map[String, String] = Map(
     "z1_zarr_group_agg" -> z1Sql,
@@ -469,5 +501,6 @@ object ZarrQueries {
     "z11_zarr_union" -> z11Sql,
     "z12_zarr_stream_sink" -> z6Sql, // streamed ingest ≡ one-shot write
     "z13_zarr_sum_meta" -> z13Sql,
-    "z14_zarr_union_meta" -> z14Sql)
+    "z14_zarr_union_meta" -> z14Sql,
+    "z15_zarr_kerchunk_parquet" -> z7Sql) // same refs set as z7; format invisible
 }
