@@ -18,7 +18,9 @@ import org.apache.spark.sql.functions._
   *    region/nation stay fixed (dimension tables are SF-invariant in
   *    TPC-H).
   *
-  *  - documents: id-shifted replication, text unchanged. NOTE the
+  *  - documents: id-shifted replication, text unchanged by default
+  *    (optional 4th arg `perturb` word-permutes replicas r > 0 —
+  *    see [[perturbDocuments]]). NOTE the
   *    consequence, accounted for in SCALE.md: the dedup family's
   *    candidate volume is sum(df^2) over grams below the 5% relative
   *    df cut, and replicating a fixed-31-word-vocabulary corpus
@@ -52,6 +54,18 @@ object ScaleUp {
     // counts). `ScaleUp localdata/sf1 localdata/sf10 10` composes a
     // second 10x on top of sf1 without key collisions.
     val srcFactor = if (args.length > 2) args(2).toLong else 1L
+    // 4th arg `perturb`: word-permute each document replica r > 0
+    // (content-keyed, deterministic). Byte-identical replication makes
+    // the TRUE near-dup answer grow ~R² (every doc gains R identical
+    // copies, Σ cluster² band-join intermediates) — a 99%-duplicate
+    // corpus no real pipeline sees. The permutation keeps every
+    // corpus statistic the dedup family keys on (char length, word
+    // multiset, so token counts and intra-word grams) while replacing
+    // ~80% of a doc's distinct char-5-grams (the cross-word-boundary
+    // ones), so cross-replica pairs leave the near-dup families and
+    // the duplication RATE stays at the source corpus's rate at every
+    // scale — the realistic profile for sketch-family scale probes.
+    val perturb = args.length > 3 && args(3) == "perturb"
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")}]")
       .appName("graft-scaleup")
@@ -74,7 +88,11 @@ object ScaleUp {
     replicate(spark, src, dst, "events",
       Map("event_id" -> 100000L * srcFactor, "user_id" -> 1500L * srcFactor))
     embeddings(spark, src, dst, srcFactor)
-    replicate(spark, src, dst, "documents", Map("doc_id" -> 5000L * srcFactor))
+    if (perturb)
+      publish(perturbDocuments(
+        spark.read.parquet(s"$src/documents.parquet"), srcFactor), dst, "documents")
+    else
+      replicate(spark, src, dst, "documents", Map("doc_id" -> 5000L * srcFactor))
     println(s"[scaleup] wrote sf1 tables to $dst")
     spark.stop()
   }
@@ -118,6 +136,36 @@ object ScaleUp {
       }: _*)
     publish(shifted, dst, t)
   }
+
+  /** R id-shifted document replicas where replica r > 0 gets a
+    * deterministic word-order permutation keyed by (md5(text), r):
+    * identical source texts permute identically (within-replica
+    * duplicate structure preserved byte-for-byte), different replicas
+    * of the same text diverge. The sort key is a hash of the content
+    * seed and the word POSITION only — a pure relabeling of positions
+    * — so the word multiset, char length (single-space join), and
+    * every per-doc count statistic are exactly preserved; `n_chars`
+    * is recomputed and equals the source value on the driver's
+    * single-spaced corpus. Engine-side and fully deterministic (no
+    * shuffle() / rand()). */
+  private[graft] def perturbDocuments(df: DataFrame, srcFactor: Long): DataFrame =
+    df.withColumn("__r", explode(sequence(lit(0), lit(R - 1))))
+      .withColumn("text", when(col("__r") === 0, col("text")).otherwise(expr(
+        """array_join(
+             transform(
+               array_sort(
+                 transform(split(text, ' '),
+                   (w, i) -> struct(
+                     xxhash64(concat(md5(text), ':', CAST(__r AS STRING),
+                                     ':', CAST(i AS STRING))) AS k,
+                     i AS i, w AS w))),
+               s -> s.w),
+             ' ')""")))
+      .select(
+        (col("doc_id") + col("__r").cast("long") * lit(5000L * srcFactor))
+          .cast(df.schema("doc_id").dataType).as("doc_id"),
+        col("text"), col("lang"), col("source"),
+        length(col("text")).cast(df.schema("n_chars").dataType).as("n_chars"))
 
   /** Per-replica signed permutation (seeded, replica 0 = identity)
     * applied component-wise; vec_id shifts by replica * 2000. */
