@@ -149,14 +149,23 @@ object ScaleUp {
     * single-spaced corpus. Engine-side and fully deterministic (no
     * shuffle() / rand()). */
   private[graft] def perturbDocuments(df: DataFrame, srcFactor: Long): DataFrame =
-    df.withColumn("__r", explode(sequence(lit(0), lit(R - 1))))
+    // __sf salts the permutation seed with THIS run's srcFactor:
+    // composed runs (sf0.1 -> sf1p -> sf10p) retain each source text as
+    // replica 0, so an unsalted seed would make stage 2's perturb(text,
+    // r) reproduce stage 1's output for the retained texts — measured
+    // as a systematic 9% cross-stage exact-dup rate at sf10p.
+    // Composition always multiplies srcFactor, so the salt is unique
+    // per stage.
+    df.withColumn("__sf", lit(srcFactor))
+      .withColumn("__r", explode(sequence(lit(0), lit(R - 1))))
       .withColumn("text", when(col("__r") === 0, col("text")).otherwise(expr(
         """array_join(
              transform(
                array_sort(
                  transform(split(text, ' '),
                    (w, i) -> struct(
-                     xxhash64(concat(md5(text), ':', CAST(__r AS STRING),
+                     xxhash64(concat(md5(text), ':', CAST(__sf AS STRING),
+                                     ':', CAST(__r AS STRING),
                                      ':', CAST(i AS STRING))) AS k,
                      i AS i, w AS w))),
                s -> s.w),

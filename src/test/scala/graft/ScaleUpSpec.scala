@@ -67,4 +67,22 @@ class ScaleUpSpec extends AnyFunSuite {
     val reps = (0 to 9).map(r => out(1L + 5000L * r))
     assert(reps.distinct.size == 10, "cross-replica texts collided")
   }
+
+  test("composed runs stay collision-free (the srcFactor salt)") {
+    // sf0.1 -> sf1p -> sf10p composition: stage 2 re-perturbs stage 1's
+    // output, which retains every stage-1 text as replica 0. Without
+    // the per-run seed salt, stage 2's perturb(text, r) reproduced
+    // stage 1's output for those texts (measured: 9% exact-dup rate at
+    // sf10p). The only permitted duplicate texts in the composed
+    // corpus are the replicas of the source's own exact-dup pair.
+    val stage1 = ScaleUp.perturbDocuments(mini, 1L)
+    val stage2 = ScaleUp.perturbDocuments(stage1, 10L)
+    val texts = stage2.select("text").collect().map(_.getString(0)).toSeq
+    assert(texts.size == 400)
+    // docs 0 and 3 are byte-identical, so each composed replica holds
+    // their (identical) permutation twice: 400 rows, 2 distinct texts
+    // per replicated dup-pair slot -> 400 - 100 distinct
+    assert(texts.distinct.size == 300,
+      s"expected 300 distinct texts, got ${texts.distinct.size}")
+  }
 }
