@@ -131,8 +131,20 @@ object TextAnalysis {
   /** Distinct char-5-gram rows for a document table — the shared
     * explode used by fingerprinting and the dedup family. One row per
     * (doc_id, gram code); scales as O(total chars). */
-  private[pipeline] def gramCodes(d: DataFrame): DataFrame =
-    d.filter(length(col("text")) >= 5)
+  private[pipeline] def gramCodes(d: DataFrame): DataFrame = {
+    // The explode multiplies bytes ~40x (one row per character), but
+    // Spark sizes scan partitions on INPUT bytes — a 55 MB documents
+    // file is ONE split, so the explode and the distinct's partial
+    // aggregation (the heavy phase: |grams| hash entries) run in one
+    // task at any data size (observed: a single straggler task doing
+    // 145M-row hash-agg while 31 cores idled at 100x gate scale).
+    // Widen to the cluster's parallelism BEFORE the fan-out — and only
+    // widen: a corpus-scale scan already has thousands of splits, and
+    // coalescing it through a full shuffle would be the opposite bug.
+    val base = d.filter(length(col("text")) >= 5).select(col("doc_id"), col("text"))
+    val width = d.sparkSession.sparkContext.defaultParallelism
+    val widened = if (base.rdd.getNumPartitions < width) base.repartition(width) else base
+    widened
       .select(col("doc_id"),
         explode(sequence(lit(1), length(col("text")) - 4)).as("pos"), col("text"))
       .select(col("doc_id"), expr(gramCode("substring(text, pos, 5)")).as("code"))
@@ -143,6 +155,7 @@ object TextAnalysis {
       // caller shares ONE cached gram table (the "gram index" a
       // production pipeline would write to storage once).
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+  }
 
   /** Shared oracle fragment mirroring [[gramCodes]]. DuckDB's `range`
     * table function rejects lateral column args; scalar `range()`
