@@ -16,6 +16,20 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
+  /** Widen `df` to the cluster's default parallelism — and ONLY widen.
+    * For explode-heavy pipelines (char-gram, token, shingle fan-outs):
+    * Spark sizes scan partitions on INPUT bytes, so a small single
+    * parquet file is one split and a 40x explode plus its partial
+    * hash-aggregation run in ONE task at any data size (observed as a
+    * single straggler doing a 145M-row hash-agg while 31 cores idled).
+    * A corpus-scale scan already has thousands of splits — for it this
+    * is the identity, because coalescing a 100 TB scan through a full
+    * shuffle would be the opposite bug. */
+  def widen(df: DataFrame): DataFrame = {
+    val width = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < width) df.repartition(width) else df
+  }
+
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
     if (name == "events") normalizeTs(spark.read.parquet(s"$dir/$name.parquet"))
     else spark.read.parquet(s"$dir/$name.parquet")

@@ -98,7 +98,7 @@ object Curation {
     * frequency. explode → two-level aggregate (map-side partial), then
     * TakeOrdered for the top-k — no full sort. */
   def c3_vocab(s: SparkSession, dir: String): DataFrame =
-    docs(s, dir)
+    graft.operators.Tables.widen(docs(s, dir))
       .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
       .filter(col("token") =!= "")
       .groupBy("token")
@@ -123,7 +123,7 @@ object Curation {
     * engine/libm. Two aggregations (per-doc tf, per-token df) joined on
     * `token`; N arrives via a broadcast single-row count. */
   def c4_tfidf(s: SparkSession, dir: String): DataFrame = {
-    val tok = docs(s, dir)
+    val tok = graft.operators.Tables.widen(docs(s, dir))
       .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
       .filter(col("token") =!= "")
     val tf = tok.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
@@ -357,7 +357,7 @@ object Curation {
     * BROADCAST and the 100 TB side is a single scan + broadcast-hash
     * join + per-doc count: no shuffle of the corpus grams at all. */
   def c8_decontaminate(s: SparkSession, dir: String): DataFrame = {
-    val grams = docs(s, dir)
+    val grams = graft.operators.Tables.widen(docs(s, dir))
       .select(col("doc_id"), split(col("text"), " ").as("w"))
       .filter(size(col("w")) >= 5)
       .select(col("doc_id"),

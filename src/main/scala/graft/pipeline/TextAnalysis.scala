@@ -132,19 +132,12 @@ object TextAnalysis {
     * explode used by fingerprinting and the dedup family. One row per
     * (doc_id, gram code); scales as O(total chars). */
   private[pipeline] def gramCodes(d: DataFrame): DataFrame = {
-    // The explode multiplies bytes ~40x (one row per character), but
-    // Spark sizes scan partitions on INPUT bytes — a 55 MB documents
-    // file is ONE split, so the explode and the distinct's partial
-    // aggregation (the heavy phase: |grams| hash entries) run in one
-    // task at any data size (observed: a single straggler task doing
-    // 145M-row hash-agg while 31 cores idled at 100x gate scale).
-    // Widen to the cluster's parallelism BEFORE the fan-out — and only
-    // widen: a corpus-scale scan already has thousands of splits, and
-    // coalescing it through a full shuffle would be the opposite bug.
-    val base = d.filter(length(col("text")) >= 5).select(col("doc_id"), col("text"))
-    val width = d.sparkSession.sparkContext.defaultParallelism
-    val widened = if (base.rdd.getNumPartitions < width) base.repartition(width) else base
-    widened
+    // Widen BEFORE the ~40x fan-out (one gram row per character) so
+    // the explode and the distinct's partial hash-aggregation
+    // parallelize — see [[graft.operators.Tables.widen]] for why the
+    // scan alone is one task at any data size.
+    graft.operators.Tables.widen(
+        d.filter(length(col("text")) >= 5).select(col("doc_id"), col("text")))
       .select(col("doc_id"),
         explode(sequence(lit(1), length(col("text")) - 4)).as("pos"), col("text"))
       .select(col("doc_id"), expr(gramCode("substring(text, pos, 5)")).as("code"))
