@@ -156,7 +156,11 @@ object ScaleUp {
     // as a systematic 9% cross-stage exact-dup rate at sf10p.
     // Composition always multiplies srcFactor, so the salt is unique
     // per stage.
-    df.withColumn("__sf", lit(srcFactor))
+    // widen() before the 10x explode + per-word permutation: the source
+    // is one parquet file = one input split, so without it the whole
+    // perturbation ran in a single task.
+    graft.operators.Tables.widen(df)
+      .withColumn("__sf", lit(srcFactor))
       .withColumn("__r", explode(sequence(lit(0), lit(R - 1))))
       .withColumn("text", when(col("__r") === 0, col("text")).otherwise(expr(
         """array_join(
@@ -170,11 +174,17 @@ object ScaleUp {
                      i AS i, w AS w))),
                s -> s.w),
              ' ')""")))
-      .select(
-        (col("doc_id") + col("__r").cast("long") * lit(5000L * srcFactor))
-          .cast(df.schema("doc_id").dataType).as("doc_id"),
-        col("text"), col("lang"), col("source"),
-        length(col("text")).cast(df.schema("n_chars").dataType).as("n_chars"))
+      // schema-preserving projection (like replicate()): any column the
+      // source grows is passed through unchanged; only the three columns
+      // the perturbation touches are special-cased.
+      .select(df.columns.map {
+        case "doc_id" =>
+          (col("doc_id") + col("__r").cast("long") * lit(5000L * srcFactor))
+            .cast(df.schema("doc_id").dataType).as("doc_id")
+        case "n_chars" =>
+          length(col("text")).cast(df.schema("n_chars").dataType).as("n_chars")
+        case c => col(c)
+      }: _*)
 
   /** Per-replica signed permutation (seeded, replica 0 = identity)
     * applied component-wise; vec_id shifts by replica * 2000. */

@@ -16,6 +16,13 @@ object ZarrQueries {
 
   private val store = "/root/repo/src/test/resources/zarr/synthetic_v3.zarr"
 
+  /** Per-JVM suffix for tmpdir fixtures (z7/z15 refs): two concurrent
+    * gate runs on one machine must not race on a shared fixture path.
+    * Per-process (not per-call) so repeated bench passes reuse one dir
+    * instead of accumulating temp files. */
+  private val runSuffix: String =
+    java.lang.Long.toHexString(java.lang.ProcessHandle.current().pid())
+
   private def zarr(s: SparkSession): DataFrame = s.read.format("zarr").load(store)
 
   /** Flattened-grid group aggregate (the reference's marquee query
@@ -160,7 +167,7 @@ object ZarrQueries {
         if (i % 2 == 0) { arr.add(0L); arr.add(Files.size(p)) }
       }
     }
-    val out = Paths.get(System.getProperty("java.io.tmpdir"), "graft_z7_refs.json")
+    val out = Paths.get(System.getProperty("java.io.tmpdir"), s"graft_z7_refs_$runSuffix.json")
     Files.write(out, mapper.writeValueAsBytes(root))
     out.toString
   }
@@ -175,7 +182,7 @@ object ZarrQueries {
     import java.nio.file.{Files, Paths}
     val json = refsJsonOverV2()
     val parqDir = Paths.get(System.getProperty("java.io.tmpdir"),
-      "graft_z15_refs.parq")
+      s"graft_z15_refs_$runSuffix.parq")
     if (Files.exists(parqDir)) {
       val walk = Files.walk(parqDir)
       try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
