@@ -121,30 +121,18 @@ object KerchunkParquetRefs {
     while (it.hasNext) if (it.next()._1 == storePath) it.remove()
   }
 
-  // ------------------------------------------------- JSON → parquet
+  // ------------------------------------------------- refs emission
 
-  /** Convert a kerchunk JSON refs document into the parquet refs
-    * layout at `outDir` (driver-side tooling + test fixture path).
-    * Byte-range refs stay ranges — nothing is materialized — so the
-    * conversion is metadata-sized, not archive-sized. */
-  def fromJson(jsonPath: String, outDir: String,
-      recordSize: Int = defaultRecordSize): Unit = {
-    val src = KerchunkStore(jsonPath)
+  /** Write the parquet refs layout: `.zmetadata` (metadata docs parsed
+    * to JSON where they are JSON) + per-variable dense record files.
+    * Shared by the JSON converter and the store scanner. */
+  private def writeRefs(outDir: String, recordSize: Int,
+      metaDocs: Seq[(String, Array[Byte])],
+      perVar: collection.Map[String, collection.Map[Long, RefRow]]): Unit = {
     val mapper = new ObjectMapper()
-    val entries = src.resolvedRefs
-    val (metaKeys, chunkKeys) = entries.keys.toSeq.partition(k =>
-      !k.contains("/") || k.endsWith(".zarray") || k.endsWith(".zattrs") ||
-        k.endsWith(".zgroup") || k.endsWith("zarr.json") || k == ".zmetadata")
-    // .zmetadata: the metadata map (values parsed to JSON where they
-    // are JSON) + record_size
     val root = mapper.createObjectNode()
     val metaNode = root.putObject("metadata")
-    metaKeys.foreach { k =>
-      val bytes = entries(k) match {
-        case KerchunkStore.Inline(b) => b
-        case KerchunkStore.Range(url, off, len) => KerchunkUrlIO.readRange(url, off, len)
-        case KerchunkStore.Whole(url) => KerchunkUrlIO.readAll(url)
-      }
+    metaDocs.foreach { case (k, bytes) =>
       val text = new String(bytes, StandardCharsets.UTF_8)
       try metaNode.set[ObjectNode](k, mapper.readTree(text))
       catch { case _: Exception => metaNode.put(k, text) }
@@ -153,30 +141,6 @@ object KerchunkParquetRefs {
     Files.createDirectories(Paths.get(outDir))
     Files.write(Paths.get(outDir, ".zmetadata"),
       mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(root))
-    // metadata map as the store will see it (for grid math)
-    val metaMap = metaKeys.map { k =>
-      k -> (entries(k) match {
-        case KerchunkStore.Inline(b) => b
-        case KerchunkStore.Range(url, off, len) => KerchunkUrlIO.readRange(url, off, len)
-        case KerchunkStore.Whole(url) => KerchunkUrlIO.readAll(url)
-      })
-    }.toMap
-    // chunk refs grouped per variable, placed at their linear index
-    val perVar = mutable.Map[String, mutable.Map[Long, RefRow]]()
-    chunkKeys.foreach { k =>
-      val v = k.takeWhile(_ != '/')
-      val grid = chunkGridOf(metaMap, v).getOrElse(
-        throw new IllegalArgumentException(
-          s"$jsonPath: chunk key '$k' but no array metadata for '$v'"))
-      val lin = chunkLinear(k.substring(v.length + 1), grid).getOrElse(
-        throw new IllegalArgumentException(s"$jsonPath: unparseable chunk key '$k'"))
-      val row = entries(k) match {
-        case KerchunkStore.Inline(b) => RefRow(None, 0L, 0L, Some(b))
-        case KerchunkStore.Range(url, off, len) => RefRow(Some(url), off, len, None)
-        case KerchunkStore.Whole(url) => RefRow(Some(url), 0L, 0L, None)
-      }
-      perVar.getOrElseUpdate(v, mutable.Map.empty) += (lin -> row)
-    }
     val factory = new SimpleGroupFactory(schema)
     perVar.foreach { case (v, rows) =>
       Files.createDirectories(Paths.get(outDir, v))
@@ -205,5 +169,125 @@ object KerchunkParquetRefs {
       }
     }
     invalidate(outDir)
+  }
+
+  // ------------------------------------------------- JSON → parquet
+
+  /** Convert a kerchunk JSON refs document into the parquet refs
+    * layout at `outDir` (driver-side tooling + test fixture path).
+    * Byte-range refs stay ranges — nothing is materialized — so the
+    * conversion is metadata-sized, not archive-sized. */
+  def fromJson(jsonPath: String, outDir: String,
+      recordSize: Int = defaultRecordSize): Unit = {
+    val src = KerchunkStore(jsonPath)
+    val entries = src.resolvedRefs
+    val (metaKeys, chunkKeys) = entries.keys.toSeq.partition(k =>
+      !k.contains("/") || k.endsWith(".zarray") || k.endsWith(".zattrs") ||
+        k.endsWith(".zgroup") || k.endsWith("zarr.json") || k == ".zmetadata")
+    def bytesOf(k: String): Array[Byte] = entries(k) match {
+      case KerchunkStore.Inline(b) => b
+      case KerchunkStore.Range(url, off, len) => KerchunkUrlIO.readRange(url, off, len)
+      case KerchunkStore.Whole(url) => KerchunkUrlIO.readAll(url)
+    }
+    val metaDocs = metaKeys.map(k => k -> bytesOf(k))
+    val metaMap = metaDocs.toMap
+    // chunk refs grouped per variable, placed at their linear index
+    val perVar = mutable.Map[String, mutable.Map[Long, RefRow]]()
+    chunkKeys.foreach { k =>
+      val v = k.takeWhile(_ != '/')
+      val grid = chunkGridOf(metaMap, v).getOrElse(
+        throw new IllegalArgumentException(
+          s"$jsonPath: chunk key '$k' but no array metadata for '$v'"))
+      val lin = chunkLinear(k.substring(v.length + 1), grid).getOrElse(
+        throw new IllegalArgumentException(s"$jsonPath: unparseable chunk key '$k'"))
+      val row = entries(k) match {
+        case KerchunkStore.Inline(b) => RefRow(None, 0L, 0L, Some(b))
+        case KerchunkStore.Range(url, off, len) => RefRow(Some(url), off, len, None)
+        case KerchunkStore.Whole(url) => RefRow(Some(url), 0L, 0L, None)
+      }
+      perVar.getOrElseUpdate(v, mutable.Map.empty) += (lin -> row)
+    }
+    writeRefs(outDir, recordSize, metaDocs, perVar)
+  }
+
+  // ------------------------------------------------- store → parquet
+
+  /** Scan an EXISTING Zarr store (any backend `ZarrStore.open` can
+    * dispatch — local, s3a/gs/hdfs, http) and emit parquet refs at
+    * `outDir`, closing the virtualization loop without external
+    * tooling: archive → refs → [[KerchunkParquetStore]] read, no
+    * Python/fsspec required.
+    *
+    *  - metadata documents (`.zgroup`/`.zattrs`/`.zarray`/`zarr.json`,
+    *    plus graft's `.zstats` sidecars so statistics pruning and
+    *    SUM/AVG pushdown survive virtualization) inline into
+    *    `.zmetadata`;
+    *  - chunks at or under `inlineThreshold` bytes inline as `raw`
+    *    (kerchunk's convention for tiny objects — saves a round-trip
+    *    per read);
+    *  - larger chunks become whole-object ranged refs `(path, 0,
+    *    size)` against the source store's absolute location.
+    *
+    * Candidate chunk keys are ENUMERATED from the chunk grid (one
+    * `sizeOf` probe per cell, no listing API needed — works on stores
+    * whose backend cannot list, e.g. http); absent chunks (fill) get
+    * all-null rows. Driver-side tooling: the work is one metadata
+    * probe per chunk, not per byte — for an archive with millions of
+    * chunks, shard the call per variable or per store across a job. */
+  def fromStore(storePath: String, outDir: String,
+      recordSize: Int = defaultRecordSize, inlineThreshold: Long = 512L): Unit = {
+    val store = ZarrStore.open(storePath)
+    val version = ZarrMeta.detectVersion(store)
+    val mapper = new ObjectMapper()
+    val vars = store.listDirs().filter(d =>
+      store.sizeOf(s"$d/.zarray").isDefined || store.sizeOf(s"$d/zarr.json").isDefined)
+    require(vars.nonEmpty, s"$storePath: no Zarr arrays found to virtualize")
+    val rootDocs = if (version == 3) Seq("zarr.json") else Seq(".zgroup", ".zattrs")
+    val docKeys = rootDocs ++ vars.flatMap(v =>
+      if (version == 3) Seq(s"$v/zarr.json", s"$v/.zstats")
+      else Seq(s"$v/.zarray", s"$v/.zattrs", s"$v/.zstats"))
+    val metaDocs = docKeys.flatMap(k => store.readBytes(k).map(k -> _))
+    val metaMap = metaDocs.toMap
+    val base =
+      if (storePath.contains("://")) storePath.stripSuffix("/")
+      else Paths.get(storePath).toAbsolutePath.toString
+    val perVar = vars.map { v =>
+      val grid = chunkGridOf(metaMap, v).getOrElse(
+        throw new IllegalArgumentException(s"$storePath/$v: unreadable array metadata"))
+      // chunk-key naming mirrors the store's own encoding: v2 indices
+      // joined by dimension_separator (default "."), v3 "c/" prefix +
+      // chunk_key_encoding separator (default "/")
+      val sep =
+        if (version == 3)
+          Option(mapper.readTree(metaMap(s"$v/zarr.json"))
+            .at("/chunk_key_encoding/configuration/separator").asText(""))
+            .filter(_.nonEmpty).getOrElse("/")
+        else
+          Option(mapper.readTree(metaMap(s"$v/.zarray")).get("dimension_separator"))
+            .filterNot(_.isNull).map(_.asText).getOrElse(".")
+      def tail(idx: Seq[Long]): String =
+        if (version == 3) "c" + idx.map(i => s"$sep$i").mkString
+        else if (idx.isEmpty) "0" else idx.mkString(sep)
+      val rows = mutable.Map[Long, RefRow]()
+      val n = grid.product
+      var lin = 0L
+      while (lin < n) {
+        // linear C-order index → per-dim chunk indices
+        var rem = lin
+        val idx = new Array[Long](grid.length)
+        var d = grid.length - 1
+        while (d >= 0) { idx(d) = rem % grid(d); rem /= grid(d); d -= 1 }
+        val key = s"$v/${tail(idx.toSeq)}"
+        store.sizeOf(key).foreach { sz =>
+          rows += (lin -> (if (sz <= inlineThreshold)
+            RefRow(None, 0L, 0L, Some(store.readBytes(key).getOrElse(
+              throw new java.io.IOException(s"$storePath/$key vanished during scan"))))
+          else RefRow(Some(s"$base/$key"), 0L, sz, None)))
+        }
+        lin += 1
+      }
+      v -> rows
+    }.toMap
+    writeRefs(outDir, recordSize, metaDocs, perVar)
   }
 }
