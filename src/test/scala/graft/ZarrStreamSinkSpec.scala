@@ -8,6 +8,19 @@ import org.scalatest.funsuite.AnyFunSuite
 
 import graft.sources.zarr.ZarrStreamSink
 
+/** One-shot task-failure injection for the executor-loss tests: a
+  * mapPartitions stage ticks this on every partition COMPUTE; when the
+  * global tick count reaches the armed threshold the task dies once.
+  * Static (test JVM = executor JVM in local mode), thread-safe. */
+object SinkFaultInjection {
+  val ticks = new java.util.concurrent.atomic.AtomicLong(0)
+  @volatile var armAt: Long = Long.MaxValue
+  def reset(arm: Long): Unit = { ticks.set(0); armAt = arm }
+  def tick(): Unit =
+    if (ticks.incrementAndGet() == armAt)
+      throw new RuntimeException("injected task failure (SinkFaultInjection)")
+}
+
 /** `df.writeStream.format("zarr")` — per-micro-batch outer-dimension
   * append. Completes the streaming loop whose read half ZarrStreamSpec
   * covers: a Zarr store on both ends of a pipeline. */
@@ -170,5 +183,91 @@ class ZarrStreamSinkSpec extends AnyFunSuite {
     } finally q.stop()
     assert(readBack(dst) == readBack(src))
     assert(readBack(dst) == slab(0L to 3L).orderBy("t", "x").collect().map(_.toSeq).toSeq)
+  }
+
+  /** The append input with the fault-injection stage spliced in. */
+  private def failingSlab(ts: Seq[Long]) = {
+    import spark.implicits._
+    slab(ts).as[(Long, Long, Double)]
+      .mapPartitions { it => SinkFaultInjection.tick(); it }
+      .toDF("t", "x", "v")
+  }
+
+  test("task death at EVERY append compute point leaves a consistent prefix; retry lands") {
+    // Executor-loss sweep: arm a one-shot task failure at injection
+    // point k = 1, 2, 3, … — the failure fires inside whichever append
+    // action computes the input's k-th partition (validation aggregate,
+    // coordinate distinct, or the chunk-write job itself). In local
+    // mode spark.task.maxFailures=1, so the task death fails the whole
+    // append — the STORE invariant under test: a failed append is
+    // invisible (chunks-before-metadata ordering: orphan chunk files
+    // past the extent don't exist to readers) and a plain retry of the
+    // same batch lands exactly once. The sweep ends at the first k no
+    // action reaches — every task boundary in the append path has then
+    // been killed once.
+    val base = slab(Seq(0L, 1L)).orderBy("t", "x").collect().map(_.toSeq).toSeq
+    val full = slab(0L to 3L).orderBy("t", "x").collect().map(_.toSeq).toSeq
+    var k = 1L
+    var done = false
+    while (!done) {
+      assert(k <= 64, s"fault-injection sweep did not terminate by k=$k")
+      val out = tmp(s"zarr_sink_kill$k")
+      slab(Seq(0L, 1L)).write.format("zarr")
+        .option("coords", "t,x").option("chunkOuter", "2")
+        .mode("overwrite").save(out)
+      SinkFaultInjection.reset(arm = k)
+      try {
+        graft.sources.zarr.ZarrWriter.append(failingSlab(Seq(2L, 3L)), out)
+        done = true // k beyond the last compute point: append succeeded
+      } catch {
+        case _: Throwable =>
+          // mid-append death: the store must still read as EXACTLY the
+          // pre-append content — no partial slabs, no torn metadata
+          SinkFaultInjection.reset(arm = Long.MaxValue)
+          assert(readBack(out) == base, s"store inconsistent after task death at k=$k")
+          // retry of the same batch lands in full
+          graft.sources.zarr.ZarrWriter.append(slab(Seq(2L, 3L)), out)
+      }
+      SinkFaultInjection.reset(arm = Long.MaxValue)
+      assert(readBack(out) == full, s"retry after task death at k=$k did not land")
+      k += 1
+    }
+    assert(k > 2, "sweep never injected a failure — injection stage not reached")
+  }
+
+  test("streaming query killed by a task death mid-batch: restart is exactly-once") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val out = tmp("zarr_sink_restart")
+    val ckpt = Files.createTempDirectory("zarr_sink_restart_ckpt").toString
+    val in = MemoryStream[(Long, Long, Double)]
+    def start() = in.toDF().toDF("t", "x", "v")
+      .as[(Long, Long, Double)]
+      .mapPartitions { it => SinkFaultInjection.tick(); it }
+      .toDF("t", "x", "v")
+      .writeStream.outputMode("append").format("zarr")
+      .option("path", out)
+      .option("coords", "t,x").option("chunkOuter", "2")
+      .option("checkpointLocation", ckpt)
+      .start()
+    SinkFaultInjection.reset(arm = Long.MaxValue)
+    val q1 = start()
+    try {
+      in.addData(slab(Seq(0L, 1L)).as[(Long, Long, Double)].collect().toSeq: _*)
+      q1.processAllAvailable()
+      // arm: the NEXT batch dies mid-flight and takes the query down
+      SinkFaultInjection.reset(arm = 1)
+      in.addData(slab(Seq(2L, 3L)).as[(Long, Long, Double)].collect().toSeq: _*)
+      intercept[Exception] { q1.processAllAvailable(); assert(false, "batch survived armed fault") }
+    } finally {
+      SinkFaultInjection.reset(arm = Long.MaxValue)
+      q1.stop()
+    }
+    // restart from the same checkpoint: the failed batch replays; the
+    // commit marker + extent filter make the replay exactly-once even
+    // if the dead attempt landed some slabs
+    val q2 = start()
+    try q2.processAllAvailable() finally q2.stop()
+    assert(readBack(out) == slab(0L to 3L).orderBy("t", "x").collect().map(_.toSeq).toSeq)
   }
 }
