@@ -1,0 +1,101 @@
+#!/usr/bin/env python3
+"""Round-over-round per-query bench trend.
+
+Reads every BENCH_r*.json in the repo root (both shapes: the driver's
+wrapper {tail, rc, ...} whose JSON line sits in the log tail, and raw
+Bench detail artifacts {metric, queries, ...}), groups runs by scale
+factor, and renders the per-query time trend across rounds — the
+table each round's verdict used to reconstruct by hand.
+
+A query is flagged when its last-round time moved >1.3x in either
+direction vs the previous round AND is above 0.3s (scheduling noise
+floor below that). Total rows carry the load fingerprint so polluted
+runs read as such.
+
+Usage: tools/bench_trend.py [--sf SF] [files...]
+       (default: all BENCH_r*.json, sf group '0.1')
+"""
+import json
+import glob
+import os
+import re
+import sys
+
+
+def extract(path):
+    """-> (round_label, sf_label, total, nfail, load_start, {q: sec}) or None."""
+    d = json.load(open(path))
+    label = os.path.basename(path)[:-5].replace("BENCH_", "")
+    if "queries" in d and "metric" in d:  # raw detail artifact
+        sf = str(d.get("sf", "?"))
+        return (label, sf, d.get("value"), d.get("nfail", 0),
+                d.get("load_start", ""), d["queries"])
+    tail = str(d.get("tail", ""))
+    sf = str(d.get("sf", "?"))
+    for line in tail.splitlines():
+        i = line.find('{"metric"')
+        if i >= 0:
+            try:
+                j = json.loads(line[i:].strip())
+                return (label, str(j.get("sf", sf)), j.get("value"),
+                        j.get("nfail", 0), j.get("load_start", ""), j["queries"])
+            except Exception:
+                pass
+    # truncated tail (early rounds): scrape name:number pairs
+    qs = {k: float(v) for k, v in
+          re.findall(r'"([a-z][a-z0-9_]+)":([0-9]+\.[0-9]+)', tail)
+          if not k.startswith(("load", "value", "sf"))}
+    if qs:
+        return (label, sf, None, 0, "", qs)
+    return None
+
+
+def norm_sf(sf):
+    m = re.search(r"sf?([0-9.]+)p?$", sf)
+    return m.group(1) if m else sf
+
+
+def main():
+    args = sys.argv[1:]
+    want_sf = "0.1"
+    if args[:1] == ["--sf"]:
+        want_sf, args = args[1], args[2:]
+    files = args or sorted(glob.glob("BENCH_r*.json"))
+    runs = [r for r in (extract(f) for f in files) if r]
+    runs = [r for r in runs if norm_sf(r[1]) == want_sf]
+    if not runs:
+        print(f"no runs at sf={want_sf}")
+        return
+    names = sorted({q for r in runs for q in r[5]})
+    cols = [r[0] for r in runs]
+    print(f"# Bench trend (sf={want_sf}) — seconds per query, min-of-passes\n")
+    print("| query | " + " | ".join(cols) + " | last/prev |")
+    print("|" + "---|" * (len(cols) + 2))
+    flagged = []
+    for q in names:
+        vals = [r[5].get(q) for r in runs]
+        present = [v for v in vals if v is not None and v >= 0]
+        ratio = ""
+        if len(present) >= 2 and present[-2] > 0:
+            rr = present[-1] / present[-2]
+            ratio = f"{rr:.2f}x"
+            if (rr > 1.3 or rr < 1 / 1.3) and max(present[-2:]) > 0.3:
+                ratio += " ⚠" if rr > 1.3 else " ✓"
+                flagged.append((q, present[-2], present[-1], rr))
+        cells = ["" if v is None else ("FAIL" if v < 0 else f"{v:.2f}") for v in vals]
+        print(f"| {q} | " + " | ".join(cells) + f" | {ratio} |")
+    totals = ["" if r[2] is None else f"{r[2]:.1f}" for r in runs]
+    print(f"| **total** | " + " | ".join(totals) + " | |")
+    loads = [r[4].split(" ")[0] if r[4] else "" for r in runs]
+    print(f"| load@start | " + " | ".join(loads) + " | |")
+    nfails = [str(r[3]) for r in runs]
+    print(f"| nfail | " + " | ".join(nfails) + " | |")
+    if flagged:
+        print("\n## Moved >1.3x last round (above the 0.3s noise floor)\n")
+        for q, a, b, rr in sorted(flagged, key=lambda x: -x[3]):
+            arrow = "slower ⚠" if rr > 1 else "faster"
+            print(f"- `{q}`: {a:.2f}s → {b:.2f}s ({rr:.2f}x {arrow})")
+
+
+if __name__ == "__main__":
+    main()
