@@ -196,6 +196,32 @@ object ZarrQueries {
         count(lit(1)).as("n"))
   }
 
+  /** Store→refs GENERATION inside the graded gate (the virtualization
+    * loop's first step, which z7/z15 take as given): scan the committed
+    * v2 store itself with [[KerchunkParquetRefs.fromStore]] — metadata
+    * and `.zstats` inlined, chunks as byte-range refs (threshold 0, the
+    * nothing-rewritten posture) — and read the generated refs through
+    * [[KerchunkParquetStore]]. Same oracle as z7: the refs PRODUCER
+    * must also be invisible to the query. */
+  def z16_zarr_store_refs(s: SparkSession, dir: String): DataFrame = {
+    import java.nio.file.{Files, Paths}
+    val srcV2 = "/root/repo/src/test/resources/zarr/synthetic_v2.zarr"
+    val parqDir = Paths.get(System.getProperty("java.io.tmpdir"),
+      s"graft_z16_refs_$runSuffix.parq")
+    if (Files.exists(parqDir)) {
+      val walk = Files.walk(parqDir)
+      try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .iterator().asScala.foreach(Files.delete)
+      finally walk.close()
+    }
+    KerchunkParquetRefs.fromStore(srcV2, parqDir.toString,
+      recordSize = 2, inlineThreshold = 0L)
+    s.read.format("zarr").load(parqDir.toString)
+      .groupBy("lat")
+      .agg(sum("temperature").as("sum_temp"), sum("humidity").as("sum_hum"),
+        count(lit(1)).as("n"))
+  }
+
   private val z7Sql =
     """SELECT CAST(lat AS BIGINT) AS lat, CAST(sum_temp AS BIGINT) AS sum_temp,
        CAST(sum_hum AS BIGINT) AS sum_hum, CAST(n AS BIGINT) AS n
@@ -492,7 +518,8 @@ object ZarrQueries {
     "z12_zarr_stream_sink" -> (z12_zarr_stream_sink _),
     "z13_zarr_sum_meta" -> (z13_zarr_sum_meta _),
     "z14_zarr_union_meta" -> (z14_zarr_union_meta _),
-    "z15_zarr_kerchunk_parquet" -> (z15_zarr_kerchunk_parquet _))
+    "z15_zarr_kerchunk_parquet" -> (z15_zarr_kerchunk_parquet _),
+    "z16_zarr_store_refs" -> (z16_zarr_store_refs _))
 
   val oracle: Map[String, String] = Map(
     "z1_zarr_group_agg" -> z1Sql,
@@ -509,5 +536,6 @@ object ZarrQueries {
     "z12_zarr_stream_sink" -> z6Sql, // streamed ingest ≡ one-shot write
     "z13_zarr_sum_meta" -> z13Sql,
     "z14_zarr_union_meta" -> z14Sql,
-    "z15_zarr_kerchunk_parquet" -> z7Sql) // same refs set as z7; format invisible
+    "z15_zarr_kerchunk_parquet" -> z7Sql, // same refs set as z7; format invisible
+    "z16_zarr_store_refs" -> z7Sql) // refs GENERATED from the store; producer invisible
 }
