@@ -42,9 +42,16 @@ object Bench {
     def selected = SparkEntry.queries.toSeq.sortBy(_._1).filter { case (n, _) =>
       only.forall(_.exists(n.startsWith))
     }
+    // SPARK_GRAFT_SHUFFLE: shuffle-partition override for scale probes.
+    // The default (= cores) is right at gate scale, but partition count
+    // must track DATA volume, not core count: at sf10p the minhash band
+    // join's 32-partition shuffle put ~0.5 GB single allocations in 32
+    // concurrent tasks and OOM'd a 32 GB heap. On a real cluster this is
+    // the spark.sql.shuffle.partitions sizing every deployment tunes.
+    val shufParts = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", cpus)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", shufParts)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.sql.sources.v2.bucketing.enabled", "true")
