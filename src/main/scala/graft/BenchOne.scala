@@ -24,9 +24,13 @@ object BenchOne {
     val fn = SparkEntry.queries(name)
     (1 to runs + 1).foreach { i =>
       val t0 = System.nanoTime()
-      val n = fn(spark, sfDir).count()
+      val df = fn(spark, sfDir)
+      val t1 = System.nanoTime()
+      val n = df.count()
       val dt = (System.nanoTime() - t0) / 1e9
-      println(f"[benchone] $name run$i%d: $dt%.3f s ($n rows)${if (i == 1) " (warmup)" else ""}")
+      val dc = (t1 - t0) / 1e9
+      println(f"[benchone] $name run$i%d: $dt%.3f s (build $dc%.3f s, $n rows)" +
+        (if (i == 1) " (warmup)" else ""))
     }
     spark.stop()
   }

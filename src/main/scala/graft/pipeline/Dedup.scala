@@ -161,36 +161,141 @@ object Dedup {
   private val bandRows = 4
   private val nBands = nPerm / bandRows
 
+  /** Chunk width for [[bucketPairs]]' hot-bucket tiling. 1024 keeps
+    * every tile at ≤ ~1M signature comparisons (ms of work) while a
+    * 32k-wide bucket still fans out into ~500 tiles; the sf1p standing
+    * scale gate (widest bucket 3221) exercises the hot path. */
+  private[graft] val d3ChunkSize = 1024
+
+  /** Distributed within-bucket pair enumeration — the LSH hot-bucket
+    * skew fix. A plain self-equi-join on the bucket key puts each
+    * bucket's C(w,2) pair fan-out in ONE task (the key is the
+    * partition), and AQE cannot split it: skew detection sizes on
+    * exchange INPUT (w rows — tiny), not on an explosive join's
+    * output. On the low-entropy test corpus the widest MinHash band
+    * bucket grows linearly with N (328 at sf0.1 → 3221 at sf1p), so
+    * the one-task pair volume grows ~N² — at sf10p a single task ran
+    * 970+ s of CPU while 31 cores idled.
+    *
+    * Buckets wider than `chunkSize` (rare by construction) are split
+    * into rank-ordered chunks; each unordered chunk pair (ca ≤ cb)
+    * becomes one tile, tagged onto both sides via a broadcast of the
+    * small tile table, and the tile id joins the shuffle key — so a
+    * width-w bucket's pairs spread over (w/chunkSize)² tasks of ≤
+    * chunkSize² comparisons. Buckets at or under `chunkSize` keep
+    * the plain bucket-key join (the common case — identical shape to
+    * before, so small scales are untouched). Output is exactly every
+    * unordered in-bucket pair with `a.orderCol < b.orderCol`, each
+    * once, as struct columns `a`/`b` carrying the non-bucket payload:
+    * a pair u<v in chunks cu ≤ cv appears in exactly tile (cu, cv)
+    * (same-chunk tiles keep rank order strict). `orderCol` must be
+    * unique within a bucket (each doc lands in a band bucket once). */
+  /** Memoized hot-bucket dispatch decisions, keyed by the caller's
+    * corpus identity (+ chunkSize): the probe that decides plain-vs-
+    * tiled is a real Spark job (~2 s warm at sf0.1 — it aggregates the
+    * full band table), and Verify/Bench build the same query against
+    * the same immutable corpus many times per session. Memoizing is
+    * sound because BOTH branches are output-identical — the decision
+    * only selects a plan — and the test corpora never mutate under a
+    * running session. Cleared by nothing: one entry per (corpus,
+    * caller) string, a few dozen per JVM at most. */
+  private val hotProbeMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
+
+  private[graft] def bucketPairs(banded: DataFrame, bucketCols: Seq[String],
+      orderCol: String, chunkSize: Int, probeKey: String): DataFrame = {
+    val bcols = bucketCols.map(col)
+    val payload = banded.columns.filterNot(bucketCols.contains).toSeq
+    def side(j: String) = struct(payload.map(p => col(s"$j.$p").as(p)): _*)
+    def onBucket(x: String, y: String) =
+      bucketCols.map(cn => col(s"$x.$cn") === col(s"$y.$cn")).reduce(_ && _)
+    def selfPairs(df: DataFrame): DataFrame = df.as("x").join(df.as("y"),
+        onBucket("x", "y") && col(s"x.$orderCol") < col(s"y.$orderCol"))
+      .select(side("x").as("a"), side("y").as("b"))
+    val hotKeys = banded.groupBy(bcols: _*).agg(count(lit(1)).as("__w"))
+      .filter(col("__w") > chunkSize)
+      .select(bcols :+ lit(true).as("__hot"): _*)
+    // Adaptive dispatch: one bounded driver-side probe (an aggregate
+    // over `banded`, which derives from the caller's persisted
+    // signature table — the probe is what materializes that cache, so
+    // the gram pipeline still runs exactly once), memoized per corpus.
+    // When NO bucket exceeds chunkSize — every corpus below ~10× gate
+    // scale — the plan is the plain bucket-key self-join, identical to
+    // the pre-tiling shape: the tiling machinery costs ~10 extra
+    // stages (window sort, persist materialization, empty hot branch)
+    // that measured 4× wall on d3 at sf0.1 while buying nothing.
+    val anyHot = hotProbeMemo.computeIfAbsent(s"$probeKey:$chunkSize",
+      _ => !hotKeys.isEmpty)
+    if (!anyHot) return selfPairs(banded)
+    // ONE broadcast left join tags hot-bucket rows, ONE window ranks
+    // them, and the result is persisted: the cold self-join's two
+    // sides, the tile table, and the hot join's two sides all filter
+    // this single materialization. (A first cut re-derived the band
+    // union per branch — 12 instantiations, 49 cache scans, 34
+    // unshared exchanges, 3× wall at sf1p — classic DAG-reuse-vs-
+    // recompute; hotKeys itself stays unpersisted: one broadcast.)
+    val w = Window.partitionBy(bcols: _*).orderBy(col(orderCol))
+    val tagged = banded.join(broadcast(hotKeys), bucketCols, "left")
+      .withColumn("__rnk", row_number().over(w).cast("long") - 1)
+      .withColumn("__chunk", (col("__rnk") / chunkSize).cast("int"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // cold path: plain bucket-key self-join, per-key fan-out ≤ C(chunkSize,2)
+    val coldPairs = selfPairs(tagged.filter(col("__hot").isNull))
+    // hot path: tile the chunk grid
+    val hw = tagged.filter(col("__hot"))
+    val tiles = hw.groupBy(bcols: _*).agg(max(col("__chunk")).as("__maxc"))
+      .withColumn("__ca", explode(sequence(lit(0), col("__maxc"))))
+      .withColumn("__cb", explode(sequence(col("__ca"), col("__maxc"))))
+      .drop("__maxc")
+    def sideT(chunkOf: String) = hw.as("l").join(broadcast(tiles.as("c")),
+        onBucket("l", "c") && col(s"c.$chunkOf") === col("l.__chunk"))
+      .select(bucketCols.map(cn => col(s"l.$cn")) ++
+        payload.map(p => col(s"l.$p")) ++
+        Seq(col("l.__rnk"), col("c.__ca"), col("c.__cb")): _*)
+    val hotPairs = sideT("__ca").as("x").join(sideT("__cb").as("y"),
+        onBucket("x", "y") &&
+          col("x.__ca") === col("y.__ca") && col("x.__cb") === col("y.__cb"))
+      .filter(col("x.__ca") < col("x.__cb") || col("x.__rnk") < col("y.__rnk"))
+      .select(side("x").as("a"), side("y").as("b"))
+    coldPairs.unionAll(hotPairs)
+  }
+
   /** MinHash + LSH banding: signature agreement ≥ 0.75 on
     * band-collision candidates. Candidates come from equality joins on
     * the 4 per-band minhash columns — a shuffle join on narrow int
-    * keys, which is the scalable formulation (no pairwise scan). */
+    * keys, which is the scalable formulation (no pairwise scan) —
+    * with hot buckets tiled across tasks by [[bucketPairs]].
+    *
+    * The full 16-perm signature rides along through the band join so
+    * agreement is verified INLINE, before the pair distinct: the
+    * distinct then dedups only verified pairs (~0.2% of band
+    * collisions on the test corpus) instead of the full candidate
+    * volume, and the two post-candidate signature re-joins disappear.
+    * Output-identical to the candidates-then-verify formulation (the
+    * DuckDB oracle keeps that shape): est_jaccard is a pure function
+    * of the pair, so filter-then-distinct ≡ distinct-then-filter. */
   def d3_dedup_minhash(s: SparkSession, dir: String): DataFrame = {
     val g = TextAnalysis.gramCodes(docs(s, dir))
     val sig = g.groupBy("doc_id").agg(
       min(expr(permHash(1, "code"))).as("m1"),
       (2 to nPerm).map(j => min(expr(permHash(j, "code"))).as(s"m$j")): _*)
-      // referenced six times (4 band selects + both signature joins)
+      // referenced by all four band selects
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bands = (0 until nBands).map { b =>
-      sig.select(col("doc_id"), lit(b).as("band"),
-        col(s"m${bandRows * b + 1}").as("h1"), col(s"m${bandRows * b + 2}").as("h2"),
-        col(s"m${bandRows * b + 3}").as("h3"), col(s"m${bandRows * b + 4}").as("h4"))
+      sig.select(col("doc_id") +: (1 to nPerm).map(j => col(s"m$j")) :+
+        lit(b).as("band") :+
+        col(s"m${bandRows * b + 1}").as("h1") :+ col(s"m${bandRows * b + 2}").as("h2") :+
+        col(s"m${bandRows * b + 3}").as("h3") :+ col(s"m${bandRows * b + 4}").as("h4"): _*)
     }.reduce(_ unionAll _)
-    val cand = bands.as("a")
-      .join(bands.as("b"),
-        Seq("band", "h1", "h2", "h3", "h4").map(c => col(s"a.$c") === col(s"b.$c"))
-          .reduce(_ && _) && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .distinct()
     val agree: Column = (1 to nPerm)
-      .map(j => when(col(s"sa.m$j") === col(s"sb.m$j"), 1).otherwise(0))
+      .map(j => when(col(s"a.m$j") === col(s"b.m$j"), 1).otherwise(0))
       .reduce(_ + _).cast("double") / nPerm
-    cand
-      .join(sig.as("sa"), col("doc_a") === col("sa.doc_id"))
-      .join(sig.as("sb"), col("doc_b") === col("sb.doc_id"))
-      .select(col("doc_a"), col("doc_b"), agree.as("est_jaccard"))
+    bucketPairs(bands, Seq("band", "h1", "h2", "h3", "h4"), "doc_id",
+        d3ChunkSize, s"d3:$dir")
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        agree.as("est_jaccard"))
       .filter(col("est_jaccard") >= 0.75)
+      .distinct()
   }
 
   /** d3's CTE chain and final select, kept separate so d7 can reuse

@@ -57,6 +57,32 @@ class PipelineSpec extends AnyFunSuite {
     assert(h.nonEmpty && h.forall(_ <= 3))
   }
 
+  test("bucketPairs tiled hot path ≡ plain bucket self-join") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // bucket 1 is hot at chunkSize=3 (10 docs -> 4 chunks), bucket 2
+    // cold (3 docs), bucket 3 degenerate (1 doc, no pairs); payload v
+    // must ride through the struct unchanged
+    val banded = ((1 to 10).map(i => (1, i.toLong, s"v$i")) ++
+      Seq((2, 100L, "x"), (2, 101L, "y"), (2, 102L, "z"), (3, 200L, "w")))
+      .toDF("k", "doc_id", "v")
+    val got = Dedup.bucketPairs(banded, Seq("k"), "doc_id", 3, "spec:hot")
+      .select(col("a.doc_id"), col("b.doc_id"), col("a.v"), col("b.v"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getString(3)))
+    val naive = banded.as("x").join(banded.as("y"),
+        col("x.k") === col("y.k") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id"), col("y.doc_id"), col("x.v"), col("y.v"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getString(3)))
+    assert(got.length == 45 + 3) // C(10,2) + C(3,2)
+    assert(got.sorted.toSeq == naive.sorted.toSeq)
+    assert(got.forall { case (a, b, _, _) => a < b })
+    // all-cold dispatch branch (no bucket over chunkSize): same pairs
+    val cold = Dedup.bucketPairs(banded, Seq("k"), "doc_id", 64, "spec:cold")
+      .select(col("a.doc_id"), col("b.doc_id"), col("a.v"), col("b.v"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getString(3)))
+    assert(cold.sorted.toSeq == naive.sorted.toSeq)
+  }
+
   test("brute ANN returns topK ranked neighbors per probe") {
     val rows = Similarity.s1_ann_brute(spark, sf).collect()
     val byQuery = rows.groupBy(_.getAs[Long]("query_id"))
