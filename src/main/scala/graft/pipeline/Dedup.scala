@@ -341,7 +341,15 @@ object Dedup {
     * least one band — so candidates come from 4 equality joins on
     * narrow int keys instead of an O(N²) cross join; the exact XOR
     * popcount then verifies. Same output, shuffle-join scaling. (The
-    * DuckDB oracle keeps the cross-join formulation: identical rows.) */
+    * DuckDB oracle keeps the cross-join formulation: identical rows.)
+    *
+    * The band keys are only 7–8 bits wide, so there are at most 1,024
+    * distinct join keys — on a large cluster that ceilings the join's
+    * parallelism at 1,024 slots regardless of N, and every bucket is
+    * "hot" at ~N/256 docs per band value. [[bucketPairs]] lifts both:
+    * buckets wider than [[d4ChunkSize]] tile into bounded tasks keyed
+    * by (bucket, ca, cb). Gate-scale corpora (≤ sf1p: widest d4
+    * bucket ~3k) stay on the plain memoized path. */
   def d4_dedup_simhash(s: SparkSession, dir: String): DataFrame = {
     val g = TextAnalysis.gramCodes(docs(s, dir))
       .select(col("doc_id"), expr(mix("code")).as("h"))
@@ -359,15 +367,18 @@ object Dedup {
       sketch.select(col("doc_id"), col("simhash"), lit(b).as("band"),
         expr(s"shiftright(simhash, $off) & ${(1 << len) - 1}").as("bh"))
     }.reduce(_ unionAll _)
-    banded.as("a")
-      .join(banded.as("b"),
-        col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
-          col("a.doc_id") < col("b.doc_id"))
+    bucketPairs(banded, Seq("band", "bh"), "doc_id", d4ChunkSize, s"d4:$dir")
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
         expr("bit_count(a.simhash ^ b.simhash)").cast("long").as("hamming"))
       .filter(col("hamming") <= 3)
       .distinct()
   }
+
+  /** d4's tiling chunk: larger than d3's because d4's per-pair verify
+    * is one XOR+popcount (vs 16 compares) and its buckets are uniform
+    * (≤1,024 key values) — 4096² ≈ 16M popcounts ≈ tens of ms per
+    * tile. Gate scales (widest d4 bucket ~3k at sf1p) stay plain. */
+  private[graft] val d4ChunkSize = 4096
 
   private val d4Sql = {
     val sums = (0 until simBits).map(k =>
@@ -502,10 +513,12 @@ object Dedup {
       explode(array((0 until d5LshBands).map(b =>
         struct(lit(b).as("band"), bandBucket(b).as("bkt"))): _*)).as("bb"))
       .select(col("vec_id"), col("bb.band").as("band"), col("bb.bkt").as("bkt"))
-    val cand = banded.as("a")
-      .join(banded.as("b"),
-        col("a.band") === col("b.band") && col("a.bkt") === col("b.bkt") &&
-          col("a.vec_id") < col("b.vec_id"))
+    // 24 bands × 3-bit buckets = ≤192 distinct join keys — the same
+    // cluster-parallelism ceiling as d4's band space; tile wide
+    // buckets (memo key: the input plan's semantic hash — lshPairs
+    // takes arbitrary frames, not a corpus dir)
+    val cand = bucketPairs(banded, Seq("band", "bkt"), "vec_id",
+        d4ChunkSize, s"d5lsh:${e.semanticHash()}")
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
       .distinct()
     cand
