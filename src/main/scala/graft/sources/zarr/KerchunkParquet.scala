@@ -254,40 +254,395 @@ object KerchunkParquetRefs {
     val perVar = vars.map { v =>
       val grid = chunkGridOf(metaMap, v).getOrElse(
         throw new IllegalArgumentException(s"$storePath/$v: unreadable array metadata"))
-      // chunk-key naming mirrors the store's own encoding: v2 indices
-      // joined by dimension_separator (default "."), v3 "c/" prefix +
-      // chunk_key_encoding separator (default "/")
-      val sep =
-        if (version == 3)
-          Option(mapper.readTree(metaMap(s"$v/zarr.json"))
-            .at("/chunk_key_encoding/configuration/separator").asText(""))
-            .filter(_.nonEmpty).getOrElse("/")
-        else
-          Option(mapper.readTree(metaMap(s"$v/.zarray")).get("dimension_separator"))
-            .filterNot(_.isNull).map(_.asText).getOrElse(".")
-      def tail(idx: Seq[Long]): String =
-        if (version == 3) "c" + idx.map(i => s"$sep$i").mkString
-        else if (idx.isEmpty) "0" else idx.mkString(sep)
       val rows = mutable.Map[Long, RefRow]()
-      val n = grid.product
-      var lin = 0L
-      while (lin < n) {
-        // linear C-order index → per-dim chunk indices
-        var rem = lin
-        val idx = new Array[Long](grid.length)
-        var d = grid.length - 1
-        while (d >= 0) { idx(d) = rem % grid(d); rem /= grid(d); d -= 1 }
-        val key = s"$v/${tail(idx.toSeq)}"
-        store.sizeOf(key).foreach { sz =>
-          rows += (lin -> (if (sz <= inlineThreshold)
-            RefRow(None, 0L, 0L, Some(store.readBytes(key).getOrElse(
-              throw new java.io.IOException(s"$storePath/$key vanished during scan"))))
-          else RefRow(Some(s"$base/$key"), 0L, sz, None)))
-        }
-        lin += 1
+      scanVarChunks(store, base, metaMap, v, version, grid, inlineThreshold) {
+        case (idx, lin, row) => rows += (lin -> row)
       }
       v -> rows
     }.toMap
     writeRefs(outDir, recordSize, metaDocs, perVar)
+  }
+
+  /** Chunk-key naming mirrors the store's own encoding: v2 indices
+    * joined by dimension_separator (default "."), v3 "c/" prefix +
+    * chunk_key_encoding separator (default "/"). */
+  private def chunkSepOf(metaMap: Map[String, Array[Byte]], v: String,
+      version: Int): String = {
+    val mapper = new ObjectMapper()
+    if (version == 3)
+      Option(mapper.readTree(metaMap(s"$v/zarr.json"))
+        .at("/chunk_key_encoding/configuration/separator").asText(""))
+        .filter(_.nonEmpty).getOrElse("/")
+    else
+      Option(mapper.readTree(metaMap(s"$v/.zarray")).get("dimension_separator"))
+        .filterNot(_.isNull).map(_.asText).getOrElse(".")
+  }
+
+  private def chunkTail(version: Int, sep: String, idx: Seq[Long]): String =
+    if (version == 3) "c" + idx.map(i => s"$sep$i").mkString
+    else if (idx.isEmpty) "0" else idx.mkString(sep)
+
+  /** Enumerate `v`'s chunk grid (one `sizeOf` probe per cell — no
+    * listing API needed), calling `f(perDimIdx, linearIdx, row)` for
+    * every PRESENT chunk; absent cells (fill) are skipped. */
+  private def scanVarChunks(store: ZarrStore, base: String,
+      metaMap: Map[String, Array[Byte]], v: String, version: Int,
+      grid: Array[Long], inlineThreshold: Long)(
+      f: (Array[Long], Long, RefRow) => Unit): Unit = {
+    val sep = chunkSepOf(metaMap, v, version)
+    val n = grid.product
+    var lin = 0L
+    while (lin < n) {
+      // linear C-order index → per-dim chunk indices
+      var rem = lin
+      val idx = new Array[Long](grid.length)
+      var d = grid.length - 1
+      while (d >= 0) { idx(d) = rem % grid(d); rem /= grid(d); d -= 1 }
+      val key = s"$v/${chunkTail(version, sep, idx.toSeq)}"
+      store.sizeOf(key).foreach { sz =>
+        f(idx, lin, if (sz <= inlineThreshold)
+          RefRow(None, 0L, 0L, Some(store.readBytes(key).getOrElse(
+            throw new java.io.IOException(s"$base/$key vanished during scan"))))
+        else RefRow(Some(s"$base/$key"), 0L, sz, None))
+      }
+      lin += 1
+    }
+  }
+
+  // ------------------------------------------------- multi-store combine
+
+  /** Virtually CONCATENATE existing Zarr stores along `concatDim` into
+    * one parquet-refs store — the fsspec/kerchunk `MultiZarrToZarr`
+    * shape (e.g. one store per day of an archive → one queryable
+    * virtual dataset), with no data movement: every chunk ref points
+    * back into its source store.
+    *
+    * Semantics and constraints (the same grid-validity rules
+    * MultiZarrToZarr enforces):
+    *  - every store must hold the SAME variables at the same zarr
+    *    version; variables whose dimensions include `concatDim`
+    *    concatenate (data vars AND the `concatDim` coordinate array);
+    *    all other variables must carry byte-identical array metadata
+    *    across stores and are taken from the first store;
+    *  - concatenating variables must share chunk shape and all
+    *    non-concat extents; every store except the LAST must have a
+    *    `concatDim` extent that is a multiple of the chunk extent
+    *    (an interior ragged chunk would corrupt the combined grid —
+    *    a ragged tail on the final store is fine);
+    *  - `.zstats` sidecars survive: per-chunk min/max and sum entries
+    *    are key-remapped by the chunk offset and merged; the O(1)
+    *    "total"/"complete" record is re-derived only when EVERY store
+    *    attests complete sums (else readers fold the chunk entries).
+    *
+    * Chunk refs are ranged against each SOURCE store (or inlined at or
+    * under `inlineThreshold`), so the combine is metadata-sized work:
+    * one `sizeOf` probe per chunk cell, no data reads. */
+  def combineStores(storePaths: Seq[String], concatDim: String, outDir: String,
+      recordSize: Int = defaultRecordSize, inlineThreshold: Long = 512L): Unit = {
+    require(storePaths.length >= 2, "combineStores needs at least two stores")
+    val mapper = new ObjectMapper()
+    final case class Src(path: String, store: ZarrStore, version: Int,
+        vars: Seq[String], metaMap: Map[String, Array[Byte]], base: String)
+    val srcs = storePaths.map { p =>
+      val st = ZarrStore.open(p)
+      val ver = ZarrMeta.detectVersion(st)
+      val vars = st.listDirs().filter(d =>
+        st.sizeOf(s"$d/.zarray").isDefined || st.sizeOf(s"$d/zarr.json").isDefined).sorted
+      require(vars.nonEmpty, s"$p: no Zarr arrays found")
+      val rootDocs = if (ver == 3) Seq("zarr.json") else Seq(".zgroup", ".zattrs")
+      val docKeys = rootDocs ++ vars.flatMap(v =>
+        if (ver == 3) Seq(s"$v/zarr.json", s"$v/.zstats")
+        else Seq(s"$v/.zarray", s"$v/.zattrs", s"$v/.zstats"))
+      val metaMap = docKeys.flatMap(k => st.readBytes(k).map(k -> _)).toMap
+      val base = if (p.contains("://")) p.stripSuffix("/")
+                 else Paths.get(p).toAbsolutePath.toString
+      Src(p, st, ver, vars, metaMap, base)
+    }
+    val version = srcs.head.version
+    require(srcs.forall(_.version == version),
+      s"mixed zarr versions across stores: ${srcs.map(s => s"${s.path}=v${s.version}").mkString(", ")}")
+    val vars = srcs.head.vars
+    srcs.tail.foreach(s => require(s.vars == vars,
+      s"variable sets differ: ${srcs.head.path} has $vars, ${s.path} has ${s.vars}"))
+
+    def arrayDocKey(v: String) = if (version == 3) s"$v/zarr.json" else s"$v/.zarray"
+    def arrayNode(s: Src, v: String): JsonNode = mapper.readTree(s.metaMap(arrayDocKey(v)))
+    def longs(n: JsonNode): Array[Long] = {
+      val it = n.elements(); val b = Array.newBuilder[Long]
+      while (it.hasNext) b += it.next().asLong()
+      b.result()
+    }
+    def shapeOf(s: Src, v: String): Array[Long] = longs(arrayNode(s, v).get("shape"))
+    def chunksOf(s: Src, v: String): Array[Long] = {
+      val n = arrayNode(s, v)
+      if (version == 3) longs(n.at("/chunk_grid/configuration/chunk_shape"))
+      else longs(n.get("chunks"))
+    }
+    // decoded store metadata, computed at most once per store (used by
+    // the dims fallback and the coordinate materialization)
+    val storeMeta = mutable.Map[String, ZarrStoreMeta]()
+    def metaOf(s: Src): ZarrStoreMeta =
+      storeMeta.getOrElseUpdate(s.path, ZarrMeta.readStore(s.path))
+    /** Dimension names: v3 `dimension_names`, v2 xarray
+      * `_ARRAY_DIMENSIONS`; a 1-D array named like the dim is its own
+      * coordinate even without attributes; otherwise fall back to the
+      * reader's inferred coordinate order (stores written without
+      * naming conventions). */
+    def dimsOf(s: Src, v: String): Seq[String] = {
+      val named: Option[Seq[String]] =
+        if (version == 3)
+          Option(arrayNode(s, v).get("dimension_names")).filter(_.isArray).map { dn =>
+            val it = dn.elements(); val b = Seq.newBuilder[String]
+            while (it.hasNext) b += it.next().asText()
+            b.result()
+          }
+        else s.metaMap.get(s"$v/.zattrs").flatMap { bytes =>
+          Option(mapper.readTree(bytes).get("_ARRAY_DIMENSIONS"))
+            .filter(_.isArray).map { dn =>
+              val it = dn.elements(); val b = Seq.newBuilder[String]
+              while (it.hasNext) b += it.next().asText()
+              b.result()
+            }
+        }
+      named.getOrElse {
+        val rank = shapeOf(s, v).length
+        if (rank == 1) Seq(v)
+        else {
+          val order = metaOf(s).coordNames
+          if (rank == order.length) order else Seq.empty
+        }
+      }
+    }
+
+    val concatVars = vars.filter(v => dimsOf(srcs.head, v).contains(concatDim))
+    require(concatVars.nonEmpty,
+      s"no variable has dimension '$concatDim' (dims seen: ${vars.map(v => s"$v=${dimsOf(srcs.head, v).mkString("[", ",", "]")}").mkString(", ")})")
+    // the concat dimension's own 1-D coordinate array is MATERIALIZED
+    // (decoded, concatenated, inlined raw) rather than ref-stitched:
+    // writers commonly store a coordinate as one chunk per store, so
+    // per-store chunk extents differ and no uniform combined grid
+    // exists for it — and a coordinate is metadata-sized by nature.
+    // (This is also what kerchunk's MultiZarrToZarr does for the
+    // concat coord.) Everything else concatenates by reference.
+    val coordSelf = concatVars.filter(v => dimsOf(srcs.head, v) == Seq(concatDim))
+    val gridVars = concatVars.filterNot(coordSelf.contains)
+
+    // validate geometry; per concat var: axis, chunk extent, per-store
+    // chunk-grid extents along the axis (→ offsets)
+    val geometry = gridVars.map { v =>
+      val d0 = dimsOf(srcs.head, v)
+      val axis = d0.indexOf(concatDim)
+      val ch0 = chunksOf(srcs.head, v)
+      val sh0 = shapeOf(srcs.head, v)
+      srcs.tail.foreach { s =>
+        require(dimsOf(s, v) == d0, s"${s.path}/$v: dimension names differ")
+        require(java.util.Arrays.equals(chunksOf(s, v), ch0),
+          s"${s.path}/$v: chunk shape differs")
+        val sh = shapeOf(s, v)
+        require(sh.length == sh0.length && sh.indices.forall(i =>
+          i == axis || sh(i) == sh0(i)),
+          s"${s.path}/$v: non-concat extents differ")
+      }
+      srcs.init.foreach { s =>
+        val ext = shapeOf(s, v)(axis)
+        require(ext % ch0(axis) == 0,
+          s"${s.path}/$v: extent $ext along '$concatDim' is not a multiple of " +
+            s"chunk ${ch0(axis)} — an interior ragged chunk would corrupt the " +
+            "combined grid (only the LAST store may be ragged)")
+      }
+      val gridExts = srcs.map(s => (shapeOf(s, v)(axis) + ch0(axis) - 1) / ch0(axis))
+      v -> (axis, ch0(axis), gridExts)
+    }.toMap
+    // static vars: array metadata must be byte-identical across stores
+    vars.filterNot(concatVars.contains).foreach { v =>
+      srcs.tail.foreach(s => require(java.util.Arrays.equals(
+        s.metaMap(arrayDocKey(v)), srcs.head.metaMap(arrayDocKey(v))),
+        s"static variable '$v': array metadata differs between " +
+          s"${srcs.head.path} and ${s.path} — only '$concatDim'-bearing " +
+          "variables may vary across combined stores"))
+    }
+
+    // materialize the concat coordinate: decoded values concatenated,
+    // re-encoded raw little-endian as ONE inline chunk
+    val coordBytes: Map[String, (Array[Byte], Long)] = coordSelf.map { v =>
+      val perStore = srcs.map { s =>
+        val cd = metaOf(s).coords.find(_.meta.name == v)
+          .getOrElse(throw new IllegalArgumentException(
+            s"${s.path}: cannot materialize coordinate '$v'"))
+        (cd.meta.dtype, cd.raw, cd.length)
+      }
+      val dt = perStore.head._1
+      require(perStore.forall(_._1 == dt), s"coordinate '$v': dtype differs across stores")
+      require("iuf".contains(dt.kind),
+        s"coordinate '$v': cannot materialize non-numeric dtype '${dt.kind}${dt.size}' for combining")
+      val total = perStore.map(_._3.toLong).sum
+      val buf = java.nio.ByteBuffer.allocate((total * dt.size).toInt)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      perStore.foreach { case (_, raw, n) =>
+        (dt.kind, dt.size) match {
+          case ('i', 1) => buf.put(raw.asInstanceOf[Array[Byte]], 0, n)
+          case ('i', 2) => val a = raw.asInstanceOf[Array[Short]]; (0 until n).foreach(i => buf.putShort(a(i)))
+          case ('i', 4) => val a = raw.asInstanceOf[Array[Int]]; (0 until n).foreach(i => buf.putInt(a(i)))
+          case ('i', 8) | ('u', 8) => val a = raw.asInstanceOf[Array[Long]]; (0 until n).foreach(i => buf.putLong(a(i)))
+          case ('u', 1) => val a = raw.asInstanceOf[Array[Short]]; (0 until n).foreach(i => buf.put(a(i).toByte))
+          case ('u', 2) => val a = raw.asInstanceOf[Array[Int]]; (0 until n).foreach(i => buf.putShort(a(i).toShort))
+          case ('u', 4) => val a = raw.asInstanceOf[Array[Long]]; (0 until n).foreach(i => buf.putInt(a(i).toInt))
+          case ('f', 4) => val a = raw.asInstanceOf[Array[Float]]; (0 until n).foreach(i => buf.putFloat(a(i)))
+          case ('f', 8) => val a = raw.asInstanceOf[Array[Double]]; (0 until n).foreach(i => buf.putDouble(a(i)))
+          case other => throw new IllegalArgumentException(
+            s"coordinate '$v': unsupported dtype $other")
+        }
+      }
+      v -> (buf.array(), total)
+    }.toMap
+
+    // combined metadata: first store's docs, with concat vars' shape
+    // rewritten, the materialized coord re-declared (single raw
+    // chunk), and .zstats remapped+merged
+    val metaDocs = srcs.head.metaMap.toSeq.sortBy(_._1).flatMap {
+      case (k, bytes) if k.endsWith("/.zstats") =>
+        val v = k.stripSuffix("/.zstats")
+        if (coordSelf.contains(v)) None // re-derivable; values are inline anyway
+        else if (!gridVars.contains(v)) Some(k -> bytes)
+        else mergedZstats(srcs.map(s => s.metaMap.get(k)), v, geometry(v)._1,
+          geometry(v)._3, version, mapper).map(k -> _)
+      case (k, bytes) if coordSelf.exists(v => k == arrayDocKey(v)) =>
+        val v = coordSelf.find(v2 => k == arrayDocKey(v2)).get
+        val total = coordBytes(v)._2
+        val node = mapper.readTree(bytes).asInstanceOf[ObjectNode]
+        node.putArray("shape").add(total)
+        if (version == 3) {
+          node.`with`("chunk_grid").`with`("configuration")
+            .putArray("chunk_shape").add(total)
+          val codecs = node.putArray("codecs")
+          val bytesCodec = codecs.addObject()
+          bytesCodec.put("name", "bytes")
+          bytesCodec.putObject("configuration").put("endian", "little")
+        } else {
+          node.putArray("chunks").add(total)
+          node.putNull("compressor")
+          node.putNull("filters")
+        }
+        Some(k -> mapper.writeValueAsBytes(node))
+      case (k, bytes) if gridVars.exists(v => k == arrayDocKey(v)) =>
+        val v = gridVars.find(v2 => k == arrayDocKey(v2)).get
+        val (axis, _, _) = geometry(v)
+        val node = mapper.readTree(bytes).asInstanceOf[ObjectNode]
+        val total = srcs.map(s => shapeOf(s, v)(axis)).sum
+        val sh = shapeOf(srcs.head, v)
+        val shapeArr = node.putArray("shape")
+        sh.indices.foreach(i => shapeArr.add(if (i == axis) total else sh(i)))
+        Some(k -> mapper.writeValueAsBytes(node))
+      case (k, bytes) => Some(k -> bytes)
+    }
+    // the v3 root zarr.json embeds every array's metadata under
+    // consolidated_metadata — readers prefer it over per-array docs,
+    // so its entries must be the REWRITTEN docs, not store 0's stale
+    // copies (shape/codecs would silently disagree)
+    val metaDocsOut =
+      if (version != 3) metaDocs
+      else metaDocs.map {
+        case ("zarr.json", bytes) =>
+          val root = mapper.readTree(bytes).asInstanceOf[ObjectNode]
+          Option(root.get("consolidated_metadata")).foreach { cm =>
+            val m = cm.asInstanceOf[ObjectNode].`with`("metadata")
+            metaDocs.foreach { case (k2, b2) =>
+              if (k2.endsWith("/zarr.json"))
+                m.set[ObjectNode](k2.stripSuffix("/zarr.json"), mapper.readTree(b2))
+            }
+            // coordSelf .zstats were dropped from the per-array docs;
+            // drop any embedded copies too
+            coordSelf.foreach(v => m.remove(s"$v/.zstats"))
+          }
+          "zarr.json" -> mapper.writeValueAsBytes(root)
+        case kv => kv
+      }
+
+    // chunk refs: static vars from store 0; materialized coords as one
+    // inline chunk; grid vars from every store with the axis index
+    // shifted by the store's chunk offset
+    val perVar = vars.map { v =>
+      val rows = mutable.Map[Long, RefRow]()
+      if (coordSelf.contains(v)) {
+        rows += (0L -> RefRow(None, 0L, 0L, Some(coordBytes(v)._1)))
+      } else if (!gridVars.contains(v)) {
+        val s = srcs.head
+        val grid = chunkGridOf(s.metaMap, v).get
+        scanVarChunks(s.store, s.base, s.metaMap, v, version, grid,
+          inlineThreshold) { case (_, lin, row) => rows += (lin -> row) }
+      } else {
+        val (axis, _, gridExts) = geometry(v)
+        val grid0 = chunkGridOf(srcs.head.metaMap, v).get
+        val outGrid = grid0.clone(); outGrid(axis) = gridExts.sum
+        var off = 0L
+        srcs.zip(gridExts).foreach { case (s, ext) =>
+          val grid = chunkGridOf(s.metaMap, v).get
+          val o = off
+          scanVarChunks(s.store, s.base, s.metaMap, v, version, grid,
+            inlineThreshold) { case (idx, _, row) =>
+            val shifted = idx.clone(); shifted(axis) += o
+            val lin = shifted.zip(outGrid).foldLeft(0L) {
+              case (acc, (i, g)) => acc * g + i
+            }
+            rows += (lin -> row)
+          }
+          off += ext
+        }
+      }
+      v -> rows
+    }.toMap
+    writeRefs(outDir, recordSize, metaDocsOut, perVar)
+  }
+
+  /** Merge per-store `.zstats` sidecars for a concatenating variable:
+    * chunk keys shifted by each store's chunk offset along `axis`;
+    * the O(1) total re-derived only when every store attests complete
+    * sums. Any store missing its sidecar → no merged sidecar (readers
+    * then scan, which is always correct). */
+  private def mergedZstats(docs: Seq[Option[Array[Byte]]], v: String,
+      axis: Int, gridExts: Seq[Long], version: Int,
+      mapper: ObjectMapper): Option[Array[Byte]] = {
+    if (docs.exists(_.isEmpty)) return None
+    def shift(key: String, off: Long): String = {
+      val parts = key.split("[./]").filter(_ != "c").map(_.toLong)
+      parts(axis) += off
+      if (version == 2) parts.mkString(".")
+      else ("c" +: parts.map(_.toString)).mkString("/")
+    }
+    val parsed = docs.map(d => mapper.readTree(d.get))
+    val offs = gridExts.scanLeft(0L)(_ + _)
+    val chunks = mutable.LinkedHashMap[String, String]()
+    val sums = mutable.LinkedHashMap[String, String]()
+    parsed.zip(offs).foreach { case (n, off) =>
+      Option(n.get("chunks")).filter(_.isObject).foreach { c =>
+        val it = c.properties().iterator()
+        while (it.hasNext) { val e = it.next()
+          chunks += (shift(e.getKey, off) -> e.getValue.toString) }
+      }
+      Option(n.get("sums")).filter(_.isObject).foreach { c =>
+        val it = c.properties().iterator()
+        while (it.hasNext) { val e = it.next()
+          sums += (shift(e.getKey, off) -> e.getValue.toString) }
+      }
+    }
+    val allComplete = parsed.forall(n =>
+      Option(n.get("complete")).exists(_.asBoolean(false)) && n.get("total") != null)
+    val chunksJson = chunks.map { case (k, j) => s""""$k": $j""" }.mkString(",")
+    val sumsJson =
+      if (sums.isEmpty) ""
+      else {
+        val totalTail =
+          if (!allComplete) ""
+          else {
+            val total = parsed.map(_.get("total")).foldLeft(
+              (java.math.BigDecimal.ZERO, 0L)) { case ((ts, tc), t) =>
+              (ts.add(t.get(0).decimalValue()), tc + t.get(1).asLong())
+            }
+            s""", "total": [${total._1.toPlainString}, ${total._2}], "complete": true"""
+          }
+        sums.map { case (k, j) => s""""$k": $j""" }
+          .mkString(""", "sums": {""", ",", s"}$totalTail")
+      }
+    Some(s"""{"chunks": {$chunksJson}$sumsJson}""".getBytes(StandardCharsets.UTF_8))
   }
 }

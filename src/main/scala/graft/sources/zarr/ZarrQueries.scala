@@ -503,6 +503,68 @@ object ZarrQueries {
       CAST(MIN(k) AS BIGINT) AS min_k, CAST(MAX(k) AS BIGINT) AS max_k
     FROM grid GROUP BY ln"""
 
+  /** Multi-store VIRTUAL CONCATENATION inside the graded gate (the
+    * MultiZarrToZarr shape): the z6-style quantity grid is written as
+    * TWO stores split along `ln` (store A chunk-aligned, store B the
+    * ragged tail), combined along `ln` into one parquet-refs store by
+    * [[KerchunkParquetRefs.combineStores]] — chunk refs stitched back
+    * into the sources, the `ln` coordinate materialized inline,
+    * `.zstats` merged — and read back whole. Oracle = the same grid
+    * from SQL (both splits filled over the GLOBAL k domain so the two
+    * stores carry identical k coordinates, unioned) — the combine
+    * machinery must be invisible to the query. */
+  def z17_zarr_combine(s: SparkSession, dir: String): DataFrame = {
+    import java.nio.file.{Files, Paths}
+    val li = graft.operators.Tables.load(s, dir, "lineitem")
+    val agg = li.select(
+        col("l_linenumber").cast("long").as("ln"),
+        (col("l_orderkey") % 4).cast("long").as("k"),
+        col("l_quantity").cast("long").as("qty"))
+      .groupBy("ln", "k").agg(sum(col("qty")).as("sum_qty"))
+    val ks = agg.select("k").distinct()
+    def filled(split: DataFrame): DataFrame =
+      split.select("ln").distinct().crossJoin(ks)
+        .join(split, Seq("ln", "k"), "left")
+        .select(col("ln"), col("k"),
+          coalesce(col("sum_qty"), lit(0L)).as("sum_qty"))
+    val base = s"${System.getProperty("java.io.tmpdir")}/graft_z17_${math.abs(dir.hashCode)}_$runSuffix"
+    val (pa, pb) = (s"${base}_a.zarr", s"${base}_b.zarr")
+    Seq((pa, agg.filter(col("ln") <= 4)), (pb, agg.filter(col("ln") >= 5)))
+      .foreach { case (p, split) =>
+        filled(split).write.format("zarr")
+          .option("coords", "ln,k").option("chunkOuter", "2")
+          .option("compressor", "zstd").mode("overwrite").save(p)
+      }
+    val out = Paths.get(s"${base}_combined.parq")
+    if (Files.exists(out)) {
+      val walk = Files.walk(out)
+      try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .iterator().asScala.foreach(Files.delete)
+      finally walk.close()
+    }
+    KerchunkParquetRefs.combineStores(Seq(pa, pb), "ln", out.toString)
+    s.read.format("zarr").load(out.toString).select("ln", "k", "sum_qty")
+  }
+
+  private val z17Sql = """
+    WITH agg AS (
+      SELECT CAST(l_linenumber AS BIGINT) AS ln,
+             CAST(l_orderkey % 4 AS BIGINT) AS k,
+             CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+      FROM lineitem GROUP BY 1, 2),
+    ks AS (SELECT DISTINCT k FROM agg),
+    fa AS (
+      SELECT l.ln, kk.k, CAST(COALESCE(a.sum_qty, 0) AS BIGINT) AS sum_qty
+      FROM (SELECT DISTINCT ln FROM agg WHERE ln <= 4) l
+      CROSS JOIN ks kk
+      LEFT JOIN agg a ON a.ln = l.ln AND a.k = kk.k),
+    fb AS (
+      SELECT l.ln, kk.k, CAST(COALESCE(a.sum_qty, 0) AS BIGINT) AS sum_qty
+      FROM (SELECT DISTINCT ln FROM agg WHERE ln >= 5) l
+      CROSS JOIN ks kk
+      LEFT JOIN agg a ON a.ln = l.ln AND a.k = kk.k)
+    SELECT * FROM fa UNION ALL SELECT * FROM fb"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "z1_zarr_group_agg" -> (z1_zarr_group_agg _),
     "z2_zarr_filter_slice" -> (z2_zarr_filter_slice _),
@@ -519,7 +581,8 @@ object ZarrQueries {
     "z13_zarr_sum_meta" -> (z13_zarr_sum_meta _),
     "z14_zarr_union_meta" -> (z14_zarr_union_meta _),
     "z15_zarr_kerchunk_parquet" -> (z15_zarr_kerchunk_parquet _),
-    "z16_zarr_store_refs" -> (z16_zarr_store_refs _))
+    "z16_zarr_store_refs" -> (z16_zarr_store_refs _),
+    "z17_zarr_combine" -> (z17_zarr_combine _))
 
   val oracle: Map[String, String] = Map(
     "z1_zarr_group_agg" -> z1Sql,
@@ -537,5 +600,6 @@ object ZarrQueries {
     "z13_zarr_sum_meta" -> z13Sql,
     "z14_zarr_union_meta" -> z14Sql,
     "z15_zarr_kerchunk_parquet" -> z7Sql, // same refs set as z7; format invisible
-    "z16_zarr_store_refs" -> z7Sql) // refs GENERATED from the store; producer invisible
+    "z16_zarr_store_refs" -> z7Sql, // refs GENERATED from the store; producer invisible
+    "z17_zarr_combine" -> z17Sql)
 }

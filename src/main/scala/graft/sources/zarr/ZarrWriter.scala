@@ -223,8 +223,15 @@ object ZarrWriter {
 
   private def zarrJsonV3(shape: Seq[Long], chunks: Seq[Int], dtypeStr: String,
       typesize: Int, attrsJson: Option[String], shardInner: Int = 0,
-      shardCompress: String = "none", compressor: String = "none"): String = {
+      shardCompress: String = "none", compressor: String = "none",
+      dimNames: Seq[String] = Nil): String = {
     val attrs = attrsJson.map(a => s""","attributes":$a""").getOrElse("")
+    // `dimension_names` is the v3-core (optional) dimension-naming
+    // field — xarray reads it, and KerchunkParquetRefs.combineStores
+    // uses it to find the concat axis without heuristics
+    val dims =
+      if (dimNames.isEmpty) ""
+      else s""","dimension_names":[${dimNames.map(d => s""""$d"""").mkString(",")}]"""
     val bytesCodec = """{"name":"bytes","configuration":{"endian":"little"}}"""
     def chain(c: String): String = c match {
       case "none" => s"[$bytesCodec]"
@@ -251,7 +258,7 @@ object ZarrWriter {
        |"chunk_grid":{"name":"regular","configuration":{"chunk_shape":[${chunks.mkString(",")}]}},
        |"chunk_key_encoding":{"name":"default","configuration":{"separator":"/"}},
        |"fill_value":0,
-       |"codecs":$codecs$attrs}"""
+       |"codecs":$codecs$dims$attrs}"""
       .stripMargin.replace("\n", "")
   }
 
@@ -437,9 +444,12 @@ object ZarrWriter {
       } else {
         // only data variables shard (aShape == full grid shape)
         val si = if (aShape == shape) shardInner else 0
+        // dims: a data variable spans the coord order; a coordinate
+        // array names its own single dimension
+        val dimNames = if (aShape == shape) coords else Seq(name)
         store.writeBytes(s"$name/zarr.json",
           zarrJsonV3(aShape, aChunks, dtypeStr, typesize, attrsJson(name), si,
-            shardCompress, compressor).getBytes)
+            shardCompress, compressor, dimNames).getBytes)
       }
     }
     coords.zip(coordVals).foreach { case (name, vals) =>

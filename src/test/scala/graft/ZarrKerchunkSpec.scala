@@ -355,4 +355,75 @@ class ZarrKerchunkSpec extends AnyFunSuite {
     assert(viaRefs.count() == direct.count() && direct.count() > 0)
     assert(viaRefs.agg(sum("temperature")).head() == direct.agg(sum("temperature")).head())
   }
+
+  // ---------------------------------------------- multi-store combine
+
+  /** Two writer-built slices of one logical grid split along `a`:
+    * store A holds a∈[0,4) (chunk-aligned at chunkOuter=2), store B
+    * the ragged tail a∈[4,7). */
+  private def writeSlices(dir: java.nio.file.Path, version: Int): (String, String) = {
+    val full = spark.range(28).selectExpr("id div 4 as a", "id % 4 as b",
+      "CAST(id * 3 AS DOUBLE) as v")
+    val (pa, pb) = (dir.resolve("a.zarr").toString, dir.resolve("b.zarr").toString)
+    Seq((pa, "a < 4"), (pb, "a >= 4")).foreach { case (p, f) =>
+      full.filter(f).write.format("zarr")
+        .option("coords", "a,b").option("chunkOuter", "2")
+        .option("zarrVersion", version.toString)
+        .option("compressor", "zstd").mode("overwrite").save(p)
+    }
+    (pa, pb)
+  }
+
+  test("multi-store combine: concatenated refs ≡ union of the source stores (v2)") {
+    val dir = Files.createTempDirectory("kerchunk_combine_v2")
+    val (pa, pb) = writeSlices(dir, 2)
+    val out = dir.resolve("combined.parq").toString
+    graft.sources.zarr.KerchunkParquetRefs.combineStores(Seq(pa, pb), "a", out)
+    val direct = readAllSorted(pa) ++ readAllSorted(pb)
+    assert(readAllSorted(out) == direct.sortBy(_.map(_.toString).mkString(",")) ||
+      readAllSorted(out).toSet == direct.toSet)
+    assert(readAllSorted(out).size == 28)
+    // merged .zstats survives: chunk entries remapped, complete total re-derived
+    val refsStore = graft.sources.zarr.KerchunkParquetStore(out)
+    val stats = new String(refsStore.readBytes("v/.zstats").get, "UTF-8")
+    assert(stats.contains("\"complete\": true") || stats.contains("\"complete\":true"),
+      s"merged sidecar lost the complete-sums attestation: $stats")
+    val sumDirect = spark.read.format("zarr").load(pa).agg(sum("v")).head().getDouble(0) +
+      spark.read.format("zarr").load(pb).agg(sum("v")).head().getDouble(0)
+    val sumCombined = spark.read.format("zarr").load(out).agg(sum("v")).head().getDouble(0)
+    assert(sumCombined == sumDirect)
+  }
+
+  test("multi-store combine: v3 stores concatenate identically") {
+    val dir = Files.createTempDirectory("kerchunk_combine_v3")
+    val (pa, pb) = writeSlices(dir, 3)
+    val out = dir.resolve("combined.parq").toString
+    graft.sources.zarr.KerchunkParquetRefs.combineStores(Seq(pa, pb), "a", out)
+    assert(readAllSorted(out).toSet == (readAllSorted(pa) ++ readAllSorted(pb)).toSet)
+    assert(readAllSorted(out).size == 28)
+  }
+
+  test("multi-store combine: coordinate filters prune through the combined grid") {
+    val dir = Files.createTempDirectory("kerchunk_combine_pd")
+    val (pa, pb) = writeSlices(dir, 2)
+    val out = dir.resolve("combined.parq").toString
+    graft.sources.zarr.KerchunkParquetRefs.combineStores(Seq(pa, pb), "a", out)
+    // range spanning the store boundary: rows from BOTH sources
+    val got = spark.read.format("zarr").load(out)
+      .filter(col("a") >= 3 && col("a") <= 5).orderBy("a", "b").collect()
+    assert(got.length == 12)
+    assert(got.map(_.getLong(0)).distinct.toSeq == Seq(3L, 4L, 5L))
+  }
+
+  test("multi-store combine: interior ragged extent is refused loudly") {
+    val dir = Files.createTempDirectory("kerchunk_combine_ragged")
+    val (pa, pb) = writeSlices(dir, 2)
+    // store B (extent 3, chunk 2) first → its ragged chunk would sit
+    // INSIDE the combined grid
+    val e = intercept[IllegalArgumentException] {
+      graft.sources.zarr.KerchunkParquetRefs.combineStores(Seq(pb, pa), "a",
+        dir.resolve("bad.parq").toString)
+    }
+    assert(e.getMessage.contains("not a multiple of chunk"))
+  }
 }
