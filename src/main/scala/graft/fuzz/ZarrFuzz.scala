@@ -28,7 +28,12 @@ import scala.util.Random
 object ZarrFuzz {
 
   /** Stamped into fuzz_meta.json — seeds remap across grammar versions. */
-  val grammarVersion = 1
+  // v2: grid_d added — grid_a's rows served through a COMBINED
+  // parquet-refs store (two time-split v3 stores stitched by
+  // combineStores), so every random pushdown composition can land on
+  // the multi-store virtualization layer. Per-seed hashes are only
+  // comparable within one grammar version (grid choice shifts).
+  val grammarVersion = 2
 
   // ------------------------------------------------------------ fixtures
 
@@ -85,14 +90,7 @@ object ZarrFuzz {
     import java.nio.file.{Files, Paths, StandardCopyOption}
     Files.createDirectories(Paths.get(tablesDir))
     val suffix = java.lang.Long.toHexString(ProcessHandle.current().pid())
-    gridSpecs(s).foreach { case (name, df, coords, opts) =>
-      val zarrPath = Paths.get(System.getProperty("java.io.tmpdir"),
-        s"graft_fuzz_${name}_$suffix.zarr").toString
-      if (!Files.exists(Paths.get(zarrPath))) {
-        var w = df.write.format("zarr").option("coords", coords).mode("overwrite")
-        opts.foreach { case (k, v) => w = w.option(k, v) }
-        w.save(zarrPath)
-      }
+    def exportParquet(name: String, df: DataFrame): Unit = {
       val target = Paths.get(tablesDir, s"$name.parquet")
       if (!Files.exists(target)) {
         // single-FILE parquet (compare.py hands the path to DuckDB)
@@ -105,8 +103,38 @@ object ZarrFuzz {
         Files.walk(Paths.get(tmp)).sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
           .forEach(p => Files.delete(p))
       }
+    }
+    def writeZarr(name: String, df: DataFrame, coords: String,
+        opts: Map[String, String]): String = {
+      val zarrPath = Paths.get(System.getProperty("java.io.tmpdir"),
+        s"graft_fuzz_${name}_$suffix.zarr").toString
+      if (!Files.exists(Paths.get(zarrPath))) {
+        var w = df.write.format("zarr").option("coords", coords).mode("overwrite")
+        opts.foreach { case (k, v) => w = w.option(k, v) }
+        w.save(zarrPath)
+      }
+      zarrPath
+    }
+    gridSpecs(s).foreach { case (name, df, coords, opts) =>
+      val zarrPath = writeZarr(name, df, coords, opts)
+      exportParquet(name, df)
       s.read.format("zarr").load(zarrPath).createOrReplaceTempView(name)
     }
+    // grid_d: grid_a's rows served through a COMBINED refs store — two
+    // time-split v3 stores (both splits chunk-aligned at chunkOuter 4)
+    // stitched along `time` by combineStores, so every random pushdown
+    // composition can land on the multi-store virtualization layer.
+    // The oracle stays the SOURCE DataFrame (the combine must be
+    // invisible).
+    val dOpts = Map("zarrVersion" -> "3", "chunkOuter" -> "4", "compressor" -> "zstd")
+    val pa = writeZarr("grid_d_lo", gridA(s).filter(col("time") < 12), "time,lat,lon", dOpts)
+    val pb = writeZarr("grid_d_hi", gridA(s).filter(col("time") >= 12), "time,lat,lon", dOpts)
+    val combined = Paths.get(System.getProperty("java.io.tmpdir"),
+      s"graft_fuzz_grid_d_$suffix.parq").toString
+    if (!Files.exists(Paths.get(combined)))
+      graft.sources.zarr.KerchunkParquetRefs.combineStores(Seq(pa, pb), "time", combined)
+    exportParquet("grid_d", gridA(s))
+    s.read.format("zarr").load(combined).createOrReplaceTempView("grid_d")
   }
 
   // ------------------------------------------------------------ catalog
@@ -136,7 +164,11 @@ object ZarrFuzz {
     Seq(Var("val", isDbl = true, -250.0, 500.0),
       Var("cat", isDbl = false, 0, 6)))
 
-  private val grids = Seq(gridACat, gridBCat, gridCCat)
+  /** grid_d serves grid_a's content through the combined refs store —
+    * same catalog shape, different physical layer under every query. */
+  private val gridDCat = gridACat.copy(name = "grid_d")
+
+  private val grids = Seq(gridACat, gridBCat, gridCCat, gridDCat)
 
   // ------------------------------------------------------------ helpers
 
