@@ -235,7 +235,8 @@ object KerchunkParquetRefs {
     * probe per chunk, not per byte — for an archive with millions of
     * chunks, shard the call per variable or per store across a job. */
   def fromStore(storePath: String, outDir: String,
-      recordSize: Int = defaultRecordSize, inlineThreshold: Long = 512L): Unit = {
+      recordSize: Int = defaultRecordSize, inlineThreshold: Long = 512L,
+      inlineVars: Set[String] = Set.empty): Unit = {
     val store = ZarrStore.open(storePath)
     val version = ZarrMeta.detectVersion(store)
     val mapper = new ObjectMapper()
@@ -255,13 +256,34 @@ object KerchunkParquetRefs {
       val grid = chunkGridOf(metaMap, v).getOrElse(
         throw new IllegalArgumentException(s"$storePath/$v: unreadable array metadata"))
       val rows = mutable.Map[Long, RefRow]()
-      scanVarChunks(store, base, metaMap, v, version, grid, inlineThreshold) {
+      val thr = if (inlineVars.contains(v)) Long.MaxValue else inlineThreshold
+      scanVarChunks(store, base, metaMap, v, version, grid, thr) {
         case (idx, lin, row) => rows += (lin -> row)
       }
       v -> rows
     }.toMap
     writeRefs(outDir, recordSize, metaDocs, perVar)
   }
+
+  /** Point-in-time SNAPSHOT of a store as parquet refs — fromStore
+    * with every COORDINATE array inlined (coordinates are
+    * metadata-sized; data chunks stay byte-range refs).
+    *
+    * Why this is a consistent snapshot under appends: the outer-append
+    * path refuses non-chunk-aligned extents, so existing DATA chunk
+    * objects are immutable — an append only ADDS slab files and
+    * rewrites metadata + the coordinate chunk. The snapshot inlines
+    * both, so it keeps serving exactly the pre-append content while
+    * the live store moves on (time travel for the append-only ingest
+    * pattern; SnapshotSpec proves it). A ranged ref to the coordinate
+    * would instead read a truncated frame of the REWRITTEN object —
+    * loud, but not a snapshot. Full `mode("overwrite")` rewrites swap
+    * the whole store directory; a snapshot across one fails loudly
+    * (the referenced objects are gone), never silently wrong. */
+  def snapshot(storePath: String, outDir: String,
+      recordSize: Int = defaultRecordSize, inlineThreshold: Long = 512L): Unit =
+    fromStore(storePath, outDir, recordSize, inlineThreshold,
+      inlineVars = ZarrMeta.readStore(storePath).coordNames.toSet)
 
   /** Chunk-key naming mirrors the store's own encoding: v2 indices
     * joined by dimension_separator (default "."), v3 "c/" prefix +

@@ -415,6 +415,30 @@ class ZarrKerchunkSpec extends AnyFunSuite {
     assert(got.map(_.getLong(0)).distinct.toSeq == Seq(3L, 4L, 5L))
   }
 
+  // ---------------------------------------------- refs snapshots
+
+  test("snapshot: refs keep serving the pre-append content (time travel)") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("kerchunk_snapshot")
+    val out = dir.resolve("live.zarr").toString
+    def grid(ts: Seq[Long]) =
+      ts.flatMap(t => (0L until 3L).map(x => (t, x, t * 10.0 + x))).toDF("t", "x", "v")
+    // compressed COORDS: a ranged coordinate ref would read a truncated
+    // frame of the rewritten object after append — the snapshot must
+    // inline them
+    grid(Seq(0L, 1L, 2L, 3L)).write.format("zarr")
+      .option("coords", "t,x").option("chunkOuter", "2")
+      .option("compressor", "zstd").mode("overwrite").save(out)
+    val snap = dir.resolve("snap.parq").toString
+    graft.sources.zarr.KerchunkParquetRefs.snapshot(out, snap)
+    val before = readAllSorted(out)
+    // live store moves on
+    grid(Seq(4L, 5L)).write.format("zarr").mode("append").save(out)
+    assert(readAllSorted(out).size == 18)        // live sees the append
+    assert(readAllSorted(snap) == before)        // snapshot time-travels
+    assert(before.size == 12)
+  }
+
   test("multi-store combine: interior ragged extent is refused loudly") {
     val dir = Files.createTempDirectory("kerchunk_combine_ragged")
     val (pa, pb) = writeSlices(dir, 2)
