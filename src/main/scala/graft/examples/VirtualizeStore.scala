@@ -16,23 +16,30 @@ import graft.sources.zarr.KerchunkParquetRefs
   * reads identically to the source via a checksum query.
   *
   * Run: `tools/run.sh graft.examples.VirtualizeStore <store> <outRefsDir>
-  *       [recordSize] [inlineThreshold]`
+  *       [recordSize] [inlineThreshold] [mode]`
+  * with `mode` one of `refs` (default) or `snapshot` (coordinates
+  * inlined — a consistent point-in-time view that keeps serving the
+  * pre-append content while the live store ingests; see
+  * [[KerchunkParquetRefs.snapshot]]).
   */
 object VirtualizeStore {
 
   def main(args: Array[String]): Unit = {
     if (args.length < 2) {
       System.err.println(
-        "usage: graft.examples.VirtualizeStore <store> <outRefsDir> [recordSize] [inlineThreshold]")
+        "usage: graft.examples.VirtualizeStore <store> <outRefsDir> [recordSize] [inlineThreshold] [refs|snapshot]")
       sys.exit(2)
     }
     val Array(src, out) = args.take(2)
     val recordSize = if (args.length > 2) args(2).toInt else KerchunkParquetRefs.defaultRecordSize
     val inlineThreshold = if (args.length > 3) args(3).toLong else 512L
 
+    val snapshotMode = args.length > 4 && args(4) == "snapshot"
     val t0 = System.nanoTime()
-    KerchunkParquetRefs.fromStore(src, out, recordSize, inlineThreshold)
-    println(f"wrote parquet refs for $src to $out in ${(System.nanoTime() - t0) / 1e9}%.2fs")
+    if (snapshotMode) KerchunkParquetRefs.snapshot(src, out, recordSize, inlineThreshold)
+    else KerchunkParquetRefs.fromStore(src, out, recordSize, inlineThreshold)
+    val kind = if (snapshotMode) "snapshot refs" else "parquet refs"
+    println(f"wrote $kind for $src to $out in ${(System.nanoTime() - t0) / 1e9}%.2fs")
 
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")}]")
