@@ -161,6 +161,9 @@ object SqlRepl {
               |  .schema <table>      column names and types
               |  \format [table|csv|json]   result output format
               |  \analyze <SQL>;      run and report per-scan runtime IO metrics
+              |  \virtualize <store> <refsDir> [snapshot]   emit parquet refs for a store
+              |                       (snapshot: coords inlined — point-in-time view)
+              |  \combine <dim> <refsDir> <store1> <store2> [...]   virtual concat
               |  \abort               discard a half-typed multi-line statement
               |  <SQL>;               any Spark SQL, ; ends a (multi-line) statement
               |""".stripMargin)
@@ -187,6 +190,29 @@ object SqlRepl {
             val sql = trimmed.stripSuffix(";").trim.drop("\\analyze".length).trim
             if (sql.isEmpty) out("usage: \\analyze <sql>;")
             else runAnalyze(spark, sql, out)
+          // virtualization loop from the shell: refs generation (with an
+          // optional snapshot posture) and multi-store concatenation —
+          // the resulting refs dir registers like any store path
+          // (CREATE TABLE ... USING zarr LOCATION '<refsDir>')
+          case s if s.startsWith("\\virtualize") =>
+            val a = trimmed.stripSuffix(";").trim.split("\\s+").drop(1)
+            if (a.length < 2) out("usage: \\virtualize <store> <refsDir> [snapshot]")
+            else try {
+              val snap = a.length > 2 && a(2).equalsIgnoreCase("snapshot")
+              if (snap) graft.sources.zarr.KerchunkParquetRefs.snapshot(a(0), a(1))
+              else graft.sources.zarr.KerchunkParquetRefs.fromStore(a(0), a(1))
+              out(s"wrote ${if (snap) "snapshot" else "parquet"} refs for ${a(0)} to ${a(1)}")
+            } catch { case NonFatal(e) =>
+              out(s"Error: ${Option(e.getMessage).getOrElse(e.toString).linesIterator.next()}") }
+          case s if s.startsWith("\\combine") =>
+            val a = trimmed.stripSuffix(";").trim.split("\\s+").drop(1)
+            if (a.length < 4) out("usage: \\combine <dim> <refsDir> <store1> <store2> [...]")
+            else try {
+              graft.sources.zarr.KerchunkParquetRefs.combineStores(
+                a.drop(2).toSeq, a(0), a(1))
+              out(s"combined ${a.length - 2} stores along '${a(0)}' into ${a(1)}")
+            } catch { case NonFatal(e) =>
+              out(s"Error: ${Option(e.getMessage).getOrElse(e.toString).linesIterator.next()}") }
           case "\\abort" => // no buffered statement — nothing to discard
           case other => out(s"unknown command: $other (try 'help')")
         }

@@ -74,8 +74,13 @@ object ZarrStore {
     // A regular FILE (or a remote *.json object) is a kerchunk
     // reference set, not a store directory.
     if (pathStr.startsWith("file:")) {
+      // strip the URI form (DDL paths arrive as file:/...) and
+      // re-dispatch through the local rules, so a parquet-refs dir
+      // registers the same via CREATE TABLE as via spark.read.load
       val p = Paths.get(java.net.URI.create(pathStr)).toString
-      if (Files.isRegularFile(Paths.get(p))) KerchunkStore(p) else LocalStore(p)
+      if (Files.isRegularFile(Paths.get(p))) KerchunkStore(p)
+      else if (isParquetRefsDir(p)) KerchunkParquetStore(p.stripSuffix("/"))
+      else LocalStore(p)
     } else if (pathStr.startsWith("http://") || pathStr.startsWith("https://")) {
       if (pathStr.endsWith(".json")) KerchunkStore(pathStr)
       else HttpStore(pathStr.stripSuffix("/"))

@@ -45,6 +45,23 @@ class SqlReplSpec extends AnyFunSuite {
     assert(out.exists(_.startsWith("Error:")), out.mkString("\n"))
   }
 
+  test("\\virtualize and \\combine drive the refs layer from the shell") {
+    val store = java.nio.file.Paths.get("src/test/resources/zarr/synthetic_v3.zarr")
+      .toAbsolutePath.toString
+    val dir = java.nio.file.Files.createTempDirectory("repl_virt")
+    val refs = dir.resolve("refs.parq").toString
+    val out = drive(
+      s"\\virtualize $store $refs snapshot",
+      s"CREATE TABLE repl_v USING zarr OPTIONS (path '$refs');",
+      "SELECT COUNT(*) AS n FROM repl_v;",
+      "\\combine time bad-usage", // too few args: usage line, loop survives
+      "DROP TABLE repl_v;",
+      "quit")
+    assert(out.exists(_.startsWith("wrote snapshot refs")), out.mkString("\n"))
+    assert(out.exists(_.matches("1 rows \\| 1 cols \\|.*")), out.mkString("\n"))
+    assert(out.exists(_.startsWith("usage: \\combine")), out.mkString("\n"))
+  }
+
   test("output formats: csv has a header row, json one object per line") {
     val out = drive(
       "\\format csv",
