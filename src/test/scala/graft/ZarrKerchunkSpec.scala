@@ -439,6 +439,23 @@ class ZarrKerchunkSpec extends AnyFunSuite {
     assert(before.size == 12)
   }
 
+  test("multi-store combine: v3 SHARDED stores concatenate (refs point at shard objects)") {
+    val dir = Files.createTempDirectory("kerchunk_combine_shard")
+    val full = spark.range(28).selectExpr("id div 4 as a", "id % 4 as b",
+      "CAST(id * 3 AS DOUBLE) as v")
+    val (pa, pb) = (dir.resolve("a.zarr").toString, dir.resolve("b.zarr").toString)
+    Seq((pa, "a < 4"), (pb, "a >= 4")).foreach { case (p, f) =>
+      full.filter(f).write.format("zarr")
+        .option("coords", "a,b").option("chunkOuter", "2")
+        .option("zarrVersion", "3").option("shardInner", "2")
+        .option("shardCompress", "zstd").mode("overwrite").save(p)
+    }
+    val out = dir.resolve("combined.parq").toString
+    graft.sources.zarr.KerchunkParquetRefs.combineStores(Seq(pa, pb), "a", out)
+    assert(readAllSorted(out).toSet == (readAllSorted(pa) ++ readAllSorted(pb)).toSet)
+    assert(readAllSorted(out).size == 28)
+  }
+
   test("multi-store combine: interior ragged extent is refused loudly") {
     val dir = Files.createTempDirectory("kerchunk_combine_ragged")
     val (pa, pb) = writeSlices(dir, 2)
