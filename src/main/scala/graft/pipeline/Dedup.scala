@@ -84,8 +84,13 @@ object Dedup {
     // count % 20 >= 10
     val nDocs = docs(s, dir).select(
       least(lit(d2MaxDf), greatest(lit(2L), expr("count(1) div 20"))).as("cut"))
-    val rare = g.join(
-        g.groupBy("code").agg(count(lit(1)).as("df")), "code")
+    // Document frequency as ONE window over the cached gram table
+    // (one exchange by code + sort) instead of groupBy-then-join-back
+    // (two exchanges of the full gram table + SMJ sorts) — identical
+    // df per (doc_id, code) row, one fewer shuffle of the widest
+    // table in the pipeline.
+    val rare = g.withColumn("df",
+        count(lit(1)).over(Window.partitionBy("code")))
       .crossJoin(broadcast(nDocs))
       .filter(col("df") <= col("cut"))
       .select("doc_id", "code")
@@ -144,7 +149,9 @@ object Dedup {
     // anti-join, not a re-run of the 8-shuffle pair pipeline. AQE picks
     // broadcast for the loser side from runtime stats at this scale
     // and falls back to a shuffled anti-join when the dup set is big.
-    val losers = d2_dedup_ngram(s, dir).select(col("doc_b").as("doc_id")).distinct()
+    // no distinct on the loser side: LEFT ANTI ignores right-side
+    // duplicates, so deduplicating them first is a pure extra exchange
+    val losers = d2_dedup_ngram(s, dir).select(col("doc_b").as("doc_id"))
     docs(s, dir)
       .join(losers, Seq("doc_id"), "left_anti")
       .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
@@ -202,6 +209,25 @@ object Dedup {
   private val hotProbeMemo =
     new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
 
+  /** Last dispatch decision [[bucketPairs]] took (diagnostics/tests:
+    * memo invalidation on corpus growth must flip this in-JVM). */
+  @volatile private[graft] var lastDispatchHot: Boolean = false
+
+  /** Cheap content stamp of `dir/table.parquet` (total bytes + max
+    * mtime below the path). Folded into the hot-probe memo key by the
+    * dir-keyed callers so a corpus APPEND invalidates the memoized
+    * dispatch — a corpus that grows a hot bucket after the first
+    * probe must re-probe, not keep the plain plan and re-create the
+    * straggler the tiling exists to kill. */
+  private[graft] def corpusStamp(s: SparkSession, dir: String, table: String): String =
+    try {
+      val p = new org.apache.hadoop.fs.Path(s"$dir/$table.parquet")
+      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      val cs = fs.getContentSummary(p)
+      val mt = fs.getFileStatus(p).getModificationTime
+      s"${cs.getLength}:$mt"
+    } catch { case _: Exception => "na" }
+
   private[graft] def bucketPairs(banded: DataFrame, bucketCols: Seq[String],
       orderCol: String, chunkSize: Int, probeKey: String): DataFrame = {
     val bcols = bucketCols.map(col)
@@ -226,6 +252,7 @@ object Dedup {
     // that measured 4× wall on d3 at sf0.1 while buying nothing.
     val anyHot = hotProbeMemo.computeIfAbsent(s"$probeKey:$chunkSize",
       _ => !hotKeys.isEmpty)
+    lastDispatchHot = anyHot
     if (!anyHot) return selfPairs(banded)
     // ONE broadcast left join tags hot-bucket rows, ONE window ranks
     // them, and the result is persisted: the cold self-join's two
@@ -281,17 +308,24 @@ object Dedup {
       (2 to nPerm).map(j => min(expr(permHash(j, "code"))).as(s"m$j")): _*)
       // referenced by all four band selects
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val bands = (0 until nBands).map { b =>
-      sig.select(col("doc_id") +: (1 to nPerm).map(j => col(s"m$j")) :+
-        lit(b).as("band") :+
-        col(s"m${bandRows * b + 1}").as("h1") :+ col(s"m${bandRows * b + 2}").as("h2") :+
-        col(s"m${bandRows * b + 3}").as("h3") :+ col(s"m${bandRows * b + 4}").as("h4"): _*)
-    }.reduce(_ unionAll _)
+    // ONE scan of the cached signature table, exploded to 4 band rows
+    // per doc. The previous union-of-4-selects shape re-scanned the
+    // sig cache per branch and paid a 4-way union stage — measured
+    // 0.9 s slower at sf0.1 (2.2 s vs 1.3 s) with identical output
+    // and identical shuffle volume.
+    val bands = sig.select(col("doc_id") +: (1 to nPerm).map(j => col(s"m$j")) :+
+        explode(array((0 until nBands).map(b => struct(lit(b).as("band"),
+          col(s"m${bandRows * b + 1}").as("h1"), col(s"m${bandRows * b + 2}").as("h2"),
+          col(s"m${bandRows * b + 3}").as("h3"), col(s"m${bandRows * b + 4}").as("h4"))): _*))
+          .as("bb"): _*)
+      .select(col("doc_id") +: (1 to nPerm).map(j => col(s"m$j")) :+
+        col("bb.band").as("band") :+ col("bb.h1").as("h1") :+ col("bb.h2").as("h2") :+
+        col("bb.h3").as("h3") :+ col("bb.h4").as("h4"): _*)
     val agree: Column = (1 to nPerm)
       .map(j => when(col(s"a.m$j") === col(s"b.m$j"), 1).otherwise(0))
       .reduce(_ + _).cast("double") / nPerm
     bucketPairs(bands, Seq("band", "h1", "h2", "h3", "h4"), "doc_id",
-        d3ChunkSize, s"d3:$dir")
+        d3ChunkSize, s"d3:$dir:${corpusStamp(s, dir, "documents")}")
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
         agree.as("est_jaccard"))
       .filter(col("est_jaccard") >= 0.75)
@@ -363,11 +397,17 @@ object Dedup {
       // referenced in all four band selects
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bandDefs = Seq((0, 8), (8, 8), (16, 7), (23, 7))
-    val banded = bandDefs.zipWithIndex.map { case ((off, len), b) =>
-      sketch.select(col("doc_id"), col("simhash"), lit(b).as("band"),
-        expr(s"shiftright(simhash, $off) & ${(1 << len) - 1}").as("bh"))
-    }.reduce(_ unionAll _)
-    bucketPairs(banded, Seq("band", "bh"), "doc_id", d4ChunkSize, s"d4:$dir")
+    // one scan of the cached sketch, exploded to a row per band (the
+    // union-of-selects shape re-scanned the cache per band — see d3)
+    val banded = sketch.select(col("doc_id"), col("simhash"),
+        explode(array(bandDefs.zipWithIndex.map { case ((off, len), b) =>
+          struct(lit(b).as("band"),
+            expr(s"shiftright(simhash, $off) & ${(1 << len) - 1}").as("bh"))
+        }: _*)).as("bb"))
+      .select(col("doc_id"), col("simhash"),
+        col("bb.band").as("band"), col("bb.bh").as("bh"))
+    bucketPairs(banded, Seq("band", "bh"), "doc_id", d4ChunkSize,
+        s"d4:$dir:${corpusStamp(s, dir, "documents")}")
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
         expr("bit_count(a.simhash ^ b.simhash)").cast("long").as("hamming"))
       .filter(col("hamming") <= 3)
@@ -570,30 +610,119 @@ object Dedup {
   // --------------------------------------------------- d7 dup clusters
 
   /** Near-dup CLUSTERS from the MinHash pair graph: connected
-    * components by iterative min-label propagation — a session spans
+    * components labelled by component-min doc_id — a session spans
     * A~B, B~C even when A and C never pair directly, so keeper
-    * selection must be per component, not per pairwise edge. Each
-    * iteration is one shuffle join (label flows along edges);
-    * convergence takes graph-diameter iterations — near-dup components
-    * are shallow (stars/cliques), so this is 2-4 rounds in practice;
-    * the large-star/small-star variant halves that at extreme scale.
-    * The DuckDB oracle computes the same components via a recursive
-    * transitive closure. */
+    * selection must be per component, not per pairwise edge.
+    *
+    * Two physical strategies, dispatched by the SAME sizing rule that
+    * partitions the loop (one partition per ~250k edges — the dup
+    * graph is orders of magnitude smaller than the corpus the pair
+    * generation scanned):
+    *
+    *   - graph fits ONE partition (loopParts == 1, i.e. < 250k
+    *     pairs): a single-task union-find over the edge partition —
+    *     one mapPartitions job, no iteration. This is the logical
+    *     endpoint of "size the shuffles to the label table": when the
+    *     sizing already routes every round through one task, eight
+    *     round-trips of driver scheduling buy nothing a single pass
+    *     can't do (measured: ~2.1 s of loop wall → ~0.2 s at sf0.1).
+    *   - larger graphs: iterative min-label propagation — per round,
+    *     one hop (labels flow along edges, min over self ∪ neighbors
+    *     via union + partial agg, no outer join) then one pointer
+    *     jump THROUGH THE HOPPED TABLE (label(label(x)) on the new
+    *     labels — jumping through the stale table converged in 8
+    *     rounds where this takes 6 on the sf0.1 graph). Convergence
+    *     is detected from the label-sum (labels only ever decrease,
+    *     so an unchanged sum ⇔ a fixpoint), piggybacked on the action
+    *     that materializes the round's checkpoint.
+    *
+    * Both strategies produce the identical fixpoint (component-min
+    * labels); PipelineSpec asserts it on a forced-distributed run.
+    * The DuckDB oracle computes the same components via unrolled
+    * hop+jump rounds. */
   /** Rounds the last [[d7_dedup_clusters]] run took (diagnostics /
     * tests: pointer jumping must keep this ~log(diameter)). */
   @volatile var d7Rounds: Int = 0
 
   def d7_dedup_clusters(s: SparkSession, dir: String): DataFrame = {
+    // Materialize the pair table ONCE (its plan is the whole minhash
+    // pipeline); its row count sizes the loop's shuffles — the edge
+    // table is exactly 2× pairs, and labels ≤ edges.
     val pairs = d3_dedup_minhash(s, dir).select("doc_a", "doc_b")
-    // Both edge directions from ONE pass over the pair plan: a
-    // unionAll of two selects would execute d3's whole minhash-join
-    // pipeline twice (once per branch) while materializing this
-    // persist; explode emits (a,b) and (b,a) per pair in a single scan.
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nPairs = pairs.count()
+    val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+    val prevAqe = s.conf.get("spark.sql.adaptive.enabled")
+    // The label/edge tables are sized by the dup GRAPH — orders of
+    // magnitude smaller than the corpus the pair generation scanned.
+    // Size the loop's shuffles to them (one partition per ~250k
+    // edges), exactly like streaming state partitioning: at gate
+    // scale that is a single partition per stage; at 100 TB it grows
+    // with the dup-graph size.
+    val loopParts = math.max(1L,
+      math.min(prevShuffle.toLong, 2 * nPairs / 500000 + 1)).toInt
+    // Both edge directions from ONE pass over the cached pair table
+    // (explode emits (a,b) and (b,a) per pair in a single scan), then
+    // HASH-PARTITIONED BY dst before the persist: every round's
+    // edges⋈labels join requires exactly that distribution, so the
+    // cached partitioning satisfies EnsureRequirements and the loop
+    // never re-shuffles the edge table — only the (smaller) label
+    // table moves per round.
     val edges = pairs.select(explode(array(
         struct(col("doc_a").as("src"), col("doc_b").as("dst")),
         struct(col("doc_b").as("src"), col("doc_a").as("dst")))).as("e"))
       .select(col("e.src").as("src"), col("e.dst").as("dst"))
+      .repartition(loopParts, col("dst"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val labels =
+      if (loopParts == 1) componentsSingleTask(edges)
+      else propagateComponents(s, edges, loopParts, prevShuffle, prevAqe)
+    edges.unpersist()
+    pairs.unpersist()
+    val sizes = labels.groupBy("cluster_id").agg(count(lit(1)).as("cluster_size"))
+    labels.join(sizes, "cluster_id").select("doc_id", "cluster_id", "cluster_size")
+  }
+
+  /** Single-task connected components: union-find with union-by-min
+    * (the smaller root adopts the larger, so every tree's root IS the
+    * component minimum) and path compression, over the one edge
+    * partition. One mapPartitions job — no iteration, no per-round
+    * scheduling. Only dispatched when the loop sizing already routes
+    * every round through a single partition (< ~250k pairs). */
+  private[graft] def componentsSingleTask(edges: DataFrame): DataFrame = {
+    val s = edges.sparkSession
+    import s.implicits._
+    d7Rounds = 1
+    edges.select(col("src").cast("long"), col("dst").cast("long"))
+      .as[(Long, Long)]
+      .coalesce(1)
+      .mapPartitions { it =>
+        val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+        def find(x: Long): Long = {
+          var r = x
+          while (parent(r) != r) r = parent(r)
+          var c = x
+          while (parent(c) != r) { val n = parent(c); parent(c) = r; c = n }
+          r
+        }
+        it.foreach { case (a, b) =>
+          parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+          val ra = find(a); val rb = find(b)
+          if (ra < rb) parent(rb) = ra else if (rb < ra) parent(ra) = rb
+        }
+        parent.keysIterator.map(k => (k, find(k))).toArray.iterator
+      }
+      .toDF("doc_id", "cluster_id")
+  }
+
+  /** Distributed min-label propagation with pointer jumping (see the
+    * d7 scaladoc for the per-round shape and convergence rule). */
+  private[graft] def propagateComponents(s: SparkSession, edges: DataFrame,
+      loopParts: Int, prevShuffle: String, prevAqe: String): DataFrame = {
+    s.conf.set("spark.sql.shuffle.partitions", loopParts.toString)
+    // the loop's plans are static and its tables tiny relative to the
+    // corpus — AQE re-planning per round only adds latency here
+    s.conf.set("spark.sql.adaptive.enabled", "false")
     // Iterative algorithms MUST truncate lineage each round
     // (localCheckpoint): a persisted plan still nests the previous
     // iteration's logical plan, and the growing tree OOMs the DRIVER
@@ -601,56 +730,50 @@ object Dedup {
     var labels = edges.select(col("src").as("doc_id")).distinct()
       .select(col("doc_id"), col("doc_id").as("cluster_id"))
       .localCheckpoint(true)
-    // The label table is |docs-in-pairs| — orders of magnitude smaller
-    // than the corpus the pair generation scanned. Size the loop's
-    // shuffles to IT, not to the corpus (one partition per ~500k
-    // labels), exactly like streaming state partitioning: at gate
-    // scale that is a single partition per stage; at 100 TB it grows
-    // with the dup-graph size.
-    val nLabels = labels.count()
-    val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
-    val prevAqe = s.conf.get("spark.sql.adaptive.enabled")
-    s.conf.set("spark.sql.shuffle.partitions",
-      math.max(1L, math.min(prevShuffle.toLong, nLabels / 500000 + 1)).toString)
-    // the loop's plans are static and its tables tiny relative to the
-    // corpus — AQE re-planning per round only adds latency here
-    s.conf.set("spark.sql.adaptive.enabled", "false")
     var converged = false
+    // Labels only ever decrease (min is monotone), so the label-sum is
+    // strictly decreasing until the fixpoint: an unchanged sum ⇔ no
+    // label moved. decimal(38,0) cannot overflow at any plausible
+    // scale (1e12 docs × 1e18 max id = 1e30 < 1e38).
+    var prevSum: java.math.BigDecimal = null
     d7Rounds = 0
     try {
       while (!converged) {
         d7Rounds += 1
-        // neighbor min: labels flow one hop along edges
-        val nbrMin = edges.join(labels, edges("dst") === labels("doc_id"))
-          .groupBy(col("src")).agg(min("cluster_id").as("nbr_min"))
-        val step = labels
-          .select(col("doc_id"), col("cluster_id").as("old_label"))
-          .join(nbrMin, col("doc_id") === nbrMin("src"), "left")
+        // hop: min over self ∪ neighbors — union + partial agg, no
+        // outer join (labels flow one hop along edges; edges' cached
+        // dst-partitioning means only `labels` shuffles here)
+        val hop = edges.join(labels, edges("dst") === labels("doc_id"))
+          .select(col("src").as("doc_id"), col("cluster_id"))
+        val mid = hop.unionAll(labels)
+          .groupBy(col("doc_id")).agg(min("cluster_id").as("mid"))
+        // pointer jump THROUGH THE HOPPED TABLE: label(label(x)) on
+        // the post-hop labels — jumping through the stale table
+        // converges measurably slower (8 vs 6 rounds on the sf0.1
+        // graph) for the same per-round cost
+        val par = mid.select(col("doc_id").as("p_id"), col("mid").as("p_label"))
+        // LAZY checkpoint: the convergence aggregate right below is
+        // the round's one action — it materializes the checkpoint in
+        // the same job, instead of eager-checkpoint + count running
+        // the round's plan twice (measured ~35% off the loop wall).
+        val updated = mid.join(par, mid("mid") === par("p_id"), "left")
           .select(col("doc_id"),
-            least(col("old_label"), coalesce(col("nbr_min"), col("old_label")))
-              .as("mid"), col("old_label"))
-        // pointer jump: label(label(x)) — halves the remaining distance,
-        // so convergence is O(log diameter) rather than O(diameter)
-        val parents = labels.select(col("doc_id").as("p_id"), col("cluster_id").as("p_label"))
-        // LAZY checkpoint: the convergence count right below is the
-        // round's one action — it materializes the checkpoint in the
-        // same job, instead of eager-checkpoint + count running the
-        // round's plan twice (measured ~35% off the loop wall-clock).
-        val updated = step.join(parents, step("mid") === parents("p_id"), "left")
-          .select(col("doc_id"),
-            least(col("mid"), coalesce(col("p_label"), col("mid"))).as("cluster_id"),
-            col("old_label"))
+            least(col("mid"), coalesce(col("p_label"), col("mid"))).as("cluster_id"))
           .localCheckpoint(false)
-        converged = updated.filter(col("cluster_id") =!= col("old_label")).count() == 0
-        labels = updated.select("doc_id", "cluster_id")
+        val roundSum = updated
+          .agg(sum(col("cluster_id").cast("decimal(38,0)"))).first().getDecimal(0)
+        // null sum ⇔ empty graph (can't regress further); compareTo,
+        // not equals: BigDecimal.equals is scale-sensitive
+        converged = roundSum == null ||
+          (prevSum != null && prevSum.compareTo(roundSum) == 0)
+        prevSum = roundSum
+        labels = updated
       }
     } finally {
       s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
       s.conf.set("spark.sql.adaptive.enabled", prevAqe)
     }
-    edges.unpersist()
-    val sizes = labels.groupBy("cluster_id").agg(count(lit(1)).as("cluster_size"))
-    labels.join(sizes, "cluster_id").select("doc_id", "cluster_id", "cluster_size")
+    labels
   }
 
   /** Unrolled hop + pointer-jump rounds for [[d7Sql]]. Each round the

@@ -83,6 +83,57 @@ class PipelineSpec extends AnyFunSuite {
     assert(cold.sorted.toSeq == naive.sorted.toSeq)
   }
 
+  test("hot-probe memo invalidates when the corpus stamp changes") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // 6 docs in one bucket: hot at chunkSize=3, cold at chunkSize=64
+    val hotFrame = (1 to 6).map(i => (1, i.toLong)).toDF("k", "doc_id")
+    val coldFrame = Seq((1, 1L), (1, 2L)).toDF("k", "doc_id")
+    // first sight of this corpus: cold
+    Dedup.bucketPairs(coldFrame, Seq("k"), "doc_id", 3, "spec:memo:stampA").count()
+    assert(!Dedup.lastDispatchHot)
+    // same probe key (same corpus stamp): the memo keeps the cold plan
+    // even on a now-hot frame — this is the documented memo semantics
+    Dedup.bucketPairs(hotFrame, Seq("k"), "doc_id", 3, "spec:memo:stampA").count()
+    assert(!Dedup.lastDispatchHot)
+    // the corpus grew: the dir-keyed callers fold corpusStamp into the
+    // probe key, so the key CHANGES and the dispatch re-probes → hot,
+    // within the same JVM
+    Dedup.bucketPairs(hotFrame, Seq("k"), "doc_id", 3, "spec:memo:stampB").count()
+    assert(Dedup.lastDispatchHot)
+  }
+
+  test("corpusStamp changes when the corpus file grows") {
+    val dir = java.nio.file.Files.createTempDirectory("stampspec").toFile
+    val f = new java.io.File(dir, "documents.parquet")
+    java.nio.file.Files.write(f.toPath, Array.fill[Byte](64)(1))
+    val s1 = Dedup.corpusStamp(spark, dir.getAbsolutePath, "documents")
+    assert(s1 != "na")
+    java.nio.file.Files.write(f.toPath, Array.fill[Byte](128)(2))
+    val s2 = Dedup.corpusStamp(spark, dir.getAbsolutePath, "documents")
+    assert(s1 != s2, s"stamp must change on growth: $s1 vs $s2")
+  }
+
+  test("d7 single-task union-find ≡ distributed propagation") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // chain 1-2-3-4 (transitive), star 10-{11,12}, singleton pair 20-21
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (10L, 12L), (20L, 21L))
+    val edges = pairs.flatMap { case (a, b) => Seq((a, b), (b, a)) }
+      .toDF("src", "dst")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val single = Dedup.componentsSingleTask(edges)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val dist = Dedup.propagateComponents(spark, edges, 2,
+        spark.conf.get("spark.sql.shuffle.partitions"),
+        spark.conf.get("spark.sql.adaptive.enabled"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    edges.unpersist()
+    assert(single == dist)
+    assert(single == Seq(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
+  }
+
   test("brute ANN returns topK ranked neighbors per probe") {
     val rows = Similarity.s1_ann_brute(spark, sf).collect()
     val byQuery = rows.groupBy(_.getAs[Long]("query_id"))
