@@ -1351,8 +1351,20 @@ class ZarrChunksDecodedMetric extends CustomSumMetric {
 /** Per-member IO metric of a union scan (`<base>.m<i>`): sums only
   * the tasks of member `i`'s partitions, so runtime IO is
   * attributable per store ("which member of the 30-year archive did
-  * the pruning miss?"). */
+  * the pruning miss?").
+  *
+  * The 0-arg constructor is REQUIRED: `SQLAppStatusListener
+  * .aggregateMetrics` re-instantiates DSv2 custom-metric classes
+  * reflectively BY CLASS NAME (the metric type embeds only the
+  * class, not the instance) to obtain `aggregateTaskMetrics`.
+  * Without it, every union-read query stack-traces in the listener
+  * and per-member values never reach the Spark UI / history server.
+  * The reflective instance's `name()` is never consulted — SQL
+  * metrics carry their display name from the driver-side instances
+  * returned by `supportedCustomMetrics` — so a placeholder identity
+  * is safe, and aggregation (a sum) is name-independent. */
 class ZarrMemberMetric(base: String, i: Int) extends CustomSumMetric {
+  def this() = this("zarrMember", -1)
   override def name(): String = s"$base.m$i"
   override def description(): String = s"$base for union member $i"
 }

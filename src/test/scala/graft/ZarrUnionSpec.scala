@@ -41,6 +41,43 @@ class ZarrUnionSpec extends AnyFunSuite {
     out
   }
 
+  test("per-member IO metrics aggregate in the SQL status store") {
+    // The UI/history-server path: SQLAppStatusListener re-instantiates
+    // metric classes reflectively (0-arg) to aggregate task values —
+    // a ZarrMemberMetric without that constructor stack-traces there
+    // and per-member IO never renders, even though task metrics and
+    // \analyze still work. Assert the aggregated values actually
+    // arrive in spark.sharedState.statusStore.
+    val a = store(Seq(0L, 1L, 2L, 3L))
+    val b = store(Seq(10L, 11L))
+    val df = spark.read.format("zarr").load(a, b)
+    // a full row read — NOT an aggregate, which the union answers
+    // metadata-only with zero chunk IO and hence zero IO metrics
+    df.collect()
+    val store0 = spark.sharedState.statusStore
+    // the listener processes events asynchronously — poll briefly
+    def findExec() = store0.executionsList().reverse.find(
+      _.metrics.exists(_.name.matches("zarrBytesRead for union member \\d")))
+    var waited = 0
+    while (findExec().isEmpty && waited < 10000) { Thread.sleep(200); waited += 200 }
+    val withMember = findExec()
+    assert(withMember.nonEmpty,
+      s"no execution carries a per-member metric; saw ${store0.executionsList().flatMap(_.metrics.map(_.name)).distinct}")
+    val e = withMember.get
+    def valsNow() = store0.executionMetrics(e.executionId)
+    while (valsNow().isEmpty && waited < 15000) { Thread.sleep(200); waited += 200 }
+    val vals = valsNow()
+    val memberMetrics = e.metrics.filter(_.name.matches("zarr\\w+ for union member \\d"))
+    // both members did real IO; aggregation must produce a value for
+    // each member metric (the broken path leaves them absent)
+    val perMember = memberMetrics.flatMap(m => vals.get(m.accumulatorId).map(m.name -> _))
+    assert(perMember.map(_._1).exists(_.endsWith("member 0")) &&
+      perMember.map(_._1).exists(_.endsWith("member 1")),
+      s"aggregated member metrics missing: $perMember")
+    val bytes = perMember.filter(_._1.startsWith("zarrBytesRead"))
+    assert(bytes.forall(v => v._2.replaceAll("[^0-9]", "").nonEmpty && v._2 != "0"), bytes)
+  }
+
   test("union read = UNION ALL of the member stores") {
     val a = store(Seq(0L, 1L, 2L, 3L))
     val b = store(Seq(10L, 11L))
