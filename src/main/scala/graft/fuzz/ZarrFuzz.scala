@@ -33,7 +33,13 @@ object ZarrFuzz {
   // combineStores), so every random pushdown composition can land on
   // the multi-store virtualization layer. Per-seed hashes are only
   // comparable within one grammar version (grid choice shifts).
-  val grammarVersion = 2
+  // v3: grid_e (grid_a through a SHARDED v3 store — sharding_indexed
+  // inner chunks under every random pushdown) and grid_f (grid_a
+  // through a two-store multi-load UNION — ZarrUnionTable, so the
+  // executor-merged union agg pushdowns compose with random SQL);
+  // metaQ biases toward grid_f so the union agg-merge families are
+  // reliably exercised within a 250-seed run.
+  val grammarVersion = 3
 
   // ------------------------------------------------------------ fixtures
 
@@ -135,6 +141,21 @@ object ZarrFuzz {
       graft.sources.zarr.KerchunkParquetRefs.combineStores(Seq(pa, pb), "time", combined)
     exportParquet("grid_d", gridA(s))
     s.read.format("zarr").load(combined).createOrReplaceTempView("grid_d")
+    // grid_e: grid_a through a SHARDED v3 store (sharding_indexed,
+    // 2-deep inner chunks inside each 4-slab outer chunk, zstd inner
+    // compression) — random pushdown composition over the shard read
+    // path. Oracle: the source DataFrame (sharding must be invisible).
+    val pe = writeZarr("grid_e", gridA(s), "time,lat,lon",
+      Map("zarrVersion" -> "3", "chunkOuter" -> "4", "compressor" -> "none",
+        "shardInner" -> "2", "shardCompress" -> "zstd"))
+    exportParquet("grid_e", gridA(s))
+    s.read.format("zarr").load(pe).createOrReplaceTempView("grid_e")
+    // grid_f: grid_a through a two-store multi-load UNION
+    // (ZarrUnionTable over the same time-split stores grid_d stitches)
+    // — random SQL over per-member pruning and the executor-merged
+    // union aggregate pushdowns. Oracle: the source DataFrame.
+    exportParquet("grid_f", gridA(s))
+    s.read.format("zarr").load(pa, pb).createOrReplaceTempView("grid_f")
   }
 
   // ------------------------------------------------------------ catalog
@@ -164,11 +185,14 @@ object ZarrFuzz {
     Seq(Var("val", isDbl = true, -250.0, 500.0),
       Var("cat", isDbl = false, 0, 6)))
 
-  /** grid_d serves grid_a's content through the combined refs store —
+  /** grid_d/e/f serve grid_a's content through the combined refs
+    * store, a sharded v3 store, and a two-store union respectively —
     * same catalog shape, different physical layer under every query. */
   private val gridDCat = gridACat.copy(name = "grid_d")
+  private val gridECat = gridACat.copy(name = "grid_e")
+  private val gridFCat = gridACat.copy(name = "grid_f")
 
-  private val grids = Seq(gridACat, gridBCat, gridCCat, gridDCat)
+  private val grids = Seq(gridACat, gridBCat, gridCCat, gridDCat, gridECat, gridFCat)
 
   // ------------------------------------------------------------ helpers
 
@@ -296,7 +320,11 @@ object ZarrFuzz {
     * coordinate with coord-only aggregates is answered from grid
     * arithmetic (ZarrGroupAggScan). */
   private def metaQ(r: Random): String = {
-    val g = pick(r, grids)
+    // bias toward the union fixture: the executor-merged union agg
+    // pushdowns (ZarrUnionAggScan / ZarrUnionGroupAggScan) only fire
+    // on whole-grid shapes over grid_f, and a uniform 1/6 grid pick
+    // would leave those families at ~2 expected seeds per 250-run
+    val g = if (r.nextInt(4) == 0) gridFCat else pick(r, grids)
     if (r.nextBoolean() || g.coords.size == 1) {
       val c1 = pick(r, g.coords); val c2 = pick(r, g.coords)
       def render(f: String, c: Coord): String = {

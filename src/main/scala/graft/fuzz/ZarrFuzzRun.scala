@@ -70,7 +70,11 @@ object ZarrFuzzRun {
 
     val markers = scala.collection.mutable.Map(
       "coord_range" -> 0, "topn" -> 0, "limit" -> 0,
-      "agg_meta" -> 0, "group_agg_meta" -> 0).withDefaultValue(0)
+      "agg_meta" -> 0, "group_agg_meta" -> 0,
+      // grammar v3: pushdown composition over the sharded-v3 fixture
+      // and the multi-store union's executor-merged aggregates
+      "shard_range" -> 0, "union_agg" -> 0, "union_group_agg" -> 0)
+      .withDefaultValue(0)
     var failed = 0
     val sqls = (seed0 until seed0 + nSeeds).map { seed =>
       val name = ZarrFuzz.name(seed)
@@ -90,6 +94,12 @@ object ZarrFuzzRun {
           markers("limit") += 1
         if (descs.exists(_.contains("ZarrGroupAggScan"))) markers("group_agg_meta") += 1
         else if (descs.exists(_.contains("ZarrAggScan"))) markers("agg_meta") += 1
+        if (descs.exists(_.contains("ZarrUnionGroupAggScan"))) markers("union_group_agg") += 1
+        else if (descs.exists(_.contains("ZarrUnionAggScan"))) markers("union_agg") += 1
+        // coordinate pushdown composed over the sharded-v3 read path
+        if (sql.contains("grid_e") &&
+            descs.exists(d => d.contains("pushedFilters=[") && !d.contains("pushedFilters=[]")))
+          markers("shard_range") += 1
       } catch { case e: Exception =>
         failed += 1
         System.err.println(s"[zarr-fuzz] $name FAILED on spark: ${e.getMessage}\n$sql")
