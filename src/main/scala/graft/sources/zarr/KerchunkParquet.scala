@@ -277,13 +277,142 @@ object KerchunkParquetRefs {
     * the live store moves on (time travel for the append-only ingest
     * pattern; SnapshotSpec proves it). A ranged ref to the coordinate
     * would instead read a truncated frame of the REWRITTEN object —
-    * loud, but not a snapshot. Full `mode("overwrite")` rewrites swap
-    * the whole store directory; a snapshot across one fails loudly
-    * (the referenced objects are gone), never silently wrong. */
+    * loud, but not a snapshot. Full `mode("overwrite")` rewrites are
+    * survived via GENERATION RETIREMENT (see the machinery below):
+    * the overwrite moves the old store to an immutable generation
+    * sibling and this snapshot's refs resolve through its
+    * `redirects.json` — durable time travel, not just append-only
+    * time travel. */
   def snapshot(storePath: String, outDir: String,
-      recordSize: Int = defaultRecordSize, inlineThreshold: Long = 512L): Unit =
+      recordSize: Int = defaultRecordSize, inlineThreshold: Long = 512L): Unit = {
     fromStore(storePath, outDir, recordSize, inlineThreshold,
       inlineVars = ZarrMeta.readStore(storePath).coordNames.toSet)
+    registerSnapshot(storePath, outDir)
+  }
+
+  // ------------------------------------------------- snapshot generations
+
+  /** Generation-aware snapshot machinery: a full `mode("overwrite")`
+    * rewrite no longer strands live snapshots. [[snapshot]] records
+    * its refs dir in a sibling registry (`<store>.__graft_snapshots`);
+    * the overwrite commit calls [[retireGeneration]], which — when
+    * live snapshots exist — MOVES the old store to an immutable
+    * generation sibling (`<store>.__graft_gen_<stamp>`) instead of
+    * deleting it, and points each snapshot's `redirects.json` at the
+    * retired location. The refs READER resolves chunk URLs through
+    * that file, so the snapshot keeps serving its point-in-time
+    * content with zero data copied.
+    *
+    * GC story: each generation carries a sibling manifest
+    * (`<gen>.__graft_refs`) listing the snapshot dirs redirected to
+    * it; a generation is reclaimable once every listed snapshot is
+    * gone, which [[gcGenerations]] checks and performs. Nothing is
+    * reclaimed implicitly — retention is the operator's call, as with
+    * any time-travel store. */
+  private def parentAndName(p: String): (String, String) = {
+    val s0 = p.stripSuffix("/")
+    val i = s0.lastIndexOf('/')
+    if (i < 0) (".", s0)
+    else if (i == 0) ("/", s0.substring(1))
+    else (s0.substring(0, i), s0.substring(i + 1))
+  }
+
+  private def registryName(name: String): String = s"$name.__graft_snapshots"
+
+  private def absBase(p: String): String =
+    if (p.contains("://")) p.stripSuffix("/")
+    else Paths.get(p).toAbsolutePath.toString
+
+  /** Record `refsDir` as a live snapshot of `storePath`. */
+  private def registerSnapshot(storePath: String, refsDir: String): Unit = {
+    val (parent, name) = parentAndName(storePath)
+    val st = ZarrStore.open(parent)
+    val reg = registryName(name)
+    val prev = st.readBytes(reg).map(new String(_, StandardCharsets.UTF_8)).getOrElse("")
+    val abs = absBase(refsDir)
+    if (!prev.linesIterator.contains(abs))
+      st.writeBytes(reg, (prev + abs + "\n").getBytes(StandardCharsets.UTF_8))
+  }
+
+  /** Registered snapshot dirs that still exist (a deleted snapshot
+    * releases its claim). */
+  private def liveSnapshots(storePath: String): Seq[String] = {
+    val (parent, name) = parentAndName(storePath)
+    ZarrStore.open(parent).readBytes(registryName(name))
+      .map(new String(_, StandardCharsets.UTF_8)).getOrElse("")
+      .linesIterator.map(_.trim).filter(_.nonEmpty)
+      .filter(refs =>
+        try { KerchunkUrlIO.readAll(s"$refs/.zmetadata"); true }
+        catch { case _: Exception => false })
+      .toSeq.distinct
+  }
+
+  /** Add `from -> to` to the snapshot's `redirects.json` (first
+    * redirect for a base wins: the snapshot was taken against the
+    * content now living at `to`, so a LATER overwrite of the same
+    * base must not re-point it). */
+  private def addRedirect(refsDir: String, from: String, to: String): Unit = {
+    val (parent, name) = parentAndName(refsDir)
+    val st = ZarrStore.open(parent)
+    val mapper = new ObjectMapper()
+    val node = st.readBytes(s"$name/redirects.json")
+      .map(b => mapper.readTree(b).asInstanceOf[ObjectNode])
+      .getOrElse(mapper.createObjectNode())
+    if (!node.has(from)) {
+      node.put(from, to)
+      st.writeBytes(s"$name/redirects.json", mapper.writeValueAsBytes(node))
+    }
+  }
+
+  /** Called by the overwrite commit BEFORE it would delete the
+    * existing store: when live snapshots reference it, the store is
+    * moved to a generation sibling and every snapshot redirected;
+    * returns true (caller must skip its delete). With no live
+    * snapshots the stale registry is dropped and false returned
+    * (caller deletes as before — no behavior change for stores that
+    * were never snapshotted). */
+  def retireGeneration(storePath: String): Boolean = {
+    val snaps = liveSnapshots(storePath)
+    val (parent, name) = parentAndName(storePath)
+    val parentStore = ZarrStore.open(parent)
+    if (snaps.isEmpty) {
+      parentStore.deleteObject(registryName(name))
+      return false
+    }
+    val stamp =
+      s"${System.currentTimeMillis()}_${java.util.UUID.randomUUID().toString.take(8)}"
+    val genPath = s"${storePath.stripSuffix("/")}.__graft_gen_$stamp"
+    ZarrStore.open(storePath).moveTo(genPath)
+    val oldBase = absBase(storePath)
+    val newBase = absBase(genPath)
+    snaps.foreach(addRedirect(_, oldBase, newBase))
+    parentStore.writeBytes(s"$name.__graft_gen_$stamp.__graft_refs",
+      snaps.mkString("", "\n", "\n").getBytes(StandardCharsets.UTF_8))
+    parentStore.deleteObject(registryName(name))
+    true
+  }
+
+  /** Delete retired generations whose snapshots are ALL gone; returns
+    * the deleted generation paths. */
+  def gcGenerations(storePath: String): Seq[String] = {
+    val (parent, name) = parentAndName(storePath)
+    val parentStore = ZarrStore.open(parent)
+    parentStore.listDirs().filter(_.startsWith(s"$name.__graft_gen_")).flatMap { gen =>
+      val manifest = s"$gen.__graft_refs"
+      val anyLive = parentStore.readBytes(manifest)
+        .map(new String(_, StandardCharsets.UTF_8)).getOrElse("")
+        .linesIterator.map(_.trim).filter(_.nonEmpty)
+        .exists(refs =>
+          try { KerchunkUrlIO.readAll(s"$refs/.zmetadata"); true }
+          catch { case _: Exception => false })
+      if (anyLive) None
+      else {
+        ZarrStore.open(s"$parent/$gen").deleteRecursively()
+        parentStore.deleteObject(manifest)
+        Some(s"$parent/$gen")
+      }
+    }
+  }
 
   /** Chunk-key naming mirrors the store's own encoding: v2 indices
     * joined by dimension_separator (default "."), v3 "c/" prefix +

@@ -262,7 +262,12 @@ object ZarrDataSource {
       catch { case cleanup: Exception => e.addSuppressed(cleanup) }
       throw e
     }
-    if (exists) ZarrStore.open(path).deleteRecursively()
+    // Generation-aware overwrite: when live SNAPSHOTS reference the
+    // existing store, retire it to an immutable generation sibling
+    // (snapshots keep time-traveling through their redirects) instead
+    // of deleting it; stores without snapshots delete as before.
+    if (exists && !KerchunkParquetRefs.retireGeneration(path))
+      ZarrStore.open(path).deleteRecursively()
     ZarrStore.open(tmpPath).moveTo(path)
   }
 }

@@ -610,11 +610,33 @@ final case class KerchunkParquetStore(path: String) extends ZarrStore {
     metadata.keysIterator.filter(_.contains("/")).map(_.takeWhile(_ != '/'))
       .toSeq.distinct.sorted
 
+  /** Generation redirects (`redirects.json`, optional): written by
+    * [[KerchunkParquetRefs.retireGeneration]] when the source store
+    * of a SNAPSHOT was overwritten — the store's objects were moved
+    * to an immutable generation sibling, and ranged refs resolve
+    * through this base-path map (longest prefix wins). Absent for
+    * ordinary refs dirs. */
+  @transient private lazy val redirects: Seq[(String, String)] =
+    (try {
+      val node = mapper.readTree(KerchunkUrlIO.readAll(s"$path/redirects.json"))
+      val b = Seq.newBuilder[(String, String)]
+      val it = node.fields()
+      while (it.hasNext) { val e = it.next(); b += (e.getKey -> e.getValue.asText()) }
+      b.result()
+    } catch { case _: Exception => Seq.empty }).sortBy(-_._1.length)
+
+  private def resolveUrl(p: String): String =
+    redirects.collectFirst {
+      case (from, to) if p == from || p.startsWith(from + "/") =>
+        to + p.substring(from.length)
+    }.getOrElse(p)
+
   override def readBytes(rel: String): Option[Array[Byte]] =
     metadata.get(rel).map(Some(_)).getOrElse {
       lookup(rel).flatMap {
         case RefRow(_, _, _, Some(raw)) => Some(raw)
-        case RefRow(Some(p), off, size, None) =>
+        case RefRow(Some(p0), off, size, None) =>
+          val p = resolveUrl(p0)
           Some(if (size <= 0) KerchunkUrlIO.readAll(p)
                else KerchunkUrlIO.readRange(p, off, size))
         case _ => None // all-null row: absent chunk
@@ -625,8 +647,9 @@ final case class KerchunkParquetStore(path: String) extends ZarrStore {
     metadata.get(rel).map(_.length.toLong).orElse {
       lookup(rel).flatMap {
         case RefRow(_, _, _, Some(raw)) => Some(raw.length.toLong)
-        case RefRow(Some(p), _, size, None) =>
-          if (size > 0) Some(size) else Some(KerchunkUrlIO.readAll(p).length.toLong)
+        case RefRow(Some(p0), _, size, None) =>
+          if (size > 0) Some(size)
+          else Some(KerchunkUrlIO.readAll(resolveUrl(p0)).length.toLong)
         case _ => None
       }
     }

@@ -439,6 +439,73 @@ class ZarrKerchunkSpec extends AnyFunSuite {
     assert(before.size == 12)
   }
 
+  test("snapshot survives a full overwrite via generation retirement") {
+    import spark.implicits._
+    import scala.jdk.CollectionConverters._
+    import graft.sources.zarr.KerchunkParquetRefs
+    val dir = Files.createTempDirectory("kerchunk_snapgen")
+    val out = dir.resolve("live.zarr").toString
+    def grid(ts: Seq[Long], scale: Double) =
+      ts.flatMap(t => (0L until 3L).map(x => (t, x, t * scale + x))).toDF("t", "x", "v")
+    grid(Seq(0L, 1L, 2L, 3L), 10.0).write.format("zarr")
+      .option("coords", "t,x").option("chunkOuter", "2")
+      .option("compressor", "zstd").mode("overwrite").save(out)
+    val snap1 = dir.resolve("snap1.parq").toString
+    KerchunkParquetRefs.snapshot(out, snap1)
+    val gen1Content = readAllSorted(out)
+    // FULL overwrite: different shape and values — the old store is
+    // retired to a generation sibling, not deleted
+    grid(Seq(7L, 8L), 100.0).write.format("zarr")
+      .option("coords", "t,x").option("chunkOuter", "2")
+      .option("compressor", "zstd").mode("overwrite").save(out)
+    assert(readAllSorted(out).size == 6)              // live sees gen 2
+    assert(readAllSorted(snap1) == gen1Content)       // snapshot time-travels
+    assert(gen1Content.size == 12)
+    // chained: snapshot gen 2, overwrite again — both snapshots hold
+    val snap2 = dir.resolve("snap2.parq").toString
+    KerchunkParquetRefs.snapshot(out, snap2)
+    val gen2Content = readAllSorted(out)
+    grid(Seq(9L), 1000.0).write.format("zarr")
+      .option("coords", "t,x").option("chunkOuter", "2")
+      .option("compressor", "zstd").mode("overwrite").save(out)
+    assert(readAllSorted(snap1) == gen1Content)
+    assert(readAllSorted(snap2) == gen2Content)
+    assert(readAllSorted(out).size == 3)
+    // two retained generations exist as siblings
+    val genDirs = {
+      val it = java.nio.file.Files.list(dir)
+      try it.iterator().asScala.map(_.getFileName.toString)
+        .filter(n => n.contains(".__graft_gen_") && !n.endsWith(".__graft_refs")).toList
+      finally it.close()
+    }
+    assert(genDirs.size == 2, genDirs)
+    // GC: nothing reclaimable while the snapshots live
+    assert(KerchunkParquetRefs.gcGenerations(out).isEmpty)
+    // drop snapshot 1 → exactly its generation is reclaimed
+    def rmTree(p: java.nio.file.Path): Unit = {
+      val s = java.nio.file.Files.walk(p)
+      try s.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .iterator().asScala.foreach(java.nio.file.Files.delete)
+      finally s.close()
+    }
+    rmTree(java.nio.file.Paths.get(snap1))
+    assert(KerchunkParquetRefs.gcGenerations(out).size == 1)
+    assert(readAllSorted(snap2) == gen2Content)       // survivor unaffected
+    rmTree(java.nio.file.Paths.get(snap2))
+    assert(KerchunkParquetRefs.gcGenerations(out).size == 1)
+    // a store that was never snapshotted keeps plain-delete overwrite
+    grid(Seq(1L), 1.0).write.format("zarr")
+      .option("coords", "t,x").option("chunkOuter", "2")
+      .mode("overwrite").save(out)
+    val after = {
+      val it = java.nio.file.Files.list(dir)
+      try it.iterator().asScala.map(_.getFileName.toString)
+        .filter(_.contains(".__graft_gen_")).toList
+      finally it.close()
+    }
+    assert(after.isEmpty, after)
+  }
+
   test("multi-store combine: v3 SHARDED stores concatenate (refs point at shard objects)") {
     val dir = Files.createTempDirectory("kerchunk_combine_shard")
     val full = spark.range(28).selectExpr("id div 4 as a", "id % 4 as b",
