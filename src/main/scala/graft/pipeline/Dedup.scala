@@ -213,6 +213,14 @@ object Dedup {
     * memo invalidation on corpus growth must flip this in-JVM). */
   @volatile private[graft] var lastDispatchHot: Boolean = false
 
+  /** The persisted `tagged` frame per probe key: re-entering the hot
+    * path for the same corpus (repeated builds in a bench/REPL
+    * session) unpersists the PREVIOUS materialization before creating
+    * the next, so cached blocks don't accumulate until context
+    * shutdown. One live entry per (corpus, caller) at most. */
+  private val taggedCache =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+
   /** Cheap content stamp of `dir/table.parquet` (total bytes + max
     * mtime below the path). Folded into the hot-probe memo key by the
     * dir-keyed callers so a corpus APPEND invalidates the memoized
@@ -266,6 +274,10 @@ object Dedup {
       .withColumn("__rnk", row_number().over(w).cast("long") - 1)
       .withColumn("__chunk", (col("__rnk") / chunkSize).cast("int"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // release the PREVIOUS build's materialization for this corpus
+    // (blocking=false: lazily, off the query path)
+    Option(taggedCache.put(s"$probeKey:$chunkSize", tagged))
+      .foreach(_.unpersist(false))
     // cold path: plain bucket-key self-join, per-key fan-out ≤ C(chunkSize,2)
     val coldPairs = selfPairs(tagged.filter(col("__hot").isNull))
     // hot path: tile the chunk grid

@@ -604,13 +604,42 @@ object KerchunkParquetRefs {
       val gridExts = srcs.map(s => (shapeOf(s, v)(axis) + ch0(axis) - 1) / ch0(axis))
       v -> (axis, ch0(axis), gridExts)
     }.toMap
-    // static vars: array metadata must be byte-identical across stores
+    // static vars: array metadata must be byte-identical across
+    // stores, AND the chunk DATA must match — matching shapes/dtypes
+    // with different values (e.g. two stores on different lat grids)
+    // would otherwise combine silently, serving store 0's data for
+    // every row. Static vars are metadata-sized by nature (they're
+    // coordinates/ancillary arrays — everything bulky carries the
+    // concat dim), so a per-chunk byte compare is cheap; mismatch
+    // fails loudly like the ragged-extent check.
     vars.filterNot(concatVars.contains).foreach { v =>
       srcs.tail.foreach(s => require(java.util.Arrays.equals(
         s.metaMap(arrayDocKey(v)), srcs.head.metaMap(arrayDocKey(v))),
         s"static variable '$v': array metadata differs between " +
           s"${srcs.head.path} and ${s.path} — only '$concatDim'-bearing " +
           "variables may vary across combined stores"))
+      val s0 = srcs.head
+      val grid = chunkGridOf(s0.metaMap, v).get
+      val sep = chunkSepOf(s0.metaMap, v, version)
+      val n = grid.product
+      var lin = 0L
+      while (lin < n) {
+        var rem = lin
+        val idx = new Array[Long](grid.length)
+        var d = grid.length - 1
+        while (d >= 0) { idx(d) = rem % grid(d); rem /= grid(d); d -= 1 }
+        val key = s"$v/${chunkTail(version, sep, idx.toSeq)}"
+        val ref = s0.store.readBytes(key)
+        srcs.tail.foreach { s =>
+          val other = s.store.readBytes(key)
+          require(ref.isDefined == other.isDefined &&
+            ref.zip(other).forall { case (a, b) => java.util.Arrays.equals(a, b) },
+            s"static variable '$v': chunk '$key' differs between " +
+              s"${s0.path} and ${s.path} — the stores disagree on " +
+              s"non-'$concatDim' content and cannot be combined")
+        }
+        lin += 1
+      }
     }
 
     // materialize the concat coordinate: decoded values concatenated,
@@ -656,7 +685,8 @@ object KerchunkParquetRefs {
         if (coordSelf.contains(v)) None // re-derivable; values are inline anyway
         else if (!gridVars.contains(v)) Some(k -> bytes)
         else mergedZstats(srcs.map(s => s.metaMap.get(k)), v, geometry(v)._1,
-          geometry(v)._3, version, mapper).map(k -> _)
+          geometry(v)._3, version, mapper,
+          chunkSepOf(srcs.head.metaMap, v, version)).map(k -> _)
       case (k, bytes) if coordSelf.exists(v => k == arrayDocKey(v)) =>
         val v = coordSelf.find(v2 => k == arrayDocKey(v2)).get
         val total = coordBytes(v)._2
@@ -673,6 +703,12 @@ object KerchunkParquetRefs {
           node.putArray("chunks").add(total)
           node.putNull("compressor")
           node.putNull("filters")
+          // the materialized bytes are LITTLE-ENDIAN — a big-endian
+          // (or platform-native) source dtype string kept verbatim
+          // would silently decode byte-swapped values
+          val dt = node.get("dtype").asText()
+          if (dt.startsWith(">") || dt.startsWith("="))
+            node.put("dtype", "<" + dt.substring(1))
         }
         Some(k -> mapper.writeValueAsBytes(node))
       case (k, bytes) if gridVars.exists(v => k == arrayDocKey(v)) =>
@@ -752,13 +788,17 @@ object KerchunkParquetRefs {
     * then scan, which is always correct). */
   private def mergedZstats(docs: Seq[Option[Array[Byte]]], v: String,
       axis: Int, gridExts: Seq[Long], version: Int,
-      mapper: ObjectMapper): Option[Array[Byte]] = {
+      mapper: ObjectMapper, sep: String): Option[Array[Byte]] = {
     if (docs.exists(_.isEmpty)) return None
+    // rebuild shifted keys with the store's DECLARED separator (v2
+    // dimension_separator / v3 chunk_key_encoding), not a hardcoded
+    // one: merged sidecar keys must match ZarrArrayMeta.chunkKey
+    // lookups or pruning is silently lost (and groupTotals' index
+    // parse throws at query time)
     def shift(key: String, off: Long): String = {
       val parts = key.split("[./]").filter(_ != "c").map(_.toLong)
       parts(axis) += off
-      if (version == 2) parts.mkString(".")
-      else ("c" +: parts.map(_.toString)).mkString("/")
+      chunkTail(version, sep, parts.toSeq)
     }
     val parsed = docs.map(d => mapper.readTree(d.get))
     val offs = gridExts.scanLeft(0L)(_ + _)

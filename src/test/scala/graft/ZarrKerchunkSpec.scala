@@ -534,4 +534,33 @@ class ZarrKerchunkSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("not a multiple of chunk"))
   }
+
+  test("multi-store combine: differing non-concat coordinate VALUES are refused") {
+    import spark.implicits._
+    // same shapes, same dtypes, same metadata — but store B sits on a
+    // DIFFERENT b-grid: metadata comparison alone would combine these
+    // silently and serve store A's b values for every row
+    val dir = Files.createTempDirectory("kerchunk_combine_static")
+    def store(p: String, aLo: Long, bVals: Seq[Long]): Unit =
+      (aLo until aLo + 2).flatMap(a => bVals.map(b => (a, b, a * 10.0 + b)))
+        .toDF("a", "b", "v").write.format("zarr")
+        .option("coords", "a,b").option("chunkOuter", "2")
+        .mode("overwrite").save(p)
+    val pa = dir.resolve("a.zarr").toString
+    val pb = dir.resolve("b.zarr").toString
+    store(pa, 0L, Seq(0L, 1L, 2L))
+    store(pb, 2L, Seq(5L, 6L, 7L)) // same extent 3, different values
+    val e = intercept[IllegalArgumentException] {
+      graft.sources.zarr.KerchunkParquetRefs.combineStores(Seq(pa, pb), "a",
+        dir.resolve("bad.parq").toString)
+    }
+    assert(e.getMessage.contains("differs between") ||
+      e.getMessage.contains("disagree"), e.getMessage)
+    // identical non-concat grids still combine fine
+    val pc = dir.resolve("c.zarr").toString
+    store(pc, 2L, Seq(0L, 1L, 2L))
+    val ok = dir.resolve("ok.parq").toString
+    graft.sources.zarr.KerchunkParquetRefs.combineStores(Seq(pa, pc), "a", ok)
+    assert(readAllSorted(ok).size == 12)
+  }
 }
