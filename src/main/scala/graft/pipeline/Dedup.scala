@@ -686,8 +686,13 @@ object Dedup {
       .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .repartition(loopParts, col("dst"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // The single-task path's labels are LAZY over the edge cache —
+    // eagerly checkpoint them (one tiny job) BEFORE releasing the
+    // edge/pair caches, or the caller's action would re-run the whole
+    // pair pipeline. (The distributed path's labels are already a
+    // checkpoint from its last round.)
     val labels =
-      if (loopParts == 1) componentsSingleTask(edges)
+      if (loopParts == 1) componentsSingleTask(edges).localCheckpoint(true)
       else propagateComponents(s, edges, loopParts, prevShuffle, prevAqe)
     edges.unpersist()
     pairs.unpersist()
