@@ -164,6 +164,8 @@ object SqlRepl {
               |  \virtualize <store> <refsDir> [snapshot]   emit parquet refs for a store
               |                       (snapshot: coords inlined — point-in-time view)
               |  \combine <dim> <refsDir> <store1> <store2> [...]   virtual concat
+              |  \gc <store>          reclaim retired overwrite generations whose
+              |                       snapshots are all gone (prints what was deleted)
               |  \abort               discard a half-typed multi-line statement
               |  <SQL>;               any Spark SQL, ; ends a (multi-line) statement
               |""".stripMargin)
@@ -211,6 +213,15 @@ object SqlRepl {
               graft.sources.zarr.KerchunkParquetRefs.combineStores(
                 a.drop(2).toSeq, a(0), a(1))
               out(s"combined ${a.length - 2} stores along '${a(0)}' into ${a(1)}")
+            } catch { case NonFatal(e) =>
+              out(s"Error: ${Option(e.getMessage).getOrElse(e.toString).linesIterator.next()}") }
+          case s if s.startsWith("\\gc") =>
+            val a = trimmed.stripSuffix(";").trim.split("\\s+").drop(1)
+            if (a.length != 1) out("usage: \\gc <store>")
+            else try {
+              val gone = graft.sources.zarr.KerchunkParquetRefs.gcGenerations(a(0))
+              if (gone.isEmpty) out("nothing reclaimable (live snapshots or no generations)")
+              else gone.foreach(g => out(s"reclaimed $g"))
             } catch { case NonFatal(e) =>
               out(s"Error: ${Option(e.getMessage).getOrElse(e.toString).linesIterator.next()}") }
           case "\\abort" => // no buffered statement — nothing to discard

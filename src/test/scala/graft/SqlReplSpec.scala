@@ -46,20 +46,37 @@ class SqlReplSpec extends AnyFunSuite {
   }
 
   test("\\virtualize and \\combine drive the refs layer from the shell") {
-    val store = java.nio.file.Paths.get("src/test/resources/zarr/synthetic_v3.zarr")
-      .toAbsolutePath.toString
+    // snapshot a TEMP COPY of the committed fixture: snapshot()
+    // registers itself in a sibling registry file (generation-aware
+    // overwrite), which must not dirty the repo's test resources
     val dir = java.nio.file.Files.createTempDirectory("repl_virt")
+    val src = java.nio.file.Paths.get("src/test/resources/zarr/synthetic_v3.zarr")
+    val storeP = dir.resolve("synthetic_v3.zarr")
+    val walk = java.nio.file.Files.walk(src)
+    try {
+      import scala.jdk.CollectionConverters._
+      walk.iterator().asScala.foreach { p =>
+        java.nio.file.Files.copy(p, storeP.resolve(src.relativize(p)),
+          java.nio.file.StandardCopyOption.COPY_ATTRIBUTES)
+      }
+    } finally walk.close()
+    val store = storeP.toAbsolutePath.toString
     val refs = dir.resolve("refs.parq").toString
     val out = drive(
       s"\\virtualize $store $refs snapshot",
       s"CREATE TABLE repl_v USING zarr OPTIONS (path '$refs');",
       "SELECT COUNT(*) AS n FROM repl_v;",
       "\\combine time bad-usage", // too few args: usage line, loop survives
+      s"\\gc $store", // live snapshot → nothing reclaimable
+      "\\gc", // usage line, loop survives
       "DROP TABLE repl_v;",
       "quit")
     assert(out.exists(_.startsWith("wrote snapshot refs")), out.mkString("\n"))
     assert(out.exists(_.matches("1 rows \\| 1 cols \\|.*")), out.mkString("\n"))
     assert(out.exists(_.startsWith("usage: \\combine")), out.mkString("\n"))
+    assert(out.contains("nothing reclaimable (live snapshots or no generations)"),
+      out.mkString("\n"))
+    assert(out.exists(_.startsWith("usage: \\gc")), out.mkString("\n"))
   }
 
   test("output formats: csv has a header row, json one object per line") {
