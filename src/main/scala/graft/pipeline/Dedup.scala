@@ -346,32 +346,42 @@ object Dedup {
 
   /** d3's CTE chain and final select, kept separate so d7 can reuse
     * the pair generation inside its own (recursive) WITH. */
+  /** Oracle CTEs mirror the engine's INLINE-verify shape: the full
+    * signature rides through the band join and agreement filters
+    * BEFORE the DISTINCT, so the distinct deduplicates verified pairs
+    * (~0.2% of band collisions) instead of the raw candidate volume.
+    * Provably identical to candidates-then-verify (est_jaccard is a
+    * pure function of the pair: filter∘distinct ≡ distinct∘filter) —
+    * and the difference is what makes the oracle SCALE-PORTABLE: at
+    * sf10p the band join emits ~1.6e9 collision rows, and a DISTINCT
+    * over them out-spilled a 77 GB disk, while the verified-pair
+    * distinct is ~3e6 rows. */
+  private val d3Agree = (1 to nPerm)
+    .map(j => s"CASE WHEN a.m$j = b.m$j THEN 1 ELSE 0 END")
+    .mkString("(", " + ", s") / ${nPerm}.0")
+
   private val d3Ctes = {
     val mins = (1 to nPerm).map(j => s"MIN(${permHash(j, "code")}) AS m$j").mkString(", ")
+    val sigCols = (1 to nPerm).map(j => s"m$j").mkString(", ")
     val bandSelects = (0 until nBands).map { b =>
-      s"SELECT doc_id, $b AS band, m${bandRows * b + 1} AS h1, m${bandRows * b + 2} AS h2, " +
+      s"SELECT doc_id, $sigCols, $b AS band, m${bandRows * b + 1} AS h1, m${bandRows * b + 2} AS h2, " +
         s"m${bandRows * b + 3} AS h3, m${bandRows * b + 4} AS h4 FROM sig"
     }.mkString(" UNION ALL ")
     s"""g AS (${TextAnalysis.gramSql}),
     sig AS (SELECT doc_id, $mins FROM g GROUP BY doc_id),
     bands AS ($bandSelects),
     cand AS (
-      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        $d3Agree AS est_jaccard
       FROM bands a JOIN bands b
         ON a.band = b.band AND a.h1 = b.h1 AND a.h2 = b.h2
-        AND a.h3 = b.h3 AND a.h4 = b.h4 AND a.doc_id < b.doc_id)"""
+        AND a.h3 = b.h3 AND a.h4 = b.h4 AND a.doc_id < b.doc_id
+      WHERE $d3Agree >= 0.75)"""
   }
 
-  private val d3Agree = (1 to nPerm)
-    .map(j => s"CASE WHEN sa.m$j = sb.m$j THEN 1 ELSE 0 END")
-    .mkString("(", " + ", s") / ${nPerm}.0")
-
   private val d3Final = s"""
-    SELECT doc_a, doc_b, $d3Agree AS est_jaccard
-    FROM cand
-    JOIN sig sa ON sa.doc_id = doc_a
-    JOIN sig sb ON sb.doc_id = doc_b
-    WHERE $d3Agree >= 0.75"""
+    SELECT doc_a, doc_b, est_jaccard
+    FROM cand"""
 
   private val d3Sql = s"WITH $d3Ctes $d3Final"
 
