@@ -844,6 +844,147 @@ object Dedup {
     USING (cluster_id)"""
   }
 
+  // --------------------------------------------- d8 semantic (SemDeDup)
+
+  /** d8's within-cluster near-dup threshold — d5's corpus-calibrated
+    * 0.4, so d8's pair semantics are directly comparable to the exact
+    * sweep (D8SemanticSpec measures the recall of the cluster
+    * restriction against d5's exact pair set). */
+  private[graft] val d8Theta = 0.4
+
+  /** Target members per cluster: k = max(4, ceil(N / 256)). Scaling k
+    * WITH the corpus is the whole point — cluster width stays ~256, so
+    * the within-cluster quadratic is 256·N/2 comparisons (linear),
+    * never N². */
+  private[graft] val d8TargetClusterSize = 256
+
+  /** Semantic deduplication, SemDeDup-shaped (Abbas et al. 2023,
+    * arXiv:2303.09540): k-means-cluster the embeddings, then search
+    * near-duplicates ONLY within each cluster and keep the member
+    * closest to its centroid. The cluster restriction is the scale
+    * story — candidate pairs are ~(clusterSize · N)/2 instead of N²/2,
+    * the exact trade the paper makes (recall of the cluster filter vs
+    * the exact sweep is measured, not assumed: D8SemanticSpec).
+    *
+    * Plan shape at 100 TB: centroids broadcast (k·d ints — ~400 KB at
+    * 100× gate scale; beyond broadcast budget you'd go hierarchical);
+    * assignment is one corpus scan; the pair stage shuffles by
+    * `cluster` and rides [[bucketPairs]], so a skewed cluster that
+    * outgrows [[d3ChunkSize]] tiles into bounded tasks instead of
+    * becoming one straggler — balanced clusters keep the plain
+    * equality self-join.
+    *
+    * Drop rule (deterministic, pairwise-exists): a vector is dropped
+    * iff some same-cluster vector within cosine ≥ [[d8Theta]] is
+    * strictly better — smaller squared centroid distance, ties to the
+    * smaller vec_id. The best member of every near-dup neighborhood
+    * survives; all arithmetic is the same int64 distance /
+    * double-fold cosine contract as s5/d5, so the DuckDB oracle
+    * matches bit-for-bit.
+    *
+    * Output: every embedding row as (vec_id, cluster, dist2, dropped).
+    */
+  def d8_dedup_semantic(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    val q = Similarity.quantized(e)
+    // k from an in-plan aggregate (no driver-side count): broadcast a
+    // 1-row frame into the centroid-seed filter
+    val kDf = e.agg(greatest(lit(4L),
+      ceil(count(lit(1)) / lit(d8TargetClusterSize.toDouble)).cast("long")).as("k"))
+    val c0 = q.crossJoin(broadcast(kDf)).filter(col("vec_id") < col("k"))
+      .select(col("vec_id").as("cid"), col("qv").as("cv"))
+    // The assignment is referenced by both self-join sides of the pair
+    // stage AND the final left join — unpersisted, each reference
+    // re-runs the whole k-means lineage (two N×k assignment passes +
+    // the centroid recompute). The persisted frame is N×3 longs,
+    // bounded and tiny next to the corpus it describes.
+    val a2 = Similarity.kmeansAssign(q, c0)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val e2 = e.filter(col("embedding").isNotNull)
+      .select(col("vec_id"), col("embedding"),
+        VectorOps.norm2(col("embedding")).as("n2"))
+    val j = a2.join(e2, Seq("vec_id"))
+      .select(col("cluster"), col("vec_id"), col("dist2"),
+        col("embedding"), col("n2"))
+    val losers = bucketPairs(j, Seq("cluster"), "vec_id", d3ChunkSize,
+        s"d8:$dir:${corpusStamp(s, dir, "embeddings")}")
+      .filter(VectorOps.cosineFrom(
+        VectorOps.dot(col("a.embedding"), col("b.embedding")),
+        col("a.n2"), col("b.n2")) >= d8Theta)
+      .select(when(col("a.dist2") > col("b.dist2") ||
+          (col("a.dist2") === col("b.dist2") &&
+            col("a.vec_id") > col("b.vec_id")),
+        col("a.vec_id")).otherwise(col("b.vec_id")).as("vec_id"))
+      .distinct()
+    a2.join(losers.withColumn("__l", lit(true)), Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cluster"), col("dist2"),
+        coalesce(col("__l"), lit(false)).as("dropped"))
+  }
+
+  /** The oracle mirrors s5's CTE chain with the parametric k (a scalar
+    * subquery over COUNT(*), so the SQL is scale-portable verbatim),
+    * then the within-cluster pair stage. Distances use the algebraic
+    * expansion q·q − 2·q·c + c·c over `list_dot_product` — exact (all
+    * terms < 2^53) and it avoids DuckDB's correlated-UNNEST planning
+    * cliff at big SF (see the d5 oracle note). */
+  private val d8Sql = {
+    val qs = s"${1L << Similarity.qScaleBits}.0"
+    def ldist(a: String, b: String) =
+      s"""CAST(list_dot_product(CAST($a AS DOUBLE[]), CAST($a AS DOUBLE[]))
+       - 2 * list_dot_product(CAST($a AS DOUBLE[]), CAST($b AS DOUBLE[]))
+       + list_dot_product(CAST($b AS DOUBLE[]), CAST($b AS DOUBLE[])) AS BIGINT)"""
+    s"""
+    WITH q AS (
+      SELECT vec_id,
+        LIST_TRANSFORM(embedding,
+          x -> CAST(ROUND(CAST(x AS DOUBLE) * $qs) AS BIGINT)) AS qv
+      FROM embeddings),
+    kk AS (SELECT GREATEST(4, CAST(CEIL(COUNT(*) / ${d8TargetClusterSize}.0) AS BIGINT)) AS k
+           FROM embeddings),
+    c0 AS (SELECT vec_id AS cid, qv AS cv FROM q, kk WHERE vec_id < kk.k),
+    d1 AS (
+      SELECT q.vec_id, c.cid, ${ldist("q.qv", "c.cv")} AS dist
+      FROM q CROSS JOIN c0 c),
+    a1 AS (
+      SELECT vec_id, cid FROM (
+        SELECT vec_id, cid,
+          ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rk
+        FROM d1) x WHERE rk = 1),
+    m1 AS (
+      SELECT a1.cid, e.dim,
+        CAST(FLOOR(CAST(SUM(e.v) AS DOUBLE) / COUNT(*)) AS BIGINT) AS cvd
+      FROM (SELECT vec_id, UNNEST(range(1, ${Similarity.dim + 1})) AS dim,
+              UNNEST(qv) AS v FROM q) e
+      JOIN a1 ON a1.vec_id = e.vec_id
+      GROUP BY a1.cid, e.dim),
+    c1 AS (SELECT cid, LIST(cvd ORDER BY dim) AS cv FROM m1 GROUP BY cid),
+    d2 AS (
+      SELECT q.vec_id, c.cid, ${ldist("q.qv", "c.cv")} AS dist
+      FROM q CROSS JOIN c1 c),
+    a2 AS (
+      SELECT vec_id, CAST(cid AS BIGINT) AS cluster, CAST(dist AS BIGINT) AS dist2 FROM (
+        SELECT vec_id, cid, dist,
+          ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rk
+        FROM d2) x WHERE rk = 1),
+    e2 AS (
+      SELECT vec_id, embedding,
+        list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])) AS n2
+      FROM embeddings WHERE embedding IS NOT NULL),
+    j AS (
+      SELECT a.vec_id, a.cluster, a.dist2, e.embedding, e.n2
+      FROM a2 a JOIN e2 e USING (vec_id)),
+    p AS (
+      SELECT x.vec_id AS va, y.vec_id AS vb, x.dist2 AS da, y.dist2 AS db
+      FROM j x JOIN j y ON x.cluster = y.cluster AND x.vec_id < y.vec_id
+      WHERE list_dot_product(CAST(x.embedding AS DOUBLE[]), CAST(y.embedding AS DOUBLE[]))
+          / SQRT(x.n2 * y.n2) >= $d8Theta),
+    losers AS (
+      SELECT DISTINCT CASE WHEN da > db OR (da = db AND va > vb) THEN va ELSE vb END AS vec_id
+      FROM p)
+    SELECT a.vec_id, a.cluster, a.dist2, (l.vec_id IS NOT NULL) AS dropped
+    FROM a2 a LEFT JOIN losers l USING (vec_id)"""
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d1_dedup_exact" -> (d1_dedup_exact _),
     "d2_dedup_ngram" -> (d2_dedup_ngram _),
@@ -851,7 +992,8 @@ object Dedup {
     "d6_dedup_apply" -> (d6_dedup_apply _),
     "d4_dedup_simhash" -> (d4_dedup_simhash _),
     "d5_dedup_embedding" -> (d5_dedup_embedding _),
-    "d7_dedup_clusters" -> (d7_dedup_clusters _))
+    "d7_dedup_clusters" -> (d7_dedup_clusters _),
+    "d8_dedup_semantic" -> (d8_dedup_semantic _))
 
   val oracle: Map[String, String] = Map(
     "d1_dedup_exact" -> d1Sql,
@@ -860,5 +1002,6 @@ object Dedup {
     "d6_dedup_apply" -> d6Sql,
     "d4_dedup_simhash" -> d4Sql,
     "d5_dedup_embedding" -> d5Sql,
-    "d7_dedup_clusters" -> d7Sql)
+    "d7_dedup_clusters" -> d7Sql,
+    "d8_dedup_semantic" -> d8Sql)
 }

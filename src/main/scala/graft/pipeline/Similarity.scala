@@ -21,7 +21,7 @@ import graft.operators.Tables
   */
 object Similarity {
 
-  private val dim = 64
+  private[pipeline] val dim = 64
   private val nPlanes = 4
   private val nProbes = 5
   private val topK = 10
@@ -264,7 +264,7 @@ object Similarity {
   // ------------------------------------------------------------ s5 k-means
 
   private val kClusters = 4
-  private val qScaleBits = 20 // coordinates quantized to 2^-20
+  private[pipeline] val qScaleBits = 20 // coordinates quantized to 2^-20
 
   /** Two Lloyd iterations of k-means over the embedding corpus
     * (seed centroids = the first k vectors; k=4). Coordinates are
@@ -285,11 +285,28 @@ object Similarity {
     * through double, which is exact while sums stay under 2^53 (here
     * ≤ 2^31); beyond that, switch the division to DECIMAL. */
   def s5_kmeans(s: SparkSession, dir: String): DataFrame = {
-    val q = emb(s, dir).select(col("vec_id"),
-      expr(s"transform(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE) * ${1L << qScaleBits}.0) AS BIGINT))")
-        .as("qv"))
+    val q = quantized(emb(s, dir))
     val c0 = q.filter(col("vec_id") < kClusters)
       .select(col("vec_id").as("cid"), col("qv").as("cv"))
+    kmeansAssign(q, c0)
+  }
+
+  /** `(vec_id, qv)`: the embedding column quantized to int64 per
+    * [[s5_kmeans]]'s arithmetic contract (round(x · 2^20) — exact in
+    * double, so quantization is engine-independent). */
+  private[graft] def quantized(e: DataFrame): DataFrame =
+    e.select(col("vec_id"),
+      expr(s"transform(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE) * ${1L << qScaleBits}.0) AS BIGINT))")
+        .as("qv"))
+
+  /** One Lloyd refinement from seed centroids `c0 (cid, cv)` over the
+    * quantized corpus `q (vec_id, qv)`, returning the final assignment
+    * `(vec_id, cluster, dist2)` — the body of [[s5_kmeans]], shared
+    * with [[Dedup.d8_dedup_semantic]] whose centroid count scales with
+    * the corpus instead of being fixed at [[kClusters]]. All-integer
+    * arithmetic (see the s5 scaladoc); ties break to the smallest cid,
+    * matching the oracle's `ROW_NUMBER ... ORDER BY dist, cid`. */
+  private[graft] def kmeansAssign(q: DataFrame, c0: DataFrame): DataFrame = {
     def assign(cents: DataFrame): DataFrame =
       q.crossJoin(broadcast(cents))
         .withColumn("dist",
