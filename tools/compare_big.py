@@ -1,0 +1,70 @@
+#!/usr/bin/env python3
+"""Big-output variant of compare_one.py: the row-set compare runs
+ENTIRELY inside DuckDB as two EXCEPT ALL anti-differences (exact
+multiset equality — strictly stronger than the hash compare) instead
+of materializing both sides as Python tuple lists. compare_one.py
+tops out around a few million rows (two pylist copies + canon copies
++ sort); at 100x gate scale q10 emits 60M rows and the Python path
+would need >100 GB. DuckDB streams both sides with all cores.
+
+Column alignment mirrors compare_one's canon: both sides are selected
+by SORTED column name, and the spark side is CAST column-by-column to
+the oracle result's types (set-op semantics then treat NULLs as equal,
+like canon's (0,"") normalization).
+
+Usage: tools/compare_big.py <sfdir> <verify_out> <query> [spark_secs]
+"""
+import sys, json, glob, os, time
+import duckdb
+
+sfdir, outdir, name = sys.argv[1], sys.argv[2], sys.argv[3]
+spark_secs = sys.argv[4] if len(sys.argv) > 4 else "?"
+
+con = duckdb.connect()
+con.execute("SET TimeZone='UTC'")
+for f in glob.glob(f"{sfdir}/*.parquet"):
+    t = os.path.basename(f)[:-8]
+    con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{f}'")
+
+sql = json.load(open(f"{outdir}/oracle_sql.json"))[name]
+spath = f"{outdir}/{name}"
+if not os.path.isdir(spath):
+    print(f"FAIL {name}: no spark output (spark {spark_secs}s)"); sys.exit(1)
+
+t0 = time.time()
+try:
+    con.execute(f"CREATE VIEW oracle AS ({sql})")
+    ocols = [(r[0], r[1]) for r in con.execute(
+        "DESCRIBE oracle").fetchall()]
+    con.execute(
+        f"CREATE VIEW sparkout AS SELECT * FROM '{spath}/*.parquet'")
+    scols = {r[0] for r in con.execute("DESCRIBE sparkout").fetchall()}
+except Exception as e:
+    print(f"FAIL {name}: setup error {e}"); sys.exit(1)
+
+if sorted(c for c, _ in ocols) != sorted(scols):
+    print(f"FAIL {name}: columns spark={sorted(scols)} "
+          f"duck={sorted(c for c, _ in ocols)}"); sys.exit(1)
+
+sel_o = ", ".join(f'"{c}"' for c, _ in sorted(ocols))
+sel_s = ", ".join(f'CAST("{c}" AS {t}) AS "{c}"'
+                  for c, t in sorted(ocols))
+try:
+    nrows_s, nrows_o = (
+        con.execute("SELECT (SELECT COUNT(*) FROM sparkout), "
+                    "(SELECT COUNT(*) FROM oracle)").fetchone())
+    if nrows_s != nrows_o:
+        print(f"FAIL {name}: rows spark={nrows_s} duck={nrows_o}")
+        sys.exit(1)
+    # exact multiset equality: equal cardinality + empty one-sided
+    # anti-difference implies empty difference in both directions
+    diff = con.execute(
+        f"SELECT COUNT(*) FROM (SELECT {sel_s} FROM sparkout "
+        f"EXCEPT ALL SELECT {sel_o} FROM oracle)").fetchone()[0]
+except Exception as e:
+    print(f"FAIL {name}: duckdb error {e}"); sys.exit(1)
+dsecs = round(time.time() - t0, 1)
+if diff:
+    print(f"FAIL {name}: {diff}/{nrows_s} spark rows not in oracle multiset")
+    sys.exit(1)
+print(f"PASS {name} ({nrows_s} rows, spark {spark_secs}s, duckdb {dsecs}s, exceptall)")
