@@ -33,7 +33,10 @@ if not os.path.isdir(spath):
 
 t0 = time.time()
 try:
-    con.execute(f"CREATE VIEW oracle AS ({sql})")
+    # materialize ONCE: the count and the EXCEPT ALL below would each
+    # re-evaluate a view, and the heavy dedup oracles cost hours at
+    # 100x gate scale
+    con.execute(f"CREATE TEMP TABLE oracle AS ({sql})")
     ocols = [(r[0], r[1]) for r in con.execute(
         "DESCRIBE oracle").fetchall()]
     con.execute(

@@ -1,0 +1,41 @@
+#!/bin/bash
+# Parallel lane for the big-SF gate: Spark sides run sequentially in
+# this lane; each finished query's DuckDB compare launches in the
+# background (the slow oracles are single-core, so compares overlap
+# the next Spark run). Results append to the SAME results file the
+# main gate_seq.sh run uses — it greps before starting a query, so
+# finished ones are skipped there.
+# Usage: tools/my_gate_lane.sh <sfdir> <outdir> "<q1 q2 ...>" [shuffle]
+set -u
+cd "$(dirname "$0")/.."
+SF="${1:?}"; OUT="${2:?}"; QUERIES="${3:?}"; SHUF="${4:-256}"
+RES="$OUT/results.txt"
+
+compare_of() {  # pick compare by spark output row count
+  local q="$1"
+  local n
+  n=$(python3 - "$OUT/$q" <<'EOF'
+import sys, glob
+import pyarrow.parquet as pq
+print(sum(pq.read_metadata(f).num_rows for f in glob.glob(f"{sys.argv[1]}/*.parquet")))
+EOF
+)
+  if [ "${n:-0}" -gt 2000000 ]; then echo compare_big.py; else echo compare_one.py; fi
+}
+
+for q in $QUERIES; do
+  if grep -q "^PASS $q \|^FAIL $q" "$RES"; then echo "skip $q"; continue; fi
+  echo "=== spark $q $(date +%T) avail=$(df --output=avail -h / | tail -1 | tr -d ' ')"
+  t0=$SECONDS
+  SPARK_GRAFT_CPUS=28 SPARK_GRAFT_SHUFFLE="$SHUF" SPARK_DRIVER_MEM=48g \
+    tools/run.sh graft.Verify "$SF" "$OUT" "$q" > "$OUT/lane_$q.log" 2>&1
+  rc=$?
+  secs=$((SECONDS - t0))
+  if [ $rc -ne 0 ]; then echo "verify rc=$rc for $q"; continue; fi
+  cmp=$(compare_of "$q")
+  echo "--- compare($cmp) $q launched bg after ${secs}s"
+  ( python3 "tools/$cmp" "$SF" "$OUT" "$q" "$secs" >> "$RES" 2>&1 ) &
+done
+echo "=== lane spark sides done $(date +%T); waiting on compares"
+wait
+echo "=== lane done $(date +%T)"
