@@ -442,19 +442,35 @@ object Dedup {
     * tile. Gate scales (widest d4 bucket ~3k at sf1p) stay plain. */
   private[graft] val d4ChunkSize = 4096
 
+  /** The oracle mirrors the engine's BANDED candidate generation
+    * instead of the plain cross join — provably identical output
+    * (pigeonhole: 4 disjoint bands cover all 30 bits, so Hamming ≤ 3
+    * pairs agree exactly on ≥ 1 band; the popcount verify then makes
+    * the band route produce precisely the cross join's result set,
+    * deduplicated by DISTINCT). The difference is scale-portability,
+    * the same lineage as the d3 oracle rewrite: the cross join is
+    * N²/2 popcounts — 1.25e11 at 100× gate scale, days in DuckDB —
+    * while the band join is N²/(2·#buckets) ≈ 6e9. Verified
+    * hash-identical to the cross-join form at sf0.01 and sf0.1. */
   private val d4Sql = {
     val sums = (0 until simBits).map(k =>
       s"SUM(CASE WHEN (h >> $k) & 1 = 1 THEN 1 ELSE -1 END) AS s$k").mkString(", ")
     val bits = (0 until simBits).map(k =>
       s"CASE WHEN s$k > 0 THEN ${1L << k} ELSE 0 END").mkString(" + ")
+    val bandDefs = Seq((0, 8), (8, 8), (16, 7), (23, 7))
+    val bandSelects = bandDefs.zipWithIndex.map { case ((off, len), b) =>
+      s"SELECT doc_id, simhash, $b AS band, (simhash >> $off) & ${(1 << len) - 1} AS bh FROM sk"
+    }.mkString(" UNION ALL ")
     s"""
     WITH g AS (${TextAnalysis.gramSql}),
     hh AS (SELECT doc_id, ${mix("code")} AS h FROM g),
     bs AS (SELECT doc_id, $sums FROM hh GROUP BY doc_id),
-    sk AS (SELECT doc_id, $bits AS simhash FROM bs)
-    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+    sk AS (SELECT doc_id, $bits AS simhash FROM bs),
+    bands AS ($bandSelects)
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
       CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
-    FROM sk a JOIN sk b ON a.doc_id < b.doc_id
+    FROM bands a JOIN bands b
+      ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
     WHERE bit_count(xor(a.simhash, b.simhash)) <= 3"""
   }
 

@@ -309,8 +309,11 @@ object Similarity {
   private[graft] def kmeansAssign(q: DataFrame, c0: DataFrame): DataFrame = {
     def assign(cents: DataFrame): DataFrame =
       q.crossJoin(broadcast(cents))
+        // codegen'd fused loop, not the HOF fold — numerically
+        // identical (exact int64), ~10× throughput on the N×k hot
+        // path (see LongVecDistSq)
         .withColumn("dist",
-          expr("aggregate(zip_with(qv, cv, (x, y) -> (x - y) * (x - y)), CAST(0 AS BIGINT), (acc, v) -> acc + v)"))
+          graft.functions.LongVecDistSq(col("qv"), col("cv")))
         .groupBy("vec_id")
         .agg(min(struct(col("dist"), col("cid"))).as("best"))
         .select(col("vec_id"), col("best.cid").as("cid"), col("best.dist").as("dist"))
