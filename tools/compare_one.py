@@ -14,6 +14,12 @@ spark_secs = sys.argv[4] if len(sys.argv) > 4 else "?"
 
 con = duckdb.connect()
 con.execute("SET TimeZone='UTC'")
+# Per-process spill dir: concurrent compares in one cwd share DuckDB's
+# default ".tmp/duckdb_temp_storage-N.tmp" NAMES and tread on each
+# other; stale spill from killed runs also accumulates silently. The
+# cap makes a runaway oracle fail loudly instead of filling the disk.
+con.execute(f"SET temp_directory='/tmp/duck_tmp_{os.getpid()}'")
+con.execute("SET max_temp_directory_size='55GiB'")
 for f in glob.glob(f"{sfdir}/*.parquet"):
     t = os.path.basename(f)[:-8]
     con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{f}'")
