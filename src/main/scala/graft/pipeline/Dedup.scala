@@ -368,8 +368,8 @@ object Dedup {
         s"m${bandRows * b + 3} AS h3, m${bandRows * b + 4} AS h4 FROM sig"
     }.mkString(" UNION ALL ")
     s"""g AS (${TextAnalysis.gramSql}),
-    sig AS (SELECT doc_id, $mins FROM g GROUP BY doc_id),
-    bands AS ($bandSelects),
+    sig AS MATERIALIZED (SELECT doc_id, $mins FROM g GROUP BY doc_id),
+    bands AS MATERIALIZED ($bandSelects),
     cand AS (
       SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
         $d3Agree AS est_jaccard
@@ -465,8 +465,8 @@ object Dedup {
     WITH g AS (${TextAnalysis.gramSql}),
     hh AS (SELECT doc_id, ${mix("code")} AS h FROM g),
     bs AS (SELECT doc_id, $sums FROM hh GROUP BY doc_id),
-    sk AS (SELECT doc_id, $bits AS simhash FROM bs),
-    bands AS ($bandSelects)
+    sk AS MATERIALIZED (SELECT doc_id, $bits AS simhash FROM bs),
+    bands AS MATERIALIZED ($bandSelects)
     SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
       CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
     FROM bands a JOIN bands b
