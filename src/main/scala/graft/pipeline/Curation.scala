@@ -216,15 +216,29 @@ object Curation {
       .select(col("a_id"), col("b_id"), col("lang"), col("blk"), col("lev"))
   }
 
-  private val c5Sql = """
-    WITH d AS (
-      SELECT doc_id, lang, n_chars // 16 AS blk, SUBSTRING(text, 1, 40) AS prefix
-      FROM documents)
-    SELECT a.doc_id AS a_id, b.doc_id AS b_id, a.lang, a.blk,
+  /** The oracle partitions the probe side into 16 residue-class
+    * slices UNION ALL'd back together — output-identical (the slices
+    * partition `a.doc_id`, so every qualifying pair appears in exactly
+    * one branch) but 15× faster in DuckDB, which parallelizes by
+    * ~122k-row morsels: the unsliced probe side is a single morsel at
+    * every gate scale, so the whole quadratic levenshtein ran on ONE
+    * thread (measured 65 s at sf1p, ~3 h at sf10p; sliced: 4.4 s at
+    * sf1p). The branches execute as concurrent pipelines. */
+  private val c5Sql = {
+    val k = 16
+    val branches = (0 until k).map { i =>
+      s"""SELECT a.doc_id AS a_id, b.doc_id AS b_id, a.lang, a.blk,
       CAST(levenshtein(a.prefix, b.prefix) AS BIGINT) AS lev
     FROM d a JOIN d b
       ON a.lang = b.lang AND a.blk = b.blk AND a.doc_id < b.doc_id
-    WHERE levenshtein(a.prefix, b.prefix) <= 10"""
+    WHERE a.doc_id % $k = $i AND levenshtein(a.prefix, b.prefix) <= 10"""
+    }.mkString("\n    UNION ALL\n    ")
+    s"""
+    WITH d AS MATERIALIZED (
+      SELECT doc_id, lang, n_chars // 16 AS blk, SUBSTRING(text, 1, 40) AS prefix
+      FROM documents)
+    $branches"""
+  }
 
   // -------------------------------------------------------------- c6 pivot
 
