@@ -631,17 +631,30 @@ object Dedup {
   // sequential double folds, but DuckDB plans the correlated form with
   // >40-min constants at 10x gate scale (SCALE.md round 7) — this
   // keeps the committed oracle scale-portable with zero substitution.
-  private val d5Sql = """
-    WITH e AS (
-      SELECT vec_id, embedding,
-        list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])) AS n2
-      FROM embeddings)
-    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+  /** Probe side sliced into 16 residue classes (UNION ALL) so DuckDB
+    * can parallelize the quadratic sweep — the embeddings table is
+    * 1–2 of DuckDB's ~122k-row morsels at every gate scale, so the
+    * unsliced inequality join ran on 1–2 threads (~3 h at sf10p).
+    * Output-identical: the slices partition `a.vec_id`. Same fix as
+    * the c5 oracle. */
+  private val d5Sql = {
+    val k = 16
+    val branches = (0 until k).map { i =>
+      s"""SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
       list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
         / SQRT(a.n2 * b.n2) AS cosine
     FROM e a JOIN e b ON a.vec_id < b.vec_id
-    WHERE list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
+    WHERE a.vec_id % $k = $i
+      AND list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
         / SQRT(a.n2 * b.n2) >= 0.4"""
+    }.mkString("\n    UNION ALL\n    ")
+    s"""
+    WITH e AS MATERIALIZED (
+      SELECT vec_id, embedding,
+        list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])) AS n2
+      FROM embeddings)
+    $branches"""
+  }
 
   // ------------------------------------------------------------ wiring
 
