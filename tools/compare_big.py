@@ -39,10 +39,13 @@ if not os.path.isdir(spath):
 
 t0 = time.time()
 try:
-    # materialize ONCE: the count and the EXCEPT ALL below would each
-    # re-evaluate a view, and the heavy dedup oracles cost hours at
-    # 100x gate scale
-    con.execute(f"CREATE TEMP TABLE oracle AS ({sql})")
+    # A VIEW, deliberately NOT a temp-table materialization: DuckDB's
+    # CREATE TABLE AS sink serializes UNION ALL branch pipelines
+    # (measured 128 s vs 9 s for the sliced d5 oracle at sf1p), while
+    # aggregate sinks (the COUNT and the EXCEPT ALL below) run the
+    # branches concurrently — so evaluating the view twice in parallel
+    # is far cheaper than materializing it once serially.
+    con.execute(f"CREATE VIEW oracle AS ({sql})")
     ocols = [(r[0], r[1]) for r in con.execute(
         "DESCRIBE oracle").fetchall()]
     con.execute(
