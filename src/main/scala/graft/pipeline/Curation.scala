@@ -231,7 +231,7 @@ object Curation {
       CAST(levenshtein(a.prefix, b.prefix) AS BIGINT) AS lev
     FROM d a JOIN d b
       ON a.lang = b.lang AND a.blk = b.blk AND a.doc_id < b.doc_id
-    WHERE a.doc_id % $k = $i AND levenshtein(a.prefix, b.prefix) <= 10"""
+    WHERE ((a.doc_id % $k) + $k) % $k = $i AND levenshtein(a.prefix, b.prefix) <= 10"""
     }.mkString("\n    UNION ALL\n    ")
     s"""
     WITH d AS MATERIALIZED (

@@ -60,30 +60,39 @@ object Dedup {
 
   // ------------------------------------------------------------ d2 n-gram
 
-  /** Absolute document-frequency ceiling for d2's rare-gram cut. A
-    * FRACTIONAL cut alone (df ≤ N/20) permits (0.05·N)² candidate
-    * pairs per gram — quadratic in corpus size (measured: 100× pair
-    * growth on 10× docs, SCALE.md round 7). A constant ceiling K caps
-    * per-gram fan-out at C(K,2) pairs, so total candidate volume is
-    * O(K²·#grams) = O(N) — the discipline real corpus pipelines use.
-    * K = 25 equals N/20 at gate scale (N = 500), so gate results are
-    * bit-identical to the uncapped form. */
+  /** Gate-scale floor of d2's rare-gram cut: df ≤ max(25, N/[[d2DfShare]]).
+    * 25 keeps sf0.01/sf0.1 results bit-identical to rounds 7–10 (the
+    * fractional term is < 25 there); above gate scale the FRACTIONAL
+    * term takes over — the test corpus has a FIXED ~2k-gram vocabulary,
+    * so every gram's df grows ∝ N and a constant ceiling empties the
+    * rare set (round 10's gate compared two empty sets at sf10p,
+    * leaving the suite's heaviest gram join unexercised exactly where
+    * scale bugs live). */
   private[graft] val d2MaxDf = 25L
 
-  /** Exact Jaccard over rare grams (df ≤ min(maxDf, max(2, 5% of
-    * corpus))): near-dup pairs share most of their rare grams;
-    * unrelated docs share only common vocabulary grams, which the df
-    * cut removes. The absolute [[d2MaxDf]] ceiling (not the fractional
-    * cut) is what makes the exact gram-join tractable at scale — see
-    * its scaladoc. */
+  /** Scale-relative share for d2's rarity cut: a gram is "rare" when
+    * it appears in ≤ N/500 documents (0.2% of the corpus). Because
+    * df ∝ N on a bounded vocabulary, the SAME grams qualify at every
+    * scale — the cut's semantics are scale-invariant, and per-gram
+    * fan-out is bounded by C(N/500, 2) per gram, which the
+    * [[bucketPairs]] tiling spreads across tasks once a gram bucket
+    * outgrows [[d3ChunkSize]] (measured: cut 100 at sf1p → 235k
+    * candidate pairs, cut 1000 at sf10p → 29.7M — linear-ish in N and
+    * minutes of oracle work, vs the uncapped N/20 cut's quadratic
+    * blow-up in round 7). */
+  private[graft] val d2DfShare = 500L
+
+  /** Exact Jaccard over rare grams (df ≤ max(25, N/500)): near-dup
+    * pairs share most of their rare grams; unrelated docs share only
+    * common vocabulary grams, which the df cut removes. See
+    * [[d2MaxDf]]/[[d2DfShare]] for the cut's scale story. */
   def d2_dedup_ngram(s: SparkSession, dir: String): DataFrame = {
     val g = TextAnalysis.gramCodes(docs(s, dir))
-    // 5% as EXACT integer division (count div 20): `count * 0.05`
-    // truncates in Spark's double cast but ROUNDS in DuckDB's
-    // decimal-to-bigint cast — the two engines would disagree whenever
-    // count % 20 >= 10
+    // EXACT integer division (count div 500): a double multiply would
+    // truncate in Spark but ROUND in DuckDB's decimal-to-bigint cast —
+    // the two engines would disagree on boundary counts
     val nDocs = docs(s, dir).select(
-      least(lit(d2MaxDf), greatest(lit(2L), expr("count(1) div 20"))).as("cut"))
+      greatest(lit(d2MaxDf), expr(s"count(1) div $d2DfShare")).as("cut"))
     // Document frequency as ONE window over the cached gram table
     // (one exchange by code + sort) instead of groupBy-then-join-back
     // (two exchanges of the full gram table + SMJ sorts) — identical
@@ -97,8 +106,15 @@ object Dedup {
       // referenced three times (sizes + both self-join sides)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sizes = rare.groupBy("doc_id").agg(count(lit(1)).as("sz"))
-    val common = rare.as("a")
-      .join(rare.as("b"), col("a.code") === col("b.code") && col("a.doc_id") < col("b.doc_id"))
+    // Within-gram pair enumeration through bucketPairs: identical to a
+    // plain self-equi-join on `code` while no gram bucket exceeds
+    // d3ChunkSize (every corpus up to ~sf10p, where the widest rare
+    // gram holds ≤ N/500 = 1000 docs), and tiles wider buckets across
+    // tasks beyond that — the same LSH hot-bucket discipline as d3/d4,
+    // needed here because the scale-relative cut lets bucket width
+    // grow ∝ N instead of being constant-capped.
+    val common = bucketPairs(rare, Seq("code"), "doc_id", d3ChunkSize,
+        s"d2:$dir:${corpusStamp(s, dir, "documents")}")
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("common"))
     common
@@ -118,10 +134,16 @@ object Dedup {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
   }
 
+  // g and rare are MATERIALIZED: each is referenced 2–3 times and
+  // DuckDB inlines multiply-referenced CTEs, re-running the gram
+  // explode per reference — harmless when the rare set was empty at
+  // big SF (rounds 7–10), ruinous now that the scale-relative cut
+  // keeps it populated (the sf10p rare set is ~69k rows from a 1G
+  // char explode).
   private val d2Sql = s"""
-    WITH g AS (${TextAnalysis.gramSql}),
-    cutoff AS (SELECT LEAST($d2MaxDf, GREATEST(2, COUNT(*) // 20)) AS cut FROM documents),
-    rare AS (
+    WITH g AS MATERIALIZED (${TextAnalysis.gramSql}),
+    cutoff AS (SELECT GREATEST($d2MaxDf, COUNT(*) // $d2DfShare) AS cut FROM documents),
+    rare AS MATERIALIZED (
       SELECT g.doc_id, g.code FROM g
       JOIN (SELECT code, COUNT(*) AS df FROM g GROUP BY code) d ON g.code = d.code
       CROSS JOIN cutoff WHERE d.df <= cut),
@@ -635,8 +657,11 @@ object Dedup {
     * can parallelize the quadratic sweep — the embeddings table is
     * 1–2 of DuckDB's ~122k-row morsels at every gate scale, so the
     * unsliced inequality join ran on 1–2 threads (~3 h at sf10p).
-    * Output-identical: the slices partition `a.vec_id`. Same fix as
-    * the c5 oracle. */
+    * Output-identical: the slices partition `a.vec_id` into pmod
+    * residue classes — DuckDB's % is sign-preserving, so a plain
+    * `% k = i` would silently drop negative ids from every branch
+    * (the engine's tiledPairs guards the same case with pmod). Same
+    * fix as the c5 oracle. */
   private val d5Sql = {
     val k = 16
     val branches = (0 until k).map { i =>
@@ -644,7 +669,7 @@ object Dedup {
       list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
         / SQRT(a.n2 * b.n2) AS cosine
     FROM e a JOIN e b ON a.vec_id < b.vec_id
-    WHERE a.vec_id % $k = $i
+    WHERE ((a.vec_id % $k) + $k) % $k = $i
       AND list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
         / SQRT(a.n2 * b.n2) >= 0.4"""
     }.mkString("\n    UNION ALL\n    ")
@@ -887,6 +912,15 @@ object Dedup {
     * never N². */
   private[graft] val d8TargetClusterSize = 256
 
+  /** Above this centroid count the assignment goes hierarchical
+    * ([[Similarity.kmeansAssignHier]], ~2·N·√k distances per pass);
+    * at or below it the flat N×k pass is already near the hierarchical
+    * cost (k ≤ 64 ⇒ 2√k ≥ k/4) and exactness is free. The oracle
+    * dispatches on the same k via two emptiness-gated SQL branches, so
+    * gate corpora exercise flat at sf0.01/sf0.1 (k = 4/20) and
+    * hierarchical at sf1p/sf10p (k = 79/782). */
+  private[graft] val d8FlatMaxK = 64L
+
   /** Semantic deduplication, SemDeDup-shaped (Abbas et al. 2023,
     * arXiv:2303.09540): k-means-cluster the embeddings, then search
     * near-duplicates ONLY within each cluster and keep the member
@@ -896,8 +930,12 @@ object Dedup {
     * the exact sweep is measured, not assumed: D8SemanticSpec).
     *
     * Plan shape at 100 TB: centroids broadcast (k·d ints — ~400 KB at
-    * 100× gate scale; beyond broadcast budget you'd go hierarchical);
-    * assignment is one corpus scan; the pair stage shuffles by
+    * 100× gate scale); assignment dispatches to the hierarchical
+    * coarse-quantized path ([[Similarity.kmeansAssignHier]], ~2·N·√k
+    * distances per pass) above [[d8FlatMaxK]] centroids — the flat
+    * N×k pass with k ∝ N/256 was the suite's one super-linear compute
+    * stage (measured 100× cost on 10× data, SCALE.md round 10); the
+    * pair stage shuffles by
     * `cluster` and rides [[bucketPairs]], so a skewed cluster that
     * outgrows [[d3ChunkSize]] tiles into bounded tasks instead of
     * becoming one straggler — balanced clusters keep the plain
@@ -916,18 +954,25 @@ object Dedup {
   def d8_dedup_semantic(s: SparkSession, dir: String): DataFrame = {
     val e = emb(s, dir)
     val q = Similarity.quantized(e)
-    // k from an in-plan aggregate (no driver-side count): broadcast a
-    // 1-row frame into the centroid-seed filter
-    val kDf = e.agg(greatest(lit(4L),
-      ceil(count(lit(1)) / lit(d8TargetClusterSize.toDouble)).cast("long")).as("k"))
-    val c0 = q.crossJoin(broadcast(kDf)).filter(col("vec_id") < col("k"))
+    // k and the flat-vs-hierarchical dispatch are ONE bounded
+    // driver-side scalar (a parquet COUNT(*) is answered from footer
+    // metadata) — the same adaptive-dispatch discipline as d7's
+    // union-find. The two paths are NOT output-identical (the
+    // hierarchical cell restriction is the scale approximation, see
+    // kmeansAssignHier), so the oracle mirrors the dispatch with two
+    // emptiness-gated branches on the same k.
+    val n = e.count()
+    val k = math.max(4L, math.ceil(n / d8TargetClusterSize.toDouble).toLong)
+    val c0 = q.filter(col("vec_id") < k)
       .select(col("vec_id").as("cid"), col("qv").as("cv"))
     // The assignment is referenced by both self-join sides of the pair
     // stage AND the final left join — unpersisted, each reference
-    // re-runs the whole k-means lineage (two N×k assignment passes +
-    // the centroid recompute). The persisted frame is N×3 longs,
-    // bounded and tiny next to the corpus it describes.
-    val a2 = Similarity.kmeansAssign(q, c0)
+    // re-runs the whole k-means lineage (two assignment passes + the
+    // centroid recompute). The persisted frame is N×3 longs, bounded
+    // and tiny next to the corpus it describes.
+    val a2 = (if (k <= d8FlatMaxK) Similarity.kmeansAssign(q, c0)
+              else Similarity.kmeansAssignHier(q, c0,
+                math.max(1L, math.floor(math.sqrt(k.toDouble)).toLong)))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val e2 = e.filter(col("embedding").isNotNull)
       .select(col("vec_id"), col("embedding"),
@@ -950,18 +995,72 @@ object Dedup {
         coalesce(col("__l"), lit(false)).as("dropped"))
   }
 
-  /** The oracle mirrors s5's CTE chain with the parametric k (a scalar
-    * subquery over COUNT(*), so the SQL is scale-portable verbatim),
-    * then the within-cluster pair stage. Distances use the algebraic
+  /** The oracle mirrors the engine's k-dispatch with TWO branches in
+    * one scale-portable query: a flat s5-shaped chain (c0…fa2, seeded
+    * only when k ≤ [[d8FlatMaxK]]) and a hierarchical chain
+    * (hc0…h2a, seeded only when k > it) UNION ALL'd — the dead
+    * branch's centroid seed is empty and emptiness propagates through
+    * its joins, so each scale pays only its own branch. k and g are
+    * scalar subqueries over COUNT(*), so the SQL runs verbatim at
+    * every SF. Then the within-cluster pair stage. Distances use the algebraic
     * expansion q·q − 2·q·c + c·c over `list_dot_product` — exact (all
     * terms < 2^53) and it avoids DuckDB's correlated-UNNEST planning
-    * cliff at big SF (see the d5 oracle note). */
+    * cliff at big SF (see the d5 oracle note). The centroid-mean CTE
+    * filters `qv IS NOT NULL`: DuckDB pads a zipped UNNEST(range) ×
+    * UNNEST(NULL qv) to 64 NULL-v rows that would inflate the mean's
+    * COUNT(*) divisor, while the engine's posexplode of a NULL array
+    * emits zero rows (same fix in s5's oracle). */
   private val d8Sql = {
     val qs = s"${1L << Similarity.qScaleBits}.0"
     def ldist(a: String, b: String) =
       s"""CAST(list_dot_product(CAST($a AS DOUBLE[]), CAST($a AS DOUBLE[]))
        - 2 * list_dot_product(CAST($a AS DOUBLE[]), CAST($b AS DOUBLE[]))
        + list_dot_product(CAST($b AS DOUBLE[]), CAST($b AS DOUBLE[])) AS BIGINT)"""
+    // Lloyd update over assignment CTE `a` (means CTE $m, centroid CTE
+    // $c) — shared verbatim by the flat and hierarchical branches.
+    def meansCtes(m: String, c: String, a: String) = s"""
+    $m AS (
+      SELECT $a.cid, e.dim,
+        CAST(FLOOR(CAST(SUM(e.v) AS DOUBLE) / COUNT(*)) AS BIGINT) AS cvd
+      FROM (SELECT vec_id, UNNEST(range(1, ${Similarity.dim + 1})) AS dim,
+              UNNEST(qv) AS v FROM q WHERE qv IS NOT NULL) e
+      JOIN $a ON $a.vec_id = e.vec_id
+      GROUP BY $a.cid, e.dim),
+    $c AS (SELECT cid, LIST(cvd ORDER BY dim) AS cv FROM $m GROUP BY cid)"""
+    // One hierarchical assignment pass over centroid CTE $cents
+    // (mirrors kmeansAssignHier.assignH): seeds = g smallest cids,
+    // cell map = centroid→nearest seed, vector→nearest seed, exact
+    // argmin within the cell. Emits ${p}a (vec_id, cid, dist); all
+    // ties break (dist, id) ascending like the engine's min(struct).
+    def hierPass(p: String, cents: String) = s"""
+    ${p}s AS (
+      SELECT cid AS gid, cv AS gv FROM (
+        SELECT cid, cv, ROW_NUMBER() OVER (ORDER BY cid) AS r FROM $cents) z, gg
+      WHERE z.r <= gg.g),
+    ${p}m AS (
+      SELECT cid, gid FROM (
+        SELECT cid, gid, ROW_NUMBER() OVER (PARTITION BY cid ORDER BY gd, gid) AS rk
+        FROM (SELECT c.cid, s.gid, ${ldist("c.cv", "s.gv")} AS gd
+              FROM $cents c CROSS JOIN ${p}s s) y) z WHERE rk = 1),
+    ${p}v AS (
+      SELECT vec_id, gid FROM (
+        SELECT vec_id, gid, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY gd, gid) AS rk
+        FROM (SELECT q.vec_id, s.gid, ${ldist("q.qv", "s.gv")} AS gd
+              FROM q CROSS JOIN ${p}s s) y) z WHERE rk = 1),
+    ${p}a AS (
+      SELECT vec_id, cid, dist FROM (
+        SELECT vec_id, cid, dist,
+          ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rk
+        FROM (SELECT q.vec_id, c.cid, ${ldist("q.qv", "c.cv")} AS dist
+              FROM q JOIN ${p}v v ON v.vec_id = q.vec_id
+              JOIN ${p}m m ON m.gid = v.gid JOIN $cents c ON c.cid = m.cid) y) z
+      WHERE rk = 1)"""
+    // The flat branch's c0 is gated on k <= d8FlatMaxK and the
+    // hierarchical branch's hc0 on k > it: whichever gate is false
+    // yields an EMPTY centroid seed, and emptiness propagates through
+    // every downstream CTE of that branch (cross/inner joins against
+    // an empty side), so the dead branch costs ~nothing even at sf10p
+    // — the dispatch is data-driven inside one scale-portable query.
     s"""
     WITH q AS (
       SELECT vec_id,
@@ -970,7 +1069,9 @@ object Dedup {
       FROM embeddings),
     kk AS (SELECT GREATEST(4, CAST(CEIL(COUNT(*) / ${d8TargetClusterSize}.0) AS BIGINT)) AS k
            FROM embeddings),
-    c0 AS (SELECT vec_id AS cid, qv AS cv FROM q, kk WHERE vec_id < kk.k),
+    gg AS (SELECT GREATEST(1, CAST(FLOOR(SQRT(k)) AS BIGINT)) AS g FROM kk),
+    c0 AS (SELECT vec_id AS cid, qv AS cv FROM q, kk
+           WHERE kk.k <= $d8FlatMaxK AND vec_id < kk.k),
     d1 AS (
       SELECT q.vec_id, c.cid, ${ldist("q.qv", "c.cv")} AS dist
       FROM q CROSS JOIN c0 c),
@@ -979,22 +1080,25 @@ object Dedup {
         SELECT vec_id, cid,
           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rk
         FROM d1) x WHERE rk = 1),
-    m1 AS (
-      SELECT a1.cid, e.dim,
-        CAST(FLOOR(CAST(SUM(e.v) AS DOUBLE) / COUNT(*)) AS BIGINT) AS cvd
-      FROM (SELECT vec_id, UNNEST(range(1, ${Similarity.dim + 1})) AS dim,
-              UNNEST(qv) AS v FROM q) e
-      JOIN a1 ON a1.vec_id = e.vec_id
-      GROUP BY a1.cid, e.dim),
-    c1 AS (SELECT cid, LIST(cvd ORDER BY dim) AS cv FROM m1 GROUP BY cid),
+    ${meansCtes("m1", "c1", "a1")},
     d2 AS (
       SELECT q.vec_id, c.cid, ${ldist("q.qv", "c.cv")} AS dist
       FROM q CROSS JOIN c1 c),
-    a2 AS (
+    fa2 AS (
       SELECT vec_id, CAST(cid AS BIGINT) AS cluster, CAST(dist AS BIGINT) AS dist2 FROM (
         SELECT vec_id, cid, dist,
           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rk
         FROM d2) x WHERE rk = 1),
+    hc0 AS (SELECT vec_id AS cid, qv AS cv FROM q, kk
+            WHERE kk.k > $d8FlatMaxK AND vec_id < kk.k),
+    ${hierPass("h1", "hc0")},
+    ${meansCtes("hm1", "hc1", "h1a")},
+    ${hierPass("h2", "hc1")},
+    a2 AS (
+      SELECT vec_id, cluster, dist2 FROM fa2
+      UNION ALL
+      SELECT vec_id, CAST(cid AS BIGINT) AS cluster, CAST(dist AS BIGINT) AS dist2
+      FROM h2a),
     e2 AS (
       SELECT vec_id, embedding,
         list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])) AS n2

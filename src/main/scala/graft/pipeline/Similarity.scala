@@ -318,13 +318,93 @@ object Similarity {
         .agg(min(struct(col("dist"), col("cid"))).as("best"))
         .select(col("vec_id"), col("best.cid").as("cid"), col("best.dist").as("dist"))
     val a1 = assign(c0)
-    val means = q.join(a1.select("vec_id", "cid"), "vec_id")
+    assign(lloydCentroids(q, a1))
+      .select(col("vec_id"), col("cid").cast("long").as("cluster"), col("dist").as("dist2"))
+  }
+
+  /** Recompute centroids `(cid, cv)` as the per-cluster integer means
+    * of `q` under assignment `a1 (vec_id, cid)` — the Lloyd update
+    * step shared by the flat and hierarchical assignment paths. Exact
+    * int64 sums, floor-divided once through double (see [[s5_kmeans]]'s
+    * arithmetic contract); clusters that received no members simply
+    * vanish (both engines agree — GROUP BY emits no row). */
+  private[graft] def lloydCentroids(q: DataFrame, a1: DataFrame): DataFrame =
+    q.join(a1.select("vec_id", "cid"), "vec_id")
       .select(col("cid"), posexplode(col("qv")).as(Seq("dim", "v")))
       .groupBy("cid", "dim")
       .agg(floor(sum("v").cast("double") / count(lit(1))).cast("long").as("cvd"))
-    val c1 = means.groupBy("cid")
+      .groupBy("cid")
       .agg(expr("transform(array_sort(collect_list(struct(dim, cvd))), p -> p.cvd)").as("cv"))
-    assign(c1).select(col("vec_id"), col("cid").cast("long").as("cluster"), col("dist").as("dist2"))
+
+  /** Hierarchical (coarse-quantized) variant of [[kmeansAssign]] for
+    * centroid counts where the flat N×k assignment pass is the
+    * suite's one super-linear compute stage (d8's k scales as N/256,
+    * so flat assignment is O(N²/256): measured 100× cost on 10× data,
+    * SCALE.md round 10). Each assignment pass becomes:
+    *
+    *   1. coarse quantizer = the `g` centroids with the smallest cids
+    *      (g = ⌊√k⌋ at the d8 call site) — "seeds";
+    *   2. every CENTROID is mapped to its nearest seed (k×g
+    *      distances, ties to the smallest seed id) — the cell map;
+    *   3. every VECTOR is mapped to its nearest seed (N×g);
+    *   4. exact argmin only against the centroids of the vector's
+    *      cell (N × mean-cell-width ≈ N×√k, ties to smallest cid).
+    *
+    * Total distance evaluations per pass: ~2·N·√k instead of N·k —
+    * the standard IVF-over-centroids trick (SemDeDup §cost; same
+    * shape as [[s3_ann_ivf]]'s probe pruning). Every vector lands in
+    * a non-empty cell: a seed is at distance 0 from itself, so cell
+    * `gid` owns at least its seed centroid unless an identical-vector
+    * seed with a smaller id absorbs BOTH the centroid and every
+    * vector that could choose it (ties break to the smaller gid on
+    * both sides, so the choices are consistent).
+    *
+    * The result is deliberately NOT value-identical to the flat path
+    * (a vector whose true nearest centroid lives outside its coarse
+    * cell gets its in-cell argmin instead — the approximation IS the
+    * scale trade, recall-bounded in D8SemanticSpec); the d8 oracle
+    * mirrors this algorithm exactly, branch-dispatched on the same k.
+    * With g ≥ k and distinct centroids it degenerates to the flat
+    * assignment bit-for-bit (property-tested).
+    *
+    * Scale posture: seeds (g×d) and the cell-mapped centroid table
+    * (k×d) are broadcast — ~400 KB at 100× gate scale; the corpus
+    * shuffles only by vec_id for the two argmin groupBys (linear,
+    * map-side partial). The row_number seed window is a single-task
+    * sort over k rows — bounded by k ≤ N/256, trivially small next
+    * to any corpus that needs this path. */
+  private[graft] def kmeansAssignHier(q: DataFrame, c0in: DataFrame, g: Long): DataFrame = {
+    val mad = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    // centroid frames are referenced by three plan branches each
+    // (seeds, cell map, fine-assign); persist so the k-row frame is
+    // computed once instead of re-scanning its lineage per reference
+    val c0 = c0in.persist(mad)
+    def dist2(a: Column, b: Column) = graft.functions.LongVecDistSq(a, b)
+    def assignH(cents: DataFrame): DataFrame = {
+      val seeds = cents
+        .withColumn("__r", row_number().over(Window.orderBy("cid")))
+        .filter(col("__r") <= g)
+        .select(col("cid").as("gid"), col("cv").as("gv"))
+      val cellOf = cents.crossJoin(broadcast(seeds))
+        .withColumn("gd", dist2(col("cv"), col("gv")))
+        .groupBy("cid").agg(min(struct(col("gd"), col("gid"))).as("bg"))
+        .select(col("cid"), col("bg.gid").as("gid"))
+      val cellCents = cents.join(cellOf, "cid") // (cid, cv, gid)
+      val vCell = q.crossJoin(broadcast(seeds))
+        .withColumn("gd", dist2(col("qv"), col("gv")))
+        .groupBy("vec_id").agg(min(struct(col("gd"), col("gid"))).as("bg"))
+        .select(col("vec_id"), col("bg.gid").as("gid"))
+      q.join(vCell, "vec_id")
+        .join(broadcast(cellCents), "gid")
+        .withColumn("dist", dist2(col("qv"), col("cv")))
+        .groupBy("vec_id")
+        .agg(min(struct(col("dist"), col("cid"))).as("best"))
+        .select(col("vec_id"), col("best.cid").as("cid"), col("best.dist").as("dist"))
+    }
+    val a1 = assignH(c0)
+    val c1 = lloydCentroids(q, a1).persist(mad)
+    assignH(c1)
+      .select(col("vec_id"), col("cid").cast("long").as("cluster"), col("dist").as("dist2"))
   }
 
   private val s5Sql = s"""
@@ -347,7 +427,8 @@ object Similarity {
     m1 AS (
       SELECT a1.cid, e.dim,
         CAST(FLOOR(CAST(SUM(e.v) AS DOUBLE) / COUNT(*)) AS BIGINT) AS cvd
-      FROM (SELECT vec_id, UNNEST(range(1, $dim + 1)) AS dim, UNNEST(qv) AS v FROM q) e
+      FROM (SELECT vec_id, UNNEST(range(1, $dim + 1)) AS dim, UNNEST(qv) AS v
+            FROM q WHERE qv IS NOT NULL) e
       JOIN a1 ON a1.vec_id = e.vec_id
       GROUP BY a1.cid, e.dim),
     c1 AS (SELECT cid, LIST(cvd ORDER BY dim) AS cv FROM m1 GROUP BY cid),

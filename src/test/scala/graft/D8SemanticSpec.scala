@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.functions.VectorOps
-import graft.pipeline.Dedup
+import graft.pipeline.{Dedup, Similarity}
 
 /** d8 semantic dedup (SemDeDup-shaped): invariants of the drop rule
   * plus a MEASURED recall of the cluster restriction against the exact
@@ -75,12 +75,76 @@ class D8SemanticSpec extends AnyFunSuite {
     val within = clusterPairs.count()
     assert(within <= exact)
     val recall = within.toDouble / exact
+    info(s"flat recall=$recall ($within/$exact within-cluster of exact pairs)")
     // this corpus: 500 vecs, 66 exact pairs; the k-means partition keeps
-    // about half of them co-clustered. The floor guards regressions in
-    // the assignment (e.g. a broken seed filter collapsing to 1 centroid
-    // would push recall to 1.0 but blow the cluster-size bound below;
-    // random assignment would push it to ~1/k).
-    assert(recall >= 0.3, s"cluster-restriction recall collapsed: $recall")
+    // half of them co-clustered (measured 0.50 = 33/66, stable across
+    // rounds 10-11 — the floor is pinned just under it so a quality
+    // regression in the assignment fails here instead of shipping).
+    // A broken seed filter collapsing to 1 centroid would push recall
+    // to 1.0 but blow the cluster-size bound below; random assignment
+    // would push it to ~1/k.
+    assert(recall >= 0.4, s"cluster-restriction recall collapsed: $recall")
+  }
+
+  // ---- hierarchical assignment (the k > d8FlatMaxK scale path) ----
+
+  private lazy val q = Similarity.quantized(
+    graft.operators.Tables.load(spark, sf, "embeddings"))
+
+  /** First-k quantized vectors as seed centroids, like d8/s5. */
+  private def seedCents(k: Long): DataFrame =
+    q.filter(col("vec_id") < k)
+      .select(col("vec_id").as("cid"), col("qv").as("cv"))
+
+  test("hierarchical assignment with g >= k degenerates to the flat path bit-for-bit") {
+    // with one cell per centroid the coarse step IS the exact argmin,
+    // so hier ≡ flat exactly (distinct seed vectors on this corpus) —
+    // the property that pins the two paths to one algorithm family
+    val k = 8L
+    val flat = Similarity.kmeansAssign(q, seedCents(k))
+    val hier = Similarity.kmeansAssignHier(q, seedCents(k), g = k)
+    assert(hier.exceptAll(flat).count() === 0)
+    assert(flat.exceptAll(hier).count() === 0)
+  }
+
+  test("hierarchical assignment invariants at realistic g = floor(sqrt(k))") {
+    val k = 8L
+    val hier = Similarity.kmeansAssignHier(q, seedCents(k), g = 2L).cache()
+    val n = q.count()
+    assert(hier.count() === n, "every vector assigned exactly once")
+    assert(hier.select("cluster").distinct().count() > 1L,
+      "coarse cells must not collapse the clustering")
+    // cluster ids live in the seed-centroid id space (Lloyd update
+    // keeps cids, it only moves the vectors)
+    assert(hier.filter(col("cluster") < 0 || col("cluster") >= k).count() === 0)
+    assert(hier.filter(col("dist2") < 0).count() === 0)
+  }
+
+  test("hier-path recall vs the exact sweep stays above the pinned floor") {
+    // Item guarded: the hierarchical rewrite must not silently degrade
+    // clustering quality. Force the hier path on the spec corpus
+    // (gate-scale d8 dispatches flat here) and measure the same
+    // cluster-restricted recall as the flat test. Measured at spec
+    // time: flat 0.50 (33/66), hier(g=2) 0.576 (38/66) — the coarse
+    // quantization does NOT degrade this corpus; the floor is pinned
+    // just under the measured value so a future change that does
+    // degrade it fails here.
+    val k = math.max(4L, math.ceil(q.count() / 256.0).toLong)
+    val g = math.max(1L, math.floor(math.sqrt(k.toDouble)).toLong)
+    val hier = Similarity.kmeansAssignHier(q, seedCents(k), g)
+    val j = hier.join(emb, Seq("vec_id"))
+    val within = j.as("x").join(j.as("y"),
+        col("x.cluster") === col("y.cluster") &&
+          col("x.vec_id") < col("y.vec_id"))
+      .withColumn("cosine", VectorOps.cosineFrom(
+        VectorOps.dot(col("x.embedding"), col("y.embedding")),
+        col("x.n2"), col("y.n2")))
+      .filter(col("cosine") >= 0.4)
+      .count()
+    val exact = Dedup.embeddingPairs(emb, 0.4).count()
+    val recall = within.toDouble / exact
+    info(s"hier recall=$recall ($within/$exact within-cluster of exact pairs)")
+    assert(recall >= 0.45, s"hier cluster-restriction recall collapsed: $recall")
   }
 
   test("cluster widths stay near the target (the linear-scale invariant)") {

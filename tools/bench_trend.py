@@ -63,6 +63,14 @@ def main():
     files = args or sorted(glob.glob("BENCH_r*.json"))
     runs = [r for r in (extract(f) for f in files) if r]
     runs = [r for r in runs if norm_sf(r[1]) == want_sf]
+    # A BENCH_DETAIL.json passed explicitly (label "DETAIL") is the run
+    # in flight — label it as the next round so the table carries the
+    # round being judged (graft.Bench regenerates the trend this way at
+    # the end of every full sf0.1 run).
+    rounds = [int(m.group(1)) for r in runs
+              for m in [re.fullmatch(r"r(\d+)", r[0])] if m]
+    cur = f"r{(max(rounds) + 1) if rounds else 1:02d}*"
+    runs = [((cur,) + r[1:]) if r[0] == "DETAIL" else r for r in runs]
     if not runs:
         print(f"no runs at sf={want_sf}")
         return

@@ -12,10 +12,44 @@ by SORTED column name, and the spark side is CAST column-by-column to
 the oracle result's types (set-op semantics then treat NULLs as equal,
 like canon's (0,"") normalization).
 
+The cast is guarded: it is only applied when it is LOSSLESS (identical
+types, integer widening, FLOAT->DOUBLE, decimal scale/precision
+widening, int->decimal with enough integer digits). Any other type
+pair FAILs loudly — a lossy cast (e.g. spark DOUBLE where the oracle
+says BIGINT) would round BEFORE the compare and could turn a real
+value divergence into a false PASS, and this tool is used exactly on
+the >2M-row outputs where it is the only check.
+
 Usage: tools/compare_big.py <sfdir> <verify_out> <query> [spark_secs]
 """
-import sys, json, glob, os, time
+import sys, json, glob, os, re, time
 import duckdb
+
+INT_RANK = {"TINYINT": 1, "SMALLINT": 2, "INTEGER": 3,
+            "BIGINT": 4, "HUGEINT": 5}
+INT_DIGITS = {1: 3, 2: 5, 3: 10, 4: 19, 5: 39}
+
+
+def lossless_cast(src, dst):
+    """True iff CAST(src AS dst) cannot lose or round information."""
+    src, dst = src.strip().upper(), dst.strip().upper()
+    if src == dst:
+        return True
+    rs, rd = INT_RANK.get(src), INT_RANK.get(dst)
+    if rs and rd:
+        return rs <= rd
+    if src == "FLOAT" and dst == "DOUBLE":
+        return True
+    ms = re.fullmatch(r"DECIMAL\((\d+),(\d+)\)", src)
+    md = re.fullmatch(r"DECIMAL\((\d+),(\d+)\)", dst)
+    if ms and md:
+        ps, ss = int(ms.group(1)), int(ms.group(2))
+        pd, sd = int(md.group(1)), int(md.group(2))
+        return sd >= ss and (pd - sd) >= (ps - ss)
+    if rs and md:  # integer into a decimal with enough integer digits
+        pd, sd = int(md.group(1)), int(md.group(2))
+        return (pd - sd) >= INT_DIGITS[rs]
+    return False
 
 sfdir, outdir, name = sys.argv[1], sys.argv[2], sys.argv[3]
 spark_secs = sys.argv[4] if len(sys.argv) > 4 else "?"
@@ -50,13 +84,19 @@ try:
         "DESCRIBE oracle").fetchall()]
     con.execute(
         f"CREATE VIEW sparkout AS SELECT * FROM '{spath}/*.parquet'")
-    scols = {r[0] for r in con.execute("DESCRIBE sparkout").fetchall()}
+    scols = {r[0]: r[1] for r in con.execute("DESCRIBE sparkout").fetchall()}
 except Exception as e:
     print(f"FAIL {name}: setup error {e}"); sys.exit(1)
 
 if sorted(c for c, _ in ocols) != sorted(scols):
     print(f"FAIL {name}: columns spark={sorted(scols)} "
           f"duck={sorted(c for c, _ in ocols)}"); sys.exit(1)
+
+drift = [(c, scols[c], t) for c, t in ocols
+         if not lossless_cast(scols[c], t)]
+if drift:
+    print(f"FAIL {name}: lossy type drift (spark->oracle would round "
+          f"before compare): {drift}"); sys.exit(1)
 
 sel_o = ", ".join(f'"{c}"' for c, _ in sorted(ocols))
 sel_s = ", ".join(f'CAST("{c}" AS {t}) AS "{c}"'

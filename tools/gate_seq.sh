@@ -38,7 +38,7 @@ EOF
 while read -r group; do
   todo=""
   for q in ${group//,/ }; do
-    grep -q "^PASS $q \|^FAIL $q" "$RES" || todo="$todo,$q"
+    grep -Eq "^PASS $q |^FAIL $q[: ]" "$RES" || todo="$todo,$q"
   done
   todo="${todo#,}"
   [ -z "$todo" ] && continue

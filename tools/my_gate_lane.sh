@@ -10,6 +10,7 @@ set -u
 cd "$(dirname "$0")/.."
 SF="${1:?}"; OUT="${2:?}"; QUERIES="${3:?}"; SHUF="${4:-256}"
 RES="$OUT/results.txt"
+mkdir -p "$OUT"; touch "$RES"   # grep below must not error on first run
 
 compare_of() {  # pick compare by spark output row count
   local q="$1"
@@ -24,14 +25,22 @@ EOF
 }
 
 for q in $QUERIES; do
-  if grep -q "^PASS $q \|^FAIL $q" "$RES"; then echo "skip $q"; continue; fi
+  # PASS lines read "PASS <q> (...", FAIL lines "FAIL <q>: ..." — anchor
+  # both delimiters so a query whose name prefixes another's is not
+  # wrongly skipped (e.g. "d1" vs "d1_dedup_exact" style collisions).
+  if grep -Eq "^PASS $q |^FAIL $q[: ]" "$RES"; then echo "skip $q"; continue; fi
   echo "=== spark $q $(date +%T) avail=$(df --output=avail -h / | tail -1 | tr -d ' ')"
   t0=$SECONDS
   SPARK_GRAFT_CPUS=28 SPARK_GRAFT_SHUFFLE="$SHUF" SPARK_DRIVER_MEM=48g \
     tools/run.sh graft.Verify "$SF" "$OUT" "$q" > "$OUT/lane_$q.log" 2>&1
   rc=$?
   secs=$((SECONDS - t0))
-  if [ $rc -ne 0 ]; then echo "verify rc=$rc for $q"; continue; fi
+  if [ $rc -ne 0 ]; then
+    # record the failure in the results file — otherwise a later
+    # gate_seq.sh resume sees nothing and silently re-skips the query
+    echo "FAIL $q: spark exited rc=$rc after ${secs}s (see $OUT/lane_$q.log)" >> "$RES"
+    echo "verify rc=$rc for $q"; continue
+  fi
   cmp=$(compare_of "$q")
   echo "--- compare($cmp) $q launched bg after ${secs}s"
   ( python3 "tools/$cmp" "$SF" "$OUT" "$q" "$secs" >> "$RES" 2>&1 ) &
