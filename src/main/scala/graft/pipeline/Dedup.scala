@@ -917,7 +917,7 @@ object Dedup {
     * at or below it the flat N×k pass is already near the hierarchical
     * cost (k ≤ 64 ⇒ 2√k ≥ k/4) and exactness is free. The oracle
     * dispatches on the same k via two emptiness-gated SQL branches, so
-    * gate corpora exercise flat at sf0.01/sf0.1 (k = 4/20) and
+    * gate corpora exercise flat at sf0.01/sf0.1 (k = 4/8) and
     * hierarchical at sf1p/sf10p (k = 79/782). */
   private[graft] val d8FlatMaxK = 64L
 
