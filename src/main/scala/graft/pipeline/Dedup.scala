@@ -1118,6 +1118,124 @@ object Dedup {
     FROM a2 a LEFT JOIN losers l USING (vec_id)"""
   }
 
+  // ------------------------------------------------------------ d9 spans
+
+  /** Window width (tokens) for [[d9_dedup_spans]]. 8 tokens ≈ the
+    * shortest phrase worth calling a duplicated span on this corpus:
+    * at 5 the common-phrase noise floor kicks in (spans stop being
+    * 1-per-doc), at 12 nothing changes vs 8 — measured on the gate
+    * corpora before pinning. */
+  val d9WindowTokens = 8
+
+  /** Exact repeated-SPAN detection — the distributed equivalent of
+    * suffix-array substring dedup ("Deduplicating Training Data Makes
+    * Language Models Better", Lee et al. 2022): where d1 dedups whole
+    * documents and d2/d3/d4 score whole-document similarity, d9 finds
+    * the exact sub-document passages that recur across documents
+    * (boilerplate, licenses, quoted text) and reports each as a
+    * maximal token span.
+    *
+    * Plan, 100 TB-first:
+    *   1. explode each document into overlapping [[d9WindowTokens]]-token
+    *      windows (one `explode(transform(sequence(...)))` pass — rows
+    *      ∝ corpus token count, linear);
+    *   2. CANDIDATE pass: group by `xxhash64(window)` — the shuffle
+    *      carries an 8-byte key + doc_id, never the window text — and
+    *      keep hashes seen in ≥ 2 distinct docs;
+    *   3. CONFIRM pass: semi-join the windows to the candidate hashes
+    *      (AQE broadcasts the hash set when small) and re-group the
+    *      surviving few by the exact window STRING — so a 64-bit hash
+    *      collision can never fabricate a duplicate, yet full window
+    *      text only ever shuffles for the candidate subset;
+    *   4. merge adjacent duplicated positions per doc into maximal
+    *      spans (gaps-and-islands: `pos − row_number()` over the
+    *      per-doc position order — the window partition is per-doc,
+    *      so no skew at scale).
+    *
+    * Two scans of `documents` (steps 2 and 3 each consume the window
+    * explode once) beat caching the explode: at 100 TB the exploded
+    * frame is ~W× the corpus and the explode is all codegen. What IS
+    * persisted is the candidate subset (bounded by the corpus's
+    * duplicated-content volume), consumed by both the confirm group
+    * and the position join. Output: one row per maximal duplicated
+    * span — (doc_id, span_start, span_end, span_toks), token
+    * positions 1-based inclusive. */
+  def d9_dedup_spans(s: SparkSession, dir: String): DataFrame = {
+    val W = d9WindowTokens
+    def wins(withText: Boolean): DataFrame = {
+      val base = docs(s, dir)
+        .select(col("doc_id"), split(col("text"), " ").as("t"))
+        .where(size(col("t")) >= W)
+        .select(col("doc_id"), expr(
+          s"""explode(transform(sequence(1, size(t) - ${W - 1}),
+             |  i -> struct(i AS pos, array_join(slice(t, i, $W), ' ') AS win)))"""
+            .stripMargin).as("w"))
+      // pos cast to long: Spark's sequence() yields INT here but the
+      // oracle's range() yields BIGINT, and the gate compares schemas.
+      if (withText)
+        base.select(col("doc_id"), col("w.pos").cast("long").as("pos"),
+          xxhash64(col("w.win")).as("wh"), col("w.win").as("win"))
+      else
+        base.select(col("doc_id"), col("w.pos").cast("long").as("pos"),
+          xxhash64(col("w.win")).as("wh"))
+    }
+    // Candidate hashes: ≥ 2 distinct docs. Two-level group (wh, doc_id)
+    // then wh keeps the distinct-count a plain map-side-combinable agg.
+    val candH = wins(withText = false)
+      .select(col("wh"), col("doc_id")).distinct()
+      .groupBy(col("wh")).agg(count(lit(1)).as("nd"))
+      .where(col("nd") >= 2).select(col("wh"))
+    // The candidate frame is consumed twice (confirm + position join):
+    // persist it (d3's tagged-frame idiom, same cache + per-corpus
+    // eviction) or the WHOLE upstream — both corpus scans and the
+    // candidate shuffle — re-runs per consumer (4 corpus scans, the
+    // exact DAG-reuse trap round 10 removed from d3).
+    val cand0 = wins(withText = true).join(candH, Seq("wh"), "left_semi")
+    val cand = cand0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    Option(taggedCache.put(s"d9cand:$dir:${corpusStamp(s, dir, "documents")}", cand))
+      .foreach(_.unpersist(false))
+    // Exact confirm on the candidate subset: same STRING in ≥ 2 docs.
+    val dupWin = cand.select(col("win"), col("doc_id")).distinct()
+      .groupBy(col("win")).agg(count(lit(1)).as("nd"))
+      .where(col("nd") >= 2).select(col("win"))
+    val dupPos = cand.join(dupWin, Seq("win"), "left_semi")
+      .select(col("doc_id"), col("pos"))
+    val ord = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    dupPos
+      .withColumn("grp", col("pos") - row_number().over(ord))
+      .groupBy(col("doc_id"), col("grp"))
+      .agg(min(col("pos")).as("span_start"), max(col("pos")).as("last_w"))
+      .select(col("doc_id"), col("span_start"),
+        (col("last_w") + (W - 1)).as("span_end"),
+        (col("last_w") - col("span_start") + W).as("span_toks"))
+  }
+
+  /** The oracle needs no hash leg: DuckDB groups the window strings
+    * directly (single-node, exactness is free), which is by
+    * construction the same dup set the engine's candidate+confirm
+    * two-phase converges to. Scale-portable — no absolute thresholds. */
+  private val d9Sql = {
+    val W = d9WindowTokens
+    s"""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ), wins AS (
+      SELECT doc_id, i AS pos, array_to_string(t[i:i+${W - 1}], ' ') AS win
+      FROM toks, UNNEST(range(1, len(t) - $W + 2)) AS u(i)
+    ), dup AS (
+      SELECT win FROM wins GROUP BY win HAVING count(DISTINCT doc_id) >= 2
+    ), dw AS (
+      SELECT w.doc_id, w.pos FROM wins w JOIN dup d USING (win)
+    ), isl AS (
+      SELECT doc_id, pos,
+        pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+      FROM dw)
+    SELECT doc_id, min(pos) AS span_start,
+      max(pos) + ${W - 1} AS span_end,
+      max(pos) - min(pos) + $W AS span_toks
+    FROM isl GROUP BY doc_id, grp"""
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d1_dedup_exact" -> (d1_dedup_exact _),
     "d2_dedup_ngram" -> (d2_dedup_ngram _),
@@ -1126,7 +1244,8 @@ object Dedup {
     "d4_dedup_simhash" -> (d4_dedup_simhash _),
     "d5_dedup_embedding" -> (d5_dedup_embedding _),
     "d7_dedup_clusters" -> (d7_dedup_clusters _),
-    "d8_dedup_semantic" -> (d8_dedup_semantic _))
+    "d8_dedup_semantic" -> (d8_dedup_semantic _),
+    "d9_dedup_spans" -> (d9_dedup_spans _))
 
   val oracle: Map[String, String] = Map(
     "d1_dedup_exact" -> d1Sql,
@@ -1136,5 +1255,6 @@ object Dedup {
     "d4_dedup_simhash" -> d4Sql,
     "d5_dedup_embedding" -> d5Sql,
     "d7_dedup_clusters" -> d7Sql,
-    "d8_dedup_semantic" -> d8Sql)
+    "d8_dedup_semantic" -> d8Sql,
+    "d9_dedup_spans" -> d9Sql)
 }
