@@ -111,12 +111,22 @@ object Bench {
     // time — a broken query must not read as a speedup) and is
     // excluded from the total; `nfail` on the artifact makes the
     // breakage visible to the driver, not just stderr.
+    // SPARK_GRAFT_MAT=1 times full MATERIALIZATION (toRdd.count walks
+    // the physical plan's actual output rows) instead of df.count():
+    // Catalyst prunes columns — and can eliminate whole join/aggregate
+    // subtrees — under count, so count-time under-measures queries
+    // whose cost is in producing wide output (d10's text rebuild is
+    // count-eliminated entirely: unique-key left join, no referenced
+    // columns). The driver bench stays on count() for round-over-round
+    // comparability; MAT is the local fidelity probe.
+    val mat = sys.env.get("SPARK_GRAFT_MAT").contains("1")
     def timedPass(): Seq[(String, Double)] = {
       spark.catalog.clearCache()
       selected.map { case (name, fn) =>
         val t0 = System.nanoTime()
         try {
-          fn(spark, sfDir).count()
+          val df = fn(spark, sfDir)
+          if (mat) df.queryExecution.toRdd.count() else df.count()
           name -> (System.nanoTime() - t0) / 1e9
         } catch { case e: Throwable =>
           System.err.println(s"[bench] $name FAILED: ${e.getMessage}")

@@ -1162,6 +1162,22 @@ object Dedup {
     * positions 1-based inclusive. */
   def d9_dedup_spans(s: SparkSession, dir: String): DataFrame = {
     val W = d9WindowTokens
+    val (_, spans) = spanFrames(s, dir)
+    spans.select(col("doc_id"), col("span_start"),
+      (col("last_w") + (W - 1)).as("span_end"),
+      (col("last_w") - col("span_start") + W).as("span_toks"))
+  }
+
+  /** Shared d9/d10 machinery: (dupWin, spans).
+    *
+    * `dupWin` is one row per duplicated window STRING with its keeper
+    * (the minimum doc_id containing that exact string); `spans` is one
+    * row per maximal duplicated span — (doc_id, span_start, last_w)
+    * in window positions plus `headwin`, the exact window string at
+    * span_start, which is how d10 resolves a span to its keeper (the
+    * head window is duplicated by construction, so it always resolves). */
+  private def spanFrames(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val W = d9WindowTokens
     def wins(withText: Boolean): DataFrame = {
       val base = docs(s, dir)
         .select(col("doc_id"), split(col("text"), " ").as("t"))
@@ -1195,19 +1211,22 @@ object Dedup {
     Option(taggedCache.put(s"d9cand:$dir:${corpusStamp(s, dir, "documents")}", cand))
       .foreach(_.unpersist(false))
     // Exact confirm on the candidate subset: same STRING in ≥ 2 docs.
+    // min(doc_id) over the distinct (win, doc_id) frame doubles as the
+    // keeper for d10's apply step.
     val dupWin = cand.select(col("win"), col("doc_id")).distinct()
-      .groupBy(col("win")).agg(count(lit(1)).as("nd"))
-      .where(col("nd") >= 2).select(col("win"))
-    val dupPos = cand.join(dupWin, Seq("win"), "left_semi")
-      .select(col("doc_id"), col("pos"))
+      .groupBy(col("win"))
+      .agg(count(lit(1)).as("nd"), min(col("doc_id")).as("keeper"))
+      .where(col("nd") >= 2).select(col("win"), col("keeper"))
+    val dupPos = cand.join(dupWin.select("win"), Seq("win"), "left_semi")
+      .select(col("doc_id"), col("pos"), col("win"))
     val ord = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-    dupPos
+    val spans = dupPos
       .withColumn("grp", col("pos") - row_number().over(ord))
       .groupBy(col("doc_id"), col("grp"))
-      .agg(min(col("pos")).as("span_start"), max(col("pos")).as("last_w"))
-      .select(col("doc_id"), col("span_start"),
-        (col("last_w") + (W - 1)).as("span_end"),
-        (col("last_w") - col("span_start") + W).as("span_toks"))
+      .agg(min(col("pos")).as("span_start"), max(col("pos")).as("last_w"),
+        min_by(col("win"), col("pos")).as("headwin"))
+      .select(col("doc_id"), col("span_start"), col("last_w"), col("headwin"))
+    (dupWin, spans)
   }
 
   /** The oracle needs no hash leg: DuckDB groups the window strings
@@ -1236,6 +1255,96 @@ object Dedup {
     FROM isl GROUP BY doc_id, grp"""
   }
 
+  // ------------------------------------------------------------ d10 apply
+
+  /** Apply d9's span findings to the corpus — what Lee et al. 2022
+    * actually do to training data: every duplicated span is CUT from
+    * the text everywhere except one canonical copy. The keeper of a
+    * span is the minimum doc_id containing the span's head window
+    * (exact string — deterministic, resolvable from [[spanFrames]]'
+    * dupWin frame without another corpus pass); a doc can keep one of
+    * its spans and lose another.
+    *
+    * Rebuild is per-doc and linear: explode tokens with positions,
+    * anti-join the removed positions, re-assemble with an
+    * `array_sort(collect_list(struct(pos, tok)))` — per-doc state, no
+    * skew surface (docs are bounded). Single-space tokenization
+    * round-trips exactly (split/join preserve even empty tokens from
+    * consecutive spaces). Output: (doc_id, clean_text, n_removed) for
+    * EVERY doc — untouched docs pass through with n_removed = 0, a
+    * fully-duplicated non-keeper doc becomes the empty string. */
+  def d10_span_apply(s: SparkSession, dir: String): DataFrame = {
+    val W = d9WindowTokens
+    val (dupWin, spans) = spanFrames(s, dir)
+    val removed = spans
+      .join(dupWin.withColumnRenamed("win", "headwin"), Seq("headwin"))
+      .where(col("doc_id") =!= col("keeper"))
+      .select(col("doc_id"),
+        explode(expr(s"sequence(span_start, last_w + ${W - 1})")).as("pos"))
+    val toks = docs(s, dir)
+      .select(col("doc_id"), posexplode(split(col("text"), " ")))
+      .select(col("doc_id"), (col("pos") + 1).cast("long").as("pos"),
+        col("col").as("tok"))
+    val rebuilt = toks.join(removed, Seq("doc_id", "pos"), "left_anti")
+      .groupBy(col("doc_id"))
+      .agg(expr("array_join(transform(array_sort(collect_list(struct(pos, tok))), x -> x.tok), ' ')")
+          .as("clean_text"),
+        count(lit(1)).as("n_kept"))
+    docs(s, dir)
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n_toks"))
+      .join(rebuilt, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        (col("n_toks") - coalesce(col("n_kept"), lit(0L))).as("n_removed"))
+  }
+
+  /** Mirrors d10: same dup/keeper/span derivation as [[d9Sql]] plus
+    * `arg_min(win, pos)` for the head window and a
+    * `string_agg(... ORDER BY pos)` rebuild. The LEFT JOIN from
+    * `documents` keeps untouched and fully-cut docs in the output. */
+  private val d10Sql = {
+    val W = d9WindowTokens
+    s"""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ), wins AS (
+      SELECT doc_id, i AS pos, array_to_string(t[i:i+${W - 1}], ' ') AS win
+      FROM toks, UNNEST(range(1, len(t) - $W + 2)) AS u(i)
+    ), dup AS (
+      SELECT win, min(doc_id) AS keeper FROM wins
+      GROUP BY win HAVING count(DISTINCT doc_id) >= 2
+    ), dw AS (
+      SELECT w.doc_id, w.pos, w.win FROM wins w JOIN dup d USING (win)
+    ), isl AS (
+      SELECT doc_id, pos, win,
+        pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+      FROM dw
+    ), spans AS (
+      SELECT doc_id, min(pos) AS s, max(pos) + ${W - 1} AS e,
+        arg_min(win, pos) AS headwin
+      FROM isl GROUP BY doc_id, grp
+    ), removed AS (
+      SELECT sp.doc_id, u.p AS pos
+      FROM spans sp JOIN dup d ON sp.headwin = d.win AND sp.doc_id <> d.keeper,
+        UNNEST(range(sp.s, sp.e + 1)) AS u(p)
+    ), tok AS (
+      SELECT doc_id, i AS pos, t[i] AS tok
+      FROM toks, UNNEST(range(1, len(t) + 1)) AS u(i)
+    ), kept AS (
+      SELECT k.doc_id, k.pos, k.tok FROM tok k
+      LEFT JOIN removed r ON k.doc_id = r.doc_id AND k.pos = r.pos
+      WHERE r.doc_id IS NULL
+    ), rebuilt AS (
+      SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS clean_text,
+        count(*) AS n_kept
+      FROM kept GROUP BY doc_id)
+    SELECT d.doc_id, coalesce(r.clean_text, '') AS clean_text,
+      len(t.t) - coalesce(r.n_kept, 0) AS n_removed
+    FROM documents d
+    JOIN toks t ON d.doc_id = t.doc_id
+    LEFT JOIN rebuilt r ON d.doc_id = r.doc_id"""
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d1_dedup_exact" -> (d1_dedup_exact _),
     "d2_dedup_ngram" -> (d2_dedup_ngram _),
@@ -1245,7 +1354,8 @@ object Dedup {
     "d5_dedup_embedding" -> (d5_dedup_embedding _),
     "d7_dedup_clusters" -> (d7_dedup_clusters _),
     "d8_dedup_semantic" -> (d8_dedup_semantic _),
-    "d9_dedup_spans" -> (d9_dedup_spans _))
+    "d9_dedup_spans" -> (d9_dedup_spans _),
+    "d10_span_apply" -> (d10_span_apply _))
 
   val oracle: Map[String, String] = Map(
     "d1_dedup_exact" -> d1Sql,
@@ -1256,5 +1366,6 @@ object Dedup {
     "d5_dedup_embedding" -> d5Sql,
     "d7_dedup_clusters" -> d7Sql,
     "d8_dedup_semantic" -> d8Sql,
-    "d9_dedup_spans" -> d9Sql)
+    "d9_dedup_spans" -> d9Sql,
+    "d10_span_apply" -> d10Sql)
 }

@@ -13,16 +13,15 @@ import graft.pipeline.Dedup
   * structural invariants (spans disjoint and W-or-longer, every
   * window inside a span duplicated cross-doc, maximality at both
   * ends). Value equality vs the DuckDB oracle is the driver's gate. */
-class D9SpanSpec extends AnyFunSuite {
-  import TestSession._
-
-  private val W = Dedup.d9WindowTokens
-
+object D9SpanSpec {
   /** A corpus where the duplicated spans are known by construction:
     * docs 1 and 2 share a 12-token passage (one maximal span each,
     * at different offsets), doc 3 shares nothing long enough, and
-    * doc 4 repeats doc 1's passage so the span appears in 3 docs. */
-  private lazy val scriptedDir: String = {
+    * doc 4 repeats doc 1's passage so the span appears in 3 docs.
+    * Shared with D10SpanApplySpec (same corpus, apply side). */
+  @volatile private var cached: String = _
+  def scriptedDir(spark: org.apache.spark.sql.SparkSession): String = synchronized {
+    if (cached != null) return cached
     val dir = Files.createTempDirectory("d9spec").toFile
     dir.deleteOnExit()
     val shared = (1 to 12).map(i => s"common$i").mkString(" ")
@@ -35,8 +34,17 @@ class D9SpanSpec extends AnyFunSuite {
     rows.toDF("doc_id", "text", "lang", "source", "n_chars")
       .coalesce(1).write.mode("overwrite")
       .parquet(s"${dir.getAbsolutePath}/documents.parquet")
-    dir.getAbsolutePath
+    cached = dir.getAbsolutePath
+    cached
   }
+}
+
+class D9SpanSpec extends AnyFunSuite {
+  import TestSession._
+
+  private val W = Dedup.d9WindowTokens
+
+  private lazy val scriptedDir: String = D9SpanSpec.scriptedDir(spark)
 
   test("scripted corpus: exactly the constructed spans, token-exact") {
     val got = Dedup.d9_dedup_spans(spark, scriptedDir)
