@@ -1,0 +1,154 @@
+package graft.fuzz
+
+import scala.util.Random
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorOps
+import graft.operators.Tables
+import graft.pipeline.Dedup
+
+/** Randomized differential fuzz for the PIPELINE operator family —
+  * the analogue of [[SqlFuzz]] (relational surface) and [[ZarrFuzz]]
+  * (connector pushdowns) for the dedup/similarity operators: each
+  * seed draws an operator family, PARAMETERS (window width, duplicate
+  * threshold, cosine threshold, top-k), and a corpus SLICE (a SQL
+  * predicate applied identically on both engines), then runs the
+  * Spark implementation and renders the equivalent DuckDB oracle.
+  * The fixed gate proves each operator at ONE parameter point; this
+  * proves the parameter space — including both sides of dispatch
+  * boundaries the gate can only see one side of (d5's LSH-vs-tiled
+  * threshold at 0.8, sliced vs whole-corpus candidate sets).
+  *
+  * Families:
+  *  - `span_detect` — [[Dedup.spanDetect]], W ∈ 4..12, minDocs ∈ {2,3}
+  *  - `span_apply`  — [[Dedup.spanApply]], same space
+  *  - `exact_dedup` — [[Dedup.exactDedup]] over a slice
+  *  - `emb_pairs`   — [[Dedup.embeddingPairs]], θ drawn across BOTH
+  *    sides of [[Dedup.d5LshThreshold]] (exact tiled vs banded LSH)
+  *  - `ann_topk`    — brute-force cosine top-k, k/probes seeded
+  */
+object PipeFuzz {
+
+  /** Grammar version — stamped into the runner's fuzz_meta.json; bump
+    * on ANY change to [[gen]]'s distribution (seeds remap). */
+  val grammarVersion = 1
+
+  def name(seed: Long): String = f"pf_$seed%04d"
+
+  final case class Gen(family: String, tag: String,
+      fn: (SparkSession, String) => DataFrame, sql: String)
+
+  private val langs = Seq("en", "de", "fr", "es", "zh")
+
+  /** Doc-table slice predicates: none / language / doc_id residue.
+    * Plain `%` is exact here — datagen ids are non-negative (asserted
+    * by the gate corpora; negative ids would need pmod rendering). */
+  private def docSlice(r: Random): String = r.nextInt(10) match {
+    case 0 | 1 | 2 | 3 => ""
+    case 4 | 5 | 6     => s"lang = '${langs(r.nextInt(langs.size))}'"
+    case _ =>
+      val m = 2 + r.nextInt(3)
+      s"doc_id % $m = ${r.nextInt(m)}"
+  }
+
+  private def vecSlice(r: Random): String = r.nextInt(4) match {
+    case 0 | 1 => ""
+    case _ =>
+      val m = 2 + r.nextInt(3)
+      s"vec_id % $m = ${r.nextInt(m)}"
+  }
+
+  def gen(seed: Long): Gen = {
+    val r = new Random(seed * 0x9E3779B97F4A7C15L + 0x632BE59BD9B4E019L)
+    r.nextInt(); r.nextInt() // warm the LCG past the seed's low entropy
+    val roll = r.nextInt(100)
+    if (roll < 30) {
+      val where = docSlice(r)
+      // sliced corpora keep narrow windows so the family still yields
+      // spans (a slice breaks cross-doc pairs faster than it sheds docs)
+      val w = if (where.isEmpty) 4 + r.nextInt(9) else 4 + r.nextInt(3)
+      val minDocs = if (r.nextInt(4) == 0) 3 else 2
+      Gen("span_detect", s"w=$w md=$minDocs where=[$where]",
+        (s, dir) => Dedup.spanDetect(s, dir, w, minDocs, where),
+        Dedup.d9SqlFor(w, minDocs, where))
+    } else if (roll < 55) {
+      val where = docSlice(r)
+      val w = if (where.isEmpty) 4 + r.nextInt(9) else 4 + r.nextInt(3)
+      val minDocs = if (r.nextInt(4) == 0) 3 else 2
+      Gen("span_apply", s"w=$w md=$minDocs where=[$where]",
+        (s, dir) => Dedup.spanApply(s, dir, w, minDocs, where),
+        Dedup.d10SqlFor(w, minDocs, where))
+    } else if (roll < 70) {
+      val where = docSlice(r)
+      Gen("exact_dedup", s"where=[$where]",
+        (s, dir) => Dedup.exactDedup(s, dir, where),
+        Dedup.d1SqlFor(where))
+    } else if (roll < 90) {
+      // θ spans BOTH dispatch sides of d5LshThreshold (0.8): below →
+      // exact tiled all-pairs; at/above → banded hyperplane LSH
+      val thetas = Seq("0.3", "0.45", "0.6", "0.7", "0.75",
+        "0.82", "0.85", "0.9", "0.95")
+      val theta = thetas(r.nextInt(thetas.size))
+      val where = vecSlice(r)
+      val sqlWhere = if (where.isEmpty) "" else s" WHERE $where"
+      val dot = "list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))"
+      val sql = s"""
+        WITH e AS MATERIALIZED (
+          SELECT vec_id, embedding,
+            list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])) AS n2
+          FROM embeddings$sqlWhere)
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+          $dot / SQRT(a.n2 * b.n2) AS cosine
+        FROM e a JOIN e b ON a.vec_id < b.vec_id
+        WHERE $dot / SQRT(a.n2 * b.n2) >= $theta"""
+      Gen("emb_pairs", s"theta=$theta where=[$where]",
+        (s, dir) => {
+          val e = Tables.load(s, dir, "embeddings")
+          Dedup.embeddingPairs(if (where.isEmpty) e else e.where(where),
+            theta.toDouble)
+        }, sql)
+    } else {
+      val k = 3 + r.nextInt(8)
+      val p = 3 + r.nextInt(6)
+      val where0 = vecSlice(r)
+      val where =
+        if (where0.isEmpty) "embedding IS NOT NULL"
+        else s"embedding IS NOT NULL AND $where0"
+      val dotQC = "list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[]))"
+      val sql = s"""
+        WITH e AS (
+          SELECT vec_id, embedding,
+            list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])) AS n2
+          FROM embeddings WHERE $where),
+        pairs AS (
+          SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+            $dotQC / SQRT(q.n2 * c.n2) AS cosine
+          FROM e q JOIN e c ON q.vec_id <> c.vec_id
+          WHERE q.vec_id < $p)
+        SELECT query_id, vec_id, cosine, CAST(rk AS BIGINT) AS rk FROM (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+            ORDER BY cosine DESC, vec_id) AS rk FROM pairs) x
+        WHERE rk <= $k"""
+      Gen("ann_topk", s"k=$k p=$p where=[$where0]",
+        (s, dir) => {
+          val e = Tables.load(s, dir, "embeddings").where(where)
+            .select(col("vec_id"), col("embedding"),
+              VectorOps.norm2(col("embedding")).as("n2"))
+          val w = Window.partitionBy("query_id")
+            .orderBy(col("cosine").desc, col("vec_id"))
+          broadcast(e.filter(col("vec_id") < p)).as("q")
+            .join(e.as("c"), col("q.vec_id") =!= col("c.vec_id"))
+            .select(col("q.vec_id").as("query_id"),
+              col("c.vec_id").as("vec_id"),
+              VectorOps.cosineFrom(
+                VectorOps.dot(col("q.embedding"), col("c.embedding")),
+                col("q.n2"), col("c.n2")).as("cosine"))
+            .withColumn("rk", row_number().over(w).cast("long"))
+            .filter(col("rk") <= k)
+        }, sql)
+    }
+  }
+}

@@ -1,0 +1,93 @@
+package graft.fuzz
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.SparkSession
+
+/** Differential-fuzz dump for [[PipeFuzz]] — same output layout as
+  * [[graft.Verify]]/[[FuzzRun]], so `tools/compare.py <sfDir> <outDir>`
+  * hash-compares every seed against DuckDB unchanged.
+  *
+  * Exits nonzero when the seed range failed to exercise the space:
+  * any family unseen, either side of the d5 LSH/tiled dispatch
+  * unseen, or a family that only ever produced empty outputs (an
+  * all-empty family compares green vacuously — that's no coverage).
+  *
+  * Usage: graft.fuzz.PipeFuzzRun <sfDir> <outDir> [nSeeds] [seed0]
+  */
+object PipeFuzzRun {
+  def main(args: Array[String]): Unit = {
+    if (args.length < 2) {
+      System.err.println("usage: graft.fuzz.PipeFuzzRun <sfDir> <outDir> [nSeeds] [seed0]")
+      sys.exit(2)
+    }
+    val Array(sfDir, outDir) = args.take(2)
+    val nSeeds = if (args.length > 2) args(2).toInt else 250
+    val seed0 = if (args.length > 3) args(3).toLong else 0L
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    new java.io.File(outDir).mkdirs()
+    var failed = 0
+    val famCount = scala.collection.mutable.Map[String, Int]().withDefaultValue(0)
+    val famNonEmpty = scala.collection.mutable.Map[String, Int]().withDefaultValue(0)
+    var lshSide = 0
+    var tiledSide = 0
+    val sqls = (seed0 until seed0 + nSeeds).map { seed =>
+      val name = PipeFuzz.name(seed)
+      val g = PipeFuzz.gen(seed)
+      famCount(g.family) += 1
+      if (g.family == "emb_pairs") {
+        val theta = g.tag.split(" ").head.stripPrefix("theta=").toDouble
+        if (theta >= graft.pipeline.Dedup.d5LshThreshold) lshSide += 1
+        else tiledSide += 1
+      }
+      try {
+        val df = g.fn(spark, sfDir)
+        val n = df.count()
+        if (n > 0) famNonEmpty(g.family) += 1
+        df.write.mode("overwrite").parquet(s"$outDir/$name")
+      } catch { case e: Exception =>
+        failed += 1
+        System.err.println(s"[pipefuzz] $name (${g.family} ${g.tag}) FAILED on spark: ${e.getMessage}")
+      }
+      // clear persisted candidate frames between seeds: every span seed
+      // persists its own cand frame keyed by its parameters — 250 of
+      // them would pile up in the block store otherwise
+      spark.catalog.clearCache()
+      name -> g.sql
+    }
+    val json = sqls.map { case (n, s) =>
+      "\"" + n + "\": " + "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"")
+        .replace("\n", "\\n") + "\""
+    }.mkString("{", ",\n", "}")
+    Files.write(Paths.get(s"$outDir/oracle_sql.json"), json.getBytes("UTF-8"))
+    val famJson = famCount.toSeq.sortBy(_._1)
+      .map { case (f, c) => s""""$f": [$c, ${famNonEmpty(f)}]""" }
+      .mkString("{", ", ", "}")
+    Files.write(Paths.get(s"$outDir/fuzz_meta.json"),
+      (s"""{"grammar_version": ${PipeFuzz.grammarVersion}, "seed0": $seed0, """ +
+        s""""n_seeds": $nSeeds, "families_count_nonempty": $famJson, """ +
+        s""""lsh_side": $lshSide, "tiled_side": $tiledSide}""").getBytes("UTF-8"))
+    println(s"[pipefuzz] ${nSeeds - failed}/$nSeeds ran (grammar " +
+      s"v${PipeFuzz.grammarVersion}); families $famJson; " +
+      s"emb dispatch lsh=$lshSide tiled=$tiledSide; results in $outDir")
+    val families = Seq("span_detect", "span_apply", "exact_dedup", "emb_pairs", "ann_topk")
+    val missing = families.filter(famCount(_) == 0) ++
+      families.filter(f => famCount(f) > 0 && famNonEmpty(f) == 0).map(_ + ":all-empty")
+    val dispatchMiss = (if (lshSide == 0) Seq("lsh_side") else Nil) ++
+      (if (tiledSide == 0) Seq("tiled_side") else Nil)
+    spark.stop()
+    if (failed > 0 || missing.nonEmpty || dispatchMiss.nonEmpty) {
+      System.err.println(s"[pipefuzz] UNEXERCISED: ${(missing ++ dispatchMiss).mkString(", ")}; failed=$failed")
+      sys.exit(1)
+    }
+  }
+}

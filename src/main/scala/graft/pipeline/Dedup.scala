@@ -33,6 +33,12 @@ object Dedup {
 
   private def docs(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "documents")
+  /** `documents` under an optional SQL predicate — the SAME text the
+    * oracle renders into its WHERE clause (fuzz corpus slices). */
+  private def slicedDocs(s: SparkSession, dir: String, whereSql: String): DataFrame = {
+    val d = docs(s, dir)
+    if (whereSql.isEmpty) d else d.where(whereSql)
+  }
   private def emb(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "embeddings")
 
@@ -41,9 +47,15 @@ object Dedup {
   /** Exact dedup: group by content digest, keeper = min doc_id.
     * Partitioning by the fixed-width digest (not the full text) keeps
     * shuffle keys small at 100 TB scale. */
-  def d1_dedup_exact(s: SparkSession, dir: String): DataFrame = {
+  def d1_dedup_exact(s: SparkSession, dir: String): DataFrame =
+    exactDedup(s, dir, "")
+
+  /** Parametric exact dedup over a SQL-predicate corpus slice
+    * ([[d1_dedup_exact]] = no slice); fuzz entry point. */
+  private[graft] def exactDedup(s: SparkSession, dir: String,
+      whereSql: String): DataFrame = {
     val w = Window.partitionBy("text_hash")
-    docs(s, dir)
+    slicedDocs(s, dir, whereSql)
       .withColumn("text_hash", md5(col("text").cast("binary")))
       .select(col("doc_id"), col("text_hash"),
         min(col("doc_id")).over(w).as("keeper_id"),
@@ -51,12 +63,16 @@ object Dedup {
       .withColumn("is_dup", (col("doc_id") =!= col("keeper_id")).cast("int"))
   }
 
-  private val d1Sql = """
+  private[graft] def d1SqlFor(whereSql: String): String = {
+    val where = if (whereSql.isEmpty) "" else s" WHERE $whereSql"
+    s"""
     SELECT doc_id, md5(text) AS text_hash,
       MIN(doc_id) OVER (PARTITION BY md5(text)) AS keeper_id,
       COUNT(*) OVER (PARTITION BY md5(text)) AS n_copies,
       CAST(doc_id <> MIN(doc_id) OVER (PARTITION BY md5(text)) AS INT) AS is_dup
-    FROM documents"""
+    FROM documents$where"""
+  }
+  private val d1Sql = d1SqlFor("")
 
   // ------------------------------------------------------------ d2 n-gram
 
@@ -1160,12 +1176,20 @@ object Dedup {
     * and the position join. Output: one row per maximal duplicated
     * span — (doc_id, span_start, span_end, span_toks), token
     * positions 1-based inclusive. */
-  def d9_dedup_spans(s: SparkSession, dir: String): DataFrame = {
-    val W = d9WindowTokens
-    val (_, spans) = spanFrames(s, dir)
+  def d9_dedup_spans(s: SparkSession, dir: String): DataFrame =
+    spanDetect(s, dir, d9WindowTokens, 2, "")
+
+  /** Parametric span detection ([[d9_dedup_spans]] = the gate defaults).
+    * `whereSql` is a SQL predicate applied to `documents` BEFORE
+    * windowing — the same text works in both engines, which is what
+    * lets [[graft.fuzz.PipeFuzz]] drive seeded corpus slices
+    * differentially. */
+  private[graft] def spanDetect(s: SparkSession, dir: String, w: Int,
+      minDocs: Int, whereSql: String): DataFrame = {
+    val (_, spans) = spanFrames(s, dir, w, minDocs, whereSql)
     spans.select(col("doc_id"), col("span_start"),
-      (col("last_w") + (W - 1)).as("span_end"),
-      (col("last_w") - col("span_start") + W).as("span_toks"))
+      (col("last_w") + (w - 1)).as("span_end"),
+      (col("last_w") - col("span_start") + w).as("span_toks"))
   }
 
   /** Shared d9/d10 machinery: (dupWin, spans).
@@ -1176,10 +1200,10 @@ object Dedup {
     * in window positions plus `headwin`, the exact window string at
     * span_start, which is how d10 resolves a span to its keeper (the
     * head window is duplicated by construction, so it always resolves). */
-  private def spanFrames(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
-    val W = d9WindowTokens
+  private def spanFrames(s: SparkSession, dir: String, W: Int,
+      minDocs: Int, whereSql: String): (DataFrame, DataFrame) = {
     def wins(withText: Boolean): DataFrame = {
-      val base = docs(s, dir)
+      val base = slicedDocs(s, dir, whereSql)
         .select(col("doc_id"), split(col("text"), " ").as("t"))
         .where(size(col("t")) >= W)
         .select(col("doc_id"), expr(
@@ -1195,12 +1219,13 @@ object Dedup {
         base.select(col("doc_id"), col("w.pos").cast("long").as("pos"),
           xxhash64(col("w.win")).as("wh"))
     }
-    // Candidate hashes: ≥ 2 distinct docs. Two-level group (wh, doc_id)
-    // then wh keeps the distinct-count a plain map-side-combinable agg.
+    // Candidate hashes: ≥ minDocs distinct docs. Two-level group
+    // (wh, doc_id) then wh keeps the distinct-count a plain
+    // map-side-combinable agg.
     val candH = wins(withText = false)
       .select(col("wh"), col("doc_id")).distinct()
       .groupBy(col("wh")).agg(count(lit(1)).as("nd"))
-      .where(col("nd") >= 2).select(col("wh"))
+      .where(col("nd") >= minDocs).select(col("wh"))
     // The candidate frame is consumed twice (confirm + position join):
     // persist it (d3's tagged-frame idiom, same cache + per-corpus
     // eviction) or the WHOLE upstream — both corpus scans and the
@@ -1208,15 +1233,17 @@ object Dedup {
     // exact DAG-reuse trap round 10 removed from d3).
     val cand0 = wins(withText = true).join(candH, Seq("wh"), "left_semi")
     val cand = cand0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    Option(taggedCache.put(s"d9cand:$dir:${corpusStamp(s, dir, "documents")}", cand))
+    Option(taggedCache.put(
+        s"d9cand:$dir:$W:$minDocs:$whereSql:${corpusStamp(s, dir, "documents")}",
+        cand))
       .foreach(_.unpersist(false))
-    // Exact confirm on the candidate subset: same STRING in ≥ 2 docs.
-    // min(doc_id) over the distinct (win, doc_id) frame doubles as the
-    // keeper for d10's apply step.
+    // Exact confirm on the candidate subset: same STRING in ≥ minDocs
+    // docs. min(doc_id) over the distinct (win, doc_id) frame doubles
+    // as the keeper for d10's apply step.
     val dupWin = cand.select(col("win"), col("doc_id")).distinct()
       .groupBy(col("win"))
       .agg(count(lit(1)).as("nd"), min(col("doc_id")).as("keeper"))
-      .where(col("nd") >= 2).select(col("win"), col("keeper"))
+      .where(col("nd") >= minDocs).select(col("win"), col("keeper"))
     val dupPos = cand.join(dupWin.select("win"), Seq("win"), "left_semi")
       .select(col("doc_id"), col("pos"), col("win"))
     val ord = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
@@ -1232,17 +1259,19 @@ object Dedup {
   /** The oracle needs no hash leg: DuckDB groups the window strings
     * directly (single-node, exactness is free), which is by
     * construction the same dup set the engine's candidate+confirm
-    * two-phase converges to. Scale-portable — no absolute thresholds. */
-  private val d9Sql = {
-    val W = d9WindowTokens
+    * two-phase converges to. Scale-portable — no absolute thresholds.
+    * Parametric for the same (W, minDocs, whereSql) space as
+    * [[spanDetect]]; the gate's d9 uses the defaults. */
+  private[graft] def d9SqlFor(W: Int, minDocs: Int, whereSql: String): String = {
+    val where = if (whereSql.isEmpty) "" else s" WHERE $whereSql"
     s"""
     WITH toks AS (
-      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents$where
     ), wins AS (
       SELECT doc_id, i AS pos, array_to_string(t[i:i+${W - 1}], ' ') AS win
       FROM toks, UNNEST(range(1, len(t) - $W + 2)) AS u(i)
     ), dup AS (
-      SELECT win FROM wins GROUP BY win HAVING count(DISTINCT doc_id) >= 2
+      SELECT win FROM wins GROUP BY win HAVING count(DISTINCT doc_id) >= $minDocs
     ), dw AS (
       SELECT w.doc_id, w.pos FROM wins w JOIN dup d USING (win)
     ), isl AS (
@@ -1254,6 +1283,7 @@ object Dedup {
       max(pos) - min(pos) + $W AS span_toks
     FROM isl GROUP BY doc_id, grp"""
   }
+  private val d9Sql = d9SqlFor(d9WindowTokens, 2, "")
 
   // ------------------------------------------------------------ d10 apply
 
@@ -1273,15 +1303,20 @@ object Dedup {
     * consecutive spaces). Output: (doc_id, clean_text, n_removed) for
     * EVERY doc — untouched docs pass through with n_removed = 0, a
     * fully-duplicated non-keeper doc becomes the empty string. */
-  def d10_span_apply(s: SparkSession, dir: String): DataFrame = {
-    val W = d9WindowTokens
-    val (dupWin, spans) = spanFrames(s, dir)
+  def d10_span_apply(s: SparkSession, dir: String): DataFrame =
+    spanApply(s, dir, d9WindowTokens, 2, "")
+
+  /** Parametric span apply ([[d10_span_apply]] = the gate defaults);
+    * same (W, minDocs, whereSql) space as [[spanDetect]]. */
+  private[graft] def spanApply(s: SparkSession, dir: String, w: Int,
+      minDocs: Int, whereSql: String): DataFrame = {
+    val (dupWin, spans) = spanFrames(s, dir, w, minDocs, whereSql)
     val removed = spans
       .join(dupWin.withColumnRenamed("win", "headwin"), Seq("headwin"))
       .where(col("doc_id") =!= col("keeper"))
       .select(col("doc_id"),
-        explode(expr(s"sequence(span_start, last_w + ${W - 1})")).as("pos"))
-    val toks = docs(s, dir)
+        explode(expr(s"sequence(span_start, last_w + ${w - 1})")).as("pos"))
+    val toks = slicedDocs(s, dir, whereSql)
       .select(col("doc_id"), posexplode(split(col("text"), " ")))
       .select(col("doc_id"), (col("pos") + 1).cast("long").as("pos"),
         col("col").as("tok"))
@@ -1290,7 +1325,7 @@ object Dedup {
       .agg(expr("array_join(transform(array_sort(collect_list(struct(pos, tok))), x -> x.tok), ' ')")
           .as("clean_text"),
         count(lit(1)).as("n_kept"))
-    docs(s, dir)
+    slicedDocs(s, dir, whereSql)
       .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n_toks"))
       .join(rebuilt, Seq("doc_id"), "left")
       .select(col("doc_id"),
@@ -1302,17 +1337,17 @@ object Dedup {
     * `arg_min(win, pos)` for the head window and a
     * `string_agg(... ORDER BY pos)` rebuild. The LEFT JOIN from
     * `documents` keeps untouched and fully-cut docs in the output. */
-  private val d10Sql = {
-    val W = d9WindowTokens
+  private[graft] def d10SqlFor(W: Int, minDocs: Int, whereSql: String): String = {
+    val where = if (whereSql.isEmpty) "" else s" WHERE $whereSql"
     s"""
     WITH toks AS (
-      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents$where
     ), wins AS (
       SELECT doc_id, i AS pos, array_to_string(t[i:i+${W - 1}], ' ') AS win
       FROM toks, UNNEST(range(1, len(t) - $W + 2)) AS u(i)
     ), dup AS (
       SELECT win, min(doc_id) AS keeper FROM wins
-      GROUP BY win HAVING count(DISTINCT doc_id) >= 2
+      GROUP BY win HAVING count(DISTINCT doc_id) >= $minDocs
     ), dw AS (
       SELECT w.doc_id, w.pos, w.win FROM wins w JOIN dup d USING (win)
     ), isl AS (
@@ -1344,6 +1379,7 @@ object Dedup {
     JOIN toks t ON d.doc_id = t.doc_id
     LEFT JOIN rebuilt r ON d.doc_id = r.doc_id"""
   }
+  private val d10Sql = d10SqlFor(d9WindowTokens, 2, "")
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d1_dedup_exact" -> (d1_dedup_exact _),
