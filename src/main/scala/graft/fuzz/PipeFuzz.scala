@@ -29,12 +29,17 @@ import graft.pipeline.Dedup
   *  - `emb_pairs`   — [[Dedup.embeddingPairs]], θ drawn across BOTH
   *    sides of [[Dedup.d5LshThreshold]] (exact tiled vs banded LSH)
   *  - `ann_topk`    — brute-force cosine top-k, k/probes seeded
+  *  - `ngram_pairs` — [[Dedup.ngramPairs]], df cut (maxDf, dfShare)
+  *    and Jaccard θ seeded: varying dfShare swings rare-gram density,
+  *    exercising the window-DF cut and the bucketPairs dispatch the
+  *    gate sees at one density only
   */
 object PipeFuzz {
 
   /** Grammar version — stamped into the runner's fuzz_meta.json; bump
-    * on ANY change to [[gen]]'s distribution (seeds remap). */
-  val grammarVersion = 1
+    * on ANY change to [[gen]]'s distribution (seeds remap).
+    * v2: ngram_pairs family added. */
+  val grammarVersion = 2
 
   def name(seed: Long): String = f"pf_$seed%04d"
 
@@ -65,7 +70,7 @@ object PipeFuzz {
     val r = new Random(seed * 0x9E3779B97F4A7C15L + 0x632BE59BD9B4E019L)
     r.nextInt(); r.nextInt() // warm the LCG past the seed's low entropy
     val roll = r.nextInt(100)
-    if (roll < 30) {
+    if (roll < 25) {
       val where = docSlice(r)
       // sliced corpora keep narrow windows so the family still yields
       // spans (a slice breaks cross-doc pairs faster than it sheds docs)
@@ -74,19 +79,27 @@ object PipeFuzz {
       Gen("span_detect", s"w=$w md=$minDocs where=[$where]",
         (s, dir) => Dedup.spanDetect(s, dir, w, minDocs, where),
         Dedup.d9SqlFor(w, minDocs, where))
-    } else if (roll < 55) {
+    } else if (roll < 45) {
       val where = docSlice(r)
       val w = if (where.isEmpty) 4 + r.nextInt(9) else 4 + r.nextInt(3)
       val minDocs = if (r.nextInt(4) == 0) 3 else 2
       Gen("span_apply", s"w=$w md=$minDocs where=[$where]",
         (s, dir) => Dedup.spanApply(s, dir, w, minDocs, where),
         Dedup.d10SqlFor(w, minDocs, where))
-    } else if (roll < 70) {
+    } else if (roll < 57) {
       val where = docSlice(r)
       Gen("exact_dedup", s"where=[$where]",
         (s, dir) => Dedup.exactDedup(s, dir, where),
         Dedup.d1SqlFor(where))
-    } else if (roll < 90) {
+    } else if (roll < 69) {
+      val maxDf = Seq(10L, 25L, 50L)(r.nextInt(3))
+      val dfShare = Seq(100L, 250L, 500L, 1000L)(r.nextInt(4))
+      val theta = Seq("0.3", "0.5", "0.7")(r.nextInt(3))
+      val where = docSlice(r)
+      Gen("ngram_pairs", s"maxDf=$maxDf share=$dfShare theta=$theta where=[$where]",
+        (s, dir) => Dedup.ngramPairs(s, dir, maxDf, dfShare, theta, where),
+        Dedup.d2SqlFor(maxDf, dfShare, theta, where))
+    } else if (roll < 89) {
       // θ spans BOTH dispatch sides of d5LshThreshold (0.8): below →
       // exact tiled all-pairs; at/above → banded hyperplane LSH
       val thetas = Seq("0.3", "0.45", "0.6", "0.7", "0.75",

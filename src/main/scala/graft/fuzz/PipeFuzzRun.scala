@@ -79,7 +79,8 @@ object PipeFuzzRun {
     println(s"[pipefuzz] ${nSeeds - failed}/$nSeeds ran (grammar " +
       s"v${PipeFuzz.grammarVersion}); families $famJson; " +
       s"emb dispatch lsh=$lshSide tiled=$tiledSide; results in $outDir")
-    val families = Seq("span_detect", "span_apply", "exact_dedup", "emb_pairs", "ann_topk")
+    val families = Seq("span_detect", "span_apply", "exact_dedup",
+      "ngram_pairs", "emb_pairs", "ann_topk")
     val missing = families.filter(famCount(_) == 0) ++
       families.filter(f => famCount(f) > 0 && famNonEmpty(f) == 0).map(_ + ":all-empty")
     val dispatchMiss = (if (lshSide == 0) Seq("lsh_side") else Nil) ++

@@ -102,13 +102,22 @@ object Dedup {
     * pairs share most of their rare grams; unrelated docs share only
     * common vocabulary grams, which the df cut removes. See
     * [[d2MaxDf]]/[[d2DfShare]] for the cut's scale story. */
-  def d2_dedup_ngram(s: SparkSession, dir: String): DataFrame = {
-    val g = TextAnalysis.gramCodes(docs(s, dir))
-    // EXACT integer division (count div 500): a double multiply would
-    // truncate in Spark but ROUND in DuckDB's decimal-to-bigint cast —
-    // the two engines would disagree on boundary counts
-    val nDocs = docs(s, dir).select(
-      greatest(lit(d2MaxDf), expr(s"count(1) div $d2DfShare")).as("cut"))
+  def d2_dedup_ngram(s: SparkSession, dir: String): DataFrame =
+    ngramPairs(s, dir, d2MaxDf, d2DfShare, "0.5", "")
+
+  /** Parametric rare-gram Jaccard pairs ([[d2_dedup_ngram]] = the gate
+    * defaults): df cut = max(maxDf, N div dfShare), Jaccard ≥ theta
+    * (passed as a literal string so both engines parse the same
+    * decimal), corpus under `whereSql`. Fuzz entry point — varying
+    * dfShare swings rare-set density across the bucketPairs dispatch. */
+  private[graft] def ngramPairs(s: SparkSession, dir: String, maxDf: Long,
+      dfShare: Long, theta: String, whereSql: String): DataFrame = {
+    val g = TextAnalysis.gramCodes(slicedDocs(s, dir, whereSql))
+    // EXACT integer division (count div dfShare): a double multiply
+    // would truncate in Spark but ROUND in DuckDB's decimal-to-bigint
+    // cast — the two engines would disagree on boundary counts
+    val nDocs = slicedDocs(s, dir, whereSql).select(
+      greatest(lit(maxDf), expr(s"count(1) div $dfShare")).as("cut"))
     // Document frequency as ONE window over the cached gram table
     // (one exchange by code + sort) instead of groupBy-then-join-back
     // (two exchanges of the full gram table + SMJ sorts) — identical
@@ -130,14 +139,14 @@ object Dedup {
     // needed here because the scale-relative cut lets bucket width
     // grow ∝ N instead of being constant-capped.
     val common = bucketPairs(rare, Seq("code"), "doc_id", d3ChunkSize,
-        s"d2:$dir:${corpusStamp(s, dir, "documents")}")
+        s"d2:$dir:$maxDf:$dfShare:$whereSql:${corpusStamp(s, dir, "documents")}")
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("common"))
     common
       .join(sizes.select(col("doc_id").as("doc_a"), col("sz").as("na")), "doc_a")
       .join(sizes.select(col("doc_id").as("doc_b"), col("sz").as("nb")), "doc_b")
       .withColumn("jaccard", col("common") / (col("na") + col("nb") - col("common")))
-      .filter(col("jaccard") >= 0.5)
+      .filter(col("jaccard") >= expr(theta))
       .select("doc_a", "doc_b", "common", "na", "nb", "jaccard")
       // the pair set is orders of magnitude smaller than the corpus but
       // its plan is the whole multi-shuffle pipeline above; persist so
@@ -156,9 +165,12 @@ object Dedup {
   // big SF (rounds 7–10), ruinous now that the scale-relative cut
   // keeps it populated (the sf10p rare set is ~69k rows from a 1G
   // char explode).
-  private val d2Sql = s"""
-    WITH g AS MATERIALIZED (${TextAnalysis.gramSql}),
-    cutoff AS (SELECT GREATEST($d2MaxDf, COUNT(*) // $d2DfShare) AS cut FROM documents),
+  private[graft] def d2SqlFor(maxDf: Long, dfShare: Long, theta: String,
+      whereSql: String): String = {
+    val docWhere = if (whereSql.isEmpty) "" else s" WHERE $whereSql"
+    s"""
+    WITH g AS MATERIALIZED (${TextAnalysis.gramSqlFor(whereSql)}),
+    cutoff AS (SELECT GREATEST($maxDf, COUNT(*) // $dfShare) AS cut FROM documents$docWhere),
     rare AS MATERIALIZED (
       SELECT g.doc_id, g.code FROM g
       JOIN (SELECT code, COUNT(*) AS df FROM g GROUP BY code) d ON g.code = d.code
@@ -173,7 +185,9 @@ object Dedup {
     FROM common
     JOIN sizes sa ON sa.doc_id = doc_a
     JOIN sizes sb ON sb.doc_id = doc_b
-    WHERE common / (sa.sz + sb.sz - common) >= 0.5"""
+    WHERE common / (sa.sz + sb.sz - common) >= $theta"""
+  }
+  private val d2Sql = d2SqlFor(d2MaxDf, d2DfShare, "0.5", "")
 
   /** Apply the dedup decision: drop every document that loses a
     * near-dup pairing (doc_b of a Jaccard ≥ 0.5 pair — the keeper is

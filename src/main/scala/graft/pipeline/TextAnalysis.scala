@@ -153,10 +153,16 @@ object TextAnalysis {
   /** Shared oracle fragment mirroring [[gramCodes]]. DuckDB's `range`
     * table function rejects lateral column args; scalar `range()`
     * returns a list, which UNNEST explodes. */
-  private[pipeline] val gramSql =
+  private[pipeline] val gramSql = gramSqlFor("")
+
+  /** [[gramSql]] under an optional extra documents predicate (fuzz
+    * corpus slices — the predicate text is shared with the engine). */
+  private[pipeline] def gramSqlFor(whereSql: String): String = {
+    val extra = if (whereSql.isEmpty) "" else s" AND ($whereSql)"
     s"""SELECT DISTINCT doc_id, ${gramCode("substring(text, i, 5)")} AS code
         FROM (SELECT doc_id, text, UNNEST(range(1, length(text) - 3)) AS i
-              FROM documents WHERE length(text) >= 5) src"""
+              FROM documents WHERE length(text) >= 5$extra) src"""
+  }
 
   /** Document fingerprinting: the 4 smallest permutation-hashes of the
     * document's distinct 5-gram codes (a min-k sketch / winnowing-style
