@@ -33,13 +33,18 @@ import graft.pipeline.Dedup
   *    and Jaccard θ seeded: varying dfShare swings rare-gram density,
   *    exercising the window-DF cut and the bucketPairs dispatch the
   *    gate sees at one density only
+  *  - `minhash_pairs` — [[Dedup.minhashPairs]], signature-agreement
+  *    θ ∈ {0.5, 0.75, 1.0} over slices (bands/perms fixed: they
+  *    define the sketch)
+  *  - `simhash_pairs` — [[Dedup.simhashPairs]], Hamming cut ∈ {1,2,3}
+  *    (≤ 3 by the 4-band pigeonhole bound) over slices
   */
 object PipeFuzz {
 
   /** Grammar version — stamped into the runner's fuzz_meta.json; bump
     * on ANY change to [[gen]]'s distribution (seeds remap).
-    * v2: ngram_pairs family added. */
-  val grammarVersion = 2
+    * v2: ngram_pairs family added. v3: minhash_pairs + simhash_pairs. */
+  val grammarVersion = 3
 
   def name(seed: Long): String = f"pf_$seed%04d"
 
@@ -91,7 +96,7 @@ object PipeFuzz {
       Gen("exact_dedup", s"where=[$where]",
         (s, dir) => Dedup.exactDedup(s, dir, where),
         Dedup.d1SqlFor(where))
-    } else if (roll < 69) {
+    } else if (roll < 67) {
       val maxDf = Seq(10L, 25L, 50L)(r.nextInt(3))
       val dfShare = Seq(100L, 250L, 500L, 1000L)(r.nextInt(4))
       val theta = Seq("0.3", "0.5", "0.7")(r.nextInt(3))
@@ -99,7 +104,19 @@ object PipeFuzz {
       Gen("ngram_pairs", s"maxDf=$maxDf share=$dfShare theta=$theta where=[$where]",
         (s, dir) => Dedup.ngramPairs(s, dir, maxDf, dfShare, theta, where),
         Dedup.d2SqlFor(maxDf, dfShare, theta, where))
-    } else if (roll < 89) {
+    } else if (roll < 75) {
+      val theta = Seq("0.5", "0.75", "1.0")(r.nextInt(3))
+      val where = docSlice(r)
+      Gen("minhash_pairs", s"theta=$theta where=[$where]",
+        (s, dir) => Dedup.minhashPairs(s, dir, theta, where),
+        Dedup.d3SqlFor(theta, where))
+    } else if (roll < 83) {
+      val maxH = 1 + r.nextInt(3)
+      val where = docSlice(r)
+      Gen("simhash_pairs", s"maxH=$maxH where=[$where]",
+        (s, dir) => Dedup.simhashPairs(s, dir, maxH, where),
+        Dedup.d4SqlFor(maxH, where))
+    } else if (roll < 93) {
       // θ spans BOTH dispatch sides of d5LshThreshold (0.8): below →
       // exact tiled all-pairs; at/above → banded hyperplane LSH
       val thetas = Seq("0.3", "0.45", "0.6", "0.7", "0.75",

@@ -80,7 +80,7 @@ object PipeFuzzRun {
       s"v${PipeFuzz.grammarVersion}); families $famJson; " +
       s"emb dispatch lsh=$lshSide tiled=$tiledSide; results in $outDir")
     val families = Seq("span_detect", "span_apply", "exact_dedup",
-      "ngram_pairs", "emb_pairs", "ann_topk")
+      "ngram_pairs", "minhash_pairs", "simhash_pairs", "emb_pairs", "ann_topk")
     val missing = families.filter(famCount(_) == 0) ++
       families.filter(f => famCount(f) > 0 && famNonEmpty(f) == 0).map(_ + ":all-empty")
     val dispatchMiss = (if (lshSide == 0) Seq("lsh_side") else Nil) ++

@@ -365,8 +365,17 @@ object Dedup {
     * Output-identical to the candidates-then-verify formulation (the
     * DuckDB oracle keeps that shape): est_jaccard is a pure function
     * of the pair, so filter-then-distinct ≡ distinct-then-filter. */
-  def d3_dedup_minhash(s: SparkSession, dir: String): DataFrame = {
-    val g = TextAnalysis.gramCodes(docs(s, dir))
+  def d3_dedup_minhash(s: SparkSession, dir: String): DataFrame =
+    minhashPairs(s, dir, "0.75", "")
+
+  /** Parametric MinHash pairs ([[d3_dedup_minhash]] = the gate
+    * defaults): signature agreement ≥ theta (literal string, parsed
+    * identically by both engines) over a corpus slice. Bands/perms
+    * stay fixed — they define the sketch; the agreement cut and the
+    * corpus are the run-time knobs a user would turn. */
+  private[graft] def minhashPairs(s: SparkSession, dir: String,
+      theta: String, whereSql: String): DataFrame = {
+    val g = TextAnalysis.gramCodes(slicedDocs(s, dir, whereSql))
     val sig = g.groupBy("doc_id").agg(
       min(expr(permHash(1, "code"))).as("m1"),
       (2 to nPerm).map(j => min(expr(permHash(j, "code"))).as(s"m$j")): _*)
@@ -389,10 +398,10 @@ object Dedup {
       .map(j => when(col(s"a.m$j") === col(s"b.m$j"), 1).otherwise(0))
       .reduce(_ + _).cast("double") / nPerm
     bucketPairs(bands, Seq("band", "h1", "h2", "h3", "h4"), "doc_id",
-        d3ChunkSize, s"d3:$dir:${corpusStamp(s, dir, "documents")}")
+        d3ChunkSize, s"d3:$dir:$whereSql:${corpusStamp(s, dir, "documents")}")
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
         agree.as("est_jaccard"))
-      .filter(col("est_jaccard") >= 0.75)
+      .filter(col("est_jaccard") >= expr(theta))
       .distinct()
   }
 
@@ -412,14 +421,14 @@ object Dedup {
     .map(j => s"CASE WHEN a.m$j = b.m$j THEN 1 ELSE 0 END")
     .mkString("(", " + ", s") / ${nPerm}.0")
 
-  private val d3Ctes = {
+  private[graft] def d3CtesFor(theta: String, whereSql: String): String = {
     val mins = (1 to nPerm).map(j => s"MIN(${permHash(j, "code")}) AS m$j").mkString(", ")
     val sigCols = (1 to nPerm).map(j => s"m$j").mkString(", ")
     val bandSelects = (0 until nBands).map { b =>
       s"SELECT doc_id, $sigCols, $b AS band, m${bandRows * b + 1} AS h1, m${bandRows * b + 2} AS h2, " +
         s"m${bandRows * b + 3} AS h3, m${bandRows * b + 4} AS h4 FROM sig"
     }.mkString(" UNION ALL ")
-    s"""g AS (${TextAnalysis.gramSql}),
+    s"""g AS (${TextAnalysis.gramSqlFor(whereSql)}),
     sig AS MATERIALIZED (SELECT doc_id, $mins FROM g GROUP BY doc_id),
     bands AS MATERIALIZED ($bandSelects),
     cand AS (
@@ -428,14 +437,17 @@ object Dedup {
       FROM bands a JOIN bands b
         ON a.band = b.band AND a.h1 = b.h1 AND a.h2 = b.h2
         AND a.h3 = b.h3 AND a.h4 = b.h4 AND a.doc_id < b.doc_id
-      WHERE $d3Agree >= 0.75)"""
+      WHERE $d3Agree >= $theta)"""
   }
+  private val d3Ctes = d3CtesFor("0.75", "")
 
   private val d3Final = s"""
     SELECT doc_a, doc_b, est_jaccard
     FROM cand"""
 
   private val d3Sql = s"WITH $d3Ctes $d3Final"
+  private[graft] def d3SqlFor(theta: String, whereSql: String): String =
+    s"WITH ${d3CtesFor(theta, whereSql)} $d3Final"
 
   // ------------------------------------------------------------ d4 SimHash
 
@@ -458,8 +470,19 @@ object Dedup {
     * buckets wider than [[d4ChunkSize]] tile into bounded tasks keyed
     * by (bucket, ca, cb). Gate-scale corpora (≤ sf1p: widest d4
     * bucket ~3k) stay on the plain memoized path. */
-  def d4_dedup_simhash(s: SparkSession, dir: String): DataFrame = {
-    val g = TextAnalysis.gramCodes(docs(s, dir))
+  def d4_dedup_simhash(s: SparkSession, dir: String): DataFrame =
+    simhashPairs(s, dir, 3, "")
+
+  /** Parametric SimHash pairs ([[d4_dedup_simhash]] = the gate
+    * defaults). `maxHamming` MUST stay ≤ 3: the banded candidate
+    * route (engine AND oracle) is only exhaustive while the cut is
+    * below the band count (pigeonhole over 4 disjoint bands) — the
+    * fuzz draws from {1,2,3}, and anything larger is refused loudly
+    * rather than silently under-producing. */
+  private[graft] def simhashPairs(s: SparkSession, dir: String,
+      maxHamming: Int, whereSql: String): DataFrame = {
+    require(maxHamming <= 3, s"banded candidates are only exhaustive for hamming <= 3, got $maxHamming")
+    val g = TextAnalysis.gramCodes(slicedDocs(s, dir, whereSql))
       .select(col("doc_id"), expr(mix("code")).as("h"))
     val bitSums = g.groupBy("doc_id").agg(
       sum(expr(s"CASE WHEN (shiftright(h, 0) & 1) = 1 THEN 1 ELSE -1 END")).as("s0"),
@@ -481,10 +504,10 @@ object Dedup {
       .select(col("doc_id"), col("simhash"),
         col("bb.band").as("band"), col("bb.bh").as("bh"))
     bucketPairs(banded, Seq("band", "bh"), "doc_id", d4ChunkSize,
-        s"d4:$dir:${corpusStamp(s, dir, "documents")}")
+        s"d4:$dir:$whereSql:${corpusStamp(s, dir, "documents")}")
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
         expr("bit_count(a.simhash ^ b.simhash)").cast("long").as("hamming"))
-      .filter(col("hamming") <= 3)
+      .filter(col("hamming") <= maxHamming)
       .distinct()
   }
 
@@ -504,7 +527,8 @@ object Dedup {
     * N²/2 popcounts — 1.25e11 at 100× gate scale, days in DuckDB —
     * while the band join is N²/(2·#buckets) ≈ 6e9. Verified
     * hash-identical to the cross-join form at sf0.01 and sf0.1. */
-  private val d4Sql = {
+  private[graft] def d4SqlFor(maxHamming: Int, whereSql: String): String = {
+    require(maxHamming <= 3, s"banded candidates are only exhaustive for hamming <= 3, got $maxHamming")
     val sums = (0 until simBits).map(k =>
       s"SUM(CASE WHEN (h >> $k) & 1 = 1 THEN 1 ELSE -1 END) AS s$k").mkString(", ")
     val bits = (0 until simBits).map(k =>
@@ -514,7 +538,7 @@ object Dedup {
       s"SELECT doc_id, simhash, $b AS band, (simhash >> $off) & ${(1 << len) - 1} AS bh FROM sk"
     }.mkString(" UNION ALL ")
     s"""
-    WITH g AS (${TextAnalysis.gramSql}),
+    WITH g AS (${TextAnalysis.gramSqlFor(whereSql)}),
     hh AS (SELECT doc_id, ${mix("code")} AS h FROM g),
     bs AS (SELECT doc_id, $sums FROM hh GROUP BY doc_id),
     sk AS MATERIALIZED (SELECT doc_id, $bits AS simhash FROM bs),
@@ -523,8 +547,9 @@ object Dedup {
       CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
     FROM bands a JOIN bands b
       ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
-    WHERE bit_count(xor(a.simhash, b.simhash)) <= 3"""
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= $maxHamming"""
   }
+  private val d4Sql = d4SqlFor(3, "")
 
   // ------------------------------------------------------ d5 embedding
 
