@@ -187,11 +187,18 @@ object Bench {
     * round being judged; running it here — inside the driver's own
     * bench invocation, from the just-written BENCH_DETAIL.json — puts
     * the current round's numbers in the table the moment they exist.
-    * Only full-suite sf0.1 runs regenerate (the trend's sf group);
-    * targeted SPARK_GRAFT_ONLY probes and scale runs leave it alone. */
+    * Only full-suite COUNT-MODE sf0.1 runs regenerate (the trend's sf
+    * group): targeted SPARK_GRAFT_ONLY probes, scale runs, and
+    * SPARK_GRAFT_MAT=1 materialization probes leave it alone — MAT
+    * times are systematically slower than count times, so a MAT
+    * column would flag spurious regressions against every count
+    * column. The script writes to a temp file and only replaces
+    * BENCH_TREND.md on exit 0 — a corrupt BENCH_r*.json (killed
+    * earlier bench) must not truncate the tracked trend history. */
   private def regenTrend(sfDir: String, only: Option[Seq[String]]): Unit =
     try {
       val full = only.isEmpty && sfDir.matches(".*sf0?\\.1/?$") &&
+        !sys.env.get("SPARK_GRAFT_MAT").contains("1") &&
         java.nio.file.Files.exists(java.nio.file.Paths.get("tools/bench_trend.py")) &&
         java.nio.file.Files.exists(java.nio.file.Paths.get("BENCH_DETAIL.json"))
       if (full) {
@@ -200,7 +207,16 @@ object Bench {
           .map(_.getName).filter(_.matches("BENCH_r\\d+\\.json")).sorted.toSeq
         val cmd = Seq("python3", "tools/bench_trend.py", "--sf", "0.1") ++
           files :+ "BENCH_DETAIL.json"
-        (cmd #> new java.io.File("BENCH_TREND.md")).!
+        val tmp = new java.io.File("BENCH_TREND.md.tmp")
+        val rc = (cmd #> tmp).!
+        if (rc == 0 && tmp.length() > 0)
+          java.nio.file.Files.move(tmp.toPath,
+            java.nio.file.Paths.get("BENCH_TREND.md"),
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        else {
+          System.err.println(s"[bench] trend regeneration failed (rc=$rc) — BENCH_TREND.md left untouched")
+          tmp.delete()
+        }
       }
     } catch { case _: Throwable => } // trend is a report — never fail the bench
 }

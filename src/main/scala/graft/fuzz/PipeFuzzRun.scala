@@ -50,10 +50,12 @@ object PipeFuzzRun {
         else tiledSide += 1
       }
       try {
-        val df = g.fn(spark, sfDir)
-        val n = df.count()
-        if (n > 0) famNonEmpty(g.family) += 1
-        df.write.mode("overwrite").parquet(s"$outDir/$name")
+        // write FIRST, then count the written output — parquet footer
+        // metadata answers the count without re-running the plan (an
+        // unpersisted fuzz pipeline would otherwise execute twice)
+        g.fn(spark, sfDir).write.mode("overwrite").parquet(s"$outDir/$name")
+        if (spark.read.parquet(s"$outDir/$name").count() > 0)
+          famNonEmpty(g.family) += 1
       } catch { case e: Exception =>
         failed += 1
         System.err.println(s"[pipefuzz] $name (${g.family} ${g.tag}) FAILED on spark: ${e.getMessage}")

@@ -56,4 +56,4 @@ while read -r group; do
   done
 done < "$GROUPS_FILE"
 
-echo "=== gate done: $(grep -c '^PASS' "$RES") pass, $(grep -c '^FAIL' "$RES") fail"
+echo "=== gate done: $(grep -c '^PASS' "$RES") pass, $(grep -c '^FAIL' "$RES") fail, $(grep -c '^CRASH' "$RES") crashed (crashes retry on resume)"
