@@ -62,6 +62,22 @@ class D5LshSpec extends AnyFunSuite {
     } finally { corpus.unpersist(); () }
   }
 
+  test("LSH mode == tiled exact AT the dispatch boundary itself (theta=0.80)") {
+    // embeddingPairs(0.80) routes to LSH (>= d5LshThreshold); if the
+    // banding's recall were unsound anywhere, the boundary — where the
+    // admitted angles are widest — is where pairs would go missing.
+    val corpus = planted().persist()
+    try {
+      val tiled = pairsOf(Dedup.tiledPairs(
+        corpus.select(col("vec_id"), col("embedding"),
+          graft.functions.VectorOps.norm2(col("embedding")).as("n2")), 0.80))
+      val lsh = pairsOf(Dedup.embeddingPairs(corpus, 0.80))
+      assert(tiled.nonEmpty)
+      assert(lsh == tiled,
+        s"missing=${(tiled -- lsh).take(5)} extra=${(lsh -- tiled).take(5)}")
+    } finally { corpus.unpersist(); () }
+  }
+
   test("LSH mode plans equality joins only: no BNLJ, no cartesian") {
     import org.apache.spark.sql.execution.joins.CartesianProductExec
     val df = Dedup.embeddingPairs(planted(), 0.85)
