@@ -23,7 +23,9 @@ class D10SpanApplySpec extends AnyFunSuite {
       (1L, s"alpha beta $shared gamma delta epsilon zeta eta theta", 0L),
       (2L, "one two three four five six seven tail", 12L),
       (3L, "lone words that appear nowhere else in any other document here", 0L),
-      (4L, "completely different suffix tokens follow here now", 12L)))
+      (4L, "completely different suffix tokens follow here now", 12L),
+      // shorter than W: no windows, byte-identical pass-through
+      (5L, "tiny three tokens", 0L)))
   }
 
   private lazy val out: DataFrame = Dedup.d10_span_apply(spark, sf).cache()

@@ -29,7 +29,12 @@ object D9SpanSpec {
       (1L, s"alpha beta $shared gamma delta epsilon zeta eta theta", "en", "a", 0L),
       (2L, s"one two three four five six seven $shared tail", "en", "a", 0L),
       (3L, "lone words that appear nowhere else in any other document here", "en", "a", 0L),
-      (4L, s"$shared completely different suffix tokens follow here now", "en", "a", 0L))
+      (4L, s"$shared completely different suffix tokens follow here now", "en", "a", 0L),
+      // shorter than any window (W=8): must yield no windows at all —
+      // exercises the size(t) >= W guard (an unguarded sequence(1, n-7)
+      // would DESCEND for n < 8 and explode phantom positions) — and
+      // must pass through the d10 rebuild byte-identical
+      (5L, "tiny three tokens", "en", "a", 0L))
     import spark.implicits._
     rows.toDF("doc_id", "text", "lang", "source", "n_chars")
       .coalesce(1).write.mode("overwrite")
