@@ -101,20 +101,47 @@ if drift:
 sel_o = ", ".join(f'"{c}"' for c, _ in sorted(ocols))
 sel_s = ", ".join(f'CAST("{c}" AS {t}) AS "{c}"'
                   for c, t in sorted(ocols))
-try:
+def attempt(c):
     nrows_s, nrows_o = (
-        con.execute("SELECT (SELECT COUNT(*) FROM sparkout), "
-                    "(SELECT COUNT(*) FROM oracle)").fetchone())
+        c.execute("SELECT (SELECT COUNT(*) FROM sparkout), "
+                  "(SELECT COUNT(*) FROM oracle)").fetchone())
     if nrows_s != nrows_o:
         print(f"FAIL {name}: rows spark={nrows_s} duck={nrows_o}")
         sys.exit(1)
     # exact multiset equality: equal cardinality + empty one-sided
     # anti-difference implies empty difference in both directions
-    diff = con.execute(
+    diff = c.execute(
         f"SELECT COUNT(*) FROM (SELECT {sel_s} FROM sparkout "
         f"EXCEPT ALL SELECT {sel_o} FROM oracle)").fetchone()[0]
+    return nrows_s, diff
+
+
+try:
+    nrows_s, diff = attempt(con)
 except Exception as e:
-    print(f"FAIL {name}: duckdb error {e}"); sys.exit(1)
+    # Heavy string oracles (ordered string_agg over hundreds of
+    # millions of token rows) can blow DuckDB's memory accounting at
+    # 32 threads while fitting easily at 8 — thread-local sort/agg
+    # state multiplies with parallelism. Retry once, degraded.
+    if "Out of Memory" not in str(e) and not isinstance(e, MemoryError):
+        print(f"FAIL {name}: duckdb error {e}"); sys.exit(1)
+    try:
+        con.close()
+        con = duckdb.connect()
+        con.execute("SET TimeZone='UTC'")
+        con.execute("SET threads=8")
+        con.execute(f"SET temp_directory='/tmp/duck_tmp_{os.getpid()}r'")
+        con.execute("SET max_temp_directory_size='55GiB'")
+        for f in glob.glob(f"{sfdir}/*.parquet"):
+            t2 = os.path.basename(f)[:-8]
+            con.execute(f"CREATE VIEW {t2} AS SELECT * FROM '{f}'")
+        con.execute(f"CREATE VIEW oracle AS ({sql})")
+        con.execute(
+            f"CREATE VIEW sparkout AS SELECT * FROM '{spath}/*.parquet'")
+        print(f"[compare_big] {name}: OOM at default threads — retrying at threads=8", file=sys.stderr)
+        nrows_s, diff = attempt(con)
+    except Exception as e2:
+        print(f"FAIL {name}: duckdb error {e2} (after threads=8 OOM retry)"); sys.exit(1)
 dsecs = round(time.time() - t0, 1)
 if diff:
     print(f"FAIL {name}: {diff}/{nrows_s} spark rows not in oracle multiset")

@@ -50,12 +50,36 @@ try:
 except Exception as e:
     print(f"FAIL {name}: spark read error {e}"); sys.exit(1)
 t0 = time.time()
+
+
+def run_oracle(c):
+    res = c.execute(sql)
+    return [d[0] for d in res.description], res.fetchall()
+
+
 try:
-    res = con.execute(sql)
-    dcols = [d[0] for d in res.description]
-    drows = res.fetchall()
-except Exception as e:
-    print(f"FAIL {name}: duckdb error {e}"); sys.exit(1)
+    dcols, drows = run_oracle(con)
+except (MemoryError, Exception) as e:
+    # Heavy string oracles (ordered string_agg over hundreds of
+    # millions of token rows) can blow DuckDB's memory accounting at
+    # 32 threads while fitting easily at 8 — thread-local sort/agg
+    # state multiplies with parallelism. Retry once, degraded.
+    if "Out of Memory" not in str(e) and not isinstance(e, MemoryError):
+        print(f"FAIL {name}: duckdb error {e}"); sys.exit(1)
+    try:
+        con.close()
+        con = duckdb.connect()
+        con.execute("SET TimeZone='UTC'")
+        con.execute("SET threads=8")
+        con.execute(f"SET temp_directory='/tmp/duck_tmp_{os.getpid()}r'")
+        con.execute("SET max_temp_directory_size='55GiB'")
+        for f in glob.glob(f"{sfdir}/*.parquet"):
+            t2 = os.path.basename(f)[:-8]
+            con.execute(f"CREATE VIEW {t2} AS SELECT * FROM '{f}'")
+        print(f"[compare_one] {name}: OOM at default threads — retrying at threads=8", file=sys.stderr)
+        dcols, drows = run_oracle(con)
+    except Exception as e2:
+        print(f"FAIL {name}: duckdb error {e2} (after threads=8 OOM retry)"); sys.exit(1)
 dsecs = round(time.time() - t0, 1)
 sc, sr = canon(scols, srows)
 dc, dr = canon(dcols, drows)

@@ -12,16 +12,22 @@ SF="${1:?}"; OUT="${2:?}"; QUERIES="${3:?}"; SHUF="${4:-256}"
 RES="$OUT/results.txt"
 mkdir -p "$OUT"; touch "$RES"   # grep below must not error on first run
 
-compare_of() {  # pick compare by spark output row count
+compare_of() {  # pick compare by spark output row count OR byte size
+  # (row count alone is the wrong proxy for full-text outputs: d10's
+  # 500k-row cleaned-corpus dump OOM'd compare_one's Python fetch at
+  # sf10p while compare_big's in-DuckDB EXCEPT ALL ran it in 56 s)
   local q="$1"
   local n
   n=$(python3 - "$OUT/$q" <<'EOF'
-import sys, glob
+import sys, glob, os
 import pyarrow.parquet as pq
-print(sum(pq.read_metadata(f).num_rows for f in glob.glob(f"{sys.argv[1]}/*.parquet")))
+fs = glob.glob(f"{sys.argv[1]}/*.parquet")
+rows = sum(pq.read_metadata(f).num_rows for f in fs)
+mb = sum(os.path.getsize(f) for f in fs) // (1024 * 1024)
+print("big" if rows > 2000000 or mb > 40 else "small")
 EOF
 )
-  if [ "${n:-0}" -gt 2000000 ]; then echo compare_big.py; else echo compare_one.py; fi
+  if [ "$n" = "big" ]; then echo compare_big.py; else echo compare_one.py; fi
 }
 
 for q in $QUERIES; do
