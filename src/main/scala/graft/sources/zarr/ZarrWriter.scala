@@ -826,8 +826,20 @@ object ZarrWriter {
         while (!done) {
           Thread.sleep(leaseHeartbeatMillis)
           if (!done) {
+            leaseBeatTestHook()
             try store.writeBytes(appendLockRel, lockBytes())
             catch { case _: Exception => () } // store gone/read-only: next acquire surfaces it
+            // Belt-and-braces vs the release race: if release flipped
+            // `done` while our write was in flight, the write above may
+            // have RESURRECTED a lock the release path already deleted —
+            // remove it ourselves before exiting. (The release path also
+            // joins this thread before its delete, which closes the race
+            // structurally; this guard keeps the store clean even if a
+            // future caller forgets the join discipline.)
+            if (done) {
+              try store.deleteObject(appendLockRel)
+              catch { case _: Exception => () }
+            }
           }
         }
       } catch { case _: InterruptedException => () } // release path
@@ -838,9 +850,24 @@ object ZarrWriter {
     finally {
       done = true
       beat.interrupt()
+      // Serialize with any in-flight heartbeat write BEFORE deleting the
+      // lock. The beat loop's `!done` check and its write are not atomic,
+      // interrupt is swallowed around the write, and file IO does not
+      // reliably abort on interrupt — without this join a heartbeat write
+      // can land AFTER deleteObject, leaving an orphaned lock with a
+      // fresh heartbeat that blocks the next appender for a full TTL
+      // (caught live by ZarrAppendSpec in round 11).
+      beat.join()
       store.deleteObject(appendLockRel)
     }
   }
+
+  /** Test seam, invoked on the heartbeat thread between the `!done`
+    * liveness check and the lock re-write. Lets a spec hold a heartbeat
+    * write in flight across release DETERMINISTICALLY (latches, not a
+    * timing lottery) to pin the release/heartbeat serialization above.
+    * No-op in production. */
+  @volatile private[graft] var leaseBeatTestHook: () => Unit = () => ()
 
   /** Store-relative lock object taken for the duration of an append. */
   val appendLockRel = ".graft_append.lock"

@@ -197,6 +197,68 @@ class ZarrAppendSpec extends AnyFunSuite {
     }
   }
 
+  test("append lease release: an in-flight heartbeat write cannot resurrect the lock") {
+    // Deterministic reproduction of the round-11 release race: the beat
+    // loop's `!done` check and its lock re-write are not atomic, so a
+    // heartbeat write in flight at release time could land AFTER the
+    // release path's deleteObject, orphaning a fresh-heartbeat lock that
+    // blocks the next appender for a full TTL. This spec parks the beat
+    // thread INSIDE that window with latches (not sleeps), lets the
+    // append finish and enter release, verifies release blocks on the
+    // beat thread, then releases the write — the lock must still end up
+    // deleted. Against the unfixed code this fails every run.
+    import graft.sources.zarr.{ZarrStore, ZarrWriter}
+    import java.util.concurrent.{CountDownLatch, TimeUnit}
+    val out = fresh(Seq(0L, 1L))
+    val store = ZarrStore.open(out)
+    val hb0 = ZarrWriter.leaseHeartbeatMillis
+    ZarrWriter.leaseHeartbeatMillis = 10L
+    val entered = new CountDownLatch(1)
+    val proceed = new CountDownLatch(1)
+    val first = new java.util.concurrent.atomic.AtomicBoolean(true)
+    // Uninterruptible on purpose: models a blocking store write that does
+    // not abort on interrupt — exactly the window of the race.
+    ZarrWriter.leaseBeatTestHook = () =>
+      if (first.getAndSet(false)) {
+        entered.countDown()
+        var go = false
+        while (!go) {
+          try { proceed.await(); go = true }
+          catch { case _: InterruptedException => () }
+        }
+      }
+    try {
+      val appender = new Thread(() =>
+        grid(Seq(2L, 3L)).write.format("zarr").mode("append").save(out))
+      appender.start()
+      // beat thread is now parked past the liveness check, write pending
+      assert(entered.await(30, TimeUnit.SECONDS), "heartbeat never fired")
+      // wait for the append body to finish and the release path to block
+      // joining the parked beat thread (a definite rendezvous on thread
+      // state, not a timing guess)
+      val t0 = System.currentTimeMillis()
+      def blockedInJoin: Boolean = appender.isAlive &&
+        appender.getState == Thread.State.WAITING &&
+        appender.getStackTrace.exists(f =>
+          f.getClassName == "java.lang.Thread" && f.getMethodName == "join")
+      while (!blockedInJoin && appender.isAlive &&
+        System.currentTimeMillis() - t0 < 30000) Thread.sleep(5)
+      assert(blockedInJoin,
+        "release path did not serialize with the in-flight heartbeat write")
+      // now let the held heartbeat write land — with release already in
+      // progress, the write must NOT survive as an orphaned lock
+      proceed.countDown()
+      appender.join(30000)
+      assert(!appender.isAlive)
+      assert(store.readBytes(ZarrWriter.appendLockRel).isEmpty,
+        "release left a resurrected lock behind")
+      assert(spark.read.format("zarr").load(out).count() == 12)
+    } finally {
+      ZarrWriter.leaseBeatTestHook = () => ()
+      ZarrWriter.leaseHeartbeatMillis = hb0
+    }
+  }
+
   test("racing appends: winners' rows land, losers fail loudly, never corruption") {
     import graft.sources.zarr.ZarrWriter
     val out = fresh(Seq(0L, 1L))
