@@ -38,13 +38,22 @@ import graft.pipeline.Dedup
   *    define the sketch)
   *  - `simhash_pairs` — [[Dedup.simhashPairs]], Hamming cut ∈ {1,2,3}
   *    (≤ 3 by the 4-band pigeonhole bound) over slices
+  *  - `sem_dedup` — [[Dedup.semanticDedup]], targetClusterSize drawn
+  *    so k crosses the flat/hierarchical dispatch at
+  *    [[Dedup.d8FlatMaxK]] from both sides; θ ∈ {0.3, 0.4, 0.5}
+  *  - `kmeans` — [[graft.pipeline.Similarity.kmeansClusters]], seed
+  *    count k ∈ {2..16} over slices
+  *  - `ann_ivf` — [[graft.pipeline.Similarity.ivfTopK]], nprobe /
+  *    centroid stride / top-k / query count seeded
   */
 object PipeFuzz {
 
   /** Grammar version — stamped into the runner's fuzz_meta.json; bump
     * on ANY change to [[gen]]'s distribution (seeds remap).
-    * v2: ngram_pairs family added. v3: minhash_pairs + simhash_pairs. */
-  val grammarVersion = 3
+    * v2: ngram_pairs family added. v3: minhash_pairs + simhash_pairs.
+    * v4: clustering family (sem_dedup across the flat/hier dispatch,
+    * kmeans k, ann_ivf nprobe/stride/topK) + pmod-rendered slices. */
+  val grammarVersion = 4
 
   def name(seed: Long): String = f"pf_$seed%04d"
 
@@ -53,29 +62,37 @@ object PipeFuzz {
 
   private val langs = Seq("en", "de", "fr", "es", "zh")
 
-  /** Doc-table slice predicates: none / language / doc_id residue.
-    * Plain `%` is exact here — datagen ids are non-negative (asserted
-    * by the gate corpora; negative ids would need pmod rendering). */
+  /** Residue-class predicate rendered with EXPLICIT pmod arithmetic —
+    * `((id % m) + m) % m` parses and evaluates identically in Spark
+    * and DuckDB (both have sign-preserving `%`), so the residue
+    * classes stay exhaustive even on a corpus with negative ids. The
+    * gate corpora happen to have non-negative ids, but the invariant
+    * is now enforced by the rendering, not assumed of the data (the
+    * c5/d5 oracle pmod lesson, round 11 ADVICE). */
+  private def residue(idCol: String, m: Int, rClass: Int): String =
+    s"(($idCol % $m) + $m) % $m = $rClass"
+
+  /** Doc-table slice predicates: none / language / doc_id residue. */
   private def docSlice(r: Random): String = r.nextInt(10) match {
     case 0 | 1 | 2 | 3 => ""
     case 4 | 5 | 6     => s"lang = '${langs(r.nextInt(langs.size))}'"
     case _ =>
       val m = 2 + r.nextInt(3)
-      s"doc_id % $m = ${r.nextInt(m)}"
+      residue("doc_id", m, r.nextInt(m))
   }
 
   private def vecSlice(r: Random): String = r.nextInt(4) match {
     case 0 | 1 => ""
     case _ =>
       val m = 2 + r.nextInt(3)
-      s"vec_id % $m = ${r.nextInt(m)}"
+      residue("vec_id", m, r.nextInt(m))
   }
 
   def gen(seed: Long): Gen = {
     val r = new Random(seed * 0x9E3779B97F4A7C15L + 0x632BE59BD9B4E019L)
     r.nextInt(); r.nextInt() // warm the LCG past the seed's low entropy
     val roll = r.nextInt(100)
-    if (roll < 25) {
+    if (roll < 20) {
       val where = docSlice(r)
       // sliced corpora keep narrow windows so the family still yields
       // spans (a slice breaks cross-doc pairs faster than it sheds docs)
@@ -84,19 +101,19 @@ object PipeFuzz {
       Gen("span_detect", s"w=$w md=$minDocs where=[$where]",
         (s, dir) => Dedup.spanDetect(s, dir, w, minDocs, where),
         Dedup.d9SqlFor(w, minDocs, where))
-    } else if (roll < 45) {
+    } else if (roll < 36) {
       val where = docSlice(r)
       val w = if (where.isEmpty) 4 + r.nextInt(9) else 4 + r.nextInt(3)
       val minDocs = if (r.nextInt(4) == 0) 3 else 2
       Gen("span_apply", s"w=$w md=$minDocs where=[$where]",
         (s, dir) => Dedup.spanApply(s, dir, w, minDocs, where),
         Dedup.d10SqlFor(w, minDocs, where))
-    } else if (roll < 57) {
+    } else if (roll < 45) {
       val where = docSlice(r)
       Gen("exact_dedup", s"where=[$where]",
         (s, dir) => Dedup.exactDedup(s, dir, where),
         Dedup.d1SqlFor(where))
-    } else if (roll < 67) {
+    } else if (roll < 54) {
       val maxDf = Seq(10L, 25L, 50L)(r.nextInt(3))
       val dfShare = Seq(100L, 250L, 500L, 1000L)(r.nextInt(4))
       val theta = Seq("0.3", "0.5", "0.7")(r.nextInt(3))
@@ -104,19 +121,19 @@ object PipeFuzz {
       Gen("ngram_pairs", s"maxDf=$maxDf share=$dfShare theta=$theta where=[$where]",
         (s, dir) => Dedup.ngramPairs(s, dir, maxDf, dfShare, theta, where),
         Dedup.d2SqlFor(maxDf, dfShare, theta, where))
-    } else if (roll < 75) {
+    } else if (roll < 61) {
       val theta = Seq("0.5", "0.75", "1.0")(r.nextInt(3))
       val where = docSlice(r)
       Gen("minhash_pairs", s"theta=$theta where=[$where]",
         (s, dir) => Dedup.minhashPairs(s, dir, theta, where),
         Dedup.d3SqlFor(theta, where))
-    } else if (roll < 83) {
+    } else if (roll < 68) {
       val maxH = 1 + r.nextInt(3)
       val where = docSlice(r)
       Gen("simhash_pairs", s"maxH=$maxH where=[$where]",
         (s, dir) => Dedup.simhashPairs(s, dir, maxH, where),
         Dedup.d4SqlFor(maxH, where))
-    } else if (roll < 93) {
+    } else if (roll < 77) {
       // θ spans BOTH dispatch sides of d5LshThreshold (0.8): below →
       // exact tiled all-pairs; at/above → banded hyperplane LSH
       val thetas = Seq("0.3", "0.45", "0.6", "0.7", "0.75",
@@ -140,7 +157,7 @@ object PipeFuzz {
           Dedup.embeddingPairs(if (where.isEmpty) e else e.where(where),
             theta.toDouble)
         }, sql)
-    } else {
+    } else if (roll < 84) {
       val k = 3 + r.nextInt(8)
       val p = 3 + r.nextInt(6)
       val where0 = vecSlice(r)
@@ -179,6 +196,42 @@ object PipeFuzz {
             .withColumn("rk", row_number().over(w).cast("long"))
             .filter(col("rk") <= k)
         }, sql)
+    } else if (roll < 92) {
+      // targetClusterSize drives k = max(4, ceil(N/tcs)) and with it
+      // the flat-vs-hierarchical assignment dispatch at d8FlatMaxK=64:
+      // at sf0.01 (N=500) tcs ∈ {1,2,4} land hierarchical and
+      // {8,64,256} flat; slices shift N so the boundary itself is
+      // probed from both sides across seeds (PipeFuzzRun counts the
+      // sides actually taken via Dedup.lastSemanticDispatch and
+      // refuses a run that saw only one).
+      val tcs = Seq(1, 2, 4, 8, 64, 256)(r.nextInt(6))
+      val theta = Seq("0.3", "0.4", "0.5")(r.nextInt(3))
+      val where = vecSlice(r)
+      Gen("sem_dedup", s"tcs=$tcs theta=$theta where=[$where]",
+        (s, dir) => Dedup.semanticDedup(s, dir, tcs, theta, where),
+        Dedup.d8SqlFor(tcs, theta, where))
+    } else if (roll < 96) {
+      // seed centroids are the k smallest surviving vec_ids: k ≥ 8
+      // under a residue slice (m ≤ 4) guarantees every residue class
+      // keeps at least one seed below k, so the seed set never empties
+      val where = vecSlice(r)
+      val k = if (where.isEmpty) Seq(2, 3, 4, 8, 16)(r.nextInt(5))
+              else Seq(8, 16)(r.nextInt(2))
+      Gen("kmeans", s"k=$k where=[$where]",
+        (s, dir) => graft.pipeline.Similarity.kmeansClusters(s, dir, k, where),
+        graft.pipeline.Similarity.s5SqlFor(k, where))
+    } else {
+      // nprobe is IVF's recall/cost dial; the stride draws different
+      // centroid sets, and numQ ≥ 4 keeps at least one query vector
+      // alive under every residue slice (m ≤ 4)
+      val stride = Seq(29, 53, 97)(r.nextInt(3))
+      val np = 1 + r.nextInt(3)
+      val topK = Seq(3, 5, 8)(r.nextInt(3))
+      val numQ = 4 + r.nextInt(5)
+      val where = vecSlice(r)
+      Gen("ann_ivf", s"stride=$stride np=$np topK=$topK numQ=$numQ where=[$where]",
+        (s, dir) => graft.pipeline.Similarity.ivfTopK(s, dir, stride, np, topK, numQ, where),
+        graft.pipeline.Similarity.s3SqlFor(stride, np, topK, numQ, where))
     }
   }
 }

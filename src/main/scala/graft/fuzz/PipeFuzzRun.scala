@@ -9,9 +9,10 @@ import org.apache.spark.sql.SparkSession
   * hash-compares every seed against DuckDB unchanged.
   *
   * Exits nonzero when the seed range failed to exercise the space:
-  * any family unseen, either side of the d5 LSH/tiled dispatch
-  * unseen, or a family that only ever produced empty outputs (an
-  * all-empty family compares green vacuously — that's no coverage).
+  * any family unseen, either side of the d5 LSH/tiled dispatch or of
+  * the d8 flat/hierarchical dispatch unseen, or a family that only
+  * ever produced empty outputs (an all-empty family compares green
+  * vacuously — that's no coverage).
   *
   * Usage: graft.fuzz.PipeFuzzRun <sfDir> <outDir> [nSeeds] [seed0]
   */
@@ -40,6 +41,8 @@ object PipeFuzzRun {
     val famNonEmpty = scala.collection.mutable.Map[String, Int]().withDefaultValue(0)
     var lshSide = 0
     var tiledSide = 0
+    var semFlat = 0
+    var semHier = 0
     val sqls = (seed0 until seed0 + nSeeds).map { seed =>
       val name = PipeFuzz.name(seed)
       val g = PipeFuzz.gen(seed)
@@ -56,6 +59,13 @@ object PipeFuzzRun {
         g.fn(spark, sfDir).write.mode("overwrite").parquet(s"$outDir/$name")
         if (spark.read.parquet(s"$outDir/$name").count() > 0)
           famNonEmpty(g.family) += 1
+        // which side of the d8FlatMaxK dispatch this seed's sliced
+        // corpus count landed on — only the engine knows (the slice's
+        // row count is data, not grammar), so read it back post-run
+        if (g.family == "sem_dedup") {
+          if (graft.pipeline.Dedup.lastSemanticDispatch == "hier") semHier += 1
+          else semFlat += 1
+        }
       } catch { case e: Exception =>
         failed += 1
         System.err.println(s"[pipefuzz] $name (${g.family} ${g.tag}) FAILED on spark: ${e.getMessage}")
@@ -66,10 +76,26 @@ object PipeFuzzRun {
       spark.catalog.clearCache()
       name -> g.sql
     }
-    val json = sqls.map { case (n, s) =>
-      "\"" + n + "\": " + "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"")
-        .replace("\n", "\\n") + "\""
-    }.mkString("{", ",\n", "}")
+    // Full JSON string escaping (backslash, quote, and EVERY control
+    // character, not just \n): a future grammar change that puts a tab
+    // or CR into an oracle SQL string must not silently produce invalid
+    // JSON that fails the whole compare run at parse time instead of
+    // pointing at the offending seed (round 11 ADVICE).
+    def jsonStr(s: String): String = {
+      val b = new StringBuilder("\"")
+      s.foreach {
+        case '\\' => b.append("\\\\")
+        case '"'  => b.append("\\\"")
+        case '\n' => b.append("\\n")
+        case '\r' => b.append("\\r")
+        case '\t' => b.append("\\t")
+        case c if c < 0x20 => b.append(f"\\u${c.toInt}%04x")
+        case c    => b.append(c)
+      }
+      b.append("\"").toString
+    }
+    val json = sqls.map { case (n, s) => jsonStr(n) + ": " + jsonStr(s) }
+      .mkString("{", ",\n", "}")
     Files.write(Paths.get(s"$outDir/oracle_sql.json"), json.getBytes("UTF-8"))
     val famJson = famCount.toSeq.sortBy(_._1)
       .map { case (f, c) => s""""$f": [$c, ${famNonEmpty(f)}]""" }
@@ -77,16 +103,21 @@ object PipeFuzzRun {
     Files.write(Paths.get(s"$outDir/fuzz_meta.json"),
       (s"""{"grammar_version": ${PipeFuzz.grammarVersion}, "seed0": $seed0, """ +
         s""""n_seeds": $nSeeds, "families_count_nonempty": $famJson, """ +
-        s""""lsh_side": $lshSide, "tiled_side": $tiledSide}""").getBytes("UTF-8"))
+        s""""lsh_side": $lshSide, "tiled_side": $tiledSide, """ +
+        s""""sem_flat": $semFlat, "sem_hier": $semHier}""").getBytes("UTF-8"))
     println(s"[pipefuzz] ${nSeeds - failed}/$nSeeds ran (grammar " +
       s"v${PipeFuzz.grammarVersion}); families $famJson; " +
-      s"emb dispatch lsh=$lshSide tiled=$tiledSide; results in $outDir")
+      s"emb dispatch lsh=$lshSide tiled=$tiledSide; " +
+      s"sem dispatch flat=$semFlat hier=$semHier; results in $outDir")
     val families = Seq("span_detect", "span_apply", "exact_dedup",
-      "ngram_pairs", "minhash_pairs", "simhash_pairs", "emb_pairs", "ann_topk")
+      "ngram_pairs", "minhash_pairs", "simhash_pairs", "emb_pairs", "ann_topk",
+      "sem_dedup", "kmeans", "ann_ivf")
     val missing = families.filter(famCount(_) == 0) ++
       families.filter(f => famCount(f) > 0 && famNonEmpty(f) == 0).map(_ + ":all-empty")
     val dispatchMiss = (if (lshSide == 0) Seq("lsh_side") else Nil) ++
-      (if (tiledSide == 0) Seq("tiled_side") else Nil)
+      (if (tiledSide == 0) Seq("tiled_side") else Nil) ++
+      (if (semFlat == 0) Seq("sem_flat") else Nil) ++
+      (if (semHier == 0) Seq("sem_hier") else Nil)
     spark.stop()
     if (failed > 0 || missing.nonEmpty || dispatchMiss.nonEmpty) {
       System.err.println(s"[pipefuzz] UNEXERCISED: ${(missing ++ dispatchMiss).mkString(", ")}; failed=$failed")

@@ -1006,8 +1006,30 @@ object Dedup {
     *
     * Output: every embedding row as (vec_id, cluster, dist2, dropped).
     */
-  def d8_dedup_semantic(s: SparkSession, dir: String): DataFrame = {
-    val e = emb(s, dir)
+  def d8_dedup_semantic(s: SparkSession, dir: String): DataFrame =
+    semanticDedup(s, dir, d8TargetClusterSize, d8Theta.toString, "")
+
+  /** Dispatch side ("flat" | "hier") taken by the most recent
+    * [[semanticDedup]] call on this JVM. Fuzz instrumentation only:
+    * the side depends on the sliced corpus count, which the generator
+    * cannot know at draw time, so [[graft.fuzz.PipeFuzzRun]] reads
+    * this after each sem_dedup seed to prove both sides of the
+    * [[d8FlatMaxK]] boundary were exercised. */
+  @volatile private[graft] var lastSemanticDispatch: String = ""
+
+  /** Parametric semantic dedup ([[d8_dedup_semantic]] = the gate
+    * defaults): target members per cluster (drives k = max(4,
+    * ceil(N/targetClusterSize)) and with it the flat-vs-hierarchical
+    * assignment dispatch at [[d8FlatMaxK]]), within-cluster cosine
+    * threshold (literal string, parsed identically by both engines),
+    * corpus under `whereSql`. Fuzz entry point — varying
+    * targetClusterSize swings k across the dispatch boundary. */
+  private[graft] def semanticDedup(s: SparkSession, dir: String,
+      targetClusterSize: Int, theta: String, whereSql: String): DataFrame = {
+    val e = {
+      val e0 = emb(s, dir)
+      if (whereSql.isEmpty) e0 else e0.where(whereSql)
+    }
     val q = Similarity.quantized(e)
     // k and the flat-vs-hierarchical dispatch are ONE bounded
     // driver-side scalar (a parquet COUNT(*) is answered from footer
@@ -1017,7 +1039,8 @@ object Dedup {
     // kmeansAssignHier), so the oracle mirrors the dispatch with two
     // emptiness-gated branches on the same k.
     val n = e.count()
-    val k = math.max(4L, math.ceil(n / d8TargetClusterSize.toDouble).toLong)
+    val k = math.max(4L, math.ceil(n / targetClusterSize.toDouble).toLong)
+    lastSemanticDispatch = if (k <= d8FlatMaxK) "flat" else "hier"
     val c0 = q.filter(col("vec_id") < k)
       .select(col("vec_id").as("cid"), col("qv").as("cv"))
     // The assignment is referenced by both self-join sides of the pair
@@ -1036,10 +1059,10 @@ object Dedup {
       .select(col("cluster"), col("vec_id"), col("dist2"),
         col("embedding"), col("n2"))
     val losers = bucketPairs(j, Seq("cluster"), "vec_id", d3ChunkSize,
-        s"d8:$dir:${corpusStamp(s, dir, "embeddings")}")
+        s"d8:$dir:$targetClusterSize:$theta:$whereSql:${corpusStamp(s, dir, "embeddings")}")
       .filter(VectorOps.cosineFrom(
         VectorOps.dot(col("a.embedding"), col("b.embedding")),
-        col("a.n2"), col("b.n2")) >= d8Theta)
+        col("a.n2"), col("b.n2")) >= theta.toDouble)
       .select(when(col("a.dist2") > col("b.dist2") ||
           (col("a.dist2") === col("b.dist2") &&
             col("a.vec_id") > col("b.vec_id")),
@@ -1065,7 +1088,10 @@ object Dedup {
     * UNNEST(NULL qv) to 64 NULL-v rows that would inflate the mean's
     * COUNT(*) divisor, while the engine's posexplode of a NULL array
     * emits zero rows (same fix in s5's oracle). */
-  private val d8Sql = {
+  private[graft] def d8SqlFor(targetClusterSize: Int, theta: String,
+      whereSql: String): String = {
+    val where = if (whereSql.isEmpty) "" else s" WHERE $whereSql"
+    val andWhere = if (whereSql.isEmpty) "" else s" AND ($whereSql)"
     val qs = s"${1L << Similarity.qScaleBits}.0"
     def ldist(a: String, b: String) =
       s"""CAST(list_dot_product(CAST($a AS DOUBLE[]), CAST($a AS DOUBLE[]))
@@ -1121,9 +1147,9 @@ object Dedup {
       SELECT vec_id,
         LIST_TRANSFORM(embedding,
           x -> CAST(ROUND(CAST(x AS DOUBLE) * $qs) AS BIGINT)) AS qv
-      FROM embeddings),
-    kk AS (SELECT GREATEST(4, CAST(CEIL(COUNT(*) / ${d8TargetClusterSize}.0) AS BIGINT)) AS k
-           FROM embeddings),
+      FROM embeddings$where),
+    kk AS (SELECT GREATEST(4, CAST(CEIL(COUNT(*) / ${targetClusterSize}.0) AS BIGINT)) AS k
+           FROM embeddings$where),
     gg AS (SELECT GREATEST(1, CAST(FLOOR(SQRT(k)) AS BIGINT)) AS g FROM kk),
     c0 AS (SELECT vec_id AS cid, qv AS cv FROM q, kk
            WHERE kk.k <= $d8FlatMaxK AND vec_id < kk.k),
@@ -1157,7 +1183,7 @@ object Dedup {
     e2 AS (
       SELECT vec_id, embedding,
         list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])) AS n2
-      FROM embeddings WHERE embedding IS NOT NULL),
+      FROM embeddings WHERE embedding IS NOT NULL$andWhere),
     j AS (
       SELECT a.vec_id, a.cluster, a.dist2, e.embedding, e.n2
       FROM a2 a JOIN e2 e USING (vec_id)),
@@ -1165,13 +1191,14 @@ object Dedup {
       SELECT x.vec_id AS va, y.vec_id AS vb, x.dist2 AS da, y.dist2 AS db
       FROM j x JOIN j y ON x.cluster = y.cluster AND x.vec_id < y.vec_id
       WHERE list_dot_product(CAST(x.embedding AS DOUBLE[]), CAST(y.embedding AS DOUBLE[]))
-          / SQRT(x.n2 * y.n2) >= $d8Theta),
+          / SQRT(x.n2 * y.n2) >= $theta),
     losers AS (
       SELECT DISTINCT CASE WHEN da > db OR (da = db AND va > vb) THEN va ELSE vb END AS vec_id
       FROM p)
     SELECT a.vec_id, a.cluster, a.dist2, (l.vec_id IS NOT NULL) AS dropped
     FROM a2 a LEFT JOIN losers l USING (vec_id)"""
   }
+  private val d8Sql = d8SqlFor(d8TargetClusterSize, d8Theta.toString, "")
 
   // ------------------------------------------------------------ d9 spans
 
@@ -1243,7 +1270,11 @@ object Dedup {
       minDocs: Int, whereSql: String): (DataFrame, DataFrame) = {
     def wins(withText: Boolean): DataFrame = {
       val base = slicedDocs(s, dir, whereSql)
-        .select(col("doc_id"), split(col("text"), " ").as("t"))
+        // coalesce guards NULL text: Spark's size(split(NULL)) is -1
+        // while DuckDB's len(NULL) is NULL — a NULL-text doc would
+        // diverge the differential gate (round 11 ADVICE); with '' both
+        // engines agree everywhere (no windows, n_toks = 1, n_removed 0)
+        .select(col("doc_id"), split(coalesce(col("text"), lit("")), " ").as("t"))
         .where(size(col("t")) >= W)
         .select(col("doc_id"), expr(
           s"""explode(transform(sequence(1, size(t) - ${W - 1}),
@@ -1305,7 +1336,7 @@ object Dedup {
     val where = if (whereSql.isEmpty) "" else s" WHERE $whereSql"
     s"""
     WITH toks AS (
-      SELECT doc_id, string_split(text, ' ') AS t FROM documents$where
+      SELECT doc_id, string_split(coalesce(text, ''), ' ') AS t FROM documents$where
     ), wins AS (
       SELECT doc_id, i AS pos, array_to_string(t[i:i+${W - 1}], ' ') AS win
       FROM toks, UNNEST(range(1, len(t) - $W + 2)) AS u(i)
@@ -1356,7 +1387,7 @@ object Dedup {
       .select(col("doc_id"),
         explode(expr(s"sequence(span_start, last_w + ${w - 1})")).as("pos"))
     val toks = slicedDocs(s, dir, whereSql)
-      .select(col("doc_id"), posexplode(split(col("text"), " ")))
+      .select(col("doc_id"), posexplode(split(coalesce(col("text"), lit("")), " ")))
       .select(col("doc_id"), (col("pos") + 1).cast("long").as("pos"),
         col("col").as("tok"))
     val rebuilt = toks.join(removed, Seq("doc_id", "pos"), "left_anti")
@@ -1365,7 +1396,8 @@ object Dedup {
           .as("clean_text"),
         count(lit(1)).as("n_kept"))
     slicedDocs(s, dir, whereSql)
-      .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n_toks"))
+      .select(col("doc_id"),
+        size(split(coalesce(col("text"), lit("")), " ")).cast("long").as("n_toks"))
       .join(rebuilt, Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("clean_text"), lit("")).as("clean_text"),
@@ -1380,7 +1412,7 @@ object Dedup {
     val where = if (whereSql.isEmpty) "" else s" WHERE $whereSql"
     s"""
     WITH toks AS (
-      SELECT doc_id, string_split(text, ' ') AS t FROM documents$where
+      SELECT doc_id, string_split(coalesce(text, ''), ' ') AS t FROM documents$where
     ), wins AS (
       SELECT doc_id, i AS pos, array_to_string(t[i:i+${W - 1}], ' ') AS win
       FROM toks, UNNEST(range(1, len(t) - $W + 2)) AS u(i)

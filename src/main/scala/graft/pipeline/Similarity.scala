@@ -150,9 +150,19 @@ object Similarity {
     * only the `nprobe` nearest lists. Centroids broadcast; the
     * assignment pass is one scan; search touches ~nprobe/nlists of the
     * corpus — the textbook IVF cost model. */
-  def s3_ann_ivf(s: SparkSession, dir: String): DataFrame = {
-    val e = withNorm(emb(s, dir))
-    val cents = e.filter(col("vec_id") % centStride === 0)
+  def s3_ann_ivf(s: SparkSession, dir: String): DataFrame =
+    ivfTopK(s, dir, centStride, nprobe, ivfK, nProbes, "")
+
+  /** Parametric IVF ANN ([[s3_ann_ivf]] = the gate defaults): centroid
+    * id stride, probed-list count, top-k, number of query vectors, and
+    * a corpus slice predicate shared verbatim with the oracle. Fuzz
+    * entry point — nprobe is the recall/cost dial every IVF deployment
+    * tunes, and a slice thins both the centroid set and the lists. */
+  private[graft] def ivfTopK(s: SparkSession, dir: String, stride: Int,
+      np: Int, topK: Int, numQ: Int, whereSql: String): DataFrame = {
+    val e0 = withNorm(emb(s, dir))
+    val e = if (whereSql.isEmpty) e0 else e0.where(whereSql)
+    val cents = e.filter(col("vec_id") % stride === 0)
       .select(col("vec_id").as("cid"), col("embedding").as("cemb"), col("n2").as("cn2"))
     def centCos = VectorOps.cosineFrom(
       VectorOps.dot(col("embedding"), col("cemb")), col("n2"), col("cn2"))
@@ -162,11 +172,11 @@ object Similarity {
       .withColumn("crk", row_number().over(wNearest))
       .filter(col("crk") === 1)
       .select(col("vec_id"), col("cid"))
-    val probeLists = e.filter(col("vec_id") < nProbes)
+    val probeLists = e.filter(col("vec_id") < numQ)
       .crossJoin(broadcast(cents))
       .withColumn("ccos", centCos)
       .withColumn("crk", row_number().over(wNearest))
-      .filter(col("crk") <= nprobe)
+      .filter(col("crk") <= np)
       .select(col("vec_id").as("query_id"), col("cid"))
     val wTop = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("vec_id"))
     probeLists
@@ -181,17 +191,20 @@ object Similarity {
         VectorOps.cosineFrom(
           VectorOps.dot(col("qemb"), col("embedding")), col("qn2"), col("n2")).as("cosine"))
       .withColumn("rk", row_number().over(wTop).cast("long"))
-      .filter(col("rk") <= ivfK)
+      .filter(col("rk") <= topK)
   }
 
-  private val s3Sql = s"""
+  private[graft] def s3SqlFor(stride: Int, np: Int, topK: Int, numQ: Int,
+      whereSql: String): String = {
+    val andWhere = if (whereSql.isEmpty) "" else s" WHERE $whereSql"
+    s"""
     WITH e AS (
       SELECT vec_id, embedding,
         list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])) AS n2
-      FROM embeddings),
+      FROM embeddings$andWhere),
     cents AS (
       SELECT vec_id AS cid, embedding AS cemb, n2 AS cn2 FROM e
-      WHERE vec_id % $centStride = 0),
+      WHERE vec_id % $stride = 0),
     scored0 AS (
       SELECT e.vec_id, c.cid,
         list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(c.cemb AS DOUBLE[]))
@@ -204,7 +217,7 @@ object Similarity {
     assign AS (SELECT vec_id, cid FROM scored WHERE crk = 1),
     probe_lists AS (
       SELECT vec_id AS query_id, cid FROM scored
-      WHERE crk <= $nprobe AND vec_id < $nProbes),
+      WHERE crk <= $np AND vec_id < $numQ),
     cand AS (
       SELECT DISTINCT p.query_id, a.vec_id
       FROM probe_lists p JOIN assign a ON a.cid = p.cid
@@ -218,7 +231,9 @@ object Similarity {
     SELECT query_id, vec_id, cosine, CAST(rk AS BIGINT) AS rk FROM (
       SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
         ORDER BY cosine DESC, vec_id) AS rk FROM ranked) x
-    WHERE rk <= $ivfK"""
+    WHERE rk <= $topK"""
+  }
+  private val s3Sql = s3SqlFor(centStride, nprobe, ivfK, nProbes, "")
 
   /** Per-label embedding statistics: class counts, centroid
     * components (first 4 dims), mean squared norm — the "is my
@@ -284,9 +299,20 @@ object Similarity {
     * `sum(v)` (int64, exact) and only the final mean division goes
     * through double, which is exact while sums stay under 2^53 (here
     * ≤ 2^31); beyond that, switch the division to DECIMAL. */
-  def s5_kmeans(s: SparkSession, dir: String): DataFrame = {
-    val q = quantized(emb(s, dir))
-    val c0 = q.filter(col("vec_id") < kClusters)
+  def s5_kmeans(s: SparkSession, dir: String): DataFrame =
+    kmeansClusters(s, dir, kClusters, "")
+
+  /** Parametric two-pass Lloyd assignment ([[s5_kmeans]] = the gate
+    * defaults): seed-centroid count and a corpus slice predicate (the
+    * SAME text the oracle renders into its WHERE). Fuzz entry point —
+    * seeds are the k smallest surviving vec_ids' vectors, so a slice
+    * that excludes low ids thins the seed set identically on both
+    * engines. */
+  private[graft] def kmeansClusters(s: SparkSession, dir: String,
+      k: Int, whereSql: String): DataFrame = {
+    val e0 = emb(s, dir)
+    val q = quantized(if (whereSql.isEmpty) e0 else e0.where(whereSql))
+    val c0 = q.filter(col("vec_id") < k)
       .select(col("vec_id").as("cid"), col("qv").as("cv"))
     kmeansAssign(q, c0)
   }
@@ -407,13 +433,15 @@ object Similarity {
       .select(col("vec_id"), col("cid").cast("long").as("cluster"), col("dist").as("dist2"))
   }
 
-  private val s5Sql = s"""
+  private[graft] def s5SqlFor(k: Int, whereSql: String): String = {
+    val where = if (whereSql.isEmpty) "" else s" WHERE $whereSql"
+    s"""
     WITH q AS (
       SELECT vec_id,
         LIST_TRANSFORM(embedding,
           x -> CAST(ROUND(CAST(x AS DOUBLE) * ${1L << qScaleBits}.0) AS BIGINT)) AS qv
-      FROM embeddings),
-    c0 AS (SELECT vec_id AS cid, qv AS cv FROM q WHERE vec_id < $kClusters),
+      FROM embeddings$where),
+    c0 AS (SELECT vec_id AS cid, qv AS cv FROM q WHERE vec_id < $k),
     d1 AS (
       SELECT q.vec_id, c.cid,
         (SELECT SUM((x - y) * (x - y))
@@ -442,6 +470,8 @@ object Similarity {
             ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rk
           FROM d2) x
     WHERE rk = 1"""
+  }
+  private val s5Sql = s5SqlFor(kClusters, "")
 
   // ------------------------------------------------------------ s6 PQ
 
