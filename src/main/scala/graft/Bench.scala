@@ -171,7 +171,14 @@ object Bench {
       s""""nq":${results.size},$env,""" +
       s""""failed":${failed.map(q).mkString("[", ",", "]")},""" +
       s""""queries":${jsonMap(results)},"pass_times":$passTimes,"sf":"$sfDir"}"""
-    try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_DETAIL.json"),
+    // MAT runs write their own detail file: BENCH_DETAIL.json is the
+    // count-mode trend input and a MAT overwrite would poison every
+    // round-over-round comparison (MAT times are systematically
+    // slower). The round's MAT snapshot is copied from this file to
+    // BENCH_MAT_r{N}.json, which bench_trend.py renders as the
+    // MAT-vs-count divergence section.
+    val detailFile = if (mat) "BENCH_MAT_DETAIL.json" else "BENCH_DETAIL.json"
+    try java.nio.file.Files.write(java.nio.file.Paths.get(detailFile),
       detail.getBytes("UTF-8"))
     catch { case _: Exception => } // cwd not writable: the printed line still carries the headline
     val head = results.filter { case (n, _) => headline.contains(n) }
@@ -205,8 +212,11 @@ object Bench {
         import scala.sys.process._
         val files = new java.io.File(".").listFiles()
           .map(_.getName).filter(_.matches("BENCH_r\\d+\\.json")).sorted.toSeq
+        val matFiles = new java.io.File(".").listFiles()
+          .map(_.getName).filter(_.matches("BENCH_MAT_r\\d+\\.json")).sorted.toSeq
         val cmd = Seq("python3", "tools/bench_trend.py", "--sf", "0.1") ++
-          files :+ "BENCH_DETAIL.json"
+          (files :+ "BENCH_DETAIL.json") ++
+          (if (matFiles.nonEmpty) "--mat" +: matFiles else Nil)
         val tmp = new java.io.File("BENCH_TREND.md.tmp")
         val rc = (cmd #> tmp).!
         if (rc == 0 && tmp.length() > 0)

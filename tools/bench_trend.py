@@ -12,7 +12,15 @@ direction vs the previous round AND is above 0.3s (scheduling noise
 floor below that). Total rows carry the load fingerprint so polluted
 runs read as such.
 
-Usage: tools/bench_trend.py [--sf SF] [files...]
+MAT artifacts (BENCH_MAT_r*.json, written by SPARK_GRAFT_MAT=1 runs)
+are listed after --mat: the trend then appends a MAT-vs-count section
+— queries whose materialization time diverges >3x from their count
+time are count-pruned (Catalyst eliminates output-producing subtrees
+under count(), so the count column under-measures them; d10's text
+rebuild is the canonical case), and a ratio that GREW >1.5x vs the
+previous MAT round flags a regression the count trend cannot see.
+
+Usage: tools/bench_trend.py [--sf SF] [files...] [--mat matfiles...]
        (default: all BENCH_r*.json, sf group '0.1')
 """
 import json
@@ -60,6 +68,10 @@ def main():
     want_sf = "0.1"
     if args[:1] == ["--sf"]:
         want_sf, args = args[1], args[2:]
+    matfiles = []
+    if "--mat" in args:
+        i = args.index("--mat")
+        args, matfiles = args[:i], args[i + 1:]
     files = args or sorted(glob.glob("BENCH_r*.json"))
     runs = [r for r in (extract(f) for f in files) if r]
     runs = [r for r in runs if norm_sf(r[1]) == want_sf]
@@ -103,6 +115,40 @@ def main():
         for q, a, b, rr in sorted(flagged, key=lambda x: -x[3]):
             arrow = "slower ⚠" if rr > 1 else "faster"
             print(f"- `{q}`: {a:.2f}s → {b:.2f}s ({rr:.2f}x {arrow})")
+    mruns = [r for r in (extract(f) for f in sorted(matfiles)) if r]
+    mruns = [r for r in mruns if norm_sf(r[1]) == want_sf]
+    if mruns:
+        last = mruns[-1]
+        prev = mruns[-2] if len(mruns) >= 2 else None
+        count_qs = runs[-1][5]
+        print(f"\n## MAT (materialization) vs count — {last[0]} "
+              f"vs count {runs[-1][0]}\n")
+        print("MAT times a full `toRdd.count()` walk of the physical "
+              "plan's output; count() lets Catalyst prune output-"
+              "producing subtrees. A large ratio means the count trend "
+              "under-measures that query's real cost.\n")
+        print("| query | count s | MAT s | MAT/count |" +
+              (" prev MAT | growth |" if prev else ""))
+        print("|---|---|---|---|" + ("---|---|" if prev else ""))
+        for q in sorted(last[5]):
+            mv = last[5][q]
+            cv = count_qs.get(q)
+            if mv is None or mv < 0 or cv is None or cv <= 0:
+                continue
+            ratio = mv / cv
+            mark = " ⚠ count-pruned" if ratio > 3 and mv > 0.5 else ""
+            row = f"| {q} | {cv:.2f} | {mv:.2f} | {ratio:.1f}x{mark} |"
+            if prev:
+                pv, pc = prev[5].get(q), None
+                # previous MAT round's count partner is unknowable here;
+                # compare MAT-to-MAT directly for growth
+                growth = ""
+                if pv is not None and pv > 0.3:
+                    g = mv / pv
+                    growth = f"{g:.2f}x" + (" ⚠" if g > 1.5 else "")
+                row += f" {pv:.2f}s |" if pv is not None else " |"
+                row += f" {growth} |"
+            print(row)
 
 
 if __name__ == "__main__":
