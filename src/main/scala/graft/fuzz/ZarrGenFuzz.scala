@@ -35,7 +35,10 @@ import graft.sources.zarr.KerchunkParquetRefs
   */
 object ZarrGenFuzz {
 
-  val grammarVersion = 4
+  /** v5: append_race op — concurrent appends under an aggressive
+    * lease (short TTL/heartbeat) probe the lock lifecycle from seeds,
+    * not just the scripted ZarrAppendSpec reproductions. */
+  val grammarVersion = 5
 
   /** How often each stateful case fired across a run. */
   final class Counters {
@@ -45,10 +48,12 @@ object ZarrGenFuzz {
     var gcReclaim = 0         // gc actually reclaimed >=1 generation
     var appendAfterSnap = 0   // append while >=1 snapshot is live (time travel)
     var plainOverwrite = 0    // overwrite with no live snapshots (no gen created)
+    var leaseContention = 0   // a racing appender lost the lock LOUDLY
     def toJson: String =
       s"""{"redirect_read": $redirectRead, "chained_overwrite": $chainedOverwrite, """ +
         s""""gc_while_live": $gcWhileLive, "gc_reclaim": $gcReclaim, """ +
-        s""""append_after_snap": $appendAfterSnap, "plain_overwrite": $plainOverwrite}"""
+        s""""append_after_snap": $appendAfterSnap, "plain_overwrite": $plainOverwrite, """ +
+        s""""lease_contention": $leaseContention}"""
   }
 
   private def rmTree(p: Path): Unit = {
@@ -140,7 +145,8 @@ object ZarrGenFuzz {
           case x if x < 48 => "snapshot"
           case x if x < 70 => "overwrite"
           case x if x < 85 => "drop"
-          case _           => "gc"
+          case x if x < 93 => "gc"
+          case _           => "append_race"
         }
         op match {
           case "append" =>
@@ -149,6 +155,60 @@ object ZarrGenFuzz {
             live = live ++ slab
             nextT += 2
             if (snaps.nonEmpty) c.appendAfterSnap += 1
+          case "append_race" =>
+            // Two appenders race the single-writer lease under
+            // AGGRESSIVE timing (TTL/heartbeat orders of magnitude
+            // below production) — the seeds probe the lock lifecycle
+            // the scripted ZarrAppendSpec reproductions pin one
+            // schedule of. Invariants: the store ends as base + the
+            // slabs of exactly the appends that reported success (no
+            // torn grid, no silently dropped winner), every loser
+            // failed LOUDLY (lock contention or outer-order refusal
+            // when the later slab committed first), the short lease
+            // was never wrongly broken mid-append, and the lock object
+            // is RELEASED afterwards (the round-11 resurrection race
+            // left a fresh-heartbeat orphan exactly here).
+            import graft.sources.zarr.{ZarrStore, ZarrWriter}
+            val (ttl0, hb0) = (ZarrWriter.leaseTtlMillis, ZarrWriter.leaseHeartbeatMillis)
+            ZarrWriter.leaseTtlMillis = (100 + r.nextInt(200)).toLong
+            ZarrWriter.leaseHeartbeatMillis = (10 + r.nextInt(20)).toLong
+            try {
+              val slabA = rowsOf(nextT, 2L, scale)
+              val slabB = rowsOf(nextT + 2, 2L, scale)
+              val outcomes = new java.util.concurrent.ConcurrentHashMap[String, Option[String]]()
+              val start = new java.util.concurrent.CountDownLatch(1)
+              val ths = Seq("A" -> toDf(slabA), "B" -> toDf(slabB)).map { case (nm, df) =>
+                new Thread(() => {
+                  start.await()
+                  try { ZarrWriter.append(df, store); outcomes.put(nm, None) }
+                  catch { case e: Exception =>
+                    outcomes.put(nm, Some(Option(e.getMessage).getOrElse(""))) }
+                })
+              }
+              ths.foreach(_.start()); start.countDown(); ths.foreach(_.join(120000))
+              val failMsgs = Seq("A", "B").flatMap(nm => Option(outcomes.get(nm)).flatten)
+              val unexpected = failMsgs.filterNot(m =>
+                m.contains("writer lock") || m.contains("must sort strictly after"))
+              if (outcomes.size != 2)
+                err = Some(s"seed=$seed op$i append_race: an appender hung")
+              else if (unexpected.nonEmpty)
+                err = Some(s"seed=$seed op$i append_race: unexpected failure: ${unexpected.head}")
+              else {
+                if (failMsgs.exists(_.contains("writer lock"))) c.leaseContention += 1
+                val okA = Option(outcomes.get("A")).contains(None)
+                val okB = Option(outcomes.get("B")).contains(None)
+                live = live ++ (if (okA) slabA else Nil) ++ (if (okB) slabB else Nil)
+                // the frontier advances past BOTH slabs: if only B
+                // landed, a later append at A's range would (rightly)
+                // hit the outer-order refusal
+                nextT += 4
+                if (ZarrStore.open(store).readBytes(ZarrWriter.appendLockRel).isDefined)
+                  err = Some(s"seed=$seed op$i append_race: lock left behind after release")
+              }
+            } finally {
+              ZarrWriter.leaseTtlMillis = ttl0
+              ZarrWriter.leaseHeartbeatMillis = hb0
+            }
           case "snapshot" =>
             val p = dir.resolve(s"snap_$snapId.parq").toString
             snapId += 1
@@ -250,7 +310,8 @@ object ZarrGenFuzzRun {
     val required = Seq(
       "redirect_read" -> c.redirectRead, "chained_overwrite" -> c.chainedOverwrite,
       "gc_while_live" -> c.gcWhileLive, "gc_reclaim" -> c.gcReclaim,
-      "append_after_snap" -> c.appendAfterSnap, "plain_overwrite" -> c.plainOverwrite)
+      "append_after_snap" -> c.appendAfterSnap, "plain_overwrite" -> c.plainOverwrite,
+      "lease_contention" -> c.leaseContention)
     val missing = required.collect { case (k, 0) => k }
     spark.stop()
     if (failed > 0 || missing.nonEmpty) {
