@@ -1032,8 +1032,9 @@ object Dedup {
     }
     val q = Similarity.quantized(e)
     // k and the flat-vs-hierarchical dispatch are ONE bounded
-    // driver-side scalar (a parquet COUNT(*) is answered from footer
-    // metadata) — the same adaptive-dispatch discipline as d7's
+    // driver-side scalar (unsliced: a parquet COUNT(*) answered from
+    // footer metadata; sliced: one filtered count scan) — the same
+    // adaptive-dispatch discipline as d7's
     // union-find. The two paths are NOT output-identical (the
     // hierarchical cell restriction is the scale approximation, see
     // kmeansAssignHier), so the oracle mirrors the dispatch with two
