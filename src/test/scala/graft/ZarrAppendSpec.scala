@@ -259,6 +259,49 @@ class ZarrAppendSpec extends AnyFunSuite {
     }
   }
 
+  test("cross-process lease: a second JVM is refused by a live lock, breaks a stale one") {
+    // The lock is a store OBJECT, so the single-writer claim is
+    // cross-process — but every other race test contends THREADS in
+    // one JVM, where shared statics could mask a process-isolation
+    // bug. Drive graft.examples.AppendSlab in its own JVM (this test
+    // JVM is forked, so java.class.path is the full runtime
+    // classpath): a live-heartbeat lock must refuse it loudly
+    // (exit 3), a stale lock must self-heal and append (exit 0,
+    // lock released).
+    import graft.sources.zarr.{ZarrStore, ZarrWriter}
+    import scala.sys.process._
+    val out = fresh(Seq(0L, 1L))
+    val store = ZarrStore.open(out)
+    val javaBin = System.getProperty("java.home") + "/bin/java"
+    val cp = System.getProperty("java.class.path")
+    val opens = Seq(
+      "java.lang", "java.lang.invoke", "java.lang.reflect", "java.io",
+      "java.net", "java.nio", "java.util", "java.util.concurrent",
+      "java.util.concurrent.atomic", "sun.nio.ch", "sun.nio.cs",
+      "sun.security.action", "sun.util.calendar")
+      .map(p => s"--add-opens=java.base/$p=ALL-UNNAMED")
+    val errLines = scala.collection.mutable.Buffer[String]()
+    def slab(t0: Long): Int =
+      Process(Seq(javaBin) ++ opens ++ Seq("-Xmx2g", "-cp", cp,
+        "graft.examples.AppendSlab", out, t0.toString, "2"))
+        .!(ProcessLogger(_ => (), errLines += _))
+    def lock(hb: Long): Unit =
+      store.writeBytes(ZarrWriter.appendLockRel,
+        s"holder cross-process-spec\nstarted test\nheartbeat $hb".getBytes("UTF-8"))
+    // live lock (fresh heartbeat): the other process refuses loudly
+    lock(System.currentTimeMillis())
+    assert(slab(2L) == 3, s"expected refusal; stderr: ${errLines.mkString(" | ")}")
+    // stale lock (heartbeat far past the TTL): the other process
+    // breaks the lease, appends, and releases
+    lock(System.currentTimeMillis() - 3600 * 1000L)
+    assert(slab(2L) == 0, s"expected self-heal; stderr: ${errLines.mkString(" | ")}")
+    assert(store.readBytes(ZarrWriter.appendLockRel).isEmpty,
+      "cross-process append left its lock behind")
+    assert(spark.read.format("zarr").load(out).orderBy("t", "x")
+      .collect().map(_.toSeq).toSeq ==
+      grid(0L to 3L).orderBy("t", "x").collect().map(_.toSeq).toSeq)
+  }
+
   test("racing appends: winners' rows land, losers fail loudly, never corruption") {
     import graft.sources.zarr.ZarrWriter
     val out = fresh(Seq(0L, 1L))
