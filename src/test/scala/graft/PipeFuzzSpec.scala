@@ -24,12 +24,21 @@ class PipeFuzzSpec extends AnyFunSuite {
     val gens = (0L until 250L).map(PipeFuzz.gen)
     val fams = gens.groupBy(_.family).map { case (f, g) => f -> g.size }
     Seq("span_detect", "span_apply", "exact_dedup", "ngram_pairs",
-        "minhash_pairs", "simhash_pairs", "emb_pairs", "ann_topk")
+        "minhash_pairs", "simhash_pairs", "emb_pairs", "ann_topk",
+        "sem_dedup", "kmeans", "ann_ivf")
       .foreach(f => assert(fams.getOrElse(f, 0) > 0, s"family $f never drawn"))
     val thetas = gens.filter(_.family == "emb_pairs")
       .map(_.tag.split(" ").head.stripPrefix("theta=").toDouble)
     assert(thetas.exists(_ >= 0.8), "LSH dispatch side never drawn")
     assert(thetas.exists(_ < 0.8), "tiled dispatch side never drawn")
+    // d8's dispatch side is data-dependent (sliced count vs k), but the
+    // tcs DRAW must span values that land flat (k small) and
+    // hierarchical (k > 64) on the unsliced sf0.01 corpus of 500
+    // vectors — the runner then proves the sides actually taken
+    val tcss = gens.filter(_.family == "sem_dedup")
+      .map(_.tag.split(" ").head.stripPrefix("tcs=").toInt)
+    assert(tcss.exists(_ >= 8), "a flat-side tcs (k <= 64 at N=500) never drawn")
+    assert(tcss.exists(_ <= 4), "a hier-side tcs (k > 64 at N=500) never drawn")
     val sliced = gens.count(!_.tag.endsWith("where=[]"))
     assert(sliced > 0 && sliced < gens.size,
       "slices must appear but not dominate")
