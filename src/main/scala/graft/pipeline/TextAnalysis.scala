@@ -479,7 +479,59 @@ object TextAnalysis {
       md5(nfc_normalize(raw)) AS nfc_md5
     FROM raw"""
 
+  /** BPE pair statistics — the map-reduce core of byte-pair-encoding
+    * tokenizer training (Sennrich et al. 2016): count adjacent
+    * CHARACTER pairs across the corpus, weighting each occurrence by
+    * its word's corpus frequency. One such pass ranks the next merge
+    * candidate; training loops this primitive, re-running it over the
+    * merged symbol sequences. Output: top 50 pairs by weighted count
+    * (full deterministic tiebreak: count desc, then the pair), with
+    * `in_words` = distinct words containing the pair.
+    *
+    * Scale story (the reason tokenizer training runs on the cluster,
+    * not a driver): shuffle #1 keys by WORD (map-side combined — the
+    * reduce side sees the distinct vocabulary, not corpus tokens);
+    * the pair explode then runs over DISTINCT WORDS ONLY (vocabulary
+    * scale, not corpus scale — each word's pairs are counted once and
+    * weighted by its frequency); shuffle #2 keys by (a, b) over
+    * alphabet² cardinality, also partially aggregated map-side. No
+    * broadcast, no skew surface (a hot pair key is combined per map
+    * partition before it ever ships). All codegen'd expressions. */
+  def t11_bpe_pairs(s: SparkSession, dir: String): DataFrame = {
+    val wc = docs(s, dir)
+      .select(explode(split(col("text"), " ")).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy("word").agg(count(lit(1)).as("c"))
+    wc.filter(length(col("word")) >= 2)
+      .select(col("word"), col("c"), explode(expr(
+        """transform(sequence(1, length(word) - 1),
+          |  i -> named_struct('a', substring(word, i, 1),
+          |                    'b', substring(word, i + 1, 1)))""".stripMargin)).as("p"))
+      .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+      .agg(sum(col("c")).cast("long").as("pair_count"),
+        countDistinct(col("word")).cast("long").as("in_words"))
+      .orderBy(col("pair_count").desc, col("a"), col("b"))
+      .limit(50)
+  }
+
+  private val t11Sql = """
+    WITH wc AS (
+      SELECT t AS word, CAST(COUNT(*) AS BIGINT) AS c
+      FROM (SELECT UNNEST(STRING_SPLIT(text, ' ')) AS t FROM documents) x
+      WHERE t <> '' GROUP BY t),
+    p AS (
+      SELECT SUBSTR(word, CAST(i AS INT), 1) AS a,
+             SUBSTR(word, CAST(i AS INT) + 1, 1) AS b, word, c
+      FROM (SELECT word, c, UNNEST(range(1, LENGTH(word))) AS i
+            FROM wc WHERE LENGTH(word) >= 2) y)
+    SELECT a, b, CAST(SUM(c) AS BIGINT) AS pair_count,
+      CAST(COUNT(DISTINCT word) AS BIGINT) AS in_words
+    FROM p GROUP BY a, b
+    ORDER BY pair_count DESC, a, b
+    LIMIT 50"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t11_bpe_pairs" -> (t11_bpe_pairs _),
     "t10_text_normalize" -> (t10_text_normalize _),
     "t1_text_tokens" -> (t1_text_tokens _),
     "t2_text_quality" -> (t2_text_quality _),
@@ -492,6 +544,7 @@ object TextAnalysis {
     "t9_text_pii" -> (t9_text_pii _))
 
   val oracle: Map[String, String] = Map(
+    "t11_bpe_pairs" -> t11Sql,
     "t10_text_normalize" -> t10Sql,
     "t1_text_tokens" -> t1Sql,
     "t2_text_quality" -> t2Sql,
