@@ -530,7 +530,68 @@ object TextAnalysis {
     ORDER BY pair_count DESC, a, b
     LIMIT 50"""
 
+  /** Bigram-LM quality scoring — the perplexity-filtering stage of
+    * CCNet/Gopher-style curation, restated in EXACT integer
+    * arithmetic so the DuckDB oracle matches bit-for-bit: train
+    * corpus bigram statistics (context count na, pair count nab),
+    * score each bigram occurrence with the integer-quantized
+    * conditional probability (nab·10^6) div na, and report each
+    * document's mean score (higher = more predictable text; a
+    * perplexity filter drops the tails). Real deployments swap the
+    * ratio for a log-prob from a trained LM — the transcendental log
+    * is the only thing this formulation omits, and it's omitted
+    * because engines' libm results aren't bit-portable.
+    *
+    * Scale story: the count tables come from map-side-combined
+    * groupBys over the exploded bigram frame (reduce side sees
+    * vocabulary-scale rows); the score joins are plain equi-joins
+    * that AQE converts to broadcast when the count tables are small —
+    * declared, not hand-scheduled. The exploded frame feeds three
+    * consumers, so it's persisted (the d2 gram-table discipline) —
+    * one corpus explode, not three. */
+  def t12_text_lmscore(s: SparkSession, dir: String): DataFrame = {
+    val bi = docs(s, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .filter(size(col("w")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(w) - 1), i -> named_struct('a', w[i-1], 'b', w[i]))")).as("p"))
+      .select(col("doc_id"), col("p.a").as("a"), col("p.b").as("b"))
+      .filter(col("a") =!= "" && col("b") =!= "")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val ctx = bi.groupBy("a").agg(count(lit(1)).as("na"))
+    val pair = bi.groupBy("a", "b").agg(count(lit(1)).as("nab"))
+    val scored = bi.join(pair, Seq("a", "b")).join(ctx, Seq("a"))
+      .withColumn("score", expr("(nab * 1000000) div na"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("score")).as("s"))
+      .select(col("doc_id"), col("n_bigrams"),
+        expr("s div n_bigrams").as("lm"))
+    docs(s, dir).select(col("doc_id"))
+      .join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("lm"), lit(0L)).as("lm_score"))
+  }
+
+  private val t12Sql = """
+    WITH b AS MATERIALIZED (
+      SELECT doc_id, w[i] AS a, w[i+1] AS b
+      FROM (SELECT doc_id, STRING_SPLIT(text, ' ') AS w FROM documents) t,
+        UNNEST(range(1, LEN(w))) AS u(i)
+      WHERE LEN(w) >= 2 AND w[i] <> '' AND w[i+1] <> ''),
+    ctx AS (SELECT a, CAST(COUNT(*) AS BIGINT) AS na FROM b GROUP BY a),
+    pair AS (SELECT a, b, CAST(COUNT(*) AS BIGINT) AS nab FROM b GROUP BY a, b),
+    sc AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+        CAST(SUM((nab * 1000000) // na) AS BIGINT) AS s
+      FROM b JOIN pair USING (a, b) JOIN ctx USING (a)
+      GROUP BY doc_id)
+    SELECT d.doc_id, COALESCE(sc.n_bigrams, 0) AS n_bigrams,
+      COALESCE(sc.s // sc.n_bigrams, 0) AS lm_score
+    FROM documents d LEFT JOIN sc USING (doc_id)"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t12_text_lmscore" -> (t12_text_lmscore _),
     "t11_bpe_pairs" -> (t11_bpe_pairs _),
     "t10_text_normalize" -> (t10_text_normalize _),
     "t1_text_tokens" -> (t1_text_tokens _),
@@ -544,6 +605,7 @@ object TextAnalysis {
     "t9_text_pii" -> (t9_text_pii _))
 
   val oracle: Map[String, String] = Map(
+    "t12_text_lmscore" -> t12Sql,
     "t11_bpe_pairs" -> t11Sql,
     "t10_text_normalize" -> t10Sql,
     "t1_text_tokens" -> t1Sql,
