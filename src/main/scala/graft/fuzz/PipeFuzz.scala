@@ -45,6 +45,8 @@ import graft.pipeline.Dedup
   *    count k ∈ {2..16} over slices
   *  - `ann_ivf` — [[graft.pipeline.Similarity.ivfTopK]], nprobe /
   *    centroid stride / top-k / query count seeded
+  *  - `decon` — [[Dedup.fuzzyDecontaminate]], agreement θ and the
+  *    eval-residue modulus seeded (the train/eval split moves)
   */
 object PipeFuzz {
 
@@ -52,8 +54,9 @@ object PipeFuzz {
     * on ANY change to [[gen]]'s distribution (seeds remap).
     * v2: ngram_pairs family added. v3: minhash_pairs + simhash_pairs.
     * v4: clustering family (sem_dedup across the flat/hier dispatch,
-    * kmeans k, ann_ivf nprobe/stride/topK) + pmod-rendered slices. */
-  val grammarVersion = 4
+    * kmeans k, ann_ivf nprobe/stride/topK) + pmod-rendered slices.
+    * v5: decon family (d11 theta x evalMod). */
+  val grammarVersion = 5
 
   def name(seed: Long): String = f"pf_$seed%04d"
 
@@ -92,7 +95,7 @@ object PipeFuzz {
     val r = new Random(seed * 0x9E3779B97F4A7C15L + 0x632BE59BD9B4E019L)
     r.nextInt(); r.nextInt() // warm the LCG past the seed's low entropy
     val roll = r.nextInt(100)
-    if (roll < 20) {
+    if (roll < 17) {
       val where = docSlice(r)
       // sliced corpora keep narrow windows so the family still yields
       // spans (a slice breaks cross-doc pairs faster than it sheds docs)
@@ -101,19 +104,19 @@ object PipeFuzz {
       Gen("span_detect", s"w=$w md=$minDocs where=[$where]",
         (s, dir) => Dedup.spanDetect(s, dir, w, minDocs, where),
         Dedup.d9SqlFor(w, minDocs, where))
-    } else if (roll < 36) {
+    } else if (roll < 31) {
       val where = docSlice(r)
       val w = if (where.isEmpty) 4 + r.nextInt(9) else 4 + r.nextInt(3)
       val minDocs = if (r.nextInt(4) == 0) 3 else 2
       Gen("span_apply", s"w=$w md=$minDocs where=[$where]",
         (s, dir) => Dedup.spanApply(s, dir, w, minDocs, where),
         Dedup.d10SqlFor(w, minDocs, where))
-    } else if (roll < 45) {
+    } else if (roll < 39) {
       val where = docSlice(r)
       Gen("exact_dedup", s"where=[$where]",
         (s, dir) => Dedup.exactDedup(s, dir, where),
         Dedup.d1SqlFor(where))
-    } else if (roll < 54) {
+    } else if (roll < 48) {
       val maxDf = Seq(10L, 25L, 50L)(r.nextInt(3))
       val dfShare = Seq(100L, 250L, 500L, 1000L)(r.nextInt(4))
       val theta = Seq("0.3", "0.5", "0.7")(r.nextInt(3))
@@ -121,19 +124,19 @@ object PipeFuzz {
       Gen("ngram_pairs", s"maxDf=$maxDf share=$dfShare theta=$theta where=[$where]",
         (s, dir) => Dedup.ngramPairs(s, dir, maxDf, dfShare, theta, where),
         Dedup.d2SqlFor(maxDf, dfShare, theta, where))
-    } else if (roll < 61) {
+    } else if (roll < 55) {
       val theta = Seq("0.5", "0.75", "1.0")(r.nextInt(3))
       val where = docSlice(r)
       Gen("minhash_pairs", s"theta=$theta where=[$where]",
         (s, dir) => Dedup.minhashPairs(s, dir, theta, where),
         Dedup.d3SqlFor(theta, where))
-    } else if (roll < 68) {
+    } else if (roll < 62) {
       val maxH = 1 + r.nextInt(3)
       val where = docSlice(r)
       Gen("simhash_pairs", s"maxH=$maxH where=[$where]",
         (s, dir) => Dedup.simhashPairs(s, dir, maxH, where),
         Dedup.d4SqlFor(maxH, where))
-    } else if (roll < 77) {
+    } else if (roll < 71) {
       // θ spans BOTH dispatch sides of d5LshThreshold (0.8): below →
       // exact tiled all-pairs; at/above → banded hyperplane LSH
       val thetas = Seq("0.3", "0.45", "0.6", "0.7", "0.75",
@@ -157,7 +160,7 @@ object PipeFuzz {
           Dedup.embeddingPairs(if (where.isEmpty) e else e.where(where),
             theta.toDouble)
         }, sql)
-    } else if (roll < 84) {
+    } else if (roll < 78) {
       val k = 3 + r.nextInt(8)
       val p = 3 + r.nextInt(6)
       val where0 = vecSlice(r)
@@ -196,7 +199,7 @@ object PipeFuzz {
             .withColumn("rk", row_number().over(w).cast("long"))
             .filter(col("rk") <= k)
         }, sql)
-    } else if (roll < 92) {
+    } else if (roll < 86) {
       // targetClusterSize drives k = max(4, ceil(N/tcs)) and with it
       // the flat-vs-hierarchical assignment dispatch at d8FlatMaxK=64:
       // at sf0.01 (N=500) tcs ∈ {1,2,4} land hierarchical and
@@ -210,7 +213,7 @@ object PipeFuzz {
       Gen("sem_dedup", s"tcs=$tcs theta=$theta where=[$where]",
         (s, dir) => Dedup.semanticDedup(s, dir, tcs, theta, where),
         Dedup.d8SqlFor(tcs, theta, where))
-    } else if (roll < 96) {
+    } else if (roll < 90) {
       // seed centroids are the k smallest surviving vec_ids: k ≥ 8
       // under a residue slice (m ≤ 4) guarantees every residue class
       // keeps at least one seed below k, so the seed set never empties
@@ -220,7 +223,7 @@ object PipeFuzz {
       Gen("kmeans", s"k=$k where=[$where]",
         (s, dir) => graft.pipeline.Similarity.kmeansClusters(s, dir, k, where),
         graft.pipeline.Similarity.s5SqlFor(k, where))
-    } else {
+    } else if (roll < 95) {
       // nprobe is IVF's recall/cost dial; the stride draws different
       // centroid sets, and numQ ≥ 4 keeps at least one query vector
       // alive under every residue slice (m ≤ 4)
@@ -232,6 +235,14 @@ object PipeFuzz {
       Gen("ann_ivf", s"stride=$stride np=$np topK=$topK numQ=$numQ where=[$where]",
         (s, dir) => graft.pipeline.Similarity.ivfTopK(s, dir, stride, np, topK, numQ, where),
         graft.pipeline.Similarity.s3SqlFor(stride, np, topK, numQ, where))
+    } else {
+      // the eval-residue modulus moves the train/eval split; theta is
+      // the same agreement dial as d3's
+      val theta = Seq("0.5", "0.75", "1.0")(r.nextInt(3))
+      val evalMod = Seq(2, 3, 5, 10)(r.nextInt(4))
+      Gen("decon", s"theta=$theta evalMod=$evalMod",
+        (s, dir) => Dedup.fuzzyDecontaminate(s, dir, theta, evalMod),
+        Dedup.d11SqlFor(theta, evalMod))
     }
   }
 }

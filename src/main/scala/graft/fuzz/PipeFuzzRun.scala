@@ -111,7 +111,7 @@ object PipeFuzzRun {
       s"sem dispatch flat=$semFlat hier=$semHier; results in $outDir")
     val families = Seq("span_detect", "span_apply", "exact_dedup",
       "ngram_pairs", "minhash_pairs", "simhash_pairs", "emb_pairs", "ann_topk",
-      "sem_dedup", "kmeans", "ann_ivf")
+      "sem_dedup", "kmeans", "ann_ivf", "decon")
     val missing = families.filter(famCount(_) == 0) ++
       families.filter(f => famCount(f) > 0 && famNonEmpty(f) == 0).map(_ + ":all-empty")
     val dispatchMiss = (if (lshSide == 0) Seq("lsh_side") else Nil) ++

@@ -375,6 +375,25 @@ object Dedup {
     * corpus are the run-time knobs a user would turn. */
   private[graft] def minhashPairs(s: SparkSession, dir: String,
       theta: String, whereSql: String): DataFrame = {
+    val bands = minhashBands(s, dir, whereSql)
+    bucketPairs(bands, Seq("band", "h1", "h2", "h3", "h4"), "doc_id",
+        d3ChunkSize, s"d3:$dir:$whereSql:${corpusStamp(s, dir, "documents")}")
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        minhashAgree.as("est_jaccard"))
+      .filter(col("est_jaccard") >= expr(theta))
+      .distinct()
+  }
+
+  /** Signature agreement fraction between the `a`/`b` sides of a band
+    * join — shared by d3's self-join and d11's train×eval join. */
+  private def minhashAgree: Column = (1 to nPerm)
+    .map(j => when(col(s"a.m$j") === col(s"b.m$j"), 1).otherwise(0))
+    .reduce(_ + _).cast("double") / nPerm
+
+  /** The MinHash band table `(doc_id, m1..m16, band, h1..h4)` —
+    * d3's candidate machinery, shared with [[fuzzyDecontaminate]]. */
+  private def minhashBands(s: SparkSession, dir: String,
+      whereSql: String): DataFrame = {
     val g = TextAnalysis.gramCodes(slicedDocs(s, dir, whereSql))
     val sig = g.groupBy("doc_id").agg(
       min(expr(permHash(1, "code"))).as("m1"),
@@ -386,7 +405,7 @@ object Dedup {
     // sig cache per branch and paid a 4-way union stage — measured
     // 0.9 s slower at sf0.1 (2.2 s vs 1.3 s) with identical output
     // and identical shuffle volume.
-    val bands = sig.select(col("doc_id") +: (1 to nPerm).map(j => col(s"m$j")) :+
+    sig.select(col("doc_id") +: (1 to nPerm).map(j => col(s"m$j")) :+
         explode(array((0 until nBands).map(b => struct(lit(b).as("band"),
           col(s"m${bandRows * b + 1}").as("h1"), col(s"m${bandRows * b + 2}").as("h2"),
           col(s"m${bandRows * b + 3}").as("h3"), col(s"m${bandRows * b + 4}").as("h4"))): _*))
@@ -394,15 +413,6 @@ object Dedup {
       .select(col("doc_id") +: (1 to nPerm).map(j => col(s"m$j")) :+
         col("bb.band").as("band") :+ col("bb.h1").as("h1") :+ col("bb.h2").as("h2") :+
         col("bb.h3").as("h3") :+ col("bb.h4").as("h4"): _*)
-    val agree: Column = (1 to nPerm)
-      .map(j => when(col(s"a.m$j") === col(s"b.m$j"), 1).otherwise(0))
-      .reduce(_ + _).cast("double") / nPerm
-    bucketPairs(bands, Seq("band", "h1", "h2", "h3", "h4"), "doc_id",
-        d3ChunkSize, s"d3:$dir:$whereSql:${corpusStamp(s, dir, "documents")}")
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        agree.as("est_jaccard"))
-      .filter(col("est_jaccard") >= expr(theta))
-      .distinct()
   }
 
   /** d3's CTE chain and final select, kept separate so d7 can reuse
@@ -421,7 +431,10 @@ object Dedup {
     .map(j => s"CASE WHEN a.m$j = b.m$j THEN 1 ELSE 0 END")
     .mkString("(", " + ", s") / ${nPerm}.0")
 
-  private[graft] def d3CtesFor(theta: String, whereSql: String): String = {
+  /** The g/sig/bands CTE prefix — d3's sketch in SQL, shared with the
+    * d11 oracle (which joins the bands bipartitely instead of
+    * self-joining them). */
+  private def d3BandsCtes(whereSql: String): String = {
     val mins = (1 to nPerm).map(j => s"MIN(${permHash(j, "code")}) AS m$j").mkString(", ")
     val sigCols = (1 to nPerm).map(j => s"m$j").mkString(", ")
     val bandSelects = (0 until nBands).map { b =>
@@ -430,7 +443,11 @@ object Dedup {
     }.mkString(" UNION ALL ")
     s"""g AS (${TextAnalysis.gramSqlFor(whereSql)}),
     sig AS MATERIALIZED (SELECT doc_id, $mins FROM g GROUP BY doc_id),
-    bands AS MATERIALIZED ($bandSelects),
+    bands AS MATERIALIZED ($bandSelects)"""
+  }
+
+  private[graft] def d3CtesFor(theta: String, whereSql: String): String =
+    s"""${d3BandsCtes(whereSql)},
     cand AS (
       SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
         $d3Agree AS est_jaccard
@@ -438,7 +455,6 @@ object Dedup {
         ON a.band = b.band AND a.h1 = b.h1 AND a.h2 = b.h2
         AND a.h3 = b.h3 AND a.h4 = b.h4 AND a.doc_id < b.doc_id
       WHERE $d3Agree >= $theta)"""
-  }
   private val d3Ctes = d3CtesFor("0.75", "")
 
   private val d3Final = s"""
@@ -448,6 +464,64 @@ object Dedup {
   private val d3Sql = s"WITH $d3Ctes $d3Final"
   private[graft] def d3SqlFor(theta: String, whereSql: String): String =
     s"WITH ${d3CtesFor(theta, whereSql)} $d3Final"
+
+  // --------------------------------------------- d11 fuzzy decontamination
+
+  /** Fuzzy eval-set decontamination — the benchmark-contamination
+    * sweep every training pipeline runs before a model sees the data
+    * (GPT-3 App. C / Gopher-style n-gram overlap, here as MinHash
+    * near-duplicate matching): find every TRAINING document that is a
+    * near-duplicate of any EVAL document, so it can be dropped before
+    * training. Where c8 removes exact text matches and c12 bloom-
+    * filters exact 8-gram hits, d11 catches the paraphrased/perturbed
+    * copies those miss, at the same sketch fidelity as d3 (same
+    * grams, permutations, and band layout — one shared
+    * implementation).
+    *
+    * The gate query defines eval = pmod(doc_id, 10) = 0 (a held-out
+    * tenth); a real deployment points the eval side at its benchmark
+    * corpus. Output: (train_doc, eval_doc, est_jaccard) per
+    * contaminated pair, signature agreement ≥ 0.75.
+    *
+    * Plan, 100 TB-first: the EVAL side is broadcast — eval sets are
+    * benchmark-sized (thousands to millions of rows) while train is
+    * the 100 TB side, so the band join is map-side with NO shuffle of
+    * the training bands at all, and a hot band bucket cannot straggle
+    * (each train band row meets only the broadcast eval rows). This
+    * bipartite shape is why decontamination scales where a full d3
+    * self-join of train+eval would not. */
+  def d11_decontaminate(s: SparkSession, dir: String): DataFrame =
+    fuzzyDecontaminate(s, dir, "0.75", 10)
+
+  /** Parametric fuzzy decontamination ([[d11_decontaminate]] = the
+    * gate defaults): agreement threshold and the eval-residue modulus
+    * (eval = pmod(doc_id, evalMod) = 0). Fuzz entry point. */
+  private[graft] def fuzzyDecontaminate(s: SparkSession, dir: String,
+      theta: String, evalMod: Int): DataFrame = {
+    val bands = minhashBands(s, dir, "")
+    val evalSide = expr(s"((doc_id % $evalMod) + $evalMod) % $evalMod = 0")
+    bands.filter(!evalSide).as("a")
+      .join(broadcast(bands.filter(evalSide)).as("b"),
+        col("a.band") === col("b.band") &&
+          col("a.h1") === col("b.h1") && col("a.h2") === col("b.h2") &&
+          col("a.h3") === col("b.h3") && col("a.h4") === col("b.h4"))
+      .select(col("a.doc_id").as("train_doc"), col("b.doc_id").as("eval_doc"),
+        minhashAgree.as("est_jaccard"))
+      .filter(col("est_jaccard") >= expr(theta))
+      .distinct()
+  }
+
+  private[graft] def d11SqlFor(theta: String, evalMod: Int): String = s"""
+    WITH ${d3BandsCtes("")}
+    SELECT DISTINCT a.doc_id AS train_doc, b.doc_id AS eval_doc,
+      $d3Agree AS est_jaccard
+    FROM bands a JOIN bands b
+      ON a.band = b.band AND a.h1 = b.h1 AND a.h2 = b.h2
+      AND a.h3 = b.h3 AND a.h4 = b.h4
+    WHERE ((a.doc_id % $evalMod) + $evalMod) % $evalMod <> 0
+      AND ((b.doc_id % $evalMod) + $evalMod) % $evalMod = 0
+      AND $d3Agree >= $theta"""
+  private val d11Sql = d11SqlFor("0.75", 10)
 
   // ------------------------------------------------------------ d4 SimHash
 
@@ -1463,7 +1537,8 @@ object Dedup {
     "d7_dedup_clusters" -> (d7_dedup_clusters _),
     "d8_dedup_semantic" -> (d8_dedup_semantic _),
     "d9_dedup_spans" -> (d9_dedup_spans _),
-    "d10_span_apply" -> (d10_span_apply _))
+    "d10_span_apply" -> (d10_span_apply _),
+    "d11_decontaminate" -> (d11_decontaminate _))
 
   val oracle: Map[String, String] = Map(
     "d1_dedup_exact" -> d1Sql,
@@ -1475,5 +1550,6 @@ object Dedup {
     "d7_dedup_clusters" -> d7Sql,
     "d8_dedup_semantic" -> d8Sql,
     "d9_dedup_spans" -> d9Sql,
-    "d10_span_apply" -> d10Sql)
+    "d10_span_apply" -> d10Sql,
+    "d11_decontaminate" -> d11Sql)
 }

@@ -25,7 +25,7 @@ class PipeFuzzSpec extends AnyFunSuite {
     val fams = gens.groupBy(_.family).map { case (f, g) => f -> g.size }
     Seq("span_detect", "span_apply", "exact_dedup", "ngram_pairs",
         "minhash_pairs", "simhash_pairs", "emb_pairs", "ann_topk",
-        "sem_dedup", "kmeans", "ann_ivf")
+        "sem_dedup", "kmeans", "ann_ivf", "decon")
       .foreach(f => assert(fams.getOrElse(f, 0) > 0, s"family $f never drawn"))
     val thetas = gens.filter(_.family == "emb_pairs")
       .map(_.tag.split(" ").head.stripPrefix("theta=").toDouble)
