@@ -208,11 +208,56 @@ object Multimodal {
       CAST(MAX(av) AS BIGINT) AS peak
     FROM sv GROUP BY 1, 2, 3"""
 
+  /** Leading-frame fingerprint duplicates — the media-dedup stage of
+    * a multimodal pipeline: two items whose FIRST FRAME is
+    * byte-identical (same thumbnail, same video opening, same audio
+    * intro) are duplicate candidates regardless of what follows
+    * (re-encodes that truncate/extend, stitched compilations). The
+    * frame here is the payload's first 256-byte window (m2/m4's frame
+    * geometry); the pair key is its md5 digest — d1's fixed-width
+    * digest discipline, so the shuffle key is 16 bytes no matter the
+    * frame size.
+    *
+    * (A first cut bucketed on a quantized byte-HISTOGRAM signature —
+    * degenerate: every ASCII-text payload saturates the same two bins,
+    * so all C(N,2) pairs matched, and distribution-level features
+    * collapse the same way on any monoculture corpus. A content
+    * fingerprint is what real image-dedup buckets on; the histogram
+    * idea lives on inside d8/d5 where the feature space is real
+    * embeddings.)
+    *
+    * Scale shape: fingerprinting is the same partition-wise typed map
+    * as the decoder (no shuffle); pairing groups by digest, and a
+    * viral leading frame (a hot digest) tiles through
+    * [[Dedup.bucketPairs]] into bounded tasks instead of one
+    * quadratic straggler. */
+  def m5_multimodal_neardup(s: SparkSession, dir: String): DataFrame = {
+    val fp = mediaTable(s, dir).toDF()
+      .filter(length(col("payload")) >= 1)
+      .select(col("doc_id"), md5(expr("substring(payload, 1, 256)")).as("frame_md5"))
+    Dedup.bucketPairs(fp.withColumn("fmd5", col("frame_md5")),
+        Seq("frame_md5"), "doc_id", Dedup.d3ChunkSize,
+        s"m5:$dir:${Dedup.corpusStamp(s, dir, "documents")}")
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.fmd5").as("frame_md5"))
+      .distinct()
+  }
+
+  /** DuckDB mirrors the binary first-frame digest with md5 over the
+    * text prefix (the payload IS the utf8 text bytes). */
+  private val m5Sql = """
+    WITH fp AS (
+      SELECT doc_id, md5(substring(text, 1, 256)) AS frame_md5
+      FROM documents WHERE LENGTH(text) >= 1)
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, a.frame_md5
+    FROM fp a JOIN fp b ON a.frame_md5 = b.frame_md5 AND a.doc_id < b.doc_id"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m1_multimodal_decode" -> (m1_multimodal_decode _),
     "m2_multimodal_frames" -> (m2_multimodal_frames _),
     "m3_multimodal_resize" -> (m3_multimodal_resize _),
-    "m4_multimodal_audio" -> (m4_multimodal_audio _))
+    "m4_multimodal_audio" -> (m4_multimodal_audio _),
+    "m5_multimodal_neardup" -> (m5_multimodal_neardup _))
 
   /** The decode-stub arithmetic recomputed in SQL: per-position byte
     * codes from ascii(substring), 8-bin histogram via conditional
@@ -281,5 +326,6 @@ object Multimodal {
     "m1_multimodal_decode" -> m1Sql,
     "m2_multimodal_frames" -> m2Sql,
     "m3_multimodal_resize" -> m3Sql,
-    "m4_multimodal_audio" -> m4Sql)
+    "m4_multimodal_audio" -> m4Sql,
+    "m5_multimodal_neardup" -> m5Sql)
 }
