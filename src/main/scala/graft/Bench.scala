@@ -210,10 +210,9 @@ object Bench {
         java.nio.file.Files.exists(java.nio.file.Paths.get("BENCH_DETAIL.json"))
       if (full) {
         import scala.sys.process._
-        val files = new java.io.File(".").listFiles()
-          .map(_.getName).filter(_.matches("BENCH_r\\d+\\.json")).sorted.toSeq
-        val matFiles = new java.io.File(".").listFiles()
-          .map(_.getName).filter(_.matches("BENCH_MAT_r\\d+\\.json")).sorted.toSeq
+        val names = new java.io.File(".").listFiles().map(_.getName)
+        val files = names.filter(_.matches("BENCH_r\\d+\\.json")).sorted.toSeq
+        val matFiles = names.filter(_.matches("BENCH_MAT_r\\d+\\.json")).sorted.toSeq
         val cmd = Seq("python3", "tools/bench_trend.py", "--sf", "0.1") ++
           (files :+ "BENCH_DETAIL.json") ++
           (if (matFiles.nonEmpty) "--mat" +: matFiles else Nil)

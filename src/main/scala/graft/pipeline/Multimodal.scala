@@ -244,7 +244,14 @@ object Multimodal {
   }
 
   /** DuckDB mirrors the binary first-frame digest with md5 over the
-    * text prefix (the payload IS the utf8 text bytes). */
+    * text prefix. This leans on the m-family fixture contract (see
+    * the object scaladoc): the payload is the utf8 bytes of ASCII
+    * text, where byte slicing ≡ character slicing. On a non-ASCII
+    * corpus the engine's 256-BYTE slice and this 256-CHARACTER slice
+    * would diverge (DuckDB cannot md5 a byte-slice of a BLOB —
+    * substring/array-slice don't bind on BLOB), so like a real binary
+    * codec that corpus would drop m5 to a rows-only check — the same
+    * posture m2/m4 document for their ascii()/substring mirrors. */
   private val m5Sql = """
     WITH fp AS (
       SELECT doc_id, md5(substring(text, 1, 256)) AS frame_md5

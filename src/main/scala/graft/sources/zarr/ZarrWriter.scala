@@ -829,17 +829,16 @@ object ZarrWriter {
             leaseBeatTestHook()
             try store.writeBytes(appendLockRel, lockBytes())
             catch { case _: Exception => () } // store gone/read-only: next acquire surfaces it
-            // Belt-and-braces vs the release race: if release flipped
-            // `done` while our write was in flight, the write above may
-            // have RESURRECTED a lock the release path already deleted —
-            // remove it ourselves before exiting. (The release path also
-            // joins this thread before its delete, which closes the race
-            // structurally; this guard keeps the store clean even if a
-            // future caller forgets the join discipline.)
-            if (done) {
-              try store.deleteObject(appendLockRel)
-              catch { case _: Exception => () }
-            }
+            // Deliberately NO delete-if-done here: the release path
+            // joins this thread before ITS deleteObject, which already
+            // serializes any in-flight write above with the delete. A
+            // beat-side delete would race release's unconditional
+            // delete — beat deletes, a competing appender acquires in
+            // the gap, release's delete then clobbers the NEW holder's
+            // lock and a third appender can acquire mid-append — the
+            // exact double-writer corruption the lock exists to
+            // prevent. One owner of the delete: the release path,
+            // after the join.
           }
         }
       } catch { case _: InterruptedException => () } // release path

@@ -39,7 +39,10 @@ class PipeFuzzSpec extends AnyFunSuite {
       .map(_.tag.split(" ").head.stripPrefix("tcs=").toInt)
     assert(tcss.exists(_ >= 8), "a flat-side tcs (k <= 64 at N=500) never drawn")
     assert(tcss.exists(_ <= 4), "a hier-side tcs (k > 64 at N=500) never drawn")
-    val sliced = gens.count(!_.tag.endsWith("where=[]"))
+    // count only families that CAN slice (tag carries a where marker):
+    // decon's tag has no where and must not inflate the sliced count
+    val sliced = gens.count(g =>
+      g.tag.contains("where=[") && !g.tag.endsWith("where=[]"))
     assert(sliced > 0 && sliced < gens.size,
       "slices must appear but not dominate")
   }

@@ -115,7 +115,12 @@ def main():
         for q, a, b, rr in sorted(flagged, key=lambda x: -x[3]):
             arrow = "slower ⚠" if rr > 1 else "faster"
             print(f"- `{q}`: {a:.2f}s → {b:.2f}s ({rr:.2f}x {arrow})")
-    mruns = [r for r in (extract(f) for f in sorted(matfiles)) if r]
+    # numeric round order, not lexicographic: "MAT_r100" must sort
+    # after "MAT_r99" so last/prev pick the right pair
+    def round_no(path):
+        m = re.search(r"r(\d+)", os.path.basename(path))
+        return int(m.group(1)) if m else -1
+    mruns = [r for r in (extract(f) for f in sorted(matfiles, key=round_no)) if r]
     mruns = [r for r in mruns if norm_sf(r[1]) == want_sf]
     if mruns:
         last = mruns[-1]
@@ -139,9 +144,9 @@ def main():
             mark = " ⚠ count-pruned" if ratio > 3 and mv > 0.5 else ""
             row = f"| {q} | {cv:.2f} | {mv:.2f} | {ratio:.1f}x{mark} |"
             if prev:
-                pv, pc = prev[5].get(q), None
                 # previous MAT round's count partner is unknowable here;
                 # compare MAT-to-MAT directly for growth
+                pv = prev[5].get(q)
                 growth = ""
                 if pv is not None and pv > 0.3:
                     g = mv / pv
