@@ -120,25 +120,76 @@ object Bench {
     // columns). The driver bench stays on count() for round-over-round
     // comparability; MAT is the local fidelity probe.
     val mat = sys.env.get("SPARK_GRAFT_MAT").contains("1")
-    def timedPass(): Seq[(String, Double)] = {
+    // TEST-ONLY doctor hook: SPARK_GRAFT_DOCTOR_PASS=<i> injects a 1s
+    // sleep into every query of pass i, simulating machine interference
+    // so the retry logic below is demonstrable on demand (the interference
+    // guard's own acceptance test). Never set by the driver.
+    val doctorPass = sys.env.get("SPARK_GRAFT_DOCTOR_PASS").map(_.toInt)
+    def timedPass(idx: Int): (Seq[(String, Double)], String) = {
+      val l0 = load1()
       spark.catalog.clearCache()
-      selected.map { case (name, fn) =>
+      val rs = selected.map { case (name, fn) =>
         val t0 = System.nanoTime()
         try {
           val df = fn(spark, sfDir)
           if (mat) df.queryExecution.toRdd.count() else df.count()
+          if (doctorPass.contains(idx)) Thread.sleep(1000)
           name -> (System.nanoTime() - t0) / 1e9
         } catch { case e: Throwable =>
           System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
           name -> -1.0
         }
       }
+      (rs, f"$l0%.2f ${load1()}%.2f")
     }
     // SPARK_GRAFT_PASSES trims the pass count for long runs (the sf1
     // scale run is ~10x sf0.1 wall time; 2 passes keep it under an
     // hour while still absorbing one-off GC/IO stalls via min()).
     val nPasses = sys.env.getOrElse("SPARK_GRAFT_PASSES", "3").toInt.max(1)
-    val passes = Seq.fill(nPasses)(timedPass())
+    // Interference guard (rounds 10-12 each burned judge time exonerating
+    // ambient ⚠ flags — r12's pass arrays carried a 27s d4 outlier and a
+    // loaded third pass that manufactured nine >1.3x flags on untouched
+    // code). A pass is INTERFERENCE-HIT when more than
+    // K = max(3, 10% of eligible queries) of its samples run >1.25x the
+    // cross-pass min (the same ±25% band the round-12 A/B controls
+    // measured as ambient noise; queries whose min is under the 0.3s
+    // noise floor are ineligible). Each hit pass earns one replacement
+    // pass (bounded at 2 extras — a machine loaded for the whole window
+    // cannot be out-waited), and per-query min over ALL passes absorbs
+    // the retries: an extra pass can only lower a min, never raise it.
+    // `clean_passes`/`hit_passes`/`pass_loads` on the artifact make a
+    // still-contaminated run self-diagnosing instead of flag-bait.
+    def hitPasses(ps: Seq[Seq[(String, Double)]]): Seq[Int] = {
+      val mins = ps.transpose.map { samples =>
+        samples.head._1 -> samples.map(_._2).filter(_ >= 0)
+      }.collect { case (n, ts) if ts.nonEmpty => n -> ts.min }.toMap
+      val eligible = mins.filter(_._2 >= 0.3)
+      if (eligible.isEmpty) Seq.empty
+      else {
+        val k = math.max(3, math.ceil(0.10 * eligible.size).toInt)
+        ps.zipWithIndex.collect { case (pass, i) if pass.count { case (n, t) =>
+          t >= 0 && eligible.get(n).exists(m => t > m * 1.25)
+        } > k => i }
+      }
+    }
+    val passBuf = scala.collection.mutable.Buffer[Seq[(String, Double)]]()
+    val passLoads = scala.collection.mutable.Buffer[String]()
+    (0 until nPasses).foreach { i =>
+      val (rs, ld) = timedPass(i); passBuf += rs; passLoads += ld
+    }
+    val maxExtra = 2
+    var extraPasses = 0
+    while (extraPasses < maxExtra &&
+        passBuf.size - hitPasses(passBuf.toSeq).size < nPasses) {
+      val hits = hitPasses(passBuf.toSeq)
+      System.err.println(s"[bench] interference-hit pass(es) ${hits.mkString(",")} " +
+        s"(>25% inflation vs cross-pass min on >K queries) — running replacement pass")
+      val (rs, ld) = timedPass(passBuf.size); passBuf += rs; passLoads += ld
+      extraPasses += 1
+    }
+    val passes = passBuf.toSeq
+    val finalHits = hitPasses(passes)
+    val cleanPasses = passes.size - finalHits.size
     val results = passes.transpose.map { samples =>
       val name = samples.head._1
       val ts = samples.map(_._2)
@@ -158,7 +209,14 @@ object Bench {
     def q(s: String) = "\"" + s + "\""
     val env = s""""cores":$cores,"load_start":${q(loadAtStart)},""" +
       s""""load_end":${q(loadavg())},"nfail":${failed.size},""" +
-      s""""passes":$nPasses,"gate_wait_s":$gateWait,"high_load":$highLoad"""
+      s""""passes":${passes.size},"gate_wait_s":$gateWait,"high_load":$highLoad,""" +
+      // per-PASS 1-min loadavg (start end) + which passes the guard
+      // flagged: a contaminated artifact (zero clean passes after
+      // retries) is self-labeled so trend ⚠ flags on it are discounted
+      s""""pass_loads":[${passLoads.map(q).mkString(",")}],""" +
+      s""""hit_passes":[${finalHits.mkString(",")}],""" +
+      s""""extra_passes":$extraPasses,"clean_passes":$cleanPasses,""" +
+      s""""contaminated":${cleanPasses == 0}"""
     // Full per-query detail to a repo file (the log-tail line is size-
     // capped); total/sf/nq on both so either artifact stands alone.
     // `pass_times` carries every pass's wall time per query: cross-pass

@@ -214,9 +214,10 @@ object PipeFuzz {
         (s, dir) => Dedup.semanticDedup(s, dir, tcs, theta, where),
         Dedup.d8SqlFor(tcs, theta, where))
     } else if (roll < 90) {
-      // seed centroids are the k smallest surviving vec_ids: k ≥ 8
-      // under a residue slice (m ≤ 4) guarantees every residue class
-      // keeps at least one seed below k, so the seed set never empties
+      // seed centroids are the surviving vectors with vec_id < k (the
+      // set can be smaller than k under a slice): k ≥ 8 with a residue
+      // slice (m ≤ 4) guarantees every residue class keeps at least
+      // one seed below k, so the seed set never empties
       val where = vecSlice(r)
       val k = if (where.isEmpty) Seq(2, 3, 4, 8, 16)(r.nextInt(5))
               else Seq(8, 16)(r.nextInt(2))

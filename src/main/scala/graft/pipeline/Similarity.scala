@@ -305,9 +305,10 @@ object Similarity {
   /** Parametric two-pass Lloyd assignment ([[s5_kmeans]] = the gate
     * defaults): seed-centroid count and a corpus slice predicate (the
     * SAME text the oracle renders into its WHERE). Fuzz entry point —
-    * seeds are the k smallest surviving vec_ids' vectors, so a slice
-    * that excludes low ids thins the seed set identically on both
-    * engines. */
+    * seeds are the surviving vectors with `vec_id < k` (NOT padded to
+    * k — a residue slice with m ≤ 4 and k = 8 keeps 2 seeds, and the
+    * oracle renders the same `vec_id < k` cut), so a slice that
+    * excludes low ids thins the seed set identically on both engines. */
   private[graft] def kmeansClusters(s: SparkSession, dir: String,
       k: Int, whereSql: String): DataFrame = {
     val e0 = emb(s, dir)

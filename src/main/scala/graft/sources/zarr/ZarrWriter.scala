@@ -855,8 +855,21 @@ object ZarrWriter {
       // reliably abort on interrupt — without this join a heartbeat write
       // can land AFTER deleteObject, leaving an orphaned lock with a
       // fresh heartbeat that blocks the next appender for a full TTL
-      // (caught live by ZarrAppendSpec in round 11).
-      beat.join()
+      // (caught live by ZarrAppendSpec in round 11). The join must be
+      // unbounded (a bounded join reopens the resurrection race), but
+      // an unbounded SILENT join turns a wedged heartbeat write (hung
+      // network filesystem) into an undiagnosable hang — so wait in
+      // TTL-sized slices and log progress, keeping the wedge observable
+      // without ever deleting the lock before the write has settled.
+      var waitedMs = 0L
+      beat.join(leaseTtlMillis)
+      while (beat.isAlive) {
+        waitedMs += leaseTtlMillis
+        System.err.println(s"[graft] append lease release on $path: " +
+          s"heartbeat write still in flight after ${waitedMs}ms — " +
+          "waiting for the store write to settle (wedged filesystem?)")
+        beat.join(leaseTtlMillis)
+      }
       store.deleteObject(appendLockRel)
     }
   }

@@ -37,7 +37,8 @@ def extract(path):
     if "queries" in d and "metric" in d:  # raw detail artifact
         sf = str(d.get("sf", "?"))
         return (label, sf, d.get("value"), d.get("nfail", 0),
-                d.get("load_start", ""), d["queries"])
+                d.get("load_start", ""), d["queries"],
+                d.get("contaminated", False))
     tail = str(d.get("tail", ""))
     sf = str(d.get("sf", "?"))
     for line in tail.splitlines():
@@ -46,7 +47,8 @@ def extract(path):
             try:
                 j = json.loads(line[i:].strip())
                 return (label, str(j.get("sf", sf)), j.get("value"),
-                        j.get("nfail", 0), j.get("load_start", ""), j["queries"])
+                        j.get("nfail", 0), j.get("load_start", ""),
+                        j["queries"], j.get("contaminated", False))
             except Exception:
                 pass
     # truncated tail (early rounds): scrape name:number pairs
@@ -54,7 +56,7 @@ def extract(path):
           re.findall(r'"([a-z][a-z0-9_]+)":([0-9]+\.[0-9]+)', tail)
           if not k.startswith(("load", "value", "sf"))}
     if qs:
-        return (label, sf, None, 0, "", qs)
+        return (label, sf, None, 0, "", qs, False)
     return None
 
 
@@ -112,6 +114,12 @@ def main():
     print(f"| nfail | " + " | ".join(nfails) + " | |")
     if flagged:
         print("\n## Moved >1.3x last round (above the 0.3s noise floor)\n")
+        # self-labeled contaminated run (zero clean passes after the
+        # interference guard's retries): its flags are ambient, not code
+        if len(runs[-1]) > 6 and runs[-1][6]:
+            print("**NOTE: the newest run is marked `contaminated` "
+                  "(interference guard found zero clean passes) — "
+                  "treat these flags as machine noise, re-run idle.**\n")
         for q, a, b, rr in sorted(flagged, key=lambda x: -x[3]):
             arrow = "slower ⚠" if rr > 1 else "faster"
             print(f"- `{q}`: {a:.2f}s → {b:.2f}s ({rr:.2f}x {arrow})")
@@ -122,7 +130,10 @@ def main():
         return int(m.group(1)) if m else -1
     mruns = [r for r in (extract(f) for f in sorted(matfiles, key=round_no)) if r]
     mruns = [r for r in mruns if norm_sf(r[1]) == want_sf]
-    if mruns:
+    # `runs` can be empty when --mat files are given but no count run
+    # matches the sf filter — the MAT section needs BOTH (it renders
+    # MAT-vs-count ratios), so gate on both or the count_qs index dies.
+    if mruns and runs:
         last = mruns[-1]
         prev = mruns[-2] if len(mruns) >= 2 else None
         count_qs = runs[-1][5]
