@@ -540,7 +540,7 @@ object ZarrWriter {
       case FloatType | DoubleType => 2
       case _ => 0
     }.toArray
-    val statRows: Array[((Seq[Int], Int), (Double, Double, String))] =
+    val partials: org.apache.spark.rdd.RDD[((Seq[Int], Int), (Double, Double, String))] =
       rows.rdd.mapPartitions { it: Iterator[Row] =>
       val idx = bIdx.value
       val nDims = coordNames.length
@@ -637,38 +637,57 @@ object ZarrWriter {
         }
         ((ci, v), (mn, mx, sumJson))
       }.iterator
-    }.collect()
-
-    // driver writes the stats sidecars (one JSON per variable); sums
-    // (+ the complete-coverage attestation) only when EVERY written
-    // chunk produced a sum partial — chunks with no entry are then
-    // provably all-fill, so readers can answer SUM/AVG from the
-    // sidecar alone (chunk-level aggregate pushdown)
-    varCols.zipWithIndex.foreach { case (name, v) =>
-      val mine = statRows.filter(_._1._2 == v)
-      def keyOf(ci: Seq[Int]): String =
-        if (version == 2) ci.mkString(".")
-        else ("c" +: ci.map(_.toString)).mkString("/")
-      val entries = mine.map { case ((ci, _), (mn, mx, _)) =>
-        s""""${keyOf(ci)}": [$mn, $mx]"""
-      }.mkString(",")
-      val sumsOk = varSumKind(v) != 0 && mine.nonEmpty && mine.forall(_._2._3 != null)
-      val sumsJson =
-        if (!sumsOk) ""
-        else {
-          // the "total" record answers ungrouped SUM/AVG in O(1) — a
-          // fleet-scale variable has millions of chunk entries the
-          // reader must not need to fold
-          val partials = mine.map(_._2._3).map(parseSumJson)
-          val total = partials.foldLeft((java.math.BigDecimal.ZERO, 0L)) {
-            case ((s, c), (s2, c2)) => (s.add(s2), c + c2)
-          }
-          mine.map { case ((ci, _), (_, _, sj)) => s""""${keyOf(ci)}": $sj""" }
-            .mkString(""", "sums": {""", ",",
-              s"""}, "total": [${total._1.toPlainString}, ${total._2}], "complete": true""")
-        }
-      store.writeBytes(s"$name/.zstats", s"""{"chunks": {$entries}$sumsJson}""".getBytes)
     }
+
+    // EXECUTORS assemble and write the stats sidecars (one JSON per
+    // variable): the per-chunk partials shuffle to one assembly task
+    // per variable (same single job — the shuffle boundary guarantees
+    // every chunk slab is written before assembly starts), each task
+    // sorts its entries into canonical C-order and writes
+    // `<var>/.zstats` through the store, and the driver receives ONE
+    // summary row per variable. Until round 13 the driver collect()'ed
+    // every (chunk, var) partial before writing sidecars — metadata-
+    // sized, but a driver-memory hotspot at 10^7 chunks × many
+    // variables. Sums (+ the complete-coverage attestation) only when
+    // EVERY written chunk produced a sum partial — chunks with no
+    // entry are then provably all-fill, so readers can answer SUM/AVG
+    // from the sidecar alone (chunk-level aggregate pushdown).
+    val wVarSumKind = varSumKind
+    val summaries = partials
+      .map { case ((ci, v), t) => (v, (ci, t)) }
+      .partitionBy(new VarPartitioner(math.max(1, varCols.length)))
+      .mapPartitionsWithIndex { (v, it) =>
+        if (v >= varCols.length) { require(it.isEmpty); Iterator.empty }
+        else {
+          import scala.math.Ordering.Implicits._
+          val mine = it.map(_._2).toVector.sortBy(_._1)
+          def keyOf(ci: Seq[Int]): String =
+            if (wVersion == 2) ci.mkString(".")
+            else ("c" +: ci.map(_.toString)).mkString("/")
+          val entries = mine.map { case (ci, (mn, mx, _)) =>
+            s""""${keyOf(ci)}": [$mn, $mx]"""
+          }.mkString(",")
+          val sumsOk = wVarSumKind(v) != 0 && mine.nonEmpty && mine.forall(_._2._3 != null)
+          val sumsJson =
+            if (!sumsOk) ""
+            else {
+              // the "total" record answers ungrouped SUM/AVG in O(1) —
+              // a fleet-scale variable has millions of chunk entries
+              // the reader must not need to fold
+              val sumParts = mine.map(_._2._3).map(parseSumJson)
+              val total = sumParts.foldLeft((java.math.BigDecimal.ZERO, 0L)) {
+                case ((s, c), (s2, c2)) => (s.add(s2), c + c2)
+              }
+              mine.map { case (ci, (_, _, sj)) => s""""${keyOf(ci)}": $sj""" }
+                .mkString(""", "sums": {""", ",",
+                  s"""}, "total": [${total._1.toPlainString}, ${total._2}], "complete": true""")
+            }
+          wStore.writeBytes(s"${varCols(v)}/.zstats",
+            s"""{"chunks": {$entries}$sumsJson}""".getBytes)
+          Iterator.single(v -> mine.size)
+        }
+      }.collect()
+    lastStatsDriverRows = summaries.length
     // a rewrite at this path must not serve chunks cached before it
     ChunkIO.invalidatePath(store.path)
   }
@@ -884,6 +903,21 @@ object ZarrWriter {
   /** Store-relative lock object taken for the duration of an append. */
   val appendLockRel = ".graft_append.lock"
 
+  /** key = variable index → partition = that index: routes every
+    * chunk's stat partial to the one executor task that assembles and
+    * writes that variable's `.zstats` sidecar. */
+  private final class VarPartitioner(n: Int) extends org.apache.spark.Partitioner {
+    override def numPartitions: Int = n
+    override def getPartition(key: Any): Int = key.asInstanceOf[Int]
+  }
+
+  /** Test seam: how many rows the last sidecar-assembly job returned
+    * to the driver. The round-13 distribution contract — pinned by
+    * ZarrWriterSpec at 10^4 chunks — is that this is the VARIABLE
+    * count (one summary row each), never the per-chunk partial count
+    * the pre-round-13 driver collect() materialized. */
+  @volatile private[graft] var lastStatsDriverRows: Int = -1
+
   /** Lease TTL: a lock whose last heartbeat is older than this is a
     * crashed holder and may be broken. Var (not val) so tests can
     * shrink the clock; production default trades prompt self-healing
@@ -1000,7 +1034,7 @@ object ZarrWriter {
       case FloatType | DoubleType => 2
       case _ => 0
     }).toArray
-    val statRows: Array[((Seq[Long], Int), (Double, Double, String))] =
+    val partialsRdd: org.apache.spark.rdd.RDD[((Seq[Long], Int), (Double, Double, String))] =
       rows.rdd.mapPartitions { (it: Iterator[Row]) =>
         val inner = bInner.value
         val nDims = coordNamesL.length
@@ -1083,7 +1117,20 @@ object ZarrWriter {
           }
           ((ci, v), (mn, mx, sumJson))
         }.iterator
-      }.collect()
+      }
+    // Materialize the chunk-slab writes NOW, keyed and pre-shuffled to
+    // one partition per variable and CACHED post-shuffle: the
+    // coordinate/shape edits below must only happen once every slab is
+    // durably written, while the sidecar MERGE (step 3) must happen
+    // AFTER the shape edits — so the partials are staged through a
+    // persisted RDD instead of a driver collect() (the driver never
+    // materializes the per-chunk partial set; at 10^7 chunks × many
+    // variables that collect was a driver-memory hotspot).
+    val keyedPartials = partialsRdd
+      .map { case ((ci, v), t) => (v, (ci, t)) }
+      .partitionBy(new VarPartitioner(math.max(1, varMetas.length)))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    keyedPartials.count()
 
     // 1) rewrite the outer coordinate as one chunk (old raw + new values)
     val newLen = oldLen + newOuterVals.length
@@ -1123,38 +1170,54 @@ object ZarrWriter {
     // 3) merge + rewrite .zstats sidecars (min/max entries AND sum
     // partials; the complete-coverage attestation survives an append
     // only if the pre-append sidecar was complete and every fresh
-    // chunk produced a sum partial)
-    varMetas.zipWithIndex.foreach { case (m, v) =>
-      val mine = statRows.filter(_._1._2 == v)
-      val fresh = mine.collect {
-        case ((ci, _), (mn, mx, _)) if !mn.isNaN => m.chunkKey(ci) -> (mn, mx)
-      }.toMap
-      val merged = m.chunkStats ++ fresh
-      if (merged.nonEmpty) {
-        val entries = merged.map { case (k, (mn, mx)) => s""""$k": [$mn, $mx]""" }.mkString(",")
-        val sumsOk = m.sumsComplete && appendSumKind(v) != 0 &&
-          mine.forall(_._2._3 != null)
-        val sumsJson =
-          if (!sumsOk) ""
-          else {
-            val freshSums = mine.map { case ((ci, _), (_, _, sj)) => m.chunkKey(ci) -> sj }.toMap
-            val old = (m.chunkSums -- freshSums.keys).map { case (k, (s, c)) =>
-              k -> s"[${s.toPlainString}, $c]"
-            }
-            // merged total = fold of the merged per-chunk partials
-            // (appended chunk keys are disjoint from the old ones)
-            val total = (old.values ++ freshSums.values).map(parseSumJson)
-              .foldLeft((java.math.BigDecimal.ZERO, 0L)) {
-                case ((s, c), (s2, c2)) => (s.add(s2), c + c2)
+    // chunk produced a sum partial). EXECUTOR-side, one task per
+    // variable, reading the fresh partials from the persisted shuffle
+    // (never re-running the slab writes) and the pre-append sidecar
+    // state from varMetas — which already ships to executors for the
+    // slab writes above. Entries are key-sorted so the merged sidecar
+    // bytes are deterministic.
+    val wVarMetas = varMetas
+    val wAppendSumKind = appendSumKind
+    val mergeSummaries = keyedPartials.mapPartitionsWithIndex { (v, it) =>
+      if (v >= wVarMetas.length) { require(it.isEmpty); Iterator.empty }
+      else {
+        val m = wVarMetas(v)
+        val mine = it.map(_._2).toVector
+        val fresh = mine.collect {
+          case (ci, (mn, mx, _)) if !mn.isNaN => m.chunkKey(ci) -> (mn, mx)
+        }.toMap
+        val merged = m.chunkStats ++ fresh
+        if (merged.nonEmpty) {
+          val entries = merged.toSeq.sortBy(_._1)
+            .map { case (k, (mn, mx)) => s""""$k": [$mn, $mx]""" }.mkString(",")
+          val sumsOk = m.sumsComplete && wAppendSumKind(v) != 0 &&
+            mine.forall(_._2._3 != null)
+          val sumsJson =
+            if (!sumsOk) ""
+            else {
+              val freshSums = mine.map { case (ci, (_, _, sj)) => m.chunkKey(ci) -> sj }.toMap
+              val old = (m.chunkSums -- freshSums.keys).map { case (k, (s, c)) =>
+                k -> s"[${s.toPlainString}, $c]"
               }
-            (old ++ freshSums).map { case (k, sj) => s""""$k": $sj""" }
-              .mkString(""", "sums": {""", ",",
-                s"""}, "total": [${total._1.toPlainString}, ${total._2}], "complete": true""")
-          }
-        store.writeBytes(s"${m.name}/.zstats",
-          s"""{"chunks": {$entries}$sumsJson}""".getBytes)
+              // merged total = fold of the merged per-chunk partials
+              // (appended chunk keys are disjoint from the old ones)
+              val total = (old.values ++ freshSums.values).map(parseSumJson)
+                .foldLeft((java.math.BigDecimal.ZERO, 0L)) {
+                  case ((s, c), (s2, c2)) => (s.add(s2), c + c2)
+                }
+              (old ++ freshSums).toSeq.sortBy(_._1)
+                .map { case (k, sj) => s""""$k": $sj""" }
+                .mkString(""", "sums": {""", ",",
+                  s"""}, "total": [${total._1.toPlainString}, ${total._2}], "complete": true""")
+            }
+          wStore.writeBytes(s"${m.name}/.zstats",
+            s"""{"chunks": {$entries}$sumsJson}""".getBytes)
+        }
+        Iterator.single(v -> mine.size)
       }
-    }
+    }.collect()
+    keyedPartials.unpersist(false)
+    lastStatsDriverRows = mergeSummaries.length
 
     // 4) refresh consolidated metadata if the store carries it
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()

@@ -237,8 +237,12 @@ class ZarrAppendSpec extends AnyFunSuite {
       // joining the parked beat thread (a definite rendezvous on thread
       // state, not a timing guess)
       val t0 = System.currentTimeMillis()
+      // TIMED_WAITING, not WAITING: release joins in TTL-sized slices
+      // (logging progress on a wedged store write) — the serialization
+      // guarantee is unchanged, the park state is the timed variant
       def blockedInJoin: Boolean = appender.isAlive &&
-        appender.getState == Thread.State.WAITING &&
+        (appender.getState == Thread.State.WAITING ||
+          appender.getState == Thread.State.TIMED_WAITING) &&
         appender.getStackTrace.exists(f =>
           f.getClassName == "java.lang.Thread" && f.getMethodName == "join")
       while (!blockedInJoin && appender.isAlive &&

@@ -286,4 +286,63 @@ class ZarrWriterSpec extends AnyFunSuite {
     val cnt = nulled.agg(count(col("temperature"))).collect().head.getLong(0)
     assert(cnt == 700 - nullCells.count())
   }
+
+  test("sidecar assembly is distributed: 10^4 chunks never reach the driver") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("zarr_bigstats")
+    val out = base.resolve("big.zarr").toString
+    // 5000 outer steps x chunkOuter 1 x 2 data variables = 10,000
+    // (chunk, var) stat partials — the set the pre-round-13 driver
+    // collect() materialized in full
+    val nT = 5000L
+    val df = (0L until nT).flatMap(t => Seq(0L, 1L).map(x =>
+      (t, x, t * 2 + x, (t + x).toDouble))).toDF("t", "x", "v", "w")
+    ZarrWriter.lastStatsDriverRows = -1
+    ZarrWriter.write(df, out, coords = Seq("t", "x"), chunkOuter = 1)
+    // the distribution contract: the assembly job returns ONE summary
+    // row per data variable, never the 10^4 per-chunk partials
+    assert(ZarrWriter.lastStatsDriverRows == 2,
+      s"driver received ${ZarrWriter.lastStatsDriverRows} rows, want 2 (one per variable)")
+
+    // sidecar content: every chunk present, sums complete, total exact
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val stats = mapper.readTree(Files.readAllBytes(Paths.get(out, "v", ".zstats")))
+    assert(stats.get("chunks").size() == nT.toInt)
+    assert(stats.get("complete").asBoolean())
+    val total = stats.get("total")
+    assert(total.get(0).asLong() == (0L until nT).map(t => t * 4 + 1).sum)
+    assert(total.get(1).asLong() == nT * 2)
+    // spot-check one chunk entry: t=7 slab holds v in [14, 15]
+    val c7 = stats.get("chunks").get("7.0")
+    assert(c7.get(0).asDouble() == 14.0 && c7.get(1).asDouble() == 15.0)
+
+    // executor-assembled sidecars are canonically ordered → a second
+    // write of the same frame is byte-identical (stronger than the
+    // old driver path, whose entry order followed collect order)
+    val out2 = base.resolve("big2.zarr").toString
+    ZarrWriter.write(df, out2, coords = Seq("t", "x"), chunkOuter = 1)
+    assert(java.util.Arrays.equals(
+      Files.readAllBytes(Paths.get(out, "v", ".zstats")),
+      Files.readAllBytes(Paths.get(out2, "v", ".zstats"))))
+
+    // reads stay exact through the distributed sidecars
+    val back = spark.read.format("zarr").load(out)
+    assert(back.count() == nT * 2)
+    assert(back.agg(sum("v")).collect().head.getLong(0) ==
+      (0L until nT).map(t => t * 4 + 1).sum)
+
+    // append twin: the merge job is distributed the same way
+    val extra = Seq((nT, 0L, nT * 2, nT.toDouble), (nT, 1L, nT * 2 + 1, nT + 1.0))
+      .toDF("t", "x", "v", "w")
+    ZarrWriter.lastStatsDriverRows = -1
+    ZarrWriter.append(extra, out)
+    assert(ZarrWriter.lastStatsDriverRows == 2,
+      s"append merge returned ${ZarrWriter.lastStatsDriverRows} rows, want 2")
+    val merged = mapper.readTree(Files.readAllBytes(Paths.get(out, "v", ".zstats")))
+    assert(merged.get("chunks").size() == nT.toInt + 1)
+    assert(merged.get("complete").asBoolean())
+    assert(merged.get("total").get(0).asLong() ==
+      (0L until nT).map(t => t * 4 + 1).sum + nT * 4 + 1)
+    assert(spark.read.format("zarr").load(out).count() == (nT + 1) * 2)
+  }
 }
