@@ -1527,7 +1527,155 @@ object Dedup {
   }
   private val d10Sql = d10SqlFor(d9WindowTokens, 2, "")
 
+  /** URL/host-level dedup canonicalization — the other standard
+    * pretraining dedup key (CCNet/C4 fetch dedup): normalize each
+    * document's URL and group by the canonical form. The documents
+    * table carries no URL, so the query SYNTHESIZES one per document
+    * from (source, doc_id) with deterministic doc_id-keyed variations
+    * — scheme case and http/https flips, `www.` prefixes, upper-cased
+    * hosts, explicit default ports, trailing slashes, tracking params
+    * (utm_ / fbclid / gclid) in shuffled positions, fragments — exactly
+    * mirrored in the oracle's SQL (the t10/m4 synthesized-input
+    * posture). Documents sharing `doc_id div 7` synthesize variants
+    * of the SAME logical page, so canonicalization must collapse
+    * each 7-ish-doc group to one row.
+    *
+    * Canonicalization is GENERIC string work, not an inverse of the
+    * synthesis: strip fragment, drop scheme, lowercase host, strip
+    * `www.`, strip explicit default ports, strip trailing slashes,
+    * drop tracking params and re-sort the survivors. All builtin
+    * string/array expressions (regexp_replace/substring_index are
+    * codegen'd; filter/sort_array are native set expressions) — one
+    * corpus scan, one map-side-combined groupBy on a short key; the
+    * same plan at 100 TB (canonical-URL cardinality ~ page count, and
+    * the group key is bounded-length, so no skew surface beyond what
+    * AQE handles).
+    *
+    * Output: one row per canonical URL with its md5, group size, and
+    * keeper (min doc_id). */
+  def d12_url_dedup(s: SparkSession, dir: String): DataFrame = {
+    val raw = docs(s, dir).select(col("doc_id"),
+      expr("doc_id div 7").as("page"))
+      // page-keyed site (NOT the per-doc source column — the variants
+      // of one logical page must share a host or nothing collapses)
+      .withColumn("site", concat(lit("site"), (col("page") % 13).cast("string")))
+      .withColumn("raw_url", concat(
+        // scheme: https / HTTP:// case+protocol flips
+        when(col("doc_id") % 2 === 0, lit("https://")).otherwise(lit("HTTP://")),
+        // host: optional www., source-keyed domain, sometimes upper-cased
+        when(col("doc_id") % 5 === 0,
+          upper(concat(when(col("doc_id") % 3 === 0, lit("www.")).otherwise(lit("")),
+            col("site"), lit(".example.com"))))
+          .otherwise(concat(when(col("doc_id") % 3 === 0, lit("www.")).otherwise(lit("")),
+            col("site"), lit(".example.com"))),
+        // explicit default port on a quarter of the urls
+        when(col("doc_id") % 4 === 0,
+          when(col("doc_id") % 2 === 0, lit(":443")).otherwise(lit(":80")))
+          .otherwise(lit("")),
+        lit("/a/"), col("page").cast("string"),
+        when(col("doc_id") % 6 === 0, lit("/")).otherwise(lit("")),
+        // query string: tracking params by residue, the one REAL param
+        // (id=..., page-keyed so the group stays coherent) spliced
+        // before or after them
+        {
+          val kept = when(col("page") % 2 === 0,
+            concat(lit("id="), (col("page") % 89).cast("string"))).otherwise(lit(""))
+          val tracking = when(col("doc_id") % 4 === 1, lit("utm_source=feed&fbclid=abc"))
+            .when(col("doc_id") % 4 === 2, lit("utm_campaign=x"))
+            .when(col("doc_id") % 4 === 3, lit("gclid=g123&utm_medium=m"))
+            .otherwise(lit(""))
+          val joined = when(kept === "" && tracking === "", lit(""))
+            .when(kept === "", tracking)
+            .when(tracking === "", kept)
+            .when(col("doc_id") % 8 < 4, concat(tracking, lit("&"), kept))
+            .otherwise(concat(kept, lit("&"), tracking))
+          when(joined === "", lit("")).otherwise(concat(lit("?"), joined))
+        },
+        when(col("doc_id") % 9 === 0, lit("#s2")).otherwise(lit(""))))
+    val canon = raw
+      .withColumn("u1", substring_index(col("raw_url"), "#", 1))
+      .withColumn("rest", regexp_replace(col("u1"), "^[a-zA-Z]+://", ""))
+      .withColumn("hostport", substring_index(col("rest"), "/", 1))
+      .withColumn("pathq", expr("substring(rest, length(hostport) + 1)"))
+      .withColumn("host",
+        regexp_replace(regexp_replace(lower(col("hostport")), ":(443|80)$", ""),
+          "^www\\.", ""))
+      .withColumn("path",
+        regexp_replace(substring_index(col("pathq"), "?", 1), "/+$", ""))
+      .withColumn("q",
+        when(instr(col("pathq"), "?") > 0, substring_index(col("pathq"), "?", -1))
+          .otherwise(lit("")))
+      .withColumn("params", array_join(sort_array(filter(split(col("q"), "&"),
+        p => !(p.startsWith("utm_") || p.startsWith("fbclid=") ||
+          p.startsWith("gclid=") || p === ""))), "&"))
+      .withColumn("canon_url", concat(col("host"), col("path"),
+        when(col("params") === "", lit("")).otherwise(concat(lit("?"), col("params")))))
+    canon.groupBy("canon_url")
+      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("keeper_doc_id"))
+      .select(col("canon_url"), md5(col("canon_url").cast("binary")).as("url_md5"),
+        col("n_docs"), col("keeper_doc_id"))
+  }
+
+  private val d12Sql = """
+    WITH raw AS (
+      SELECT doc_id,
+        (CASE WHEN doc_id % 2 = 0 THEN 'https://' ELSE 'HTTP://' END)
+        || (CASE WHEN doc_id % 5 = 0
+             THEN UPPER((CASE WHEN doc_id % 3 = 0 THEN 'www.' ELSE '' END)
+                        || 'site' || ((doc_id // 7) % 13) || '.example.com')
+             ELSE (CASE WHEN doc_id % 3 = 0 THEN 'www.' ELSE '' END)
+                  || 'site' || ((doc_id // 7) % 13) || '.example.com' END)
+        || (CASE WHEN doc_id % 4 = 0
+             THEN (CASE WHEN doc_id % 2 = 0 THEN ':443' ELSE ':80' END)
+             ELSE '' END)
+        || '/a/' || (doc_id // 7)
+        || (CASE WHEN doc_id % 6 = 0 THEN '/' ELSE '' END)
+        || (CASE WHEN joined = '' THEN '' ELSE '?' || joined END)
+        || (CASE WHEN doc_id % 9 = 0 THEN '#s2' ELSE '' END) AS raw_url
+      FROM (
+        SELECT *, CASE WHEN kept = '' AND tracking = '' THEN ''
+                       WHEN kept = '' THEN tracking
+                       WHEN tracking = '' THEN kept
+                       WHEN doc_id % 8 < 4 THEN tracking || '&' || kept
+                       ELSE kept || '&' || tracking END AS joined
+        FROM (
+          SELECT doc_id,
+            CASE WHEN (doc_id // 7) % 2 = 0
+                 THEN 'id=' || ((doc_id // 7) % 89) ELSE '' END AS kept,
+            CASE WHEN doc_id % 4 = 1 THEN 'utm_source=feed&fbclid=abc'
+                 WHEN doc_id % 4 = 2 THEN 'utm_campaign=x'
+                 WHEN doc_id % 4 = 3 THEN 'gclid=g123&utm_medium=m'
+                 ELSE '' END AS tracking
+          FROM documents) p) q),
+    canon AS (
+      SELECT doc_id,
+        host || path
+          || (CASE WHEN params = '' THEN '' ELSE '?' || params END) AS canon_url
+      FROM (
+        SELECT doc_id,
+          REGEXP_REPLACE(REGEXP_REPLACE(LOWER(hostport), ':(443|80)$', ''),
+            '^www\.', '') AS host,
+          REGEXP_REPLACE(SPLIT_PART(pathq, '?', 1), '/+$', '') AS path,
+          COALESCE(ARRAY_TO_STRING(LIST_SORT(LIST_FILTER(
+            STRING_SPLIT(CASE WHEN STRPOS(pathq, '?') > 0
+                              THEN SPLIT_PART(pathq, '?', 2) ELSE '' END, '&'),
+            p -> NOT (p LIKE 'utm\_%' ESCAPE '\' OR p LIKE 'fbclid=%'
+                      OR p LIKE 'gclid=%' OR p = ''))), '&'), '') AS params
+        FROM (
+          SELECT doc_id, hostport, SUBSTR(rest, LENGTH(hostport) + 1) AS pathq
+          FROM (
+            SELECT doc_id,
+              REGEXP_REPLACE(SPLIT_PART(raw_url, '#', 1), '^[a-zA-Z]+://', '') AS rest,
+              SPLIT_PART(REGEXP_REPLACE(SPLIT_PART(raw_url, '#', 1),
+                '^[a-zA-Z]+://', ''), '/', 1) AS hostport
+            FROM raw) h) x) y)
+    SELECT canon_url, md5(canon_url) AS url_md5,
+      CAST(COUNT(*) AS BIGINT) AS n_docs,
+      CAST(MIN(doc_id) AS BIGINT) AS keeper_doc_id
+    FROM canon GROUP BY canon_url"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d12_url_dedup" -> (d12_url_dedup _),
     "d1_dedup_exact" -> (d1_dedup_exact _),
     "d2_dedup_ngram" -> (d2_dedup_ngram _),
     "d3_dedup_minhash" -> (d3_dedup_minhash _),
@@ -1541,6 +1689,7 @@ object Dedup {
     "d11_decontaminate" -> (d11_decontaminate _))
 
   val oracle: Map[String, String] = Map(
+    "d12_url_dedup" -> d12Sql,
     "d1_dedup_exact" -> d1Sql,
     "d2_dedup_ngram" -> d2Sql,
     "d3_dedup_minhash" -> d3Sql,

@@ -1,6 +1,6 @@
 package graft.pipeline
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -590,7 +590,163 @@ object TextAnalysis {
       COALESCE(sc.s // sc.n_bigrams, 0) AS lm_score
     FROM documents d LEFT JOIN sc USING (doc_id)"""
 
+  /** BPE merge APPLICATION — the other half of byte-pair-encoding
+    * tokenization (Sennrich et al. 2016): [[t11_bpe_pairs]] ranks
+    * merge candidates; this op applies a FIXED merge table (the top-20
+    * character pairs by corpus-weighted count, t11's exact ranking
+    * and tiebreak) to re-segment every document, reporting per-doc
+    * whitespace-token and BPE-token counts. Application semantics are
+    * the reference algorithm's: merges apply in priority order, each
+    * exhaustively (leftmost-greedy over overlaps — "aaa" under (a,a)
+    * segments [aa, a]); because every table entry pairs two SINGLE
+    * characters and merging never creates new single-character
+    * symbols, one exhaustive pass per rank in rank order is exactly
+    * the priority-queue result (pinned against a priority-queue
+    * reference implementation in T13BpeApplySpec).
+    *
+    * Scale story (the tokenizer-APPLY pass every training pipeline
+    * runs over the full corpus): the merge loop runs over the DISTINCT
+    * VOCABULARY (each word segmented once, not once per occurrence) as
+    * 20 chained `aggregate` higher-order expressions — no UDF, no
+    * driver loop over data; the corpus then joins the segmented vocab
+    * ONCE, broadcast (a vocabulary is small by Heaps' law at any
+    * corpus size; a 10M-type vocab would ride a shuffled hash join,
+    * same plan minus the broadcast). The merge table itself is the one
+    * driver-side piece: top-M pairs collected as M≈20 rows — the
+    * trained-tokenizer artifact every executor needs, the q37 bounds
+    * posture (metadata-sized, documented). */
+  def t13_bpe_apply(s: SparkSession, dir: String): DataFrame =
+    bpeApply(s, dir, 20, "")
+
+  /** Parametric form ([[t13_bpe_apply]] = gate defaults): merge-table
+    * size and a corpus slice predicate (the SAME text the oracle
+    * renders into its WHERE) — the PipeFuzz entry point. */
+  private[graft] def bpeApply(s: SparkSession, dir: String, m: Int,
+      whereSql: String): DataFrame = {
+    val d0 = docs(s, dir)
+    val d = if (whereSql.isEmpty) d0 else d0.where(whereSql)
+    val words = d.select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+      .filter(col("word") =!= "")
+    val wc = words.groupBy("word").agg(count(lit(1)).as("c"))
+    val merges: Seq[(String, String)] = wc.filter(length(col("word")) >= 2)
+      .select(col("c"), explode(expr(
+        """transform(sequence(1, length(word) - 1),
+          |  i -> named_struct('a', substring(word, i, 1),
+          |                    'b', substring(word, i + 1, 1)))""".stripMargin)).as("p"))
+      .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+      .agg(sum(col("c")).as("pc"))
+      .orderBy(col("pc").desc, col("a"), col("b"))
+      .limit(m).collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    val seg = bpeSegment(wc, merges)
+    val agg = words
+      .join(broadcast(seg.select(col("word"), col("n_syms"))), Seq("word"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("nw"), sum(col("n_syms")).as("nb"))
+    d.select(col("doc_id")).join(agg, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("nw"), lit(0L)).as("n_words"),
+        coalesce(col("nb"), lit(0L)).as("n_bpe_tokens"))
+  }
+
+  /** Segment the vocabulary `wc (word, c)` under a fixed ordered merge
+    * table → `(word, c, syms, n_syms)`. One exhaustive leftmost-greedy
+    * pass per merge, unrolled as chained `aggregate` HOF expressions
+    * (the accumulator carries the emitted symbols plus the one pending
+    * symbol a leftmost scan needs). */
+  private[graft] def bpeSegment(wc: DataFrame,
+      merges: Seq[(String, String)]): DataFrame = {
+    val chars: Column =
+      expr("transform(sequence(1, length(word)), i -> substring(word, i, 1))")
+    val syms = merges.foldLeft(chars) { case (c, (a, b)) => mergeRound(c, a, b) }
+    wc.select(col("word"), col("c"), syms.as("syms"))
+      .withColumn("n_syms", size(col("syms")).cast("long"))
+  }
+
+  /** One exhaustive merge pass for pair (a, b) over a symbol array:
+    * scan left to right holding the pending symbol in `last`; when
+    * (last, x) = (a, b), emit the merged symbol and clear the pending
+    * slot (so overlapping occurrences resolve leftmost-greedy). */
+  private def mergeRound(syms: Column, a: String, b: String): Column = {
+    val init = struct(array().cast("array<string>").as("out"),
+      lit(null).cast("string").as("last"))
+    aggregate(syms, init,
+      (acc: Column, x: Column) => {
+        val out = acc.getField("out")
+        val last = acc.getField("last")
+        when(last.isNull, struct(out.as("out"), x.as("last")))
+          .when(last === lit(a) && x === lit(b),
+            struct(concat(out, array(concat(last, x))).as("out"),
+              lit(null).cast("string").as("last")))
+          .otherwise(struct(concat(out, array(last)).as("out"), x.as("last")))
+      },
+      acc => when(acc.getField("last").isNull, acc.getField("out"))
+        .otherwise(concat(acc.getField("out"), array(acc.getField("last")))))
+  }
+
+  /** DuckDB oracle for [[bpeApply]]: derives the same top-`m` merge
+    * table in SQL, then executes the same rank-ordered exhaustive
+    * scans as ONE recursive CTE over (word, round, remaining, out) —
+    * each recursion step consumes one or two symbols, an empty
+    * remainder restarts the next round from the emitted symbols, and
+    * round n+1 is the final segmentation ("unrolled merge rounds" as a
+    * data-driven recursion, not 20 pasted CTEs). */
+  private[graft] def t13SqlFor(m: Int, whereSql: String): String = {
+    val corpus =
+      if (whereSql.isEmpty) "SELECT * FROM documents"
+      else s"SELECT * FROM documents WHERE $whereSql"
+    s"""
+    WITH RECURSIVE
+    corpus AS MATERIALIZED ($corpus),
+    wc AS MATERIALIZED (
+      SELECT t AS word, CAST(COUNT(*) AS BIGINT) AS c
+      FROM (SELECT UNNEST(STRING_SPLIT(text, ' ')) AS t FROM corpus) x
+      WHERE t <> '' GROUP BY t),
+    pr AS (
+      SELECT SUBSTR(word, CAST(i AS INT), 1) AS a,
+             SUBSTR(word, CAST(i AS INT) + 1, 1) AS b, c
+      FROM (SELECT word, c, UNNEST(range(1, LENGTH(word))) AS i
+            FROM wc WHERE LENGTH(word) >= 2) y),
+    merges AS (
+      SELECT a, b, ROW_NUMBER() OVER (ORDER BY SUM(c) DESC, a, b) AS r
+      FROM pr GROUP BY a, b
+      ORDER BY SUM(c) DESC, a, b LIMIT $m),
+    nm AS (SELECT COUNT(*) AS n FROM merges),
+    step AS (
+      SELECT word, 1 AS r, STRING_SPLIT(word, '') AS rem,
+             CAST([] AS VARCHAR[]) AS outp
+      FROM wc
+      UNION ALL
+      SELECT s.word,
+        CASE WHEN LEN(s.rem) = 0 THEN s.r + 1 ELSE s.r END,
+        CASE WHEN LEN(s.rem) = 0 THEN s.outp
+             WHEN LEN(s.rem) >= 2 AND s.rem[1] = m.a AND s.rem[2] = m.b THEN s.rem[3:]
+             ELSE s.rem[2:] END,
+        CASE WHEN LEN(s.rem) = 0 THEN CAST([] AS VARCHAR[])
+             WHEN LEN(s.rem) >= 2 AND s.rem[1] = m.a AND s.rem[2] = m.b
+               THEN s.outp || [s.rem[1] || s.rem[2]]
+             ELSE s.outp || [s.rem[1]] END
+      FROM step s JOIN merges m ON m.r = s.r, nm
+      WHERE s.r <= nm.n),
+    vocab AS (
+      SELECT s.word, CAST(LEN(s.rem) AS BIGINT) AS n_syms
+      FROM step s, nm WHERE s.r = nm.n + 1),
+    dw AS (
+      SELECT doc_id, t AS word
+      FROM (SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS t FROM corpus) x
+      WHERE t <> ''),
+    agg AS (
+      SELECT dw.doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+             CAST(SUM(v.n_syms) AS BIGINT) AS n_bpe
+      FROM dw JOIN vocab v USING (word) GROUP BY dw.doc_id)
+    SELECT d.doc_id, COALESCE(a.n_words, 0) AS n_words,
+           COALESCE(a.n_bpe, 0) AS n_bpe_tokens
+    FROM corpus d LEFT JOIN agg a USING (doc_id)"""
+  }
+
+  private val t13Sql = t13SqlFor(20, "")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t13_bpe_apply" -> (t13_bpe_apply _),
     "t12_text_lmscore" -> (t12_text_lmscore _),
     "t11_bpe_pairs" -> (t11_bpe_pairs _),
     "t10_text_normalize" -> (t10_text_normalize _),
@@ -605,6 +761,7 @@ object TextAnalysis {
     "t9_text_pii" -> (t9_text_pii _))
 
   val oracle: Map[String, String] = Map(
+    "t13_bpe_apply" -> t13Sql,
     "t12_text_lmscore" -> t12Sql,
     "t11_bpe_pairs" -> t11Sql,
     "t10_text_normalize" -> t10Sql,
