@@ -55,13 +55,18 @@ object PipeFuzz {
     * v2: ngram_pairs family added. v3: minhash_pairs + simhash_pairs.
     * v4: clustering family (sem_dedup across the flat/hier dispatch,
     * kmeans k, ann_ivf nprobe/stride/topK) + pmod-rendered slices.
-    * v5: decon family (d11 theta x evalMod). */
-  val grammarVersion = 5
+    * v5: decon family (d11 theta x evalMod).
+    * v6: NULL-text lane (a residue class of texts nullified via the
+    * same CASE expression on both engines — would have caught the r12
+    * d9/d10 NULL-coalesce divergence by construction) + bpe_apply
+    * family (t13 merge-table size x slice x null lane). */
+  val grammarVersion = 6
 
   def name(seed: Long): String = f"pf_$seed%04d"
 
   final case class Gen(family: String, tag: String,
-      fn: (SparkSession, String) => DataFrame, sql: String)
+      fn: (SparkSession, String) => DataFrame, sql: String,
+      nullLane: Boolean = false)
 
   private val langs = Seq("en", "de", "fr", "es", "zh")
 
@@ -84,6 +89,22 @@ object PipeFuzz {
       residue("doc_id", m, r.nextInt(m))
   }
 
+  /** NULL-text lane: 1 seed in 4 of each text family nullifies a
+    * residue class of texts — the SAME CASE expression evaluates on
+    * both engines ([[graft.pipeline.TextAnalysis.corpusRef]] renders
+    * it into the oracle corpus), so NULL-handling divergences (Spark
+    * `size(split(NULL))` = −1 vs DuckDB `len(NULL)` = NULL) surface
+    * as hash mismatches instead of review findings. */
+  private def nullText(r: Random): String =
+    if (r.nextInt(4) != 0) "text"
+    else {
+      val m = 2 + r.nextInt(3)
+      s"CASE WHEN ${residue("doc_id", m, r.nextInt(m))} THEN NULL ELSE text END"
+    }
+
+  private def nullTag(textSql: String): String =
+    if (textSql == "text") "" else " nulltext=[on]"
+
   private def vecSlice(r: Random): String = r.nextInt(4) match {
     case 0 | 1 => ""
     case _ =>
@@ -101,41 +122,47 @@ object PipeFuzz {
       // spans (a slice breaks cross-doc pairs faster than it sheds docs)
       val w = if (where.isEmpty) 4 + r.nextInt(9) else 4 + r.nextInt(3)
       val minDocs = if (r.nextInt(4) == 0) 3 else 2
-      Gen("span_detect", s"w=$w md=$minDocs where=[$where]",
-        (s, dir) => Dedup.spanDetect(s, dir, w, minDocs, where),
-        Dedup.d9SqlFor(w, minDocs, where))
+      val tx = nullText(r)
+      Gen("span_detect", s"w=$w md=$minDocs where=[$where]${nullTag(tx)}",
+        (s, dir) => Dedup.spanDetect(s, dir, w, minDocs, where, tx),
+        Dedup.d9SqlFor(w, minDocs, where, tx), nullLane = tx != "text")
     } else if (roll < 31) {
       val where = docSlice(r)
       val w = if (where.isEmpty) 4 + r.nextInt(9) else 4 + r.nextInt(3)
       val minDocs = if (r.nextInt(4) == 0) 3 else 2
-      Gen("span_apply", s"w=$w md=$minDocs where=[$where]",
-        (s, dir) => Dedup.spanApply(s, dir, w, minDocs, where),
-        Dedup.d10SqlFor(w, minDocs, where))
+      val tx = nullText(r)
+      Gen("span_apply", s"w=$w md=$minDocs where=[$where]${nullTag(tx)}",
+        (s, dir) => Dedup.spanApply(s, dir, w, minDocs, where, tx),
+        Dedup.d10SqlFor(w, minDocs, where, tx), nullLane = tx != "text")
     } else if (roll < 39) {
       val where = docSlice(r)
-      Gen("exact_dedup", s"where=[$where]",
-        (s, dir) => Dedup.exactDedup(s, dir, where),
-        Dedup.d1SqlFor(where))
+      val tx = nullText(r)
+      Gen("exact_dedup", s"where=[$where]${nullTag(tx)}",
+        (s, dir) => Dedup.exactDedup(s, dir, where, tx),
+        Dedup.d1SqlFor(where, tx), nullLane = tx != "text")
     } else if (roll < 48) {
       val maxDf = Seq(10L, 25L, 50L)(r.nextInt(3))
       val dfShare = Seq(100L, 250L, 500L, 1000L)(r.nextInt(4))
       val theta = Seq("0.3", "0.5", "0.7")(r.nextInt(3))
       val where = docSlice(r)
-      Gen("ngram_pairs", s"maxDf=$maxDf share=$dfShare theta=$theta where=[$where]",
-        (s, dir) => Dedup.ngramPairs(s, dir, maxDf, dfShare, theta, where),
-        Dedup.d2SqlFor(maxDf, dfShare, theta, where))
+      val tx = nullText(r)
+      Gen("ngram_pairs", s"maxDf=$maxDf share=$dfShare theta=$theta where=[$where]${nullTag(tx)}",
+        (s, dir) => Dedup.ngramPairs(s, dir, maxDf, dfShare, theta, where, tx),
+        Dedup.d2SqlFor(maxDf, dfShare, theta, where, tx), nullLane = tx != "text")
     } else if (roll < 55) {
       val theta = Seq("0.5", "0.75", "1.0")(r.nextInt(3))
       val where = docSlice(r)
-      Gen("minhash_pairs", s"theta=$theta where=[$where]",
-        (s, dir) => Dedup.minhashPairs(s, dir, theta, where),
-        Dedup.d3SqlFor(theta, where))
+      val tx = nullText(r)
+      Gen("minhash_pairs", s"theta=$theta where=[$where]${nullTag(tx)}",
+        (s, dir) => Dedup.minhashPairs(s, dir, theta, where, tx),
+        Dedup.d3SqlFor(theta, where, tx), nullLane = tx != "text")
     } else if (roll < 62) {
       val maxH = 1 + r.nextInt(3)
       val where = docSlice(r)
-      Gen("simhash_pairs", s"maxH=$maxH where=[$where]",
-        (s, dir) => Dedup.simhashPairs(s, dir, maxH, where),
-        Dedup.d4SqlFor(maxH, where))
+      val tx = nullText(r)
+      Gen("simhash_pairs", s"maxH=$maxH where=[$where]${nullTag(tx)}",
+        (s, dir) => Dedup.simhashPairs(s, dir, maxH, where, tx),
+        Dedup.d4SqlFor(maxH, where, tx), nullLane = tx != "text")
     } else if (roll < 71) {
       // θ spans BOTH dispatch sides of d5LshThreshold (0.8): below →
       // exact tiled all-pairs; at/above → banded hyperplane LSH
@@ -236,7 +263,7 @@ object PipeFuzz {
       Gen("ann_ivf", s"stride=$stride np=$np topK=$topK numQ=$numQ where=[$where]",
         (s, dir) => graft.pipeline.Similarity.ivfTopK(s, dir, stride, np, topK, numQ, where),
         graft.pipeline.Similarity.s3SqlFor(stride, np, topK, numQ, where))
-    } else {
+    } else if (roll < 98) {
       // the eval-residue modulus moves the train/eval split; theta is
       // the same agreement dial as d3's
       val theta = Seq("0.5", "0.75", "1.0")(r.nextInt(3))
@@ -244,6 +271,15 @@ object PipeFuzz {
       Gen("decon", s"theta=$theta evalMod=$evalMod",
         (s, dir) => Dedup.fuzzyDecontaminate(s, dir, theta, evalMod),
         Dedup.d11SqlFor(theta, evalMod))
+    } else {
+      // t13 merge-table size swings how much of the corpus re-segments;
+      // slices move the vocabulary (and with it the ranking) under the
+      // merge derivation on both engines
+      val m = Seq(5, 10, 20, 30)(r.nextInt(4))
+      val where = docSlice(r)
+      Gen("bpe_apply", s"m=$m where=[$where]",
+        (s, dir) => graft.pipeline.TextAnalysis.bpeApply(s, dir, m, where),
+        graft.pipeline.TextAnalysis.t13SqlFor(m, where))
     }
   }
 }

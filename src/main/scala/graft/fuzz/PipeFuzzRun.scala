@@ -41,12 +41,15 @@ object PipeFuzzRun {
     val famNonEmpty = scala.collection.mutable.Map[String, Int]().withDefaultValue(0)
     var lshSide = 0
     var tiledSide = 0
+    var nullLane = 0
+    var nullNonEmpty = 0
     var semFlat = 0
     var semHier = 0
     val sqls = (seed0 until seed0 + nSeeds).map { seed =>
       val name = PipeFuzz.name(seed)
       val g = PipeFuzz.gen(seed)
       famCount(g.family) += 1
+      if (g.nullLane) nullLane += 1
       if (g.family == "emb_pairs") {
         val theta = g.tag.split(" ").head.stripPrefix("theta=").toDouble
         if (theta >= graft.pipeline.Dedup.d5LshThreshold) lshSide += 1
@@ -57,8 +60,10 @@ object PipeFuzzRun {
         // metadata answers the count without re-running the plan (an
         // unpersisted fuzz pipeline would otherwise execute twice)
         g.fn(spark, sfDir).write.mode("overwrite").parquet(s"$outDir/$name")
-        if (spark.read.parquet(s"$outDir/$name").count() > 0)
+        if (spark.read.parquet(s"$outDir/$name").count() > 0) {
           famNonEmpty(g.family) += 1
+          if (g.nullLane) nullNonEmpty += 1
+        }
         // which side of the d8FlatMaxK dispatch this seed's sliced
         // corpus count landed on — only the engine knows (the slice's
         // row count is data, not grammar), so read it back post-run
@@ -104,20 +109,26 @@ object PipeFuzzRun {
       (s"""{"grammar_version": ${PipeFuzz.grammarVersion}, "seed0": $seed0, """ +
         s""""n_seeds": $nSeeds, "families_count_nonempty": $famJson, """ +
         s""""lsh_side": $lshSide, "tiled_side": $tiledSide, """ +
-        s""""sem_flat": $semFlat, "sem_hier": $semHier}""").getBytes("UTF-8"))
+        s""""sem_flat": $semFlat, "sem_hier": $semHier, """ +
+        s""""null_lane": [$nullLane, $nullNonEmpty]}""").getBytes("UTF-8"))
     println(s"[pipefuzz] ${nSeeds - failed}/$nSeeds ran (grammar " +
       s"v${PipeFuzz.grammarVersion}); families $famJson; " +
       s"emb dispatch lsh=$lshSide tiled=$tiledSide; " +
-      s"sem dispatch flat=$semFlat hier=$semHier; results in $outDir")
+      s"sem dispatch flat=$semFlat hier=$semHier; " +
+      s"null lane $nullLane seeds/$nullNonEmpty nonempty; results in $outDir")
     val families = Seq("span_detect", "span_apply", "exact_dedup",
       "ngram_pairs", "minhash_pairs", "simhash_pairs", "emb_pairs", "ann_topk",
-      "sem_dedup", "kmeans", "ann_ivf", "decon")
+      "sem_dedup", "kmeans", "ann_ivf", "decon", "bpe_apply")
     val missing = families.filter(famCount(_) == 0) ++
       families.filter(f => famCount(f) > 0 && famNonEmpty(f) == 0).map(_ + ":all-empty")
     val dispatchMiss = (if (lshSide == 0) Seq("lsh_side") else Nil) ++
       (if (tiledSide == 0) Seq("tiled_side") else Nil) ++
       (if (semFlat == 0) Seq("sem_flat") else Nil) ++
-      (if (semHier == 0) Seq("sem_hier") else Nil)
+      (if (semHier == 0) Seq("sem_hier") else Nil) ++
+      // the NULL-text lane must be drawn AND produce output on nulled
+      // corpora (an all-empty null lane would compare green vacuously)
+      (if (nullLane == 0) Seq("null_lane") else Nil) ++
+      (if (nullLane > 0 && nullNonEmpty == 0) Seq("null_lane:all-empty") else Nil)
     spark.stop()
     if (failed > 0 || missing.nonEmpty || dispatchMiss.nonEmpty) {
       System.err.println(s"[pipefuzz] UNEXERCISED: ${(missing ++ dispatchMiss).mkString(", ")}; failed=$failed")

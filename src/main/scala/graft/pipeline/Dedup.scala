@@ -35,8 +35,16 @@ object Dedup {
     Tables.load(s, dir, "documents")
   /** `documents` under an optional SQL predicate — the SAME text the
     * oracle renders into its WHERE clause (fuzz corpus slices). */
-  private def slicedDocs(s: SparkSession, dir: String, whereSql: String): DataFrame = {
-    val d = docs(s, dir)
+  /** Corpus under an optional slice and an optional text-column
+    * transform (PipeFuzz's NULL-text lane): `textSql` is a scalar SQL
+    * expression replacing the text column — the SAME string the
+    * oracle renders via [[TextAnalysis.corpusRef]], so both engines
+    * see an identical corpus. Default is the identity (no extra
+    * projection — gate plans unchanged). */
+  private def slicedDocs(s: SparkSession, dir: String, whereSql: String,
+      textSql: String = "text"): DataFrame = {
+    val d0 = docs(s, dir)
+    val d = if (textSql == "text") d0 else d0.withColumn("text", expr(textSql))
     if (whereSql.isEmpty) d else d.where(whereSql)
   }
   private def emb(s: SparkSession, dir: String): DataFrame =
@@ -53,9 +61,9 @@ object Dedup {
   /** Parametric exact dedup over a SQL-predicate corpus slice
     * ([[d1_dedup_exact]] = no slice); fuzz entry point. */
   private[graft] def exactDedup(s: SparkSession, dir: String,
-      whereSql: String): DataFrame = {
+      whereSql: String, textSql: String = "text"): DataFrame = {
     val w = Window.partitionBy("text_hash")
-    slicedDocs(s, dir, whereSql)
+    slicedDocs(s, dir, whereSql, textSql)
       .withColumn("text_hash", md5(col("text").cast("binary")))
       .select(col("doc_id"), col("text_hash"),
         min(col("doc_id")).over(w).as("keeper_id"),
@@ -63,14 +71,15 @@ object Dedup {
       .withColumn("is_dup", (col("doc_id") =!= col("keeper_id")).cast("int"))
   }
 
-  private[graft] def d1SqlFor(whereSql: String): String = {
+  private[graft] def d1SqlFor(whereSql: String,
+      textSql: String = "text"): String = {
     val where = if (whereSql.isEmpty) "" else s" WHERE $whereSql"
     s"""
     SELECT doc_id, md5(text) AS text_hash,
       MIN(doc_id) OVER (PARTITION BY md5(text)) AS keeper_id,
       COUNT(*) OVER (PARTITION BY md5(text)) AS n_copies,
       CAST(doc_id <> MIN(doc_id) OVER (PARTITION BY md5(text)) AS INT) AS is_dup
-    FROM documents$where"""
+    FROM ${TextAnalysis.corpusRef(textSql)}$where"""
   }
   private val d1Sql = d1SqlFor("")
 
@@ -111,8 +120,9 @@ object Dedup {
     * decimal), corpus under `whereSql`. Fuzz entry point — varying
     * dfShare swings rare-set density across the bucketPairs dispatch. */
   private[graft] def ngramPairs(s: SparkSession, dir: String, maxDf: Long,
-      dfShare: Long, theta: String, whereSql: String): DataFrame = {
-    val g = TextAnalysis.gramCodes(slicedDocs(s, dir, whereSql))
+      dfShare: Long, theta: String, whereSql: String,
+      textSql: String = "text"): DataFrame = {
+    val g = TextAnalysis.gramCodes(slicedDocs(s, dir, whereSql, textSql))
     // EXACT integer division (count div dfShare): a double multiply
     // would truncate in Spark but ROUND in DuckDB's decimal-to-bigint
     // cast — the two engines would disagree on boundary counts
@@ -139,7 +149,7 @@ object Dedup {
     // needed here because the scale-relative cut lets bucket width
     // grow ∝ N instead of being constant-capped.
     val common = bucketPairs(rare, Seq("code"), "doc_id", d3ChunkSize,
-        s"d2:$dir:$maxDf:$dfShare:$whereSql:${corpusStamp(s, dir, "documents")}")
+        s"d2:$dir:$maxDf:$dfShare:$whereSql:$textSql:${corpusStamp(s, dir, "documents")}")
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("common"))
     common
@@ -166,10 +176,10 @@ object Dedup {
   // keeps it populated (the sf10p rare set is ~69k rows from a 1G
   // char explode).
   private[graft] def d2SqlFor(maxDf: Long, dfShare: Long, theta: String,
-      whereSql: String): String = {
+      whereSql: String, textSql: String = "text"): String = {
     val docWhere = if (whereSql.isEmpty) "" else s" WHERE $whereSql"
     s"""
-    WITH g AS MATERIALIZED (${TextAnalysis.gramSqlFor(whereSql)}),
+    WITH g AS MATERIALIZED (${TextAnalysis.gramSqlFor(whereSql, textSql)}),
     cutoff AS (SELECT GREATEST($maxDf, COUNT(*) // $dfShare) AS cut FROM documents$docWhere),
     rare AS MATERIALIZED (
       SELECT g.doc_id, g.code FROM g
@@ -374,10 +384,10 @@ object Dedup {
     * stay fixed — they define the sketch; the agreement cut and the
     * corpus are the run-time knobs a user would turn. */
   private[graft] def minhashPairs(s: SparkSession, dir: String,
-      theta: String, whereSql: String): DataFrame = {
-    val bands = minhashBands(s, dir, whereSql)
+      theta: String, whereSql: String, textSql: String = "text"): DataFrame = {
+    val bands = minhashBands(s, dir, whereSql, textSql)
     bucketPairs(bands, Seq("band", "h1", "h2", "h3", "h4"), "doc_id",
-        d3ChunkSize, s"d3:$dir:$whereSql:${corpusStamp(s, dir, "documents")}")
+        d3ChunkSize, s"d3:$dir:$whereSql:$textSql:${corpusStamp(s, dir, "documents")}")
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
         minhashAgree.as("est_jaccard"))
       .filter(col("est_jaccard") >= expr(theta))
@@ -393,8 +403,8 @@ object Dedup {
   /** The MinHash band table `(doc_id, m1..m16, band, h1..h4)` —
     * d3's candidate machinery, shared with [[fuzzyDecontaminate]]. */
   private def minhashBands(s: SparkSession, dir: String,
-      whereSql: String): DataFrame = {
-    val g = TextAnalysis.gramCodes(slicedDocs(s, dir, whereSql))
+      whereSql: String, textSql: String = "text"): DataFrame = {
+    val g = TextAnalysis.gramCodes(slicedDocs(s, dir, whereSql, textSql))
     val sig = g.groupBy("doc_id").agg(
       min(expr(permHash(1, "code"))).as("m1"),
       (2 to nPerm).map(j => min(expr(permHash(j, "code"))).as(s"m$j")): _*)
@@ -434,20 +444,21 @@ object Dedup {
   /** The g/sig/bands CTE prefix — d3's sketch in SQL, shared with the
     * d11 oracle (which joins the bands bipartitely instead of
     * self-joining them). */
-  private def d3BandsCtes(whereSql: String): String = {
+  private def d3BandsCtes(whereSql: String, textSql: String = "text"): String = {
     val mins = (1 to nPerm).map(j => s"MIN(${permHash(j, "code")}) AS m$j").mkString(", ")
     val sigCols = (1 to nPerm).map(j => s"m$j").mkString(", ")
     val bandSelects = (0 until nBands).map { b =>
       s"SELECT doc_id, $sigCols, $b AS band, m${bandRows * b + 1} AS h1, m${bandRows * b + 2} AS h2, " +
         s"m${bandRows * b + 3} AS h3, m${bandRows * b + 4} AS h4 FROM sig"
     }.mkString(" UNION ALL ")
-    s"""g AS (${TextAnalysis.gramSqlFor(whereSql)}),
+    s"""g AS (${TextAnalysis.gramSqlFor(whereSql, textSql)}),
     sig AS MATERIALIZED (SELECT doc_id, $mins FROM g GROUP BY doc_id),
     bands AS MATERIALIZED ($bandSelects)"""
   }
 
-  private[graft] def d3CtesFor(theta: String, whereSql: String): String =
-    s"""${d3BandsCtes(whereSql)},
+  private[graft] def d3CtesFor(theta: String, whereSql: String,
+      textSql: String = "text"): String =
+    s"""${d3BandsCtes(whereSql, textSql)},
     cand AS (
       SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
         $d3Agree AS est_jaccard
@@ -462,8 +473,9 @@ object Dedup {
     FROM cand"""
 
   private val d3Sql = s"WITH $d3Ctes $d3Final"
-  private[graft] def d3SqlFor(theta: String, whereSql: String): String =
-    s"WITH ${d3CtesFor(theta, whereSql)} $d3Final"
+  private[graft] def d3SqlFor(theta: String, whereSql: String,
+      textSql: String = "text"): String =
+    s"WITH ${d3CtesFor(theta, whereSql, textSql)} $d3Final"
 
   // --------------------------------------------- d11 fuzzy decontamination
 
@@ -554,9 +566,9 @@ object Dedup {
     * fuzz draws from {1,2,3}, and anything larger is refused loudly
     * rather than silently under-producing. */
   private[graft] def simhashPairs(s: SparkSession, dir: String,
-      maxHamming: Int, whereSql: String): DataFrame = {
+      maxHamming: Int, whereSql: String, textSql: String = "text"): DataFrame = {
     require(maxHamming <= 3, s"banded candidates are only exhaustive for hamming <= 3, got $maxHamming")
-    val g = TextAnalysis.gramCodes(slicedDocs(s, dir, whereSql))
+    val g = TextAnalysis.gramCodes(slicedDocs(s, dir, whereSql, textSql))
       .select(col("doc_id"), expr(mix("code")).as("h"))
     val bitSums = g.groupBy("doc_id").agg(
       sum(expr(s"CASE WHEN (shiftright(h, 0) & 1) = 1 THEN 1 ELSE -1 END")).as("s0"),
@@ -578,7 +590,7 @@ object Dedup {
       .select(col("doc_id"), col("simhash"),
         col("bb.band").as("band"), col("bb.bh").as("bh"))
     bucketPairs(banded, Seq("band", "bh"), "doc_id", d4ChunkSize,
-        s"d4:$dir:$whereSql:${corpusStamp(s, dir, "documents")}")
+        s"d4:$dir:$whereSql:$textSql:${corpusStamp(s, dir, "documents")}")
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
         expr("bit_count(a.simhash ^ b.simhash)").cast("long").as("hamming"))
       .filter(col("hamming") <= maxHamming)
@@ -601,7 +613,8 @@ object Dedup {
     * N²/2 popcounts — 1.25e11 at 100× gate scale, days in DuckDB —
     * while the band join is N²/(2·#buckets) ≈ 6e9. Verified
     * hash-identical to the cross-join form at sf0.01 and sf0.1. */
-  private[graft] def d4SqlFor(maxHamming: Int, whereSql: String): String = {
+  private[graft] def d4SqlFor(maxHamming: Int, whereSql: String,
+      textSql: String = "text"): String = {
     require(maxHamming <= 3, s"banded candidates are only exhaustive for hamming <= 3, got $maxHamming")
     val sums = (0 until simBits).map(k =>
       s"SUM(CASE WHEN (h >> $k) & 1 = 1 THEN 1 ELSE -1 END) AS s$k").mkString(", ")
@@ -612,7 +625,7 @@ object Dedup {
       s"SELECT doc_id, simhash, $b AS band, (simhash >> $off) & ${(1 << len) - 1} AS bh FROM sk"
     }.mkString(" UNION ALL ")
     s"""
-    WITH g AS (${TextAnalysis.gramSqlFor(whereSql)}),
+    WITH g AS (${TextAnalysis.gramSqlFor(whereSql, textSql)}),
     hh AS (SELECT doc_id, ${mix("code")} AS h FROM g),
     bs AS (SELECT doc_id, $sums FROM hh GROUP BY doc_id),
     sk AS MATERIALIZED (SELECT doc_id, $bits AS simhash FROM bs),
@@ -1326,8 +1339,8 @@ object Dedup {
     * lets [[graft.fuzz.PipeFuzz]] drive seeded corpus slices
     * differentially. */
   private[graft] def spanDetect(s: SparkSession, dir: String, w: Int,
-      minDocs: Int, whereSql: String): DataFrame = {
-    val (_, spans) = spanFrames(s, dir, w, minDocs, whereSql)
+      minDocs: Int, whereSql: String, textSql: String = "text"): DataFrame = {
+    val (_, spans) = spanFrames(s, dir, w, minDocs, whereSql, textSql)
     spans.select(col("doc_id"), col("span_start"),
       (col("last_w") + (w - 1)).as("span_end"),
       (col("last_w") - col("span_start") + w).as("span_toks"))
@@ -1342,9 +1355,10 @@ object Dedup {
     * span_start, which is how d10 resolves a span to its keeper (the
     * head window is duplicated by construction, so it always resolves). */
   private def spanFrames(s: SparkSession, dir: String, W: Int,
-      minDocs: Int, whereSql: String): (DataFrame, DataFrame) = {
+      minDocs: Int, whereSql: String,
+      textSql: String = "text"): (DataFrame, DataFrame) = {
     def wins(withText: Boolean): DataFrame = {
-      val base = slicedDocs(s, dir, whereSql)
+      val base = slicedDocs(s, dir, whereSql, textSql)
         // coalesce guards NULL text: Spark's size(split(NULL)) is -1
         // while DuckDB's len(NULL) is NULL — a NULL-text doc would
         // diverge the differential gate (round 11 ADVICE); with '' both
@@ -1379,7 +1393,7 @@ object Dedup {
     val cand0 = wins(withText = true).join(candH, Seq("wh"), "left_semi")
     val cand = cand0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     Option(taggedCache.put(
-        s"d9cand:$dir:$W:$minDocs:$whereSql:${corpusStamp(s, dir, "documents")}",
+        s"d9cand:$dir:$W:$minDocs:$whereSql:$textSql:${corpusStamp(s, dir, "documents")}",
         cand))
       .foreach(_.unpersist(false))
     // Exact confirm on the candidate subset: same STRING in ≥ minDocs
@@ -1407,11 +1421,12 @@ object Dedup {
     * two-phase converges to. Scale-portable — no absolute thresholds.
     * Parametric for the same (W, minDocs, whereSql) space as
     * [[spanDetect]]; the gate's d9 uses the defaults. */
-  private[graft] def d9SqlFor(W: Int, minDocs: Int, whereSql: String): String = {
+  private[graft] def d9SqlFor(W: Int, minDocs: Int, whereSql: String,
+      textSql: String = "text"): String = {
     val where = if (whereSql.isEmpty) "" else s" WHERE $whereSql"
     s"""
     WITH toks AS (
-      SELECT doc_id, string_split(coalesce(text, ''), ' ') AS t FROM documents$where
+      SELECT doc_id, string_split(coalesce(text, ''), ' ') AS t FROM ${TextAnalysis.corpusRef(textSql)}$where
     ), wins AS (
       SELECT doc_id, i AS pos, array_to_string(t[i:i+${W - 1}], ' ') AS win
       FROM toks, UNNEST(range(1, len(t) - $W + 2)) AS u(i)
@@ -1454,14 +1469,14 @@ object Dedup {
   /** Parametric span apply ([[d10_span_apply]] = the gate defaults);
     * same (W, minDocs, whereSql) space as [[spanDetect]]. */
   private[graft] def spanApply(s: SparkSession, dir: String, w: Int,
-      minDocs: Int, whereSql: String): DataFrame = {
-    val (dupWin, spans) = spanFrames(s, dir, w, minDocs, whereSql)
+      minDocs: Int, whereSql: String, textSql: String = "text"): DataFrame = {
+    val (dupWin, spans) = spanFrames(s, dir, w, minDocs, whereSql, textSql)
     val removed = spans
       .join(dupWin.withColumnRenamed("win", "headwin"), Seq("headwin"))
       .where(col("doc_id") =!= col("keeper"))
       .select(col("doc_id"),
         explode(expr(s"sequence(span_start, last_w + ${w - 1})")).as("pos"))
-    val toks = slicedDocs(s, dir, whereSql)
+    val toks = slicedDocs(s, dir, whereSql, textSql)
       .select(col("doc_id"), posexplode(split(coalesce(col("text"), lit("")), " ")))
       .select(col("doc_id"), (col("pos") + 1).cast("long").as("pos"),
         col("col").as("tok"))
@@ -1470,7 +1485,7 @@ object Dedup {
       .agg(expr("array_join(transform(array_sort(collect_list(struct(pos, tok))), x -> x.tok), ' ')")
           .as("clean_text"),
         count(lit(1)).as("n_kept"))
-    slicedDocs(s, dir, whereSql)
+    slicedDocs(s, dir, whereSql, textSql)
       .select(col("doc_id"),
         size(split(coalesce(col("text"), lit("")), " ")).cast("long").as("n_toks"))
       .join(rebuilt, Seq("doc_id"), "left")
@@ -1483,11 +1498,12 @@ object Dedup {
     * `arg_min(win, pos)` for the head window and a
     * `string_agg(... ORDER BY pos)` rebuild. The LEFT JOIN from
     * `documents` keeps untouched and fully-cut docs in the output. */
-  private[graft] def d10SqlFor(W: Int, minDocs: Int, whereSql: String): String = {
+  private[graft] def d10SqlFor(W: Int, minDocs: Int, whereSql: String,
+      textSql: String = "text"): String = {
     val where = if (whereSql.isEmpty) "" else s" WHERE $whereSql"
     s"""
     WITH toks AS (
-      SELECT doc_id, string_split(coalesce(text, ''), ' ') AS t FROM documents$where
+      SELECT doc_id, string_split(coalesce(text, ''), ' ') AS t FROM ${TextAnalysis.corpusRef(textSql)}$where
     ), wins AS (
       SELECT doc_id, i AS pos, array_to_string(t[i:i+${W - 1}], ' ') AS win
       FROM toks, UNNEST(range(1, len(t) - $W + 2)) AS u(i)

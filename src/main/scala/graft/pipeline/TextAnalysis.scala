@@ -155,13 +155,28 @@ object TextAnalysis {
     * returns a list, which UNNEST explodes. */
   private[pipeline] val gramSql = gramSqlFor("")
 
+  /** Oracle-side corpus reference under an optional text-column
+    * transform (PipeFuzz's NULL-text lane): `textSql` is a scalar SQL
+    * expression for the text column — the SAME string the engine
+    * applies via `withColumn` — rendered as a derived table so every
+    * downstream `FROM documents` reads the transformed corpus. The
+    * default leaves the committed gate oracles byte-identical. */
+  private[pipeline] def corpusRef(textSql: String): String =
+    if (textSql == "text") "documents"
+    else s"""(SELECT doc_id, $textSql AS text, lang, source, n_chars
+             FROM documents) AS documents"""
+
   /** [[gramSql]] under an optional extra documents predicate (fuzz
-    * corpus slices — the predicate text is shared with the engine). */
-  private[pipeline] def gramSqlFor(whereSql: String): String = {
+    * corpus slices — the predicate text is shared with the engine)
+    * and an optional text transform (NULL-text lane; a NULL text
+    * fails `length(text) >= 5` identically in Spark and DuckDB, so
+    * nulled docs vanish from the gram index on both engines). */
+  private[pipeline] def gramSqlFor(whereSql: String,
+      textSql: String = "text"): String = {
     val extra = if (whereSql.isEmpty) "" else s" AND ($whereSql)"
     s"""SELECT DISTINCT doc_id, ${gramCode("substring(text, i, 5)")} AS code
         FROM (SELECT doc_id, text, UNNEST(range(1, length(text) - 3)) AS i
-              FROM documents WHERE length(text) >= 5$extra) src"""
+              FROM ${corpusRef(textSql)} WHERE length(text) >= 5$extra) src"""
   }
 
   /** Document fingerprinting: the 4 smallest permutation-hashes of the
