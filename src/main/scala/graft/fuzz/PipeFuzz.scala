@@ -59,8 +59,14 @@ object PipeFuzz {
     * v6: NULL-text lane (a residue class of texts nullified via the
     * same CASE expression on both engines — would have caught the r12
     * d9/d10 NULL-coalesce divergence by construction) + bpe_apply
-    * family (t13 merge-table size x slice x null lane). */
-  val grammarVersion = 6
+    * family (t13 merge-table size x slice x null lane).
+    * v7: bpe_apply seeds additionally draw the broadcast/shuffle
+    * vocab cut ([[TextAnalysis.t13BcastMaxVocab]]) from BOTH sides —
+    * cut 0 forces every vocab onto the shuffled-hash plan, the
+    * default cut keeps fuzz corpora on the broadcast plan; the runner
+    * requires both dispatch counters nonzero (results must be
+    * dispatch-invariant). */
+  val grammarVersion = 7
 
   def name(seed: Long): String = f"pf_$seed%04d"
 
@@ -277,8 +283,13 @@ object PipeFuzz {
       // merge derivation on both engines
       val m = Seq(5, 10, 20, 30)(r.nextInt(4))
       val where = docSlice(r)
-      Gen("bpe_apply", s"m=$m where=[$where]",
-        (s, dir) => graft.pipeline.TextAnalysis.bpeApply(s, dir, m, where),
+      // the cut is drawn LAST so v6 seeds' m/where draws are stable;
+      // 0 forces the shuffled-hash plan, the default cut the broadcast
+      // plan — same rows either way (the oracle doesn't move)
+      val cut = if (r.nextBoolean()) 0L
+        else graft.pipeline.TextAnalysis.t13BcastMaxVocab
+      Gen("bpe_apply", s"m=$m where=[$where] cut=$cut",
+        (s, dir) => graft.pipeline.TextAnalysis.bpeApply(s, dir, m, where, cut),
         graft.pipeline.TextAnalysis.t13SqlFor(m, where))
     }
   }

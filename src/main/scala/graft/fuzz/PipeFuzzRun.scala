@@ -45,6 +45,8 @@ object PipeFuzzRun {
     var nullNonEmpty = 0
     var semFlat = 0
     var semHier = 0
+    var bpeBcast = 0
+    var bpeShuffle = 0
     val sqls = (seed0 until seed0 + nSeeds).map { seed =>
       val name = PipeFuzz.name(seed)
       val g = PipeFuzz.gen(seed)
@@ -70,6 +72,13 @@ object PipeFuzzRun {
         if (g.family == "sem_dedup") {
           if (graft.pipeline.Dedup.lastSemanticDispatch == "hier") semHier += 1
           else semFlat += 1
+        }
+        // same read-back for t13's vocab broadcast/shuffle cut: the
+        // vocab count is data (the slice moves it), only the engine
+        // knows which join plan the seed actually took
+        if (g.family == "bpe_apply") {
+          if (graft.pipeline.TextAnalysis.lastBpeDispatch == "shuffle") bpeShuffle += 1
+          else bpeBcast += 1
         }
       } catch { case e: Exception =>
         failed += 1
@@ -110,11 +119,13 @@ object PipeFuzzRun {
         s""""n_seeds": $nSeeds, "families_count_nonempty": $famJson, """ +
         s""""lsh_side": $lshSide, "tiled_side": $tiledSide, """ +
         s""""sem_flat": $semFlat, "sem_hier": $semHier, """ +
+        s""""bpe_bcast": $bpeBcast, "bpe_shuffle": $bpeShuffle, """ +
         s""""null_lane": [$nullLane, $nullNonEmpty]}""").getBytes("UTF-8"))
     println(s"[pipefuzz] ${nSeeds - failed}/$nSeeds ran (grammar " +
       s"v${PipeFuzz.grammarVersion}); families $famJson; " +
       s"emb dispatch lsh=$lshSide tiled=$tiledSide; " +
       s"sem dispatch flat=$semFlat hier=$semHier; " +
+      s"bpe dispatch bcast=$bpeBcast shuffle=$bpeShuffle; " +
       s"null lane $nullLane seeds/$nullNonEmpty nonempty; results in $outDir")
     val families = Seq("span_detect", "span_apply", "exact_dedup",
       "ngram_pairs", "minhash_pairs", "simhash_pairs", "emb_pairs", "ann_topk",
@@ -125,6 +136,8 @@ object PipeFuzzRun {
       (if (tiledSide == 0) Seq("tiled_side") else Nil) ++
       (if (semFlat == 0) Seq("sem_flat") else Nil) ++
       (if (semHier == 0) Seq("sem_hier") else Nil) ++
+      (if (bpeBcast == 0) Seq("bpe_bcast") else Nil) ++
+      (if (bpeShuffle == 0) Seq("bpe_shuffle") else Nil) ++
       // the NULL-text lane must be drawn AND produce output on nulled
       // corpora (an all-empty null lane would compare green vacuously)
       (if (nullLane == 0) Seq("null_lane") else Nil) ++

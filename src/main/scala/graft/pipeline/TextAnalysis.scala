@@ -624,25 +624,55 @@ object TextAnalysis {
     * VOCABULARY (each word segmented once, not once per occurrence) as
     * 20 chained `aggregate` higher-order expressions — no UDF, no
     * driver loop over data; the corpus then joins the segmented vocab
-    * ONCE, broadcast (a vocabulary is small by Heaps' law at any
-    * corpus size; a 10M-type vocab would ride a shuffled hash join,
-    * same plan minus the broadcast). The merge table itself is the one
-    * driver-side piece: top-M pairs collected as M≈20 rows — the
-    * trained-tokenizer artifact every executor needs, the q37 bounds
-    * posture (metadata-sized, documented). */
+    * ONCE — broadcast below [[t13BcastMaxVocab]] types, a shuffled
+    * hash join above it (the vocab side is count-gated, the
+    * [[graft.pipeline.Dedup.d8FlatMaxK]] dispatch pattern: a clean
+    * web corpus keeps Heaps-law vocabularies broadcastable, but a
+    * noisy 100-TB crawl is 10⁸+ types and a forced hint would die on
+    * driver/broadcast limits instead of degrading to the shuffle
+    * plan). The merge table itself is the one driver-side piece:
+    * top-M pairs collected as M≈20 rows — the trained-tokenizer
+    * artifact every executor needs, the q37 bounds posture
+    * (metadata-sized, documented). */
   def t13_bpe_apply(s: SparkSession, dir: String): DataFrame =
     bpeApply(s, dir, 20, "")
 
+  /** Vocab-count cut for t13's corpus⋈vocab join: below it the
+    * segmented vocab broadcasts (~40 B/row → ≤80 MB at the cut, well
+    * under executor/driver broadcast budgets); above it the join rides
+    * a shuffled hash join with the vocab as build side (partitioned,
+    * so no single-node table). The cut is a parameter of [[bpeApply]]
+    * so T13BpeApplySpec and the PipeFuzz `bpe_apply` family exercise
+    * BOTH plan shapes on small corpora. */
+  private[graft] val t13BcastMaxVocab = 2000000L
+
+  /** Which side of the [[t13BcastMaxVocab]] dispatch the last
+    * [[bpeApply]] took ("bcast" | "shuffle") — data-dependent (the
+    * sliced corpus' vocab count), so fuzz runners read it back
+    * post-run, the [[graft.pipeline.Dedup.lastSemanticDispatch]]
+    * pattern. */
+  @volatile private[graft] var lastBpeDispatch: String = ""
+
   /** Parametric form ([[t13_bpe_apply]] = gate defaults): merge-table
     * size and a corpus slice predicate (the SAME text the oracle
-    * renders into its WHERE) — the PipeFuzz entry point. */
+    * renders into its WHERE) — the PipeFuzz entry point.
+    * `bcastMaxVocab` moves the broadcast/shuffle cut so both dispatch
+    * sides are testable at spec scale; the RESULT is dispatch-
+    * invariant (same rows either side), only the join strategy moves. */
   private[graft] def bpeApply(s: SparkSession, dir: String, m: Int,
-      whereSql: String): DataFrame = {
+      whereSql: String, bcastMaxVocab: Long = t13BcastMaxVocab): DataFrame = {
     val d0 = docs(s, dir)
     val d = if (whereSql.isEmpty) d0 else d0.where(whereSql)
     val words = d.select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
       .filter(col("word") =!= "")
+    // The vocabulary is read three times (merge ranking, segmentation
+    // join, dispatch count): persist it so the corpus tokenize+groupBy
+    // runs once, not three times (the d2-pair-table precedent — the
+    // persisted frame is vocabulary-sized, Heaps-law bounded).
     val wc = words.groupBy("word").agg(count(lit(1)).as("c"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nVocab = wc.count()
+    lastBpeDispatch = if (nVocab <= bcastMaxVocab) "bcast" else "shuffle"
     val merges: Seq[(String, String)] = wc.filter(length(col("word")) >= 2)
       .select(col("c"), explode(expr(
         """transform(sequence(1, length(word) - 1),
@@ -652,9 +682,15 @@ object TextAnalysis {
       .agg(sum(col("c")).as("pc"))
       .orderBy(col("pc").desc, col("a"), col("b"))
       .limit(m).collect().map(r => (r.getString(0), r.getString(1))).toSeq
-    val seg = bpeSegment(wc, merges)
+    val seg = bpeSegment(wc, merges).select(col("word"), col("n_syms"))
+    // Count-gated join strategy: broadcast under the cut, an explicit
+    // shuffled-hash hint above it (vocab as build side — hash-build
+    // beats sorting the corpus side, and above the cut Spark's
+    // size-based planner would otherwise pick a sort-merge join).
+    val segHinted =
+      if (nVocab <= bcastMaxVocab) broadcast(seg) else seg.hint("shuffle_hash")
     val agg = words
-      .join(broadcast(seg.select(col("word"), col("n_syms"))), Seq("word"))
+      .join(segHinted, Seq("word"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("nw"), sum(col("n_syms")).as("nb"))
     d.select(col("doc_id")).join(agg, Seq("doc_id"), "left")

@@ -116,6 +116,36 @@ class T13BpeApplySpec extends AnyFunSuite {
     }
   }
 
+  test("vocab-size dispatch: both join plans pinned, results identical") {
+    // Below the cut the corpus⋈vocab join must broadcast the vocab;
+    // above it (cut forced to 0) it must ride a shuffled hash join —
+    // the 10⁸-type noisy-crawl path where a forced broadcast would
+    // die on driver/broadcast limits. The ROWS must not move.
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, ShuffledHashJoinExec}
+    // QueryStageExec is a LeafExecNode under AQE — its materialized
+    // subtree hangs off .plan, not .children, so unwrap both wrappers
+    def ops(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => a +: ops(a.executedPlan)
+      case q: QueryStageExec => q +: ops(q.plan)
+      case o => o +: (o.children ++ o.subqueries).flatMap(ops)
+    }
+    val dir = "/root/testdata/sf0.001"
+    val bc = TextAnalysis.bpeApply(spark, dir, 20, "")
+    val bcRows = bc.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(TextAnalysis.lastBpeDispatch == "bcast")
+    assert(ops(bc.queryExecution.executedPlan).exists(_.isInstanceOf[BroadcastHashJoinExec]),
+      "below the cut the segmented vocab must broadcast")
+    val sh = TextAnalysis.bpeApply(spark, dir, 20, "", bcastMaxVocab = 0L)
+    val shRows = sh.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(TextAnalysis.lastBpeDispatch == "shuffle")
+    assert(ops(sh.queryExecution.executedPlan).exists(_.isInstanceOf[ShuffledHashJoinExec]),
+      "above the cut the corpus⋈vocab join must be a shuffled hash join")
+    assert(bcRows.toSeq == shRows.toSeq,
+      "the dispatch moves the join strategy, never the result")
+  }
+
   test("custom merge table: chained ranks behave as priority order") {
     // (e,r) then (h,e): "her" → ranks say (e,r) first, consuming the e
     // — so (h,e) must NOT apply afterwards: [h, er], never [he, r]
