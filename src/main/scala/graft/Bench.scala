@@ -125,6 +125,12 @@ object Bench {
     // so the retry logic below is demonstrable on demand (the interference
     // guard's own acceptance test). Never set by the driver.
     val doctorPass = sys.env.get("SPARK_GRAFT_DOCTOR_PASS").map(_.toInt)
+    // Loud at startup AND self-labeled on the artifact (r13 ADVICE):
+    // a doctored run must never be mistakable for a benchmark.
+    doctorPass.foreach(p => System.err.println(
+      s"[bench] *** SPARK_GRAFT_DOCTOR_PASS=$p — INTERFERENCE IS BEING " +
+        "INJECTED INTO PASS TIMINGS; this artifact is a guard acceptance " +
+        "demo, not a benchmark ***"))
     def timedPass(idx: Int): (Seq[(String, Double)], String) = {
       val l0 = load1()
       spark.catalog.clearCache()
@@ -190,7 +196,17 @@ object Bench {
     val passes = passBuf.toSeq
     val finalHits = hitPasses(passes)
     val cleanPasses = passes.size - finalHits.size
-    val results = passes.transpose.map { samples =>
+    // Metric basis (r13 ADVICE): the first nPasses CLEAN passes only —
+    // replacement passes REPLACE hit passes instead of adding samples.
+    // Min over 5 passes on retried runs vs 3 on clean runs biased
+    // retried rounds slightly faster, making ratios incomparable on
+    // exactly the runs the guard touched. A fully-contaminated run
+    // (zero clean passes) falls back to all passes and self-labels via
+    // contaminated=true.
+    val cleanIdx = passes.indices.filterNot(finalHits.contains)
+    val basisIdx: Seq[Int] =
+      if (cleanIdx.isEmpty) passes.indices.toSeq else cleanIdx.take(nPasses)
+    val results = basisIdx.map(passes).transpose.map { samples =>
       val name = samples.head._1
       val ts = samples.map(_._2)
       name -> (if (ts.exists(_ < 0)) -1.0 else ts.min)
@@ -215,7 +231,9 @@ object Bench {
       // retries) is self-labeled so trend ⚠ flags on it are discounted
       s""""pass_loads":[${passLoads.map(q).mkString(",")}],""" +
       s""""hit_passes":[${finalHits.mkString(",")}],""" +
+      s""""basis_passes":[${basisIdx.mkString(",")}],""" +
       s""""extra_passes":$extraPasses,"clean_passes":$cleanPasses,""" +
+      s""""doctor":${doctorPass.isDefined},""" +
       s""""contaminated":${cleanPasses == 0}"""
     // Full per-query detail to a repo file (the log-tail line is size-
     // capped); total/sf/nq on both so either artifact stands alone.
@@ -239,10 +257,35 @@ object Bench {
     try java.nio.file.Files.write(java.nio.file.Paths.get(detailFile),
       detail.getBytes("UTF-8"))
     catch { case _: Exception => } // cwd not writable: the printed line still carries the headline
+    // Dense per-round history (r13 verdict item 3): the driver's
+    // BENCH_r{N}.json embeds only the size-capped ~33-query headline
+    // subset, so the trend's last/prev compared most queries against
+    // whatever round LAST carried them (d4's r13 "1.78x ⚠" was
+    // r13-vs-r02 while the same round's idle A/B put it at 1.09x of
+    // best-ever). Every full-suite sf0.1 run snapshots the COMPLETE
+    // per-query detail under the upcoming round's label — 1 + the
+    // newest driver BENCH_r{N}.json in cwd — so the trend always has a
+    // dense N-1 column. Runs within a round overwrite the same label;
+    // the driver's own end-of-round invocation (the run BENCH_r{N}
+    // .json wraps) writes last, keeping snapshot and wrapper the SAME
+    // run. MAT runs snapshot to BENCH_MAT_r{N}.json, closing the
+    // carried per-round-MAT item the same way.
+    val fullSuite = only.isEmpty && sfDir.matches(".*sf0?\\.1/?$")
+    var snapped: Option[String] = None
+    if (fullSuite) try {
+      val nextRound = 1 + new java.io.File(".").listFiles().map(_.getName)
+        .flatMap(n => "^BENCH_r(\\d+)\\.json$".r.findFirstMatchIn(n)
+          .map(_.group(1).toInt)).foldLeft(0)(math.max)
+      val snap = if (mat) f"BENCH_MAT_r$nextRound%02d.json"
+        else f"BENCH_DETAIL_r$nextRound%02d.json"
+      java.nio.file.Files.write(java.nio.file.Paths.get(snap),
+        detail.getBytes("UTF-8"))
+      snapped = Some(snap)
+    } catch { case _: Exception => }
     val head = results.filter { case (n, _) => headline.contains(n) }
     println(s"""{"metric":"total","value":${r4(total)},"unit":"sec",""" +
       s""""nq":${results.size},$env,"queries":${jsonMap(head)},"sf":"$sfDir"}""")
-    regenTrend(sfDir, only)
+    regenTrend(sfDir, only, snapped)
     spark.stop()
   }
 
@@ -260,7 +303,8 @@ object Bench {
     * column. The script writes to a temp file and only replaces
     * BENCH_TREND.md on exit 0 — a corrupt BENCH_r*.json (killed
     * earlier bench) must not truncate the tracked trend history. */
-  private def regenTrend(sfDir: String, only: Option[Seq[String]]): Unit =
+  private def regenTrend(sfDir: String, only: Option[Seq[String]],
+      snapped: Option[String]): Unit =
     try {
       val full = only.isEmpty && sfDir.matches(".*sf0?\\.1/?$") &&
         !sys.env.get("SPARK_GRAFT_MAT").contains("1") &&
@@ -270,9 +314,14 @@ object Bench {
         import scala.sys.process._
         val names = new java.io.File(".").listFiles().map(_.getName)
         val files = names.filter(_.matches("BENCH_r\\d+\\.json")).sorted.toSeq
+        val detailFiles = names.filter(_.matches("BENCH_DETAIL_r\\d+\\.json")).sorted.toSeq
         val matFiles = names.filter(_.matches("BENCH_MAT_r\\d+\\.json")).sorted.toSeq
+        // this run's dense snapshot (if written) replaces the plain
+        // BENCH_DETAIL.json "in-flight" column: both are the same run,
+        // and passing both would double-count it under two labels
         val cmd = Seq("python3", "tools/bench_trend.py", "--sf", "0.1") ++
-          (files :+ "BENCH_DETAIL.json") ++
+          (files ++ detailFiles ++
+            (if (snapped.isEmpty) Seq("BENCH_DETAIL.json") else Nil)) ++
           (if (matFiles.nonEmpty) "--mat" +: matFiles else Nil)
         val tmp = new java.io.File("BENCH_TREND.md.tmp")
         val rc = (cmd #> tmp).!

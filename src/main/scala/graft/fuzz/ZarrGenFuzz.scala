@@ -196,21 +196,25 @@ object ZarrGenFuzz {
             ZarrWriter.leaseTtlMillis = (500 + r.nextInt(300)).toLong
             ZarrWriter.leaseHeartbeatMillis = (10 + r.nextInt(20)).toLong
             val ttl = ZarrWriter.leaseTtlMillis
-            // JVM-pause detector: the beat hook runs on every holder's
-            // heartbeat thread between its liveness check and its lock
-            // write. Track the gap between consecutive beats per thread
-            // (first beat baselines at race start); a stop-the-world
-            // pause halts ALL threads, so any gap > TTL means the lease
+            // JVM-pause detector, keyed by APPEND (the writer's
+            // per-append timeline token), not by thread or race start
+            // (r13 ADVICE): "acquire" baselines the holder's lease
+            // clock at lock acquisition — pre-acquisition scheduling
+            // delay (the thread holds nothing yet) no longer vacates
+            // seeds — and every "beat" plus the final "release" sample
+            // measures the gap since the SAME append's previous
+            // sample, so a pause landing after the last heartbeat
+            // (during release/join, where beats have stopped) is
+            // still caught. Any gap > TTL means that holder's lease
             // could have legitimately expired mid-append.
-            val raceT0 = new java.util.concurrent.atomic.AtomicLong(0L)
-            val lastBeat = new java.util.concurrent.ConcurrentHashMap[Thread, java.lang.Long]()
+            val lastSample = new java.util.concurrent.ConcurrentHashMap[AnyRef, java.lang.Long]()
             val maxGapNs = new java.util.concurrent.atomic.AtomicLong(0L)
-            ZarrWriter.leaseBeatTestHook = () => {
+            val timeline0 = ZarrWriter.leaseTimelineTestHook
+            ZarrWriter.leaseTimelineTestHook = (token, _) => {
               val now = System.nanoTime()
-              val prev = lastBeat.put(Thread.currentThread(), now)
-              val base = if (prev ne null) prev.longValue else raceT0.get()
-              if (base != 0L)
-                maxGapNs.accumulateAndGet(now - base, (a, b) => math.max(a, b))
+              val prev = lastSample.put(token, now)
+              if (prev ne null)
+                maxGapNs.accumulateAndGet(now - prev.longValue, (a, b) => math.max(a, b))
             }
             try {
               val slabA = rowsOf(nextT, 2L, scale)
@@ -226,7 +230,6 @@ object ZarrGenFuzz {
                 })
               }
               ths.foreach(_.start())
-              raceT0.set(System.nanoTime())
               start.countDown(); ths.foreach(_.join(120000))
               val hung = ths.filter(_.isAlive)
               val pausedMs = maxGapNs.get() / 1000000L
@@ -265,6 +268,7 @@ object ZarrGenFuzz {
               ZarrWriter.leaseTtlMillis = ttl0
               ZarrWriter.leaseHeartbeatMillis = hb0
               ZarrWriter.leaseBeatTestHook = hook0
+              ZarrWriter.leaseTimelineTestHook = timeline0
             }
           case "snapshot" =>
             val p = dir.resolve(s"snap_$snapId.parq").toString

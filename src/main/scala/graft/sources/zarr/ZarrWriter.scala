@@ -781,7 +781,9 @@ object ZarrWriter {
     * the store exactly, and the store is unsharded with a codec this
     * writer can produce. Metadata documents are edited in place
     * (shape only), so attributes/fill/codecs survive verbatim; the
-    * outer coordinate array is rewritten as one chunk. Chunk data
+    * outer coordinate array is (re)written chunk-grain at the data
+    * variables' outer chunk extent — only the tail plus new chunks
+    * change once the coordinate is in that layout. Chunk data
     * lands before any metadata changes, so a crash leaves the store
     * readable at its OLD shape plus unreferenced chunk objects —
     * never a torn grid. (Concurrent reads during append see either
@@ -839,6 +841,8 @@ object ZarrWriter {
     // holder heartbeat: keeps the lease alive for appends longer than
     // the TTL; daemon so a crashed/killed JVM stops heartbeating and
     // the lease expires
+    val leaseToken = new Object
+    leaseTimelineTestHook(leaseToken, "acquire")
     @volatile var done = false
     val beat = new Thread(() => {
       try {
@@ -846,6 +850,7 @@ object ZarrWriter {
           Thread.sleep(leaseHeartbeatMillis)
           if (!done) {
             leaseBeatTestHook()
+            leaseTimelineTestHook(leaseToken, "beat")
             try store.writeBytes(appendLockRel, lockBytes())
             catch { case _: Exception => () } // store gone/read-only: next acquire surfaces it
             // Deliberately NO delete-if-done here: the release path
@@ -889,6 +894,7 @@ object ZarrWriter {
           "waiting for the store write to settle (wedged filesystem?)")
         beat.join(leaseTtlMillis)
       }
+      leaseTimelineTestHook(leaseToken, "release")
       store.deleteObject(appendLockRel)
     }
   }
@@ -899,6 +905,18 @@ object ZarrWriter {
     * timing lottery) to pin the release/heartbeat serialization above.
     * No-op in production. */
   @volatile private[graft] var leaseBeatTestHook: () => Unit = () => ()
+
+  /** Timing seam for the fuzz harness's JVM-pause detector: invoked
+    * with a per-append token at lock ACQUISITION (the instant the
+    * lease clock starts), on every heartbeat, and on the RELEASE path
+    * after the final heartbeat settles (just before the lock delete).
+    * Keying gaps by token — not by thread, not from race start —
+    * closes both detector blind spots from the r13 ADVICE: pre-
+    * acquisition scheduling delay is no longer counted (the thread
+    * holds nothing yet), and a pause landing after the holder's last
+    * heartbeat is still measured. No-op in production. */
+  @volatile private[graft] var leaseTimelineTestHook: (AnyRef, String) => Unit =
+    (_, _) => ()
 
   /** Store-relative lock object taken for the duration of an append. */
   val appendLockRel = ".graft_append.lock"
@@ -917,6 +935,21 @@ object ZarrWriter {
     * count (one summary row each), never the per-chunk partial count
     * the pre-round-13 driver collect() materialized. */
   @volatile private[graft] var lastStatsDriverRows: Int = -1
+
+  /** Largest single driver-side buffer the last append's outer-
+    * coordinate rewrite allocated, in bytes — a ZarrWriterSpec hook
+    * asserting the rewrite stays chunk-grain (one outer chunk, never
+    * the whole grown coordinate). */
+  @volatile private[graft] var lastCoordRewriteMaxAllocBytes: Long = -1L
+
+  /** Numeric C-order sort key for a chunk-key STRING ("10.0" v2,
+    * "c/10/0" v3): append-merged sidecar entries must sort by parsed
+    * chunk indices like the fresh-write path sorts its Seq[Int] keys,
+    * or a write-then-append store is never byte-identical to the
+    * equivalent fresh write (string sort puts "10.0" before "2.0" —
+    * r13 ADVICE canonical-bytes fix). */
+  private def chunkKeyOrder(k: String): Seq[Int] =
+    k.split("[./]").toSeq.filter(s => s.nonEmpty && s.forall(_.isDigit)).map(_.toInt)
 
   /** Lease TTL: a lock whose last heartbeat is older than this is a
     * crashed holder and may be broken. Var (not val) so tests can
@@ -1126,24 +1159,55 @@ object ZarrWriter {
     // persisted RDD instead of a driver collect() (the driver never
     // materializes the per-chunk partial set; at 10^7 chunks × many
     // variables that collect was a driver-memory hotspot).
+    // localCheckpoint TRUNCATES LINEAGE, not just caches (r13 ADVICE):
+    // computing partialsRdd performs the chunk-slab writes as a side
+    // effect, and a lost cached partition after the coordinate/shape
+    // edits below would otherwise lineage-recompute — re-executing
+    // slab writes mid-append. The slab bytes are independent of the
+    // edited metadata, so a re-execution happens to be idempotent, but
+    // the invariant is implicit; with a truncated lineage a lost
+    // partition fails the job loudly instead (metadata-sized data, one
+    // partition per variable — losing it means the JVM died anyway).
     val keyedPartials = partialsRdd
       .map { case ((ci, v), t) => (v, (ci, t)) }
       .partitionBy(new VarPartitioner(math.max(1, varMetas.length)))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    keyedPartials.localCheckpoint()
     keyedPartials.count()
 
-    // 1) rewrite the outer coordinate as one chunk (old raw + new values)
+    // 1) rewrite the outer coordinate in CHUNK-GRAIN pieces at the
+    // data variables' outer chunk extent — never as one newLen-sized
+    // driver ByteBuffer (the 10⁹-step-axis watch item: the coordinate
+    // grows without bound across appends, so the rewrite must not).
+    // Steady state (coord already chunked at outerChunk): old chunks
+    // are FULL (oldLen % outerChunk == 0, guarded above) and
+    // untouched; only the chunks covering [oldLen, newLen) are
+    // written. A coordinate chunked any other way — this writer's
+    // fresh path and pre-r14 appends produce a single-chunk layout —
+    // is re-chunked once, still one outerChunk-sized buffer at a
+    // time; chunk files beyond the new grid (a finer legacy chunking)
+    // become orphans the reader never addresses. Tail-chunk cells
+    // past newLen are zero padding — readers truncate at shape.
     val newLen = oldLen + newOuterVals.length
     val cmeta = outer.meta
-    val cbuf = ByteBuffer.allocate(newLen * cmeta.dtype.size).order(ByteOrder.LITTLE_ENDIAN)
-    (0 until oldLen).foreach(i => putRaw(cbuf, i, cmeta.dtype, ChunkCodec.elementAt(outer.raw, i)))
-    newOuterVals.zipWithIndex.foreach { case (v, i) =>
-      putRaw(cbuf, oldLen + i, cmeta.dtype, rawOf(v))
+    def outerRawAt(i: Int): Any =
+      if (i < oldLen) ChunkCodec.elementAt(outer.raw, i)
+      else rawOf(newOuterVals(i - oldLen))
+    val rechunkCoord = cmeta.chunks.head != outerChunk
+    val firstCoordChunk = if (rechunkCoord) 0 else (oldLen / outerChunk)
+    val nCoordChunks = ((newLen.toLong + outerChunk - 1) / outerChunk).toInt
+    lastCoordRewriteMaxAllocBytes = outerChunk.toLong * cmeta.dtype.size
+    (firstCoordChunk until nCoordChunks).foreach { cc =>
+      val start = cc * outerChunk
+      val n = math.min(outerChunk, newLen - start)
+      val cbuf = ByteBuffer.allocate(outerChunk * cmeta.dtype.size)
+        .order(ByteOrder.LITTLE_ENDIAN)
+      (0 until n).foreach(i => putRaw(cbuf, i, cmeta.dtype, outerRawAt(start + i)))
+      val craw = if (cmeta.deltaFilter) deltaEncode(cbuf.array(), cmeta.dtype.size)
+        else cbuf.array()
+      store.writeBytes(s"$outerName/${cmeta.chunkKey(Seq(cc.toLong))}",
+        compressPayload(craw, codecNameOf(cmeta.compressor, outerName), cmeta.dtype.size))
     }
-    val craw = if (cmeta.deltaFilter) deltaEncode(cbuf.array(), cmeta.dtype.size)
-      else cbuf.array()
-    store.writeBytes(s"$outerName/${cmeta.chunkKey(Seq(0L))}",
-      compressPayload(craw, codecNameOf(cmeta.compressor, outerName), cmeta.dtype.size))
 
     // 1.5) REVOKE the sum attestation before the shape grows: a reader
     // landing between the shape edit and the final sidecar rewrite
@@ -1164,7 +1228,7 @@ object ZarrWriter {
     // 2) metadata shape edits (coordinate first: a reader racing the
     // append must never see variables longer than their dimensions)
     val metaRel = (n: String) => if (meta0.coords.head.meta.isV3) s"$n/zarr.json" else s"$n/.zarray"
-    editShape(store, metaRel(outerName), newLen, Some(newLen))
+    editShape(store, metaRel(outerName), newLen, Some(outerChunk))
     varNames.foreach(n => editShape(store, metaRel(n), newLen, None))
 
     // 3) merge + rewrite .zstats sidecars (min/max entries AND sum
@@ -1188,7 +1252,8 @@ object ZarrWriter {
         }.toMap
         val merged = m.chunkStats ++ fresh
         if (merged.nonEmpty) {
-          val entries = merged.toSeq.sortBy(_._1)
+          import scala.math.Ordering.Implicits._
+          val entries = merged.toSeq.sortBy(e => chunkKeyOrder(e._1))
             .map { case (k, (mn, mx)) => s""""$k": [$mn, $mx]""" }.mkString(",")
           val sumsOk = m.sumsComplete && wAppendSumKind(v) != 0 &&
             mine.forall(_._2._3 != null)
@@ -1205,7 +1270,7 @@ object ZarrWriter {
                 .foldLeft((java.math.BigDecimal.ZERO, 0L)) {
                   case ((s, c), (s2, c2)) => (s.add(s2), c + c2)
                 }
-              (old ++ freshSums).toSeq.sortBy(_._1)
+              (old ++ freshSums).toSeq.sortBy(e => chunkKeyOrder(e._1))
                 .map { case (k, sj) => s""""$k": $sj""" }
                 .mkString(""", "sums": {""", ",",
                   s"""}, "total": [${total._1.toPlainString}, ${total._2}], "complete": true""")

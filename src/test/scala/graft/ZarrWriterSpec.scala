@@ -345,4 +345,50 @@ class ZarrWriterSpec extends AnyFunSuite {
       (0L until nT).map(t => t * 4 + 1).sum + nT * 4 + 1)
     assert(spark.read.format("zarr").load(out).count() == (nT + 1) * 2)
   }
+
+  test("append: chunk-grain coordinate rewrite + canonical write-vs-append sidecars") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("zarr_appendchunk")
+    def frame(ts: Range) = ts.flatMap(t => Seq(0L, 1L).map(x =>
+      (t.toLong, x, t.toLong * 2 + x))).toDF("t", "x", "v")
+    // Store A: fresh [0,40) at chunkOuter 4 (10 full chunks), then
+    // append [40,48) — 12 chunks total, enough that a string sort of
+    // chunk keys would misplace "10.0"/"11.0" before "2.0".
+    val a = base.resolve("a.zarr").toString
+    ZarrWriter.write(frame(0 until 40), a, coords = Seq("t", "x"), chunkOuter = 4)
+    ZarrWriter.lastCoordRewriteMaxAllocBytes = -1L
+    ZarrWriter.append(frame(40 until 48), a)
+    // bounded driver allocation: one outer chunk (4 x int64), never
+    // the whole 48-step grown coordinate
+    assert(ZarrWriter.lastCoordRewriteMaxAllocBytes == 4L * 8,
+      s"coord rewrite allocated ${ZarrWriter.lastCoordRewriteMaxAllocBytes} B, " +
+        "want one 4-element chunk buffer")
+    // the coordinate is now chunk-grain on disk: chunks metadata says
+    // outerChunk, and the grid has 12 chunk files
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val tMeta = mapper.readTree(Files.readAllBytes(Paths.get(a, "t", ".zarray")))
+    assert(tMeta.get("chunks").get(0).asInt() == 4)
+    assert((0 until 12).forall(c => Files.exists(Paths.get(a, "t", s"$c.0"))
+      || Files.exists(Paths.get(a, "t", s"$c"))))
+    // Store B: the equivalent fresh write — data read-back identical,
+    // and the .zstats sidecar BYTE-identical (canonical parsed-index
+    // entry order on the append-merge path, r13 ADVICE)
+    val b = base.resolve("b.zarr").toString
+    ZarrWriter.write(frame(0 until 48), b, coords = Seq("t", "x"), chunkOuter = 4)
+    assert(java.util.Arrays.equals(
+      Files.readAllBytes(Paths.get(a, "v", ".zstats")),
+      Files.readAllBytes(Paths.get(b, "v", ".zstats"))),
+      "write-then-append sidecar must be byte-identical to the fresh write")
+    val backA = spark.read.format("zarr").load(a).orderBy("t", "x").collect()
+    val backB = spark.read.format("zarr").load(b).orderBy("t", "x").collect()
+    assert(backA.toSeq == backB.toSeq)
+    // a SECOND append rides the now-chunked layout: only tail + new
+    // chunks change (same bounded allocation), data stays exact
+    ZarrWriter.lastCoordRewriteMaxAllocBytes = -1L
+    ZarrWriter.append(frame(48 until 52), a)
+    assert(ZarrWriter.lastCoordRewriteMaxAllocBytes == 4L * 8)
+    assert(spark.read.format("zarr").load(a).count() == 52 * 2)
+    assert(spark.read.format("zarr").load(a).agg(sum("v")).collect().head.getLong(0)
+      == (0L until 52L).map(t => t * 4 + 1).sum)
+  }
 }

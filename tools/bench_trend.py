@@ -34,6 +34,10 @@ def extract(path):
     """-> (round_label, sf_label, total, nfail, load_start, {q: sec}) or None."""
     d = json.load(open(path))
     label = os.path.basename(path)[:-5].replace("BENCH_", "")
+    # BENCH_DETAIL_r14.json is round 14's dense full-dict snapshot —
+    # same round (and, when the driver wrote both, the same RUN) as
+    # the sparse BENCH_r14.json wrapper; normalize so they merge
+    label = re.sub(r"^DETAIL_(r\d+)$", r"\1", label)
     if "queries" in d and "metric" in d:  # raw detail artifact
         sf = str(d.get("sf", "?"))
         return (label, sf, d.get("value"), d.get("nfail", 0),
@@ -88,6 +92,23 @@ def main():
     if not runs:
         print(f"no runs at sf={want_sf}")
         return
+    # Numeric round order regardless of argument order, then merge
+    # same-round artifacts (sparse driver wrapper + dense DETAIL_r{N}
+    # snapshot), keeping the larger per-query dict: last/prev is then
+    # strictly round N vs round N-1 for every query both rounds ran
+    # (the r13 sparse-history false-flag fix).
+    def lbl_no(lbl):
+        m = re.search(r"r(\d+)", lbl)
+        return int(m.group(1)) if m else 10 ** 9
+    runs.sort(key=lambda r: (lbl_no(r[0]), r[0].endswith("*")))
+    by_label, order = {}, []
+    for r in runs:
+        if r[0] not in by_label:
+            order.append(r[0])
+            by_label[r[0]] = r
+        elif len(r[5]) > len(by_label[r[0]][5]):
+            by_label[r[0]] = r
+    runs = [by_label[l] for l in order]
     names = sorted({q for r in runs for q in r[5]})
     cols = [r[0] for r in runs]
     print(f"# Bench trend (sf={want_sf}) — seconds per query, min-of-passes\n")
