@@ -47,6 +47,12 @@ import graft.pipeline.Dedup
   *    centroid stride / top-k / query count seeded
   *  - `decon` — [[Dedup.fuzzyDecontaminate]], agreement θ and the
   *    eval-residue modulus seeded (the train/eval split moves)
+  *  - `bpe_apply` — [[graft.pipeline.TextAnalysis.bpeApply]], merge
+  *    table size × slice × broadcast/shuffle vocab cut (both sides)
+  *  - `incr_dedup` — [[Dedup.incrementalDedup]], agreement θ × batch
+  *    modulus × broadcast/shuffle ingest cut
+  *  - `quality` — [[graft.pipeline.TextAnalysis.qualityClassify]],
+  *    weight-table size × slice × broadcast/shuffle cut
   */
 object PipeFuzz {
 
@@ -65,8 +71,12 @@ object PipeFuzz {
     * cut 0 forces every vocab onto the shuffled-hash plan, the
     * default cut keeps fuzz corpora on the broadcast plan; the runner
     * requires both dispatch counters nonzero (results must be
-    * dispatch-invariant). */
-  val grammarVersion = 7
+    * dispatch-invariant).
+    * v8: incr_dedup family (d13 theta x batch modulus x broadcast
+    * cut — the persisted-index ingest join) and quality family (t14
+    * weight-table size x slice x broadcast cut); the ann_ivf/decon
+    * tail rolls shrink to make room (seeds ≥ roll 90 remap). */
+  val grammarVersion = 8
 
   def name(seed: Long): String = f"pf_$seed%04d"
 
@@ -257,7 +267,7 @@ object PipeFuzz {
       Gen("kmeans", s"k=$k where=[$where]",
         (s, dir) => graft.pipeline.Similarity.kmeansClusters(s, dir, k, where),
         graft.pipeline.Similarity.s5SqlFor(k, where))
-    } else if (roll < 95) {
+    } else if (roll < 93) {
       // nprobe is IVF's recall/cost dial; the stride draws different
       // centroid sets, and numQ ≥ 4 keeps at least one query vector
       // alive under every residue slice (m ≤ 4)
@@ -269,7 +279,7 @@ object PipeFuzz {
       Gen("ann_ivf", s"stride=$stride np=$np topK=$topK numQ=$numQ where=[$where]",
         (s, dir) => graft.pipeline.Similarity.ivfTopK(s, dir, stride, np, topK, numQ, where),
         graft.pipeline.Similarity.s3SqlFor(stride, np, topK, numQ, where))
-    } else if (roll < 98) {
+    } else if (roll < 95) {
       // the eval-residue modulus moves the train/eval split; theta is
       // the same agreement dial as d3's
       val theta = Seq("0.5", "0.75", "1.0")(r.nextInt(3))
@@ -277,20 +287,45 @@ object PipeFuzz {
       Gen("decon", s"theta=$theta evalMod=$evalMod",
         (s, dir) => Dedup.fuzzyDecontaminate(s, dir, theta, evalMod),
         Dedup.d11SqlFor(theta, evalMod))
-    } else {
+    } else if (roll < 97) {
       // t13 merge-table size swings how much of the corpus re-segments;
       // slices move the vocabulary (and with it the ranking) under the
       // merge derivation on both engines
       val m = Seq(5, 10, 20, 30)(r.nextInt(4))
       val where = docSlice(r)
-      // the cut is drawn LAST so v6 seeds' m/where draws are stable;
-      // 0 forces the shuffled-hash plan, the default cut the broadcast
-      // plan — same rows either way (the oracle doesn't move)
-      val cut = if (r.nextBoolean()) 0L
+      // the cut PAIRS with the merge-table draw (m ≤ 10 → cut 0 →
+      // shuffled-hash plan; m > 10 → default cut → broadcast plan)
+      // instead of an independent coin: the committed seed ranges then
+      // deterministically cover both dispatch sides whenever the m
+      // draw spans its classes — a coin left bpe_shuffle unexercised
+      // on the 250-seed base lane. Same rows either way (the oracle
+      // doesn't move with the cut).
+      val cut = if (m <= 10) 0L
         else graft.pipeline.TextAnalysis.t13BcastMaxVocab
       Gen("bpe_apply", s"m=$m where=[$where] cut=$cut",
         (s, dir) => graft.pipeline.TextAnalysis.bpeApply(s, dir, m, where, cut),
         graft.pipeline.TextAnalysis.t13SqlFor(m, where))
+    } else if (roll < 99) {
+      // d13: the batch modulus moves the corpus/batch split (and with
+      // it the persisted index's contents); theta is d3's agreement
+      // dial; the cut exercises the broadcast/shuffle ingest join
+      val theta = Seq("0.5", "0.75", "1.0")(r.nextInt(3))
+      val batchMod = Seq(2, 3, 5, 7)(r.nextInt(4))
+      val cut = if (r.nextBoolean()) 0L else Dedup.d13BcastMaxBatch
+      Gen("incr_dedup", s"theta=$theta batchMod=$batchMod cut=$cut",
+        (s, dir) => Dedup.incrementalDedup(s, dir, theta, batchMod, cut),
+        Dedup.d13SqlFor(theta, batchMod))
+    } else {
+      // t14: the table size moves which grams carry weight (and every
+      // downstream score); slices move the corpus the table derives
+      // from; the cut exercises the broadcast/shuffle score join
+      val k = Seq(20, 100, 500)(r.nextInt(3))
+      val where = docSlice(r)
+      val cut = if (r.nextBoolean()) 0L
+        else graft.pipeline.TextAnalysis.t14BcastMaxTable
+      Gen("quality", s"k=$k where=[$where] cut=$cut",
+        (s, dir) => graft.pipeline.TextAnalysis.qualityClassify(s, dir, k, where, cut),
+        graft.pipeline.TextAnalysis.t14SqlFor(k, where))
     }
   }
 }

@@ -402,7 +402,7 @@ object Dedup {
 
   /** The MinHash band table `(doc_id, m1..m16, band, h1..h4)` —
     * d3's candidate machinery, shared with [[fuzzyDecontaminate]]. */
-  private def minhashBands(s: SparkSession, dir: String,
+  private[graft] def minhashBands(s: SparkSession, dir: String,
       whereSql: String, textSql: String = "text"): DataFrame = {
     val g = TextAnalysis.gramCodes(slicedDocs(s, dir, whereSql, textSql))
     val sig = g.groupBy("doc_id").agg(
@@ -1690,7 +1690,112 @@ object Dedup {
       CAST(MIN(doc_id) AS BIGINT) AS keeper_doc_id
     FROM canon GROUP BY canon_url"""
 
+  // --------------------------------------- d13 incremental index dedup
+
+  /** Batch-side band count above which the ingest join rides a
+    * shuffled hash join instead of broadcasting the batch — the
+    * [[graft.pipeline.TextAnalysis.t13BcastMaxVocab]] dispatch
+    * pattern. A day's crawl is usually broadcastable next to a 100-TB
+    * index; a backfill-sized batch is not, and a forced hint would die
+    * on broadcast limits instead of degrading. */
+  private[graft] val d13BcastMaxBatch = 4000000L
+
+  /** Which side of the [[d13BcastMaxBatch]] dispatch the last
+    * [[incrementalDedup]] took ("bcast" | "shuffle") — read back by
+    * fuzz runners ([[lastSemanticDispatch]] pattern). */
+  @volatile private[graft] var lastIncrementalDispatch: String = ""
+
+  /** One persisted band index per (corpus, slice): built and written
+    * ONCE per JVM (content-stamped, so a grown corpus rebuilds), then
+    * every ingest batch reads the parquet back — the production
+    * contract where the index table outlives any single batch. */
+  private val d13IndexCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Build (once) and return the parquet path of the MinHash band
+    * index over `corpusWhere`-selected documents. */
+  private[graft] def d13IndexPath(s: SparkSession, dir: String,
+      corpusWhere: String): String =
+    d13IndexCache.computeIfAbsent(
+      s"$dir:$corpusWhere:${corpusStamp(s, dir, "documents")}", _ => {
+        val p = java.nio.file.Files.createTempDirectory("graft_d13_index")
+          .resolve("bands.parquet").toString
+        minhashBands(s, dir, corpusWhere).write.mode("overwrite").parquet(p)
+        p
+      })
+
+  /** Admit a batch's band rows into an existing index table: a plain
+    * parquet append — new files land next to the old, nothing is
+    * rewritten (at fleet scale this is the partition-add every table
+    * format does atomically). */
+  private[graft] def d13UpdateIndex(s: SparkSession, indexPath: String,
+      newBands: DataFrame): Unit =
+    newBands.write.mode("append").parquet(indexPath)
+
+  /** INCREMENTAL corpus-index dedup — the production ingest shape
+    * none of d1–d12 covers: the EXISTING corpus's MinHash band index
+    * is a persisted table (built once, here memoized per corpus), and
+    * each incoming batch is deduplicated against it by sketching ONLY
+    * the batch — a pipeline never re-sketches 100 TB to admit a day's
+    * crawl. Gate split: batch = pmod(doc_id, 7) = 0, corpus = the
+    * rest.
+    *
+    * Plan, 100 TB-first: the index side is a straight parquet scan of
+    * the band table — it never re-shuffles (batch bands broadcast
+    * under [[d13BcastMaxBatch]], so the index⋈batch join is map-side;
+    * above the cut both sides ride one shuffled hash join, the
+    * backfill path). Batch-internal dups come from [[bucketPairs]]
+    * over the batch bands alone (hot-bucket tiled, batch-sized).
+    * Result ≡ full-corpus [[d3_dedup_minhash]] restricted to pairs
+    * touching the batch — the DuckDB oracle states exactly that.
+    *
+    * Output: (doc_a, doc_b, est_jaccard), doc_a < doc_b, signature
+    * agreement ≥ 0.75, at least one side in the batch. */
+  def d13_dedup_incremental(s: SparkSession, dir: String): DataFrame =
+    incrementalDedup(s, dir, "0.75", 7)
+
+  /** Parametric form ([[d13_dedup_incremental]] = gate defaults):
+    * agreement threshold, batch residue modulus, and the broadcast
+    * cut (movable so specs/fuzz exercise both dispatch sides). */
+  private[graft] def incrementalDedup(s: SparkSession, dir: String,
+      theta: String, batchMod: Int,
+      bcastMax: Long = d13BcastMaxBatch): DataFrame = {
+    val batchWhere = s"((doc_id % $batchMod) + $batchMod) % $batchMod = 0"
+    val corpusWhere = s"((doc_id % $batchMod) + $batchMod) % $batchMod <> 0"
+    val index = s.read.parquet(d13IndexPath(s, dir, corpusWhere))
+    val batch = minhashBands(s, dir, batchWhere)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nBatch = batch.count()
+    lastIncrementalDispatch = if (nBatch <= bcastMax) "bcast" else "shuffle"
+    val batchSide = if (nBatch <= bcastMax) broadcast(batch)
+      else batch.hint("shuffle_hash")
+    val bandCols = Seq("band", "h1", "h2", "h3", "h4")
+    val onBand = bandCols.map(c => col(s"a.$c") === col(s"b.$c")).reduce(_ && _)
+    // corpus×batch collisions: ids are residue-disjoint, so
+    // least/greatest is the d3 doc_a < doc_b normalization
+    val cross = index.as("a").join(batchSide.as("b"), onBand)
+      .select(least(col("a.doc_id"), col("b.doc_id")).as("doc_a"),
+        greatest(col("a.doc_id"), col("b.doc_id")).as("doc_b"),
+        minhashAgree.as("est_jaccard"))
+    // batch-internal collisions: d3's tiled self-join, batch-sized
+    val within = bucketPairs(batch, bandCols, "doc_id", d3ChunkSize,
+        s"d13:$dir:$batchMod:${corpusStamp(s, dir, "documents")}")
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        minhashAgree.as("est_jaccard"))
+    cross.unionAll(within)
+      .filter(col("est_jaccard") >= expr(theta))
+      .distinct()
+  }
+
+  private[graft] def d13SqlFor(theta: String, batchMod: Int): String = s"""
+    WITH ${d3CtesFor(theta, "")}
+    SELECT doc_a, doc_b, est_jaccard FROM cand
+    WHERE ((doc_a % $batchMod) + $batchMod) % $batchMod = 0
+       OR ((doc_b % $batchMod) + $batchMod) % $batchMod = 0"""
+  private val d13Sql = d13SqlFor("0.75", 7)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d13_dedup_incremental" -> (d13_dedup_incremental _),
     "d12_url_dedup" -> (d12_url_dedup _),
     "d1_dedup_exact" -> (d1_dedup_exact _),
     "d2_dedup_ngram" -> (d2_dedup_ngram _),
@@ -1705,6 +1810,7 @@ object Dedup {
     "d11_decontaminate" -> (d11_decontaminate _))
 
   val oracle: Map[String, String] = Map(
+    "d13_dedup_incremental" -> d13Sql,
     "d12_url_dedup" -> d12Sql,
     "d1_dedup_exact" -> d1Sql,
     "d2_dedup_ngram" -> d2Sql,

@@ -796,7 +796,122 @@ object TextAnalysis {
 
   private val t13Sql = t13SqlFor(20, "")
 
+  // --------------------------------- t14 n-gram linear quality classifier
+
+  /** Weight-table size above which the gram⋈weights join rides a
+    * shuffled hash join instead of broadcasting the table. A trained
+    * fastText-style filter is a few hundred thousand to a few million
+    * n-grams — broadcastable; the cut keeps a pathological table from
+    * forcing a broadcast the driver can't hold. */
+  private[graft] val t14BcastMaxTable = 4000000L
+
+  /** Which side of the [[t14BcastMaxTable]] dispatch the last
+    * [[qualityClassify]] took ("bcast" | "shuffle"). */
+  @volatile private[graft] var lastQualityDispatch: String = ""
+
+  /** n-gram LINEAR QUALITY CLASSIFIER inference — the fastText-style
+    * CCNet/LLaMA pretraining quality filter: score every document as
+    * the sum of matched n-gram weights and keep non-negative scores.
+    * The weight table here is DERIVED deterministically (the top-`k`
+    * corpus unigrams+bigrams by count, count-desc/gram-asc tiebreak,
+    * with an integer weight formula over rank and gram length) so the
+    * DuckDB oracle reproduces it bit-exactly; a production deployment
+    * loads trained weights into the same (gram, w) table and the plan
+    * does not change.
+    *
+    * Scale story (the filter pass every pretraining pipeline runs over
+    * the full corpus): one explode of the corpus into unigrams+bigrams
+    * (multiplicity preserved — inference counts repeated n-grams), ONE
+    * join against the weight table (broadcast under
+    * [[t14BcastMaxTable]], shuffled hash above), one map-side-combined
+    * groupBy(doc_id). The weight table's rank window runs over at most
+    * `k` rows post-limit (TakeOrdered is distributed; the window input
+    * is table-sized, never corpus-sized). Integer-exact arithmetic
+    * end to end. */
+  def t14_quality_classify(s: SparkSession, dir: String): DataFrame =
+    qualityClassify(s, dir, 500, "")
+
+  /** Unigram+bigram explode shared by the score join and the weight
+    * derivation: raw split on ' ', empty tokens dropped from unigrams
+    * and disqualifying bigrams (mirrors the oracle's list pipeline). */
+  private def t14Grams(d: DataFrame): DataFrame = {
+    val toks = d.select(col("doc_id"), split(col("text"), " ").as("ws"))
+    val uni = toks.select(col("doc_id"), explode(col("ws")).as("g"))
+      .filter(col("g") =!= "")
+    val big = toks.select(col("doc_id"), explode(expr(
+      """filter(
+        |  transform(
+        |    if(size(ws) >= 2, sequence(1, size(ws) - 1), array()),
+        |    i -> if(element_at(ws, i) != '' and element_at(ws, i + 1) != '',
+        |            concat(element_at(ws, i), ' ', element_at(ws, i + 1)),
+        |            null)),
+        |  x -> x is not null)""".stripMargin)).as("g"))
+    uni.unionAll(big)
+  }
+
+  /** Parametric form ([[t14_quality_classify]] = gate defaults):
+    * weight-table size, corpus slice, movable broadcast cut. */
+  private[graft] def qualityClassify(s: SparkSession, dir: String, k: Int,
+      whereSql: String, bcastMax: Long = t14BcastMaxTable): DataFrame = {
+    val d0 = docs(s, dir)
+    val d = if (whereSql.isEmpty) d0 else d0.where(whereSql)
+    val grams = t14Grams(d)
+    // weight table: top-k grams by corpus count (deterministic
+    // tiebreak), integer weight from rank and length — rank's window
+    // runs over the k-row limited table, not the vocabulary
+    val w = Window.orderBy(col("c").desc, col("g"))
+    val wt = grams.groupBy("g").agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("g")).limit(k)
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .select(col("g"),
+        (when(col("rank") % 3 === 0, lit(1L)).otherwise(lit(-1L)) *
+          ((length(col("g")).cast("long") * 7 + col("rank")) % 23 + 1)).as("w"))
+    lastQualityDispatch = if (k <= bcastMax) "bcast" else "shuffle"
+    val wtHinted = if (k <= bcastMax) broadcast(wt) else wt.hint("shuffle_hash")
+    val sc = grams.join(wtHinted, Seq("g"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("nm"), sum(col("w")).as("s"))
+    d.select(col("doc_id")).join(sc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("nm"), lit(0L)).as("n_matched"),
+        coalesce(col("s"), lit(0L)).as("quality_score"),
+        (coalesce(col("s"), lit(0L)) >= 0).as("keep"))
+  }
+
+  private[graft] def t14SqlFor(k: Int, whereSql: String): String = {
+    val corpus =
+      if (whereSql.isEmpty) "SELECT * FROM documents"
+      else s"SELECT * FROM documents WHERE $whereSql"
+    s"""
+    WITH corpus AS ($corpus),
+    toks AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS ws FROM corpus),
+    uni AS (SELECT doc_id, UNNEST(ws) AS g FROM toks),
+    big AS (SELECT doc_id, UNNEST(list_filter(list_transform(
+        range(1, len(ws)),
+        i -> CASE WHEN ws[i] <> '' AND ws[i + 1] <> ''
+                  THEN ws[i] || ' ' || ws[i + 1] END),
+        x -> x IS NOT NULL)) AS g FROM toks),
+    grams AS (SELECT doc_id, g FROM uni WHERE g <> ''
+              UNION ALL SELECT doc_id, g FROM big),
+    wc AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS c FROM grams GROUP BY g),
+    top AS (SELECT g, ROW_NUMBER() OVER (ORDER BY c DESC, g) AS rank
+            FROM wc ORDER BY c DESC, g LIMIT $k),
+    wt AS (SELECT g,
+        (CASE WHEN rank % 3 = 0 THEN 1 ELSE -1 END)
+          * ((LENGTH(g) * 7 + rank) % 23 + 1) AS w FROM top),
+    sc AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_matched,
+        CAST(SUM(w) AS BIGINT) AS quality_score
+      FROM grams JOIN wt USING (g) GROUP BY doc_id)
+    SELECT d.doc_id,
+      COALESCE(sc.n_matched, 0) AS n_matched,
+      COALESCE(sc.quality_score, 0) AS quality_score,
+      COALESCE(sc.quality_score, 0) >= 0 AS keep
+    FROM corpus d LEFT JOIN sc USING (doc_id)"""
+  }
+  private val t14Sql = t14SqlFor(500, "")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t14_quality_classify" -> (t14_quality_classify _),
     "t13_bpe_apply" -> (t13_bpe_apply _),
     "t12_text_lmscore" -> (t12_text_lmscore _),
     "t11_bpe_pairs" -> (t11_bpe_pairs _),
@@ -812,6 +927,7 @@ object TextAnalysis {
     "t9_text_pii" -> (t9_text_pii _))
 
   val oracle: Map[String, String] = Map(
+    "t14_quality_classify" -> t14Sql,
     "t13_bpe_apply" -> t13Sql,
     "t12_text_lmscore" -> t12Sql,
     "t11_bpe_pairs" -> t11Sql,

@@ -30,8 +30,8 @@ names = sorted(json.load(open(f"{sys.argv[1]}/oracle_sql.json")))
 # the full cleaned text (500k wide-string rows at sf10p) — batching
 # them 12-per-JVM with light queries starved the batch of spill room
 heavy = {n for n in names if n.split("_")[0] in
-         {"d2","d3","d4","d5","d6","d7","d8","d9","d10",
-          "c5","cp1","s1","s2","s3","s6","c4","c8"}}
+         {"d2","d3","d4","d5","d6","d7","d8","d9","d10","d13",
+          "c5","cp1","s1","s2","s3","s6","c4","c8","t14"}}
 light = [n for n in names if n not in heavy]
 for h in sorted(heavy):
     print(h)
