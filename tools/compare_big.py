@@ -125,23 +125,45 @@ except Exception as e:
     # state multiplies with parallelism. Retry once, degraded.
     if "Out of Memory" not in str(e) and not isinstance(e, MemoryError):
         print(f"FAIL {name}: duckdb error {e}"); sys.exit(1)
-    try:
-        con.close()
-        con = duckdb.connect()
-        con.execute("SET TimeZone='UTC'")
-        con.execute("SET threads=8")
-        con.execute(f"SET temp_directory='/tmp/duck_tmp_{os.getpid()}r'")
-        con.execute("SET max_temp_directory_size='55GiB'")
-        for f in glob.glob(f"{sfdir}/*.parquet"):
-            t2 = os.path.basename(f)[:-8]
-            con.execute(f"CREATE VIEW {t2} AS SELECT * FROM '{f}'")
-        con.execute(f"CREATE VIEW oracle AS ({sql})")
-        con.execute(
-            f"CREATE VIEW sparkout AS SELECT * FROM '{spath}/*.parquet'")
-        print(f"[compare_big] {name}: OOM at default threads — retrying at threads=8", file=sys.stderr)
-        nrows_s, diff = attempt(con)
-    except Exception as e2:
-        print(f"FAIL {name}: duckdb error {e2} (after threads=8 OOM retry)"); sys.exit(1)
+    # Degraded retries: thread-local sort/agg state multiplies with
+    # parallelism, and insertion-order preservation buffers whole
+    # pipeline outputs per thread — both sinks here (COUNT, EXCEPT
+    # ALL) are order-free, so dropping order + threads is semantics-
+    # neutral. Two tiers: threads=8 handles the usual 32-thread
+    # accounting blow-ups; threads=4 is what the d10 full-text oracle
+    # (ordered string_agg over ~10^8 tokens) needs at sf10p (r14:
+    # OOM'd at 8 with 100 GB free, passed at 4 in 119 s).
+    done = False
+    for tier in (8, 4):
+        try:
+            con.close()
+            con = duckdb.connect()
+            con.execute("SET TimeZone='UTC'")
+            con.execute(f"SET threads={tier}")
+            con.execute("SET preserve_insertion_order=false")
+            con.execute(f"SET temp_directory='/tmp/duck_tmp_{os.getpid()}r{tier}'")
+            con.execute("SET max_temp_directory_size='55GiB'")
+            for f in glob.glob(f"{sfdir}/*.parquet"):
+                t2 = os.path.basename(f)[:-8]
+                con.execute(f"CREATE VIEW {t2} AS SELECT * FROM '{f}'")
+            con.execute(f"CREATE VIEW oracle AS ({sql})")
+        except Exception as e2:
+            print(f"FAIL {name}: setup error on retry {e2}"); sys.exit(1)
+        try:
+            con.execute(
+                f"CREATE VIEW sparkout AS SELECT * FROM '{spath}/*.parquet'")
+            print(f"[compare_big] {name}: OOM — retrying at threads={tier}, "
+                  "order-free", file=sys.stderr)
+            nrows_s, diff = attempt(con)
+            done = True
+            break
+        except Exception as e2:
+            if "Out of Memory" not in str(e2) and not isinstance(e2, MemoryError):
+                print(f"FAIL {name}: duckdb error {e2} (threads={tier} retry)")
+                sys.exit(1)
+    if not done:
+        print(f"FAIL {name}: duckdb OOM persists through threads=8 and "
+              "threads=4 order-free retries"); sys.exit(1)
 dsecs = round(time.time() - t0, 1)
 if diff:
     print(f"FAIL {name}: {diff}/{nrows_s} spark rows not in oracle multiset")
