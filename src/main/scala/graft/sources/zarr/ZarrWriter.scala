@@ -458,13 +458,28 @@ object ZarrWriter {
         s"string/datetime coordinate '$name' requires zarrVersion=2 " +
           "(Zarr v3 core has no fixed-width string or datetime64 data type)")
       val (dtypeStr, elem) = coordDtype(t, vals)
-      writeArrayMeta(name, Seq(vals.length.toLong), Seq(vals.length), dtypeStr, elem)
-      val buf = ByteBuffer.allocate(vals.length * elem).order(ByteOrder.LITTLE_ENDIAN)
-      vals.zipWithIndex.foreach { case (v, j) => putValue(buf, j, elem, t, v) }
-      val payload =
-        if (deltaFilter && deltaEligible(t)) deltaEncode(buf.array(), elem) else buf.array()
-      store.writeBytes(if (version == 2) s"$name/0" else s"$name/c/0",
-        compressPayload(payload, compressor, elem))
+      // The OUTER coordinate is chunk-grain at the data variables'
+      // outer chunk extent from the FIRST write: appends grow this
+      // axis without bound, and a chunk-grain layout lets them extend
+      // it by writing only the tail + fresh chunks — never re-chunking
+      // chunk 0 in a window racing the metadata flip (the torn-store
+      // hazard on the legacy single-chunk layout). Inner coordinates
+      // never grow, so they stay a single chunk.
+      val cChunk = if (name == coords.head && vals.nonEmpty) outerChunk else vals.length
+      writeArrayMeta(name, Seq(vals.length.toLong), Seq(cChunk), dtypeStr, elem)
+      val nCC = if (cChunk <= 0) 1 else ((vals.length.toLong + cChunk - 1) / cChunk).toInt
+      (0 until math.max(1, nCC)).foreach { cc =>
+        val start = cc * cChunk
+        val n = math.max(0, math.min(cChunk, vals.length - start))
+        // tail cells past the axis length are zero padding — readers
+        // truncate at shape (same layout the append path writes)
+        val buf = ByteBuffer.allocate(math.max(cChunk, 0) * elem).order(ByteOrder.LITTLE_ENDIAN)
+        (0 until n).foreach(i => putValue(buf, i, elem, t, vals(start + i)))
+        val payload =
+          if (deltaFilter && deltaEligible(t)) deltaEncode(buf.array(), elem) else buf.array()
+        store.writeBytes(if (version == 2) s"$name/$cc" else s"$name/c/$cc",
+          compressPayload(payload, compressor, elem))
+      }
     }
     varCols.foreach { name =>
       val (dtypeStr, elem) = varDtype(name, schema(name).dataType, uintColumns)
@@ -782,12 +797,18 @@ object ZarrWriter {
     * writer can produce. Metadata documents are edited in place
     * (shape only), so attributes/fill/codecs survive verbatim; the
     * outer coordinate array is (re)written chunk-grain at the data
-    * variables' outer chunk extent — only the tail plus new chunks
-    * change once the coordinate is in that layout. Chunk data
-    * lands before any metadata changes, so a crash leaves the store
-    * readable at its OLD shape plus unreferenced chunk objects —
-    * never a torn grid. (Concurrent reads during append see either
-    * the old or the new shape, like any metadata swap.) */
+    * variables' outer chunk extent — the fresh-write path already
+    * emits that layout, so steady state touches only the new chunks.
+    * Chunk data at indices the old metadata never addressed lands
+    * before any metadata change, so a crash leaves the store readable
+    * at its OLD shape plus unreferenced chunk objects — never a torn
+    * grid. On the one-time re-chunk of a legacy single-chunk
+    * coordinate, the colliding chunk files are rewritten only AFTER
+    * the metadata flip, where the old whole-axis file reads as an
+    * oversized chunk the decoders truncate to the correct prefix —
+    * both crash windows stay readable. (Concurrent reads during
+    * append see either the old or the new shape, like any metadata
+    * swap.) */
   def append(df: DataFrame, path: String): Unit = {
     val store = ZarrStore.open(path)
     // Single-writer lock: two concurrent appenders would interleave the
@@ -941,6 +962,17 @@ object ZarrWriter {
     * asserting the rewrite stays chunk-grain (one outer chunk, never
     * the whole grown coordinate). */
   @volatile private[graft] var lastCoordRewriteMaxAllocBytes: Long = -1L
+
+  /** Test seam for the coordinate-rewrite crash windows: invoked with
+    * "preflip" once every never-before-addressed coordinate chunk has
+    * landed (metadata still OLD — a crash/reader here must see the
+    * store at its old shape) and "postflip" right after the shape
+    * edits, BEFORE any colliding legacy chunk file is overwritten (a
+    * reader here must see the new shape with the legacy file
+    * tolerated as an oversized chunk). Lets ZarrWriterSpec read the
+    * store AT those instants instead of a timing lottery. No-op in
+    * production. */
+  @volatile private[graft] var coordRewriteTestHook: String => Unit = _ => ()
 
   /** Numeric C-order sort key for a chunk-key STRING ("10.0" v2,
     * "c/10/0" v3): append-merged sidecar entries must sort by parsed
@@ -1179,13 +1211,17 @@ object ZarrWriter {
     // data variables' outer chunk extent — never as one newLen-sized
     // driver ByteBuffer (the 10⁹-step-axis watch item: the coordinate
     // grows without bound across appends, so the rewrite must not).
-    // Steady state (coord already chunked at outerChunk): old chunks
-    // are FULL (oldLen % outerChunk == 0, guarded above) and
-    // untouched; only the chunks covering [oldLen, newLen) are
-    // written. A coordinate chunked any other way — this writer's
-    // fresh path and pre-r14 appends produce a single-chunk layout —
-    // is re-chunked once, still one outerChunk-sized buffer at a
-    // time; chunk files beyond the new grid (a finer legacy chunking)
+    // Steady state (coord already chunked at outerChunk — every store
+    // this writer's fresh path produces since the chunk-grain fresh
+    // layout landed): old chunks are FULL (oldLen % outerChunk == 0,
+    // guarded above) and untouched; only the chunks covering
+    // [oldLen, newLen) are written. A coordinate chunked any other
+    // way — pre-chunk-grain fresh writes and external stores carry a
+    // single-chunk layout — is re-chunked once, still one
+    // outerChunk-sized buffer at a time, in a CRASH-SAFE order: fresh
+    // indices land here (invisible to old-metadata readers), the
+    // colliding legacy prefix only after the metadata flip (step 2.5);
+    // chunk files beyond the new grid (a finer legacy chunking)
     // become orphans the reader never addresses. Tail-chunk cells
     // past newLen are zero padding — readers truncate at shape.
     val newLen = oldLen + newOuterVals.length
@@ -1196,8 +1232,19 @@ object ZarrWriter {
     val rechunkCoord = cmeta.chunks.head != outerChunk
     val firstCoordChunk = if (rechunkCoord) 0 else (oldLen / outerChunk)
     val nCoordChunks = ((newLen.toLong + outerChunk - 1) / outerChunk).toInt
+    // Chunk indices a reader of the OLD metadata already addresses
+    // (the legacy layout's chunk-file names). Overwriting one of them
+    // BEFORE the metadata flip would tear a crashed/concurrent
+    // old-shape read — the pre-flip loop below writes only fresh
+    // (never-addressed) indices, and the colliding prefix is deferred
+    // to AFTER the flip (step 2.5), where the old single-chunk file is
+    // merely OVERSIZED under the new chunk grid and the decoders
+    // truncate it to the correct prefix.
+    val nLegacyCoordChunks =
+      if (rechunkCoord) ((oldLen.toLong + cmeta.chunks.head - 1) / cmeta.chunks.head).toInt
+      else 0
     lastCoordRewriteMaxAllocBytes = outerChunk.toLong * cmeta.dtype.size
-    (firstCoordChunk until nCoordChunks).foreach { cc =>
+    def writeCoordChunk(cc: Int): Unit = {
       val start = cc * outerChunk
       val n = math.min(outerChunk, newLen - start)
       val cbuf = ByteBuffer.allocate(outerChunk * cmeta.dtype.size)
@@ -1208,6 +1255,10 @@ object ZarrWriter {
       store.writeBytes(s"$outerName/${cmeta.chunkKey(Seq(cc.toLong))}",
         compressPayload(craw, codecNameOf(cmeta.compressor, outerName), cmeta.dtype.size))
     }
+    (firstCoordChunk until nCoordChunks)
+      .filter(cc => cc >= nLegacyCoordChunks)
+      .foreach(writeCoordChunk)
+    coordRewriteTestHook("preflip")
 
     // 1.5) REVOKE the sum attestation before the shape grows: a reader
     // landing between the shape edit and the final sidecar rewrite
@@ -1230,6 +1281,30 @@ object ZarrWriter {
     val metaRel = (n: String) => if (meta0.coords.head.meta.isV3) s"$n/zarr.json" else s"$n/.zarray"
     editShape(store, metaRel(outerName), newLen, Some(outerChunk))
     varNames.foreach(n => editShape(store, metaRel(n), newLen, None))
+    // Consolidated metadata flips HERE, not at the end of the append:
+    // a reader discovering through .zmetadata (or the v3 root
+    // zarr.json) sees whatever that one document says regardless of
+    // the per-array edits above, so on the legacy re-chunk path it
+    // must observe the new chunk grid BEFORE step 2.5 overwrites the
+    // chunk files its old grid addressed (old grid + outerChunk-sized
+    // chunk 0 = an undersized, torn read). After this refresh both
+    // discovery paths agree on the new grid and the legacy files are
+    // merely oversized — tolerated.
+    refreshConsolidated(store, coordNames ++ varNames, meta0.coords.head.meta.isV3)
+
+    coordRewriteTestHook("postflip")
+    // 2.5) legacy-layout re-chunk, colliding prefix: only now that the
+    // metadata declares the outerChunk grid are the chunk indices the
+    // OLD layout addressed overwritten. In the window between the flip
+    // and these writes a reader sees the old single-chunk file as an
+    // OVERSIZED chunk 0 — the decoders size from the payload and the
+    // element decoder reads only the metadata extent, so the read is
+    // the correct prefix, never torn. (A finer-grained legacy layout —
+    // not one this writer ever produced — has UNDERSIZED colliding
+    // files in this window; those fail loudly as corrupt chunks until
+    // the ascending rewrite below converges.)
+    if (rechunkCoord)
+      (0 until math.min(nLegacyCoordChunks, nCoordChunks)).foreach(writeCoordChunk)
 
     // 3) merge + rewrite .zstats sidecars (min/max entries AND sum
     // partials; the complete-coverage attestation survives an append
@@ -1284,33 +1359,39 @@ object ZarrWriter {
     keyedPartials.unpersist(false)
     lastStatsDriverRows = mergeSummaries.length
 
-    // 4) refresh consolidated metadata if the store carries it
+    ChunkIO.invalidatePath(store.path)
+  }
+
+  /** Re-embed every array's on-store metadata document into the
+    * consolidated copy (v2 `.zmetadata`; v3 root `zarr.json`), if the
+    * store carries one. Called mid-append, immediately after the
+    * per-array shape edits — see the ordering note at the call site. */
+  private def refreshConsolidated(store: ZarrStore, names: Seq[String], isV3: Boolean): Unit = {
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
     store.readBytes(".zmetadata").foreach { bytes =>
       val node = mapper.readTree(bytes)
         .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
       val md = node.get("metadata")
         .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
-      (coordNames ++ varNames).foreach { n =>
+      names.foreach { n =>
         store.readBytes(s"$n/.zarray").foreach(b =>
           md.set[com.fasterxml.jackson.databind.JsonNode](s"$n/.zarray", mapper.readTree(b)))
       }
       store.writeBytes(".zmetadata", mapper.writeValueAsBytes(node))
     }
-    if (meta0.coords.head.meta.isV3) store.readBytes("zarr.json").foreach { bytes =>
+    if (isV3) store.readBytes("zarr.json").foreach { bytes =>
       val node = mapper.readTree(bytes)
         .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
       Option(node.get("consolidated_metadata"))
         .flatMap(c => Option(c.get("metadata")))
         .collect { case o: com.fasterxml.jackson.databind.node.ObjectNode => o }
         .foreach { md =>
-          (coordNames ++ varNames).foreach { n =>
+          names.foreach { n =>
             store.readBytes(s"$n/zarr.json").foreach(b =>
               md.set[com.fasterxml.jackson.databind.JsonNode](n, mapper.readTree(b)))
           }
           store.writeBytes("zarr.json", mapper.writeValueAsBytes(node))
         }
     }
-    ChunkIO.invalidatePath(store.path)
   }
 }

@@ -102,9 +102,13 @@ class ZarrCorruptionPropSpec extends AnyFunSuite {
           case 1 => // garbage of plausible length
             Files.write(target, Array.fill[Byte](Files.size(target).toInt)(0x5a))
           case 2 => Files.delete(target); fillLegal = true
-          case 3 => // truncate the outer coordinate array data
+          case 3 => // truncate the outer coordinate array data: drop
+            // the last byte, a real corruption at ANY chunk grain
+            // (the chunk-grain fresh layout makes chunk 0 as small as
+            // 8 bytes, so a fixed "keep 8 bytes" cut can be a no-op)
             val t = coordChunk0
-            Files.write(t, java.util.Arrays.copyOf(Files.readAllBytes(t), 8))
+            val bytes = Files.readAllBytes(t)
+            Files.write(t, java.util.Arrays.copyOf(bytes, bytes.length - 1))
           case 4 => // corrupt the variable's array JSON
             Files.write(arrayJson("v"), "{not json".getBytes)
           case 5 => // delete the variable's array JSON

@@ -346,6 +346,95 @@ class ZarrWriterSpec extends AnyFunSuite {
     assert(spark.read.format("zarr").load(out).count() == (nT + 1) * 2)
   }
 
+  test("fresh chunk-grain coordinate + crash-safe legacy re-chunk (both windows readable)") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("zarr_legacyrechunk")
+    def frame(ts: Range) = ts.flatMap(t => Seq(0L, 1L).map(x =>
+      (t.toLong, x, t.toLong * 2 + x))).toDF("t", "x", "v")
+    val out = base.resolve("s.zarr").toString
+    ZarrWriter.write(frame(0 until 8), out, coords = Seq("t", "x"), chunkOuter = 4)
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    // the FRESH layout is already chunk-grain: chunks metadata says
+    // outerChunk and the axis spans two chunk files — so a normal
+    // append never re-chunks the coordinate at all
+    val t0 = mapper.readTree(Files.readAllBytes(Paths.get(out, "t", ".zarray")))
+    assert(t0.get("chunks").get(0).asInt() == 4, "fresh outer coordinate must be chunk-grain")
+    assert(Files.exists(Paths.get(out, "t", "0")) && Files.exists(Paths.get(out, "t", "1")))
+
+    // forge the LEGACY single-chunk layout (pre-chunk-grain fresh
+    // writes / external stores): chunks metadata = axis length, one
+    // whole-axis chunk file, consolidated copy in agreement
+    def setChunksMeta(n: Int): Unit = {
+      val p = Paths.get(out, "t", ".zarray")
+      val node = mapper.readTree(Files.readAllBytes(p))
+        .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+      node.withArray("chunks").set(0,
+        com.fasterxml.jackson.databind.node.IntNode.valueOf(n))
+      Files.write(p, mapper.writeValueAsBytes(node))
+      val zm = Paths.get(out, ".zmetadata")
+      val zmNode = mapper.readTree(Files.readAllBytes(zm))
+        .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+      zmNode.get("metadata").asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+        .set[com.fasterxml.jackson.databind.JsonNode]("t/.zarray",
+          mapper.readTree(Files.readAllBytes(p)))
+      Files.write(zm, mapper.writeValueAsBytes(zmNode))
+    }
+    setChunksMeta(8)
+    val whole = java.nio.ByteBuffer.allocate(8 * 8).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    (0 until 8).foreach(i => whole.putLong(i * 8, i.toLong))
+    Files.write(Paths.get(out, "t", "0"), whole.array())
+    Files.delete(Paths.get(out, "t", "1"))
+    assert(spark.read.format("zarr").load(out).count() == 16, "forged legacy store must read")
+
+    // append through the one-time re-chunk, reading the store AT both
+    // crash windows via the deterministic seam
+    var preflip = 0; var postflip = 0
+    ZarrWriter.coordRewriteTestHook = {
+      case "preflip" =>
+        preflip += 1
+        // only never-addressed chunk files have landed: metadata (both
+        // discovery paths) still OLD → the store reads at its old shape
+        val m = mapper.readTree(Files.readAllBytes(Paths.get(out, "t", ".zarray")))
+        assert(m.get("shape").get(0).asInt() == 8 && m.get("chunks").get(0).asInt() == 8)
+        val df = spark.read.format("zarr").load(out)
+        assert(df.count() == 16)
+        assert(df.agg(max("t")).collect().head.getLong(0) == 7L)
+      case "postflip" =>
+        postflip += 1
+        // metadata flipped (per-array AND consolidated), legacy
+        // whole-axis chunk 0 not yet overwritten: it reads as an
+        // OVERSIZED chunk the decoders truncate to the correct prefix
+        val m = mapper.readTree(Files.readAllBytes(Paths.get(out, "t", ".zarray")))
+        assert(m.get("chunks").get(0).asInt() == 4)
+        val zm = mapper.readTree(Files.readAllBytes(Paths.get(out, ".zmetadata")))
+        assert(zm.get("metadata").get("t/.zarray").get("chunks").get(0).asInt() == 4,
+          "consolidated metadata must flip before the colliding overwrite")
+        val raw = Files.readAllBytes(Paths.get(out, "t", "0"))
+        assert(raw.length == 8 * 8, "legacy oversized chunk 0 still in place at postflip")
+        val df = spark.read.format("zarr").load(out)
+        assert(df.count() == 24)
+        assert(df.select(sum("t")).collect().head.getLong(0) == 2L * (0 until 12).sum)
+      case _ => ()
+    }
+    try ZarrWriter.append(frame(8 until 12), out)
+    finally ZarrWriter.coordRewriteTestHook = _ => ()
+    assert(preflip == 1 && postflip == 1, "both crash-window probes must have run")
+    // converged: steady-state chunk-grain layout, exact data
+    val t1 = mapper.readTree(Files.readAllBytes(Paths.get(out, "t", ".zarray")))
+    assert(t1.get("chunks").get(0).asInt() == 4)
+    assert(Files.readAllBytes(Paths.get(out, "t", "0")).length == 4 * 8)
+    val back = spark.read.format("zarr").load(out)
+    assert(back.count() == 24)
+    assert(back.agg(sum("v")).collect().head.getLong(0) ==
+      (0L until 12L).map(t => t * 4 + 1).sum)
+    // a second append rides the steady-state path: the seam still
+    // fires but chunk 0 is untouched (no legacy file to defer)
+    val before0 = Files.readAllBytes(Paths.get(out, "t", "0"))
+    ZarrWriter.append(frame(12 until 16), out)
+    assert(java.util.Arrays.equals(before0, Files.readAllBytes(Paths.get(out, "t", "0"))))
+    assert(spark.read.format("zarr").load(out).count() == 32)
+  }
+
   test("append: chunk-grain coordinate rewrite + canonical write-vs-append sidecars") {
     import spark.implicits._
     val base = Files.createTempDirectory("zarr_appendchunk")
