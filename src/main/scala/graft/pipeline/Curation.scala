@@ -127,10 +127,16 @@ object Curation {
       .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
       .filter(col("token") =!= "")
     val tf = tok.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
-    val df = tok.groupBy("token").agg(countDistinct(col("doc_id")).as("df"))
+    // df is derivable from tf — (doc_id, token) is unique after the
+    // aggregate, so COUNT(*) per token over tf ≡ COUNT(DISTINCT
+    // doc_id) per token over the raw token stream. Window-counting it
+    // on tf removes the second corpus scan + explode AND the
+    // distinct-aggregate shuffle of the full token stream (the widest
+    // frame in this query); the window's exchange carries the already-
+    // aggregated tf table instead.
     val n = docs(s, dir).agg(count(lit(1)).as("n_docs"))
     val w = Window.partitionBy("doc_id").orderBy(col("score").desc, col("token"))
-    tf.join(df, "token")
+    tf.withColumn("df", count(lit(1)).over(Window.partitionBy("token")))
       .crossJoin(broadcast(n))
       .withColumn("score", expr("(tf * 1000000 * n_docs) div df"))
       .withColumn("rn", row_number().over(w).cast("long"))

@@ -1371,6 +1371,10 @@ object Dedup {
             .stripMargin).as("w"))
       // pos cast to long: Spark's sequence() yields INT here but the
       // oracle's range() yields BIGINT, and the gate compares schemas.
+      // (An A/B this round tried hashing a pre-hashed token-slice
+      // array instead of the joined window string — 15% SLOWER:
+      // higher-order-function lambdas evaluate interpreted per
+      // element, losing to the codegen'd string join+hash.)
       if (withText)
         base.select(col("doc_id"), col("w.pos").cast("long").as("pos"),
           xxhash64(col("w.win")).as("wh"), col("w.win").as("win"))
@@ -1772,8 +1776,13 @@ object Dedup {
     val bandCols = Seq("band", "h1", "h2", "h3", "h4")
     val onBand = bandCols.map(c => col(s"a.$c") === col(s"b.$c")).reduce(_ && _)
     // corpus×batch collisions: ids are residue-disjoint, so
-    // least/greatest is the d3 doc_a < doc_b normalization
-    val cross = index.as("a").join(batchSide.as("b"), onBand)
+    // least/greatest is the d3 doc_a < doc_b normalization. The
+    // explicit a≠b guard matters once d13UpdateIndex has admitted a
+    // batch's bands into the index (the production flow): a batch doc
+    // joined to its own index copy must not emit a (d, d, 1.0)
+    // self-pair the oracle's doc_a < doc_b candidate rule excludes.
+    val cross = index.as("a")
+      .join(batchSide.as("b"), onBand && col("a.doc_id") =!= col("b.doc_id"))
       .select(least(col("a.doc_id"), col("b.doc_id")).as("doc_a"),
         greatest(col("a.doc_id"), col("b.doc_id")).as("doc_b"),
         minhashAgree.as("est_jaccard"))

@@ -236,17 +236,25 @@ object ZarrQueries {
     * indistinguishable from having written everything at once. */
   def z8_zarr_append(s: SparkSession, dir: String): DataFrame = {
     val li = graft.operators.Tables.load(s, dir, "lineitem")
-    def grid(cond: org.apache.spark.sql.Column) = li.filter(cond).select(
+    // ONE corpus scan + aggregation for BOTH write halves (the z11
+    // posture): `ln` is a group key, so filtering the aggregated grid
+    // ≡ filtering lineitem first — persist the grid-sized result and
+    // let each write filter the cached table instead of re-running the
+    // scan (was: two full lineitem scans + aggs per invocation).
+    val grid = li.select(
         col("l_linenumber").cast("long").as("ln"),
         (col("l_orderkey") % 4).cast("long").as("k"),
         col("l_quantity").cast("long").as("qty"))
       .groupBy("ln", "k").agg(sum(col("qty")).as("sum_qty"))
+      .persist()
     val out = s"${System.getProperty("java.io.tmpdir")}/graft_z8_${math.abs(dir.hashCode)}.zarr"
-    grid(col("l_linenumber") <= 4).write.format("zarr")
-      .option("coords", "ln,k").option("chunkOuter", "2")
-      .option("compressor", "zstd")
-      .mode("overwrite").save(out)
-    grid(col("l_linenumber") > 4).write.format("zarr").mode("append").save(out)
+    try {
+      grid.filter(col("ln") <= 4).write.format("zarr")
+        .option("coords", "ln,k").option("chunkOuter", "2")
+        .option("compressor", "zstd")
+        .mode("overwrite").save(out)
+      grid.filter(col("ln") > 4).write.format("zarr").mode("append").save(out)
+    } finally grid.unpersist()
     s.read.format("zarr").load(out).select("ln", "k", "sum_qty")
   }
 
@@ -257,24 +265,28 @@ object ZarrQueries {
     * batch read — same oracle as z6/z8. */
   def z9_zarr_stream(s: SparkSession, dir: String): DataFrame = {
     val li = graft.operators.Tables.load(s, dir, "lineitem")
-    def grid(cond: org.apache.spark.sql.Column) = li.filter(cond).select(
+    // single lineitem scan for both halves — see z8
+    val grid = li.select(
         col("l_linenumber").cast("long").as("ln"),
         (col("l_orderkey") % 4).cast("long").as("k"),
         col("l_quantity").cast("long").as("qty"))
       .groupBy("ln", "k").agg(sum(col("qty")).as("sum_qty"))
+      .persist()
     val out = s"${System.getProperty("java.io.tmpdir")}/graft_z9_${math.abs(dir.hashCode)}.zarr"
-    grid(col("l_linenumber") <= 4).write.format("zarr")
-      .option("coords", "ln,k").option("chunkOuter", "2")
-      .option("compressor", "zstd")
-      .mode("overwrite").save(out)
-    val q = s.readStream.format("zarr").load(out)
-      .select("ln", "k", "sum_qty")
-      .writeStream.outputMode("append").format("memory").queryName("z9_out").start()
     try {
-      q.processAllAvailable()
-      grid(col("l_linenumber") > 4).write.format("zarr").mode("append").save(out)
-      q.processAllAvailable()
-    } finally q.stop()
+      grid.filter(col("ln") <= 4).write.format("zarr")
+        .option("coords", "ln,k").option("chunkOuter", "2")
+        .option("compressor", "zstd")
+        .mode("overwrite").save(out)
+      val q = s.readStream.format("zarr").load(out)
+        .select("ln", "k", "sum_qty")
+        .writeStream.outputMode("append").format("memory").queryName("z9_out").start()
+      try {
+        q.processAllAvailable()
+        grid.filter(col("ln") > 4).write.format("zarr").mode("append").save(out)
+        q.processAllAvailable()
+      } finally q.stop()
+    } finally grid.unpersist()
     s.table("z9_out")
   }
 
@@ -287,35 +299,39 @@ object ZarrQueries {
   def z12_zarr_stream_sink(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val li = graft.operators.Tables.load(s, dir, "lineitem")
-    def grid(cond: org.apache.spark.sql.Column) = li.filter(cond).select(
+    // single lineitem scan for batch half + streamed tail — see z8
+    val grid = li.select(
         col("l_linenumber").cast("long").as("ln"),
         (col("l_orderkey") % 4).cast("long").as("k"),
         col("l_quantity").cast("long").as("qty"))
       .groupBy("ln", "k").agg(sum(col("qty")).as("sum_qty"))
+      .persist()
     val out = s"${System.getProperty("java.io.tmpdir")}/graft_z12_${math.abs(dir.hashCode)}.zarr"
-    // fresh store per run: the stream sink must start from the batch half
-    try ZarrStore.open(out).deleteRecursively() catch { case _: Exception => }
-    grid(col("l_linenumber") <= 4).write.format("zarr")
-      .option("coords", "ln,k").option("chunkOuter", "2")
-      .option("compressor", "zstd")
-      .mode("overwrite").save(out)
-    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
-    val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Long, Long)]
-    val ckpt = java.nio.file.Files.createTempDirectory("graft_z12_ckpt").toString
-    val q = in.toDF().toDF("ln", "k", "sum_qty")
-      .writeStream.outputMode("append").format("zarr")
-      .option("path", out)
-      .option("checkpointLocation", ckpt)
-      .start()
     try {
-      val tail = grid(col("l_linenumber") > 4)
-        .as[(Long, Long, Long)].collect().sortBy(r => (r._1, r._2))
-      // two micro-batches: ln∈{5,6} then ln=7 — multiple appends land
-      in.addData(tail.filter(_._1 <= 6).toSeq: _*)
-      q.processAllAvailable()
-      in.addData(tail.filter(_._1 > 6).toSeq: _*)
-      q.processAllAvailable()
-    } finally q.stop()
+      // fresh store per run: the stream sink must start from the batch half
+      try ZarrStore.open(out).deleteRecursively() catch { case _: Exception => }
+      grid.filter(col("ln") <= 4).write.format("zarr")
+        .option("coords", "ln,k").option("chunkOuter", "2")
+        .option("compressor", "zstd")
+        .mode("overwrite").save(out)
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Long, Long)]
+      val ckpt = java.nio.file.Files.createTempDirectory("graft_z12_ckpt").toString
+      val q = in.toDF().toDF("ln", "k", "sum_qty")
+        .writeStream.outputMode("append").format("zarr")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .start()
+      try {
+        val tail = grid.filter(col("ln") > 4)
+          .as[(Long, Long, Long)].collect().sortBy(r => (r._1, r._2))
+        // two micro-batches: ln∈{5,6} then ln=7 — multiple appends land
+        in.addData(tail.filter(_._1 <= 6).toSeq: _*)
+        q.processAllAvailable()
+        in.addData(tail.filter(_._1 > 6).toSeq: _*)
+        q.processAllAvailable()
+      } finally q.stop()
+    } finally grid.unpersist()
     s.read.format("zarr").load(out).select("ln", "k", "sum_qty")
   }
 
@@ -516,11 +532,16 @@ object ZarrQueries {
   def z17_zarr_combine(s: SparkSession, dir: String): DataFrame = {
     import java.nio.file.{Files, Paths}
     val li = graft.operators.Tables.load(s, dir, "lineitem")
+    // `agg` feeds FIVE plan branches (ks + per split: distinct ln +
+    // the left join's probe side) — persist the grid-sized aggregate
+    // so the lineitem scan+agg runs once, not five times (the z11
+    // posture; was the single most re-scanned input in the suite).
     val agg = li.select(
         col("l_linenumber").cast("long").as("ln"),
         (col("l_orderkey") % 4).cast("long").as("k"),
         col("l_quantity").cast("long").as("qty"))
       .groupBy("ln", "k").agg(sum(col("qty")).as("sum_qty"))
+      .persist()
     val ks = agg.select("k").distinct()
     def filled(split: DataFrame): DataFrame =
       split.select("ln").distinct().crossJoin(ks)
@@ -529,12 +550,13 @@ object ZarrQueries {
           coalesce(col("sum_qty"), lit(0L)).as("sum_qty"))
     val base = s"${System.getProperty("java.io.tmpdir")}/graft_z17_${math.abs(dir.hashCode)}_$runSuffix"
     val (pa, pb) = (s"${base}_a.zarr", s"${base}_b.zarr")
-    Seq((pa, agg.filter(col("ln") <= 4)), (pb, agg.filter(col("ln") >= 5)))
+    try Seq((pa, agg.filter(col("ln") <= 4)), (pb, agg.filter(col("ln") >= 5)))
       .foreach { case (p, split) =>
         filled(split).write.format("zarr")
           .option("coords", "ln,k").option("chunkOuter", "2")
           .option("compressor", "zstd").mode("overwrite").save(p)
       }
+    finally agg.unpersist()
     val out = Paths.get(s"${base}_combined.parq")
     if (Files.exists(out)) {
       val walk = Files.walk(out)
