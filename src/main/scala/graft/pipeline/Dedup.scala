@@ -132,7 +132,10 @@ object Dedup {
     // (one exchange by code + sort) instead of groupBy-then-join-back
     // (two exchanges of the full gram table + SMJ sorts) — identical
     // df per (doc_id, code) row, one fewer shuffle of the widest
-    // table in the pipeline.
+    // table in the pipeline. (Re-probed this round: a groupBy +
+    // shuffled-hash join-back — same exchange, no sort — measured 18%
+    // SLOWER at sf0.1: the narrow-row sort is cheaper than a second
+    // pass + hash probe over the gram table.)
     val rare = g.withColumn("df",
         count(lit(1)).over(Window.partitionBy("code")))
       .crossJoin(broadcast(nDocs))
@@ -1365,10 +1368,6 @@ object Dedup {
         // engines agree everywhere (no windows, n_toks = 1, n_removed 0)
         .select(col("doc_id"), split(coalesce(col("text"), lit("")), " ").as("t"))
         .where(size(col("t")) >= W)
-        .select(col("doc_id"), expr(
-          s"""explode(transform(sequence(1, size(t) - ${W - 1}),
-             |  i -> struct(i AS pos, array_join(slice(t, i, $W), ' ') AS win)))"""
-            .stripMargin).as("w"))
       // pos cast to long: Spark's sequence() yields INT here but the
       // oracle's range() yields BIGINT, and the gate compares schemas.
       // (An A/B this round tried hashing a pre-hashed token-slice
@@ -1376,11 +1375,19 @@ object Dedup {
       // higher-order-function lambdas evaluate interpreted per
       // element, losing to the codegen'd string join+hash.)
       if (withText)
-        base.select(col("doc_id"), col("w.pos").cast("long").as("pos"),
-          xxhash64(col("w.win")).as("wh"), col("w.win").as("win"))
+        base.select(col("doc_id"), expr(
+          s"""explode(transform(sequence(1, size(t) - ${W - 1}),
+             |  i -> struct(i AS pos, array_join(slice(t, i, $W), ' ') AS win)))"""
+            .stripMargin).as("w"))
+          .select(col("doc_id"), col("w.pos").cast("long").as("pos"),
+            xxhash64(col("w.win")).as("wh"), col("w.win").as("win"))
       else
-        base.select(col("doc_id"), col("w.pos").cast("long").as("pos"),
-          xxhash64(col("w.win")).as("wh"))
+        // The CANDIDATE pass consumes only (doc_id, wh): explode bare
+        // window strings (no struct/pos per position) and hash them.
+        base.select(col("doc_id"), explode(expr(
+          s"""transform(sequence(1, size(t) - ${W - 1}),
+             |  i -> array_join(slice(t, i, $W), ' '))""".stripMargin)).as("win"))
+          .select(col("doc_id"), xxhash64(col("win")).as("wh"))
     }
     // Candidate hashes: ≥ minDocs distinct docs. Two-level group
     // (wh, doc_id) then wh keeps the distinct-count a plain

@@ -507,8 +507,11 @@ object Similarity {
       .select(col("vec_id"), col("e.m").as("m"), col("e.sv").as("sv"))
     val codebook = subs.filter(col("vec_id") < pqK)
       .select(col("m"), col("vec_id").as("k"), col("sv").as("cv"))
-    val sqDist = expr(
-      "aggregate(zip_with(sv, cv, (x, y) -> (x - y) * (x - y)), CAST(0 AS BIGINT), (acc, v) -> acc + v)")
+    // codegen'd fused loop (LongVecDistSq) instead of the interpreted
+    // HOF fold — numerically identical exact int64 (the s5/d8
+    // assignment-path precedent); this expression runs 16×8×N times
+    // in the encode pass, s6's hot loop.
+    val sqDist = graft.functions.LongVecDistSq(col("sv"), col("cv"))
     // Encode the corpus: nearest codebook entry per (vector, subspace).
     val codes = subs.join(broadcast(codebook), "m")
       .withColumn("dist", sqDist)
