@@ -377,17 +377,25 @@ object Curation {
     * BROADCAST and the 100 TB side is a single scan + broadcast-hash
     * join + per-doc count: no shuffle of the corpus grams at all. */
   def c8_decontaminate(s: SparkSession, dir: String): DataFrame = {
-    val grams = graft.operators.Tables.widen(docs(s, dir))
+    // RAW gram occurrences — the per-doc dedup happens AFTER the
+    // broadcast join: the eval-gram filter is the selective step (a
+    // benchmark is fixed-size), so deduplicating only the matched
+    // occurrences (countDistinct per doc) shuffles the match volume
+    // instead of the full corpus gram set. The old shape paid a
+    // global (doc_id, g) DISTINCT shuffle of every gram in the
+    // corpus before the join — the widest exchange in this query —
+    // for rows the join was about to drop. COUNT(DISTINCT g) per doc
+    // over matches ≡ COUNT(*) per doc over pre-distincted matches.
+    val tok = graft.operators.Tables.widen(docs(s, dir))
       .select(col("doc_id"), split(col("text"), " ").as("w"))
       .filter(size(col("w")) >= 5)
       .select(col("doc_id"),
         explode(expr("transform(sequence(1, size(w)-4), i -> concat_ws(' ', slice(w, i, 5)))")).as("g"))
-      .distinct()
-    val evalGrams = grams.filter(col("doc_id") % 37 === 0).select("g").distinct()
-    grams.filter(col("doc_id") % 37 =!= 0)
+    val evalGrams = tok.filter(col("doc_id") % 37 === 0).select("g").distinct()
+    tok.filter(col("doc_id") % 37 =!= 0)
       .join(broadcast(evalGrams), "g")
       .groupBy("doc_id")
-      .agg(count(lit(1)).cast("long").as("n_shared"))
+      .agg(countDistinct(col("g")).cast("long").as("n_shared"))
   }
 
   private val c8Sql = """
