@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked run output goes to the real stdout/stderr UNPREFIXED instead of
+// through sbt's logger: the bench's one-line JSON must be machine-parsable
+// from the log tail, and sbt's default LoggedOutput prepended "[info] " to
+// every line — the driver's parser has recorded `parsed: null` since round 1
+// because of it (see VERDICT r15 item 2).
+outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -221,9 +221,14 @@ object Bench {
     // real regression — loadavg + core count make a polluted run
     // self-diagnosing. (loadAtStart is captured before the warmup pass
     // so it reflects ambient load, not our own.)
-    val cores = Runtime.getRuntime.availableProcessors()
+    // `cores` is the local[N] worker count the run actually used — the
+    // r15 artifact reported availableProcessors() here, so the driver's
+    // SPARK_GRAFT_CPUS=8 scaling run self-labeled "cores":32 (VERDICT
+    // r15 item 2); the host width stays visible as host_cores.
+    val cores = cpus
+    val hostCores = Runtime.getRuntime.availableProcessors()
     def q(s: String) = "\"" + s + "\""
-    val env = s""""cores":$cores,"load_start":${q(loadAtStart)},""" +
+    val env = s""""cores":$cores,"host_cores":$hostCores,"load_start":${q(loadAtStart)},""" +
       s""""load_end":${q(loadavg())},"nfail":${failed.size},""" +
       s""""passes":${passes.size},"gate_wait_s":$gateWait,"high_load":$highLoad,""" +
       // per-PASS 1-min loadavg (start end) + which passes the guard
@@ -283,10 +288,23 @@ object Bench {
       snapped = Some(snap)
     } catch { case _: Exception => }
     val head = results.filter { case (n, _) => headline.contains(n) }
-    println(s"""{"metric":"total","value":${r4(total)},"unit":"sec",""" +
-      s""""nq":${results.size},$env,"queries":${jsonMap(head)},"sf":"$sfDir"}""")
+    val headLine = s"""{"metric":"total","value":${r4(total)},"unit":"sec",""" +
+      s""""nq":${results.size},$env,"queries":${jsonMap(head)},"sf":"$sfDir"}"""
+    // The exact headline line also lands in a stable file: the driver's
+    // round artifacts carried `parsed: null` every round because the
+    // line sat prefixed mid-tail in the sbt log (VERDICT r15 item 2).
+    // Together with build.sbt's StdoutOutput (which un-prefixes stdout)
+    // either channel restores the one-line-JSON contract.
+    try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_LINE.json"),
+      (headLine + "\n").getBytes("UTF-8"))
+    catch { case _: Exception => }
+    println(headLine)
     regenTrend(sfDir, only, snapped)
     spark.stop()
+    // Re-emit as the process's LAST line (after Spark's shutdown chatter,
+    // which lands on stderr): a tail-parser that takes the final
+    // stdout line starting with '{' now always finds the headline.
+    println(headLine)
   }
 
   /** Regenerate BENCH_TREND.md with THIS run as the newest column.

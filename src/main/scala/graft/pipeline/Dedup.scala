@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.functions.VectorOps
+import graft.functions.{VectorOps, WindowHashes}
 import graft.operators.Tables
 
 /** Deduplication family over `documents` / `embeddings` — the core
@@ -573,13 +573,20 @@ object Dedup {
     require(maxHamming <= 3, s"banded candidates are only exhaustive for hamming <= 3, got $maxHamming")
     val g = TextAnalysis.gramCodes(slicedDocs(s, dir, whereSql, textSql))
       .select(col("doc_id"), expr(mix("code")).as("h"))
+    // One bit-count-vector aggregate + COUNT(*) replaces the former 30
+    // independent sum(CASE WHEN bit THEN 1 ELSE -1 END) aggregates (30
+    // shift/mask/branch evals per gram row into 30 buffer slots): with
+    // cnt_k = per-bit set counts and n = row count, the ±1 sum is
+    // s_k = 2·cnt_k − n, so the oracle's sign test s_k > 0 is exactly
+    // 2·cnt_k > n (a null h contributes −1 to s_k under CASE's
+    // null-is-false, and 0/+1 to cnt/n — identical; h is never null).
     val bitSums = g.groupBy("doc_id").agg(
-      sum(expr(s"CASE WHEN (shiftright(h, 0) & 1) = 1 THEN 1 ELSE -1 END")).as("s0"),
-      (1 until simBits).map(k =>
-        sum(expr(s"CASE WHEN (shiftright(h, $k) & 1) = 1 THEN 1 ELSE -1 END")).as(s"s$k")): _*)
+      graft.functions.BitSetCounts(col("h"), simBits).as("cnt"),
+      count(lit(1)).as("n"))
     val sketch = bitSums.select(col("doc_id"),
       (0 until simBits).map(k =>
-        when(col(s"s$k") > 0, lit(1L << k)).otherwise(lit(0L))).reduce(_ + _).as("simhash"))
+        when(col("cnt").getItem(k) * lit(2L) > col("n"), lit(1L << k))
+          .otherwise(lit(0L))).reduce(_ + _).as("simhash"))
       // referenced in all four band selects
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bandDefs = Seq((0, 8), (8, 8), (16, 7), (23, 7))
@@ -1309,17 +1316,18 @@ object Dedup {
     * maximal token span.
     *
     * Plan, 100 TB-first:
-    *   1. explode each document into overlapping [[d9WindowTokens]]-token
-    *      windows (one `explode(transform(sequence(...)))` pass — rows
-    *      ∝ corpus token count, linear);
-    *   2. CANDIDATE pass: group by `xxhash64(window)` — the shuffle
+    *   1. hash each document's overlapping [[d9WindowTokens]]-token
+    *      windows in one codegen'd byte pass ([[graft.functions.WindowHashes]]
+    *      — rows ∝ corpus token count, linear, no window strings built);
+    *   2. CANDIDATE pass: group by the window hash — the shuffle
     *      carries an 8-byte key + doc_id, never the window text — and
     *      keep hashes seen in ≥ 2 distinct docs;
-    *   3. CONFIRM pass: semi-join the windows to the candidate hashes
-    *      (AQE broadcasts the hash set when small) and re-group the
-    *      surviving few by the exact window STRING — so a 64-bit hash
+    *   3. CONFIRM pass: semi-join the hashed positions to the candidate
+    *      hashes (AQE broadcasts the hash set when small), rebuild the
+    *      window STRING for the surviving few only (doc_id join-back),
+    *      and re-group by the exact string — so a 64-bit hash
     *      collision can never fabricate a duplicate, yet full window
-    *      text only ever shuffles for the candidate subset;
+    *      text is only ever built for the candidate subset;
     *   4. merge adjacent duplicated positions per doc into maximal
     *      spans (gaps-and-islands: `pos − row_number()` over the
     *      per-doc position order — the window partition is per-doc,
@@ -1360,48 +1368,47 @@ object Dedup {
   private def spanFrames(s: SparkSession, dir: String, W: Int,
       minDocs: Int, whereSql: String,
       textSql: String = "text"): (DataFrame, DataFrame) = {
-    def wins(withText: Boolean): DataFrame = {
-      val base = slicedDocs(s, dir, whereSql, textSql)
-        // coalesce guards NULL text: Spark's size(split(NULL)) is -1
-        // while DuckDB's len(NULL) is NULL — a NULL-text doc would
-        // diverge the differential gate (round 11 ADVICE); with '' both
-        // engines agree everywhere (no windows, n_toks = 1, n_removed 0)
-        .select(col("doc_id"), split(coalesce(col("text"), lit("")), " ").as("t"))
-        .where(size(col("t")) >= W)
-      // pos cast to long: Spark's sequence() yields INT here but the
-      // oracle's range() yields BIGINT, and the gate compares schemas.
-      // (An A/B this round tried hashing a pre-hashed token-slice
-      // array instead of the joined window string — 15% SLOWER:
-      // higher-order-function lambdas evaluate interpreted per
-      // element, losing to the codegen'd string join+hash.)
-      if (withText)
-        base.select(col("doc_id"), expr(
-          s"""explode(transform(sequence(1, size(t) - ${W - 1}),
-             |  i -> struct(i AS pos, array_join(slice(t, i, $W), ' ') AS win)))"""
-            .stripMargin).as("w"))
-          .select(col("doc_id"), col("w.pos").cast("long").as("pos"),
-            xxhash64(col("w.win")).as("wh"), col("w.win").as("win"))
-      else
-        // The CANDIDATE pass consumes only (doc_id, wh): explode bare
-        // window strings (no struct/pos per position) and hash them.
-        base.select(col("doc_id"), explode(expr(
-          s"""transform(sequence(1, size(t) - ${W - 1}),
-             |  i -> array_join(slice(t, i, $W), ' '))""".stripMargin)).as("win"))
-          .select(col("doc_id"), xxhash64(col("win")).as("wh"))
-    }
-    // Candidate hashes: ≥ minDocs distinct docs. Two-level group
-    // (wh, doc_id) then wh keeps the distinct-count a plain
-    // map-side-combinable agg.
-    val candH = wins(withText = false)
+    // coalesce guards NULL text: Spark's size(split(NULL)) is -1
+    // while DuckDB's len(NULL) is NULL — a NULL-text doc would
+    // diverge the differential gate (round 11 ADVICE); with '' both
+    // engines agree everywhere (no windows, n_toks = 1, n_removed 0)
+    val docsT = slicedDocs(s, dir, whereSql, textSql)
+      .select(col("doc_id"), coalesce(col("text"), lit("")).as("text"))
+    // Window hashes come from ONE codegen'd byte pass per document
+    // (graft.functions.WindowHashes) — bit-identical to
+    // xxhash64(array_join(slice(split(text,' '), i, W), ' ')) but with
+    // zero window-string allocations. Until r16 BOTH legs built every
+    // window string (~W× the corpus in UTF8String allocations through
+    // an interpreted transform lambda) only to hash-and-drop ~all of
+    // them; now strings are built only for the candidate subset.
+    // pos is 1-based long: the oracle's range() yields BIGINT and the
+    // gate compares schemas.
+    val candH = docsT
+      .select(col("doc_id"), explode(WindowHashes(col("text"), W)).as("wh"))
+      // Candidate hashes: ≥ minDocs distinct docs. Two-level group
+      // (wh, doc_id) then wh keeps the distinct-count a plain
+      // map-side-combinable agg.
       .select(col("wh"), col("doc_id")).distinct()
       .groupBy(col("wh")).agg(count(lit(1)).as("nd"))
       .where(col("nd") >= minDocs).select(col("wh"))
+    // Confirm leg, §8-shaped: decide on the 8-byte (doc_id, pos, wh)
+    // proxy rows, then re-attach the heavy window STRING only for the
+    // few candidate positions via a doc_id join-back (docsT's doc_id is
+    // unique, so the inner join is 1:1 on the candidate side).
+    val posHashes = docsT
+      .select(col("doc_id"), posexplode(WindowHashes(col("text"), W)))
+      .select(col("doc_id"), (col("pos") + 1).cast("long").as("pos"),
+        col("col").as("wh"))
     // The candidate frame is consumed twice (confirm + position join):
     // persist it (d3's tagged-frame idiom, same cache + per-corpus
     // eviction) or the WHOLE upstream — both corpus scans and the
     // candidate shuffle — re-runs per consumer (4 corpus scans, the
     // exact DAG-reuse trap round 10 removed from d3).
-    val cand0 = wins(withText = true).join(candH, Seq("wh"), "left_semi")
+    val cand0 = posHashes.join(candH, Seq("wh"), "left_semi")
+      .join(docsT, Seq("doc_id"))
+      .select(col("doc_id"), col("pos"),
+        expr(s"array_join(slice(split(text, ' '), cast(pos AS int), $W), ' ')")
+          .as("win"))
     val cand = cand0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     Option(taggedCache.put(
         s"d9cand:$dir:$W:$minDocs:$whereSql:$textSql:${corpusStamp(s, dir, "documents")}",

@@ -714,39 +714,19 @@ object TextAnalysis {
   }
 
   /** Segment the vocabulary `wc (word, c)` under a fixed ordered merge
-    * table → `(word, c, syms, n_syms)`. One exhaustive leftmost-greedy
-    * pass per merge, unrolled as chained `aggregate` HOF expressions
-    * (the accumulator carries the emitted symbols plus the one pending
-    * symbol a leftmost scan needs). */
+    * table → `(word, c, syms, n_syms)`. All merge rounds run in ONE
+    * codegen'd JVM pass per word ([[graft.functions.BpeSegment]]) —
+    * until r16 this was `m` chained `aggregate` HOF expressions whose
+    * accumulator grew by per-element array `concat`: O(len²) small
+    * allocations per word per round through interpreted lambdas.
+    * Identical semantics (exhaustive leftmost-greedy per rank, ranks in
+    * order), pinned against the priority-queue reference in
+    * T13BpeApplySpec. */
   private[graft] def bpeSegment(wc: DataFrame,
-      merges: Seq[(String, String)]): DataFrame = {
-    val chars: Column =
-      expr("transform(sequence(1, length(word)), i -> substring(word, i, 1))")
-    val syms = merges.foldLeft(chars) { case (c, (a, b)) => mergeRound(c, a, b) }
-    wc.select(col("word"), col("c"), syms.as("syms"))
+      merges: Seq[(String, String)]): DataFrame =
+    wc.select(col("word"), col("c"),
+        graft.functions.BpeSegment(col("word"), merges).as("syms"))
       .withColumn("n_syms", size(col("syms")).cast("long"))
-  }
-
-  /** One exhaustive merge pass for pair (a, b) over a symbol array:
-    * scan left to right holding the pending symbol in `last`; when
-    * (last, x) = (a, b), emit the merged symbol and clear the pending
-    * slot (so overlapping occurrences resolve leftmost-greedy). */
-  private def mergeRound(syms: Column, a: String, b: String): Column = {
-    val init = struct(array().cast("array<string>").as("out"),
-      lit(null).cast("string").as("last"))
-    aggregate(syms, init,
-      (acc: Column, x: Column) => {
-        val out = acc.getField("out")
-        val last = acc.getField("last")
-        when(last.isNull, struct(out.as("out"), x.as("last")))
-          .when(last === lit(a) && x === lit(b),
-            struct(concat(out, array(concat(last, x))).as("out"),
-              lit(null).cast("string").as("last")))
-          .otherwise(struct(concat(out, array(last)).as("out"), x.as("last")))
-      },
-      acc => when(acc.getField("last").isNull, acc.getField("out"))
-        .otherwise(concat(acc.getField("out"), array(acc.getField("last")))))
-  }
 
   /** DuckDB oracle for [[bpeApply]]: derives the same top-`m` merge
     * table in SQL, then executes the same rank-ordered exhaustive

@@ -333,13 +333,20 @@ object ZarrWriter {
     uintColumns.keys.foreach(k => require(varCols.contains(k),
       s"uintColumns names '$k', which is not a data-variable column"))
 
-    // 1. ONE scalar-aggregate validation pass — row count, distinct
-    // cells (duplicate guard), per-coordinate distinct/null/NaN counts
-    // — entirely executor-side, no driver materialization. Fusing the
-    // former 2 + #coords actions into one matters when the input is an
-    // expensive uncached plan (each extra action re-executes it), and
-    // running the counts FIRST lets the max-dimension guard refuse a
-    // pathological dimension BEFORE any driver-sized collect can OOM.
+    // 1. ONE aggregation pass — row count, distinct cells (duplicate
+    // guard), per-coordinate distinct/null/NaN counts, AND the sorted
+    // coordinate values themselves. Until r16 the coordinate collect
+    // was a SECOND action so the max-dimension guard could refuse a
+    // pathological dimension before any driver-sized collect; fusing
+    // them saves a full re-execution of the (possibly expensive,
+    // uncached) input plan per write. The guard survives the fusion
+    // because each collected set is CAPPED executor-side with
+    // slice(…, 1, maxDimLen): the driver never receives more than
+    // maxDimLen values per coordinate, and the uncapped count_distinct
+    // in the same row still detects the overflow and refuses. (The
+    // trade: executors now build the full distinct set even on a
+    // refused input — the guard protects the DRIVER, which is where
+    // the coordinate arrays would otherwise materialize unbounded.)
     //
     // Duplicate cells would write nondeterministically (whichever
     // partition's value lands last) and can MASK a missing cell when
@@ -356,7 +363,8 @@ object ZarrWriter {
         }
         Seq(count_distinct(col(c)),
           sum(when(col(c).isNull, 1L).otherwise(0L)), nans)
-      }
+      } ++
+      coords.map(c => slice(sort_array(collect_set(col(c))), 1, maxDimLen))
     val v = df.agg(validationAggs.head, validationAggs.tail: _*).head()
     val n = v.getLong(0)
     require(n > 0,
@@ -385,12 +393,11 @@ object ZarrWriter {
           "driver-materialized Zarr metadata; raise the maxDimLen option " +
           "only if the driver has memory for the full coordinate array")
     }
-    // 2. coordinate values (bounded by the guard above), every
-    // dimension's sorted distinct values collected in ONE action
-    val collectAggs = coords.map(c => sort_array(collect_set(col(c))))
-    val cRow = df.agg(collectAggs.head, collectAggs.tail: _*).head()
+    // coordinate values from the same fused row (each capped at
+    // maxDimLen; the guard above proved dimLen <= maxDimLen, so the
+    // capped slice IS the complete sorted dimension)
     val coordVals: Seq[Array[Any]] = coords.indices
-      .map(i => cRow.getSeq[Any](i).toArray)
+      .map(i => v.getSeq[Any](2 + 3 * coords.length + i).toArray)
     val shape = coordVals.map(_.length.toLong)
     val totalRows = shape.product
     require(n <= totalRows,
