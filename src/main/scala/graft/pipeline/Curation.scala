@@ -134,6 +134,15 @@ object Curation {
     // distinct-aggregate shuffle of the full token stream (the widest
     // frame in this query); the window's exchange carries the already-
     // aggregated tf table instead.
+    //
+    // Skew-probed at sf1p on the maximal-skew corpus (31-token
+    // vocabulary — every window group is ~n_docs rows, the stopword
+    // worst case): window 1.55 s vs groupBy+join-back 3.29 s (plain)
+    // / 2.08 s (broadcast hint) — the join-back re-derives tf for the
+    // df side, i.e. pays a second corpus explode, which dominates any
+    // skew gain at every tested scale. If a single token group ever
+    // outgrew one task's window buffer at true fleet scale, the fix is
+    // two-level (salted) counting over tf, not the join-back.
     val n = docs(s, dir).agg(count(lit(1)).as("n_docs"))
     val w = Window.partitionBy("doc_id").orderBy(col("score").desc, col("token"))
     tf.withColumn("df", count(lit(1)).over(Window.partitionBy("token")))

@@ -132,10 +132,12 @@ object Dedup {
     // (one exchange by code + sort) instead of groupBy-then-join-back
     // (two exchanges of the full gram table + SMJ sorts) — identical
     // df per (doc_id, code) row, one fewer shuffle of the widest
-    // table in the pipeline. (Re-probed this round: a groupBy +
-    // shuffled-hash join-back — same exchange, no sort — measured 18%
-    // SLOWER at sf0.1: the narrow-row sort is cheaper than a second
-    // pass + hash probe over the gram table.)
+    // table in the pipeline. (r15 probe: a groupBy + shuffled-hash
+    // join-back — same exchange, no sort — measured 18% SLOWER at
+    // sf0.1; r16 re-probe AT SCALE on the maximal-skew sf1p corpus:
+    // window 3.71 s vs join-back 3.94 s — the window wins on the skew
+    // shape too, because the join-back recomputes the gram explode
+    // for the df side.)
     val rare = g.withColumn("df",
         count(lit(1)).over(Window.partitionBy("code")))
       .crossJoin(broadcast(nDocs))

@@ -72,9 +72,15 @@ object EventsStreaming {
   /** Batch-identical event frame: the RAW parquet schema feeds the
     * file stream, then `Tables.normalizeTs` applies the same ts
     * normalization (nanos-as-long → micros, or NTZ → LTZ) as the
-    * batch loader, so stream and batch plans see identical types. */
+    * batch loader, so stream and batch plans see identical types.
+    * Memoized per directory — schema inference is a driver footer
+    * read, and the two-source queries (st4/st7) paid it twice per
+    * invocation (metadata memo, same posture as the zarr store-meta
+    * cache; never caches results). */
+  private val schemaCache =
+    new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.types.StructType]()
   private def schemaOf(s: SparkSession, dir: String) =
-    s.read.parquet(s"$dir/events.parquet").schema
+    schemaCache.computeIfAbsent(dir, d => s.read.parquet(s"$d/events.parquet").schema)
 
   private def eventsStream(s: SparkSession, dir: String): DataFrame = {
     // FileStreamSource requires a directory; the corpus ships events as
