@@ -77,15 +77,15 @@ object Similarity {
         ORDER BY cosine DESC, vec_id) AS rk FROM pairs) x
     WHERE rk <= $topK"""
 
-  /** SQL expression (both dialects) for the dot product of `embedding`
-    * with hyperplane `p`, as a sequential double fold via zipped
-    * element/plane arrays. */
-  private def planeDotSpark(p: Int): Column = {
-    val arr = array((0 until dim).map(d => lit(plane(p, d))): _*)
-    aggregate(
-      zip_with(col("embedding"), arr, (x, y) => x.cast("double") * y),
-      lit(0.0), (acc, v) => acc + v)
-  }
+  /** Dot product of `embedding` with hyperplane `p` — a codegen'd
+    * fused loop ([[graft.functions.FloatPlaneDot]]) replacing the
+    * interpreted `aggregate(zip_with(...))` fold (two lambda frames
+    * per element, × nPlanes evaluations per row in the bucket id);
+    * bit-identical left-to-right double accumulation, so every LSH
+    * bucket sign is unchanged. */
+  private def planeDotSpark(p: Int): Column =
+    graft.functions.FloatPlaneDot(col("embedding"),
+      (0 until dim).map(d => plane(p, d)))
 
   private def planeDotSql(p: Int, rel: String): String = {
     val lits = (0 until dim).map(d => plane(p, d).toString).mkString(", ")

@@ -137,24 +137,24 @@ object TextAnalysis {
     // parallelize — see [[graft.operators.Tables.widen]] for why the
     // scan alone is one task at any data size.
     //
-    // Codes come from a ONCE-per-doc char-code array + O(1)
-    // element_at lookups, not substring(text, pos, 5) per position:
-    // UTF8String.substring walks code points from the string START on
-    // every call, so the per-position substring made the explode
-    // O(len²) per document — the dedup family's true inner loop
-    // (d2/d3/d4/d11/d13/t4 all derive from this table). Same
-    // polynomial over the same ascii codes, so every emitted (doc_id,
-    // code) row — and the shared cache key's downstream — is
-    // bit-identical; the oracle fragment (gramSqlFor) is untouched.
+    // Codes come from ONE codegen'd byte pass per document
+    // ([[graft.functions.GramCodes]]): r15 replaced the O(len²)
+    // per-position substring with a char-code array + element_at
+    // transform; r16 collapses the remaining two interpreted lambdas
+    // (char-code build + per-position polynomial, one boxed Long per
+    // code point per step) into a fused JVM loop — the dedup family's
+    // true inner loop (d2/d3/d4/d11/d13/t4 all derive from this
+    // table). Same base-31 polynomial over the same code points, so
+    // every emitted (doc_id, code) row — and the shared cache key's
+    // downstream — is bit-identical; the oracle fragment (gramSqlFor)
+    // is untouched. The explode bound is now structural (the
+    // expression sizes its own output), closing the r15 ADVICE note
+    // about `size(split(text, '')) - 4` depending on Spark ≥ 3.4's
+    // trailing-empty-element behavior.
     graft.operators.Tables.widen(
         d.filter(length(col("text")) >= 5).select(col("doc_id"), col("text")))
       .select(col("doc_id"),
-        expr("transform(split(text, ''), c -> CAST(ascii(c) AS BIGINT))").as("ca"))
-      .select(col("doc_id"), explode(expr(
-        """transform(sequence(1, size(ca) - 4),
-          |  i -> element_at(ca, i) * 923521 + element_at(ca, i + 1) * 29791
-          |     + element_at(ca, i + 2) * 961 + element_at(ca, i + 3) * 31
-          |     + element_at(ca, i + 4))""".stripMargin)).as("code"))
+        explode(graft.functions.GramCodes(col("text"))).as("code"))
       .distinct()
       // Shared materialization: fingerprint + the whole dedup family
       // derive from this explode, and self-joins reference it twice.

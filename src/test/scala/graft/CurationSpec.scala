@@ -53,6 +53,30 @@ class CurationSpec extends AnyFunSuite {
     }
   }
 
+  test("c8: a shared gram repeated inside one training doc counts once") {
+    // pins exactly the r15 rewrite's changed aggregation semantics:
+    // dedup AFTER the broadcast join means the per-doc COUNT(DISTINCT g)
+    // over matches must collapse repeated occurrences of the same
+    // eval-shared 5-gram. doc 0 (0 % 37 = 0) is the eval side; doc 1
+    // contains its gram TWICE and a second shared gram once.
+    import org.apache.spark.sql.functions.col
+    val d = java.nio.file.Files.createTempDirectory("c8spec").toFile
+    d.deleteOnExit()
+    import TestSession.spark.implicits._
+    Seq(
+      (0L, "a b c d e f", "en", "a", 0L), // eval grams: "a b c d e", "b c d e f"
+      (1L, "a b c d e x a b c d e", "en", "a", 0L), // shared gram twice
+      (2L, "q r s t u v w", "en", "a", 0L)) // no shared grams
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"${d.getAbsolutePath}/documents.parquet")
+    val got = graft.pipeline.Curation.c8_decontaminate(
+        TestSession.spark, d.getAbsolutePath)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got == Map(1L -> 1L),
+      s"doc 1 shares exactly one DISTINCT gram with the eval set; got $got")
+  }
+
   test("editdist pairs are ordered, blocked, and within threshold") {
     val rows = Curation.c5_editdist_pairs(spark, sf).collect()
     rows.foreach { r =>

@@ -81,6 +81,24 @@ class D13IncrementalSpec extends AnyFunSuite {
       s"updated index must surface 3, 7, 14; got $hits")
   }
 
+  test("ingest against an UPDATED index emits no self-pairs and no duplicate pairs") {
+    // the production flow the r15 a≠b guard protects: once
+    // d13UpdateIndex has admitted a batch's bands, a batch doc joins
+    // its own index copy — the guard plus the terminal distinct must
+    // suppress (d, d, 1.0) self-pairs and mirrored index-copy×batch
+    // duplicates. (The earlier test already appended once; append
+    // again — extra copies only add more chances to emit bad rows.)
+    val idx = Dedup.d13IndexPath(spark, dir, "((doc_id % 7) + 7) % 7 <> 0")
+    Dedup.d13UpdateIndex(spark, idx,
+      Dedup.minhashBands(spark, dir, "((doc_id % 7) + 7) % 7 = 0"))
+    val got = Dedup.d13_dedup_incremental(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(got.forall { case (a, b, _) => a != b }, s"self-pairs in $got")
+    assert(got.map(p => (p._1, p._2)).distinct.size == got.size,
+      s"duplicate pairs in $got")
+    assert(got.toSet == Set((3L, 7L, 1.0), (3L, 14L, 1.0), (7L, 14L, 1.0)))
+  }
+
   test("dispatch: batch broadcasts under the cut, shuffles above it; rows identical") {
     def ops(p: SparkPlan): Seq[SparkPlan] = p match {
       case a: AdaptiveSparkPlanExec => a +: ops(a.executedPlan)

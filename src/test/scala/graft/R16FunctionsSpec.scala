@@ -74,6 +74,41 @@ class R16FunctionsSpec extends AnyFunSuite {
     assert(ref.exceptAll(fast).count() == 0 && fast.exceptAll(ref).count() == 0)
   }
 
+  test("GramCodes == the transform/element_at polynomial, ASCII and BMP unicode") {
+    import spark.implicits._
+    val corpus = Tables.load(spark, sf, "documents")
+      .select(col("doc_id"), col("text"))
+    val extra = Seq("héllo wörld — ünïcode 漢字テスト", "abcd", "abcde", "",
+      "exactly5", "ça va très bien aujourd'hui").zipWithIndex
+      .map { case (t, i) => (100000L + i, t) }.toDF("doc_id", "text")
+    val docs = corpus.unionByName(extra).filter(length(col("text")) >= 5)
+    val ref = docs
+      .select(col("doc_id"),
+        expr("transform(split(text, ''), c -> CAST(ascii(c) AS BIGINT))").as("ca"))
+      .select(col("doc_id"), explode(expr(
+        """transform(sequence(1, size(ca) - 4),
+          |  i -> element_at(ca, i) * 923521 + element_at(ca, i + 1) * 29791
+          |     + element_at(ca, i + 2) * 961 + element_at(ca, i + 3) * 31
+          |     + element_at(ca, i + 4))""".stripMargin)).as("code"))
+    val fast = docs.select(col("doc_id"),
+      explode(graft.functions.GramCodes(col("text"))).as("code"))
+    assert(ref.count() > 0)
+    assert(ref.exceptAll(fast).count() == 0 && fast.exceptAll(ref).count() == 0)
+  }
+
+  test("FloatPlaneDot == the aggregate(zip_with) double fold bit-for-bit") {
+    val plane = (0 until 64).map(d => ((7 * 131 + d * 137) % 997) / 997.0 - 0.5)
+    val e = Tables.load(spark, sf, "embeddings")
+    val arr = array(plane.map(lit): _*)
+    val ref = e.select(col("vec_id"),
+      aggregate(zip_with(col("embedding"), arr,
+        (x, y) => x.cast("double") * y), lit(0.0), (acc, v) => acc + v).as("dot"))
+    val fast = e.select(col("vec_id"),
+      graft.functions.FloatPlaneDot(col("embedding"), plane).as("dot"))
+    assert(ref.count() > 0)
+    assert(ref.exceptAll(fast).count() == 0 && fast.exceptAll(ref).count() == 0)
+  }
+
   test("BpeSegment handles multi-byte words and empty merge tables") {
     import spark.implicits._
     val wc = Seq(("héllo", 1L), ("日本語", 1L), ("aaa", 1L), ("x", 1L))
